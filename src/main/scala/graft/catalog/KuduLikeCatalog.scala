@@ -1,0 +1,202 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+/** Table definition: name + schema + declared primary-key columns.
+  *
+  * Mirrors the reference's table metadata, which lives in Hive TBLPROPERTIES
+  * `kudu.table_name` / `kudu.key_columns`
+  * (reference: HiveKuduConstants.java:26-30, KuduStorageHandler.java:242).
+  */
+final case class TableDef(name: String, schema: StructType, keyCols: Seq[String]) {
+  require(name.nonEmpty, "table name must be non-empty")
+  require(keyCols.nonEmpty, "key columns must be non-empty (Kudu tables are keyed)")
+}
+
+/** Error type for catalog validation failures (the reference throws
+  * SerDeException / MetaException from the same checks).
+  */
+final class CatalogException(msg: String) extends RuntimeException(msg)
+
+/** A Kudu-like keyed-table catalog over parquet directories.
+  *
+  * Re-expresses the reference's storage semantics Spark-first:
+  *
+  *  - '''Closed 10-primitive type set''' — the reference accepts exactly
+  *    string/varchar/char, tinyint..bigint, float, double, timestamp, boolean,
+  *    binary and rejects everything else, including nested LIST/MAP/STRUCT
+  *    (reference: HiveKuduBridgeUtils.java:36-68, :101-111). `validate`
+  *    reproduces that check on a Spark `StructType`.
+  *  - '''PK non-null, non-key nullable''' — key columns are created
+  *    non-nullable, all others nullable
+  *    (reference: KuduStorageHandler.java:249-258).
+  *  - '''Duplicate-key inserts silently ignored''' — the reference's writer
+  *    session sets `setIgnoreAllDuplicateRows(true)`
+  *    (reference: HiveKuduTableOutputFormat.java:98-101). [[insert]] keeps the
+  *    first-by-sort-order row per key within a batch and drops rows whose key
+  *    already exists — a deterministic version of Kudu's "first insert wins".
+  *  - '''DDL lifecycle''' — create / drop-iff-managed / rollback-on-failed-
+  *    create mirror the reference's HiveMetaHook hooks
+  *    (reference: KuduStorageHandler.java:223-330).
+  *
+  * Scale design: data lives as parquet under `root/<table>/data`. Inserts
+  * shuffle once, hash-partitioned on the key columns (both the in-batch
+  * dedup window and the anti-join reuse that partitioning), so a
+  * 1000-executor cluster dedups/joins without any driver-side state. The
+  * existing-keys side of the anti-join reads ONLY the key columns (column
+  * pruning reaches the parquet scan), so its cost is proportional to key
+  * bytes, not row bytes.
+  */
+final class KuduLikeCatalog(spark: SparkSession, root: String) {
+
+  /** The closed type set of the reference (SURVEY.md §1.2). Both timestamp
+    * flavors map to the reference's single TIMESTAMP (stored as epoch-millis
+    * long either way — reference: HiveKuduBridgeUtils.java:192-196).
+    */
+  private val allowedTypes: Set[DataType] = Set(
+    StringType, ByteType, ShortType, IntegerType, LongType,
+    FloatType, DoubleType, TimestampType, TimestampNTZType, BooleanType, BinaryType)
+
+  private def tableDir(name: String): Path = Paths.get(root, name)
+  private def dataDir(name: String): String = tableDir(name).resolve("data").toString
+  private def metaFile(name: String): Path = tableDir(name).resolve("_meta.json")
+
+  def exists(name: String): Boolean = Files.exists(metaFile(name))
+
+  /** Validate a TableDef against the reference's rules. */
+  def validate(d: TableDef): Unit = {
+    d.schema.fields.foreach { f =>
+      if (!allowedTypes.contains(f.dataType))
+        throw new CatalogException(
+          s"${f.dataType.simpleString} is not supported for column ${f.name}: " +
+            "only the 10 Kudu primitive types are allowed")
+    }
+    val cols = d.schema.fieldNames.toSet
+    d.keyCols.foreach { k =>
+      if (!cols.contains(k))
+        throw new CatalogException(s"key column $k not present in schema")
+    }
+  }
+
+  /** CREATE TABLE: key columns forced non-nullable, non-key nullable. */
+  def createTable(d: TableDef): Unit = {
+    validate(d)
+    if (exists(d.name))
+      throw new CatalogException(s"table ${d.name} already exists")
+    try {
+      Files.createDirectories(tableDir(d.name))
+      val normalized = StructType(d.schema.fields.map(f =>
+        f.copy(nullable = !d.keyCols.contains(f.name))))
+      // Empty initial data so reads work immediately after create.
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], normalized)
+        .write.mode(SaveMode.Overwrite).parquet(dataDir(d.name))
+      Files.writeString(metaFile(d.name), metaJson(d, normalized))
+    } catch {
+      case e: Throwable =>
+        rollbackCreateTable(d.name) // reference: KuduStorageHandler.java:312-330
+        throw e
+    }
+  }
+
+  /** DROP TABLE: deletes data (managed tables only, like commitDropTable). */
+  def dropTable(name: String): Unit = {
+    if (!exists(name)) throw new CatalogException(s"table $name does not exist")
+    deleteRecursively(tableDir(name))
+  }
+
+  /** Cleanup for a half-created table; never throws. */
+  def rollbackCreateTable(name: String): Unit =
+    try deleteRecursively(tableDir(name)) catch { case _: Throwable => () }
+
+  def table(name: String): DataFrame = {
+    if (!exists(name)) throw new CatalogException(s"table $name does not exist")
+    spark.read.schema(readSchema(name)).parquet(dataDir(name))
+  }
+
+  def keyColsOf(name: String): Seq[String] = {
+    val meta = Files.readString(metaFile(name))
+    // minimal parse of the "keyCols":["a","b"] array we wrote ourselves
+    val m = """"keyCols":\[([^\]]*)\]""".r.findFirstMatchIn(meta)
+      .getOrElse(throw new CatalogException(s"corrupt meta for $name"))
+    m.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+      .filter(_.nonEmpty)
+  }
+
+  /** INSERT with duplicate-key-ignore semantics (SURVEY.md S6).
+    *
+    * Within the incoming batch, the survivor per key is the first row when
+    * ordered by all non-key columns ascending (deterministic, unlike the
+    * reference's arrival-order race). Rows whose key already exists in the
+    * table are dropped via a left-anti join against the key projection of the
+    * current snapshot. One shuffle total: dedup window and anti-join both
+    * hash-partition on the key columns.
+    *
+    * @return number of rows actually appended
+    */
+  def insert(name: String, df: DataFrame): Long = {
+    val schema = readSchema(name)
+    val keys = keyColsOf(name)
+    if (df.schema.fieldNames.toSeq != schema.fieldNames.toSeq)
+      throw new CatalogException(
+        s"insert schema ${df.schema.fieldNames.mkString(",")} does not match " +
+          s"table schema ${schema.fieldNames.mkString(",")}")
+    keys.foreach { k =>
+      if (df.filter(col(k).isNull).limit(1).count() > 0)
+        throw new CatalogException(s"NULL in key column $k")
+    }
+    val nonKey = schema.fieldNames.filterNot(keys.contains).toSeq
+    val ordering: Seq[org.apache.spark.sql.Column] =
+      if (nonKey.nonEmpty) nonKey.map(col(_).asc) else keys.map(col(_).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    val dedupedBatch = df
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val existingKeys = table(name).select(keys.map(col): _*)
+    val toInsert = dedupedBatch
+      .join(existingKeys, keys, "left_anti")
+      .select(schema.fieldNames.map(col).toSeq: _*)
+      .cache()
+    val n = toInsert.count()
+    if (n > 0)
+      toInsert.write.mode(SaveMode.Append).parquet(dataDir(name))
+    toInsert.unpersist()
+    n
+  }
+
+  /** External-table attach (SURVEY.md S11 — a reference design goal,
+    * rejected with TODO at KuduStorageHandler.java:230-234): bind an existing
+    * parquet directory, verifying the declared schema matches what is there.
+    */
+  def attachExternal(path: String, expected: StructType): DataFrame = {
+    val df = spark.read.parquet(path)
+    val actual = StructType(df.schema.fields.map(_.copy(nullable = true, metadata = Metadata.empty)))
+    val want = StructType(expected.fields.map(_.copy(nullable = true, metadata = Metadata.empty)))
+    if (actual != want)
+      throw new CatalogException(
+        s"external schema mismatch: found ${actual.simpleString}, expected ${want.simpleString}")
+    df
+  }
+
+  private def readSchema(name: String): StructType = {
+    val meta = Files.readString(metaFile(name))
+    val m = """"schemaJson":(\{.*\})\}$""".r.findFirstMatchIn(meta.trim)
+      .getOrElse(throw new CatalogException(s"corrupt meta for $name"))
+    DataType.fromJson(m.group(1)).asInstanceOf[StructType]
+  }
+
+  private def metaJson(d: TableDef, normalized: StructType): String = {
+    val keys = d.keyCols.map(k => "\"" + k + "\"").mkString(",")
+    s"""{"name":"${d.name}","keyCols":[$keys],"schemaJson":${normalized.json}}"""
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+}

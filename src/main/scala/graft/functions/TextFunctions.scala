@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for LLM-data-pipeline operators (SURVEY.md §2.8):
+  * tokenization, shingling, MinHash / SimHash signatures, language-ID
+  * heuristics, quality scoring, fingerprinting.
+  *
+  * Everything is a composition of codegen'd built-ins over columns — no UDFs,
+  * no driver-side state — so each operator scales as an ordinary narrow
+  * projection. Hash material is `md5` (identical across Spark and DuckDB, so
+  * oracle queries can recompute signatures exactly; Spark's own `hash`/
+  * `xxhash64` are faster but engine-specific — used only in the non-oracle
+  * LSH paths).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. Documents are single-space separated (FIXTURES.md). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: letter runs, digit runs, or single other non-space
+    * characters — the regex proxy for subword tokenization (SURVEY.md,
+    * north-star text analysis).
+    */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+  def bpeTokenCount(text: Column): Column =
+    size(expr(s"regexp_extract_all(${text.toString}, '$bpeTokenPattern', 0)"))
+
+  /** Word n-gram shingles (space-joined windows of `n` consecutive tokens).
+    * Spark's `sequence(1, stop)` DESCENDS when stop < 1, so short docs are
+    * guarded to an empty shingle set explicitly.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Character n-gram shingles; texts shorter than `n` yield themselves. */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+      .otherwise(array(text))
+
+  /** One MinHash value: min over tokens of md5(seed || ":" || token).
+    * A k-element signature is `(0 until k).map(minhash(text, _))`.
+    */
+  def minhash(text: Column, seed: Int): Column =
+    array_min(transform(tokens(text), t => md5(concat(lit(s"$seed:"), t))))
+
+  /** Concatenated k-hash MinHash signature (exact-match grouping key). */
+  def minhashSignature(text: Column, k: Int): Column =
+    concat_ws("|", (0 until k).map(minhash(text, _)): _*)
+
+  /** DuckDB SQL recomputing [[minhash]] / [[minhashSignature]] exactly. */
+  def oracleMinhashSql(textCol: String, seed: Int): String =
+    s"list_min(list_transform(string_split($textCol, ' '), t -> md5('$seed:' || t)))"
+  def oracleMinhashSignatureSql(textCol: String, k: Int): String =
+    (0 until k).map(oracleMinhashSql(textCol, _)).mkString("(", " || '|' || ", ")")
+
+  /** 16-bit SimHash over whitespace tokens. Bit b of a token is hex digit
+    * b of its md5 mapped to ±1 (digit >= '8' → +1); the document bit is the
+    * sign of the per-bit sum.
+    */
+  def simhash16(text: Column): Column = {
+    val t = tokens(text)
+    (0 until 16).map { b =>
+      val bitSum = aggregate(t, lit(0),
+        (acc, tok) => acc + when(substring(md5(tok), b + 1, 1) >= "8", 1).otherwise(-1))
+      when(bitSum > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB SQL recomputing [[simhash16]] for a text column expression. */
+  def oracleSimhash16Sql(textCol: String): String =
+    (0 until 16).map { b =>
+      s"(CASE WHEN list_sum(list_transform(string_split($textCol, ' '), " +
+        s"tok -> CASE WHEN substring(md5(tok), ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 " +
+        s"THEN ${1 << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Stopword marker sets for the language-ID heuristic. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("的", "是", "在", "了"))
+
+  /** Count of tokens belonging to a stopword set. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => words.map(w => t === w).reduce(_ || _)))
+
+  /** Language-ID: argmax of stopword hits with a fixed tie-break priority
+    * (en ≻ es ≻ de ≻ fr ≻ zh — strict inequality required to displace).
+    */
+  def langId(text: Column): Column = {
+    val hits = langStopwords.map { case (l, ws) => l -> stopwordHits(text, ws) }.toMap
+    when(hits("zh") > greatest(hits("en"), hits("es"), hits("de"), hits("fr")), "zh")
+      .when(hits("fr") > greatest(hits("en"), hits("es"), hits("de")), "fr")
+      .when(hits("de") > greatest(hits("en"), hits("es")), "de")
+      .when(hits("es") > hits("en"), "es")
+      .otherwise("en")
+  }
+
+  /** Quality signals: length, token count, mean token length, stopword ratio,
+    * non-alphanumeric ratio. Combined score in [0,1] — integer-arithmetic
+    * inputs and single-division doubles, so cross-engine deterministic.
+    */
+  def qualitySignals(text: Column): Seq[(String, Column)] = {
+    val nTok = tokenCount(text).cast("double")
+    val nChar = length(text).cast("double")
+    val stop = stopwordHits(text, langStopwords.head._2).cast("double")
+    val nonAlnum = (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", ""))).cast("double")
+    Seq(
+      "n_chars" -> nChar,
+      "n_tokens" -> nTok,
+      "mean_tok_len" -> ((nChar - (nTok - 1.0)) / nTok),
+      "stopword_ratio" -> (stop / nTok),
+      "non_alnum_ratio" -> (nonAlnum / nChar))
+  }
+
+  /** Winnowing-style document fingerprint: minimum md5 over character
+    * 8-gram shingles — stable under small edits anywhere but the minimal
+    * shingle (SURVEY.md "document fingerprinting").
+    */
+  def fingerprint(text: Column): Column =
+    array_min(transform(charShingles(text, 8), g => md5(g)))
+}

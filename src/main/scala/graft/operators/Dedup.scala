@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large text corpora (SURVEY.md §2.8 D1/D2 and
+  * the north-star dedup suite): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design: every variant is shuffle-partitioned by a hash/bucket key —
+  * content hash, LSH band signature, or shingle — so no stage ever holds
+  * per-corpus state on one node. Candidate generation is always
+  * bucket-local; only candidate pairs (a vanishing fraction of n²) reach the
+  * verification join.
+  */
+object Dedup {
+
+  /** D1 — exact dedup by content hash: deterministic survivor = lowest id
+    * per sha2-256 of the content. One shuffle on the hash.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val h = sha2(col(textCol), 256)
+    val w = Window.partitionBy(h).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** D2 — MinHash + banded LSH near-dup candidates.
+    *
+    * numHashes MinHash values per doc, grouped into `bands` bands of
+    * `numHashes / bands` rows each; docs sharing any full band signature are
+    * candidates. Returns (idCol a, idCol b) candidate pairs with a < b.
+    * Pipeline: project signatures (narrow) → explode bands (×bands) →
+    * shuffle on (band, signature) → per-bucket pairing. Bucket sizes are
+    * bounded by signature collisions, not corpus size.
+    */
+  def minhashLshCandidates(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = (0 until numHashes).map(i => TextFunctions.minhash(col(textCol), i))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*).as("sig"))
+    }
+    val exploded = df
+      .select(col(idCol), explode(array(bandCols: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val a = exploded.select(col("band"), col("sig"), col(idCol).as("a"))
+    val b = exploded.select(col("band"), col("sig"), col(idCol).as("b"))
+    a.join(b, Seq("band", "sig")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** SimHash near-dup: docs whose 16-bit SimHash matches exactly (Hamming
+    * distance 0 grouping; distance ≤ k would re-bucket on masked variants).
+    * Returns each doc with its cluster representative (min id per bucket).
+    */
+  def simhashClusters(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("simhash"))
+    df.withColumn("simhash", TextFunctions.simhash16(col(textCol)))
+      .withColumn("rep", min(col(idCol)).over(w))
+      .select(col(idCol), col("simhash"), col("rep"))
+  }
+
+  /** n-gram Jaccard similarity for candidate pairs: explode distinct word
+    * n-gram shingles, self-join on the shingle (bucket-local), count
+    * intersections, derive |A∪B| from per-doc set sizes. Returns
+    * (a, b, inter, size_a, size_b, jaccard) for pairs with jaccard ≥ τ.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, tau: Double = 0.05): DataFrame = {
+    val shingles = df
+      .select(col(idCol).as("doc"), explode(TextFunctions.wordShingles(col(textCol), n)).as("g"))
+      .distinct()
+    val sizes = shingles.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val inter = shingles.select(col("doc").as("a"), col("g"))
+      .join(shingles.select(col("doc").as("b"), col("g")), Seq("g"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("doc").as("b"), col("sz").as("szb")), Seq("b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+  }
+}

@@ -1,0 +1,238 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import graft.QDef._
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.8 — LLM-data-pipeline operators (D1-D6 + the north-star
+  * dedup / similarity / text-analysis / multimodal suite). The Spark side
+  * routes through the library operators in graft.operators / graft.functions;
+  * oracles recompute the identical md5-based signatures in DuckDB.
+  */
+object PipelineQueries {
+
+  val defs: Seq[QDef] = Seq(
+
+    // D1 exact dedup. The fixture has no exact duplicates, so duplicates are
+    // injected (same text, shifted id); the dedup must keep the lowest id.
+    QDef("d1_exact_dedup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val withDups = docs.unionAll(
+          docs.select((col("doc_id") + 1000).as("doc_id"), col("text")))
+        Dedup.exact(withDups, "text", "doc_id")
+          .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, sha256(text) AS h FROM (
+             |  SELECT doc_id, text,
+             |         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+             |  FROM (SELECT doc_id, text FROM documents
+             |        UNION ALL SELECT doc_id + 1000, text FROM documents) u) t
+             |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // D2 MinHash near-dup clustering, pure-SQL variant: k=4 signature,
+    // cluster representative = min doc_id per signature. (The banded-LSH
+    // candidate variant is exercised in DedupSpec.)
+    QDef("d2_minhash_cluster",
+      (s, dir) => {
+        val sig = TF.minhashSignature(col("text"), 4)
+        val w = Window.partitionBy(col("sig"))
+        Tables.load(s, dir, "documents")
+          .withColumn("sig", sig)
+          .withColumn("rep", min(col("doc_id")).over(w))
+          .select(col("doc_id"), col("rep"), md5(col("sig")).as("sig_h"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, min(doc_id) OVER (PARTITION BY sig) AS rep, md5(sig) AS sig_h
+              |FROM (SELECT doc_id, ${TF.oracleMinhashSignatureSql("text", 4)} AS sig
+              |      FROM documents) t
+              |ORDER BY doc_id""".stripMargin)),
+
+    // D3 embedding cosine top-k pairs (ordering key is the DECIMAL-rounded
+    // cosine + ids, so the LIMIT cut is deterministic in both engines).
+    QDef("d3_cosine_topk",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 100)
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+        a.join(b, col("a_id") < col("b_id"))
+          .withColumn("cos", dec4(VF.cosine(col("a_emb"), col("b_emb"))))
+          .select("a_id", "b_id", "cos")
+          .orderBy(col("cos").desc, col("a_id").asc, col("b_id").asc)
+          .limit(20)
+      },
+      Some(s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |  CAST(${VF.oracleCosineSql("a.embedding", "b.embedding")} AS DECIMAL(38,4)) AS cos
+              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              |WHERE a.vec_id < 100 AND b.vec_id < 100
+              |ORDER BY cos DESC, a_id, b_id LIMIT 20""".stripMargin)),
+
+    // D4 text stats per language.
+    QDef("d4_text_stats",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          dec4(avg(TF.tokenCount(col("text")).cast("double"))).as("avg_tokens"),
+          min(TF.tokenCount(col("text"))).as("min_tokens"),
+          max(TF.tokenCount(col("text"))).as("max_tokens"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(avg(len(string_split(text, ' ')) * 1.0) AS DECIMAL(38,4)) AS avg_tokens,
+             |  CAST(min(len(string_split(text, ' '))) AS INTEGER) AS min_tokens,
+             |  CAST(max(len(string_split(text, ' '))) AS INTEGER) AS max_tokens
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // D5 quality filter: integer-derived signals, single-division ratios.
+    QDef("d5_quality_filter",
+      (s, dir) => {
+        val sig = TF.qualitySignals(col("text")).toMap
+        Tables.load(s, dir, "documents")
+          .withColumn("n_tok", sig("n_tokens"))
+          .withColumn("mean_tok_len", sig("mean_tok_len"))
+          .withColumn("non_alnum_ratio", sig("non_alnum_ratio"))
+          .filter(col("n_chars").between(100, 500) && col("n_tok") >= 20.0 &&
+            col("non_alnum_ratio") < 0.05 && col("mean_tok_len").between(2.0, 10.0))
+          .select(col("doc_id"), col("n_tok").cast("int").as("n_tok"),
+            dec4(col("mean_tok_len")).as("mean_tok_len"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH sig AS (
+             |  SELECT doc_id, n_chars,
+             |    len(string_split(text, ' ')) * 1.0 AS n_tok,
+             |    (length(text) * 1.0 - (len(string_split(text, ' ')) * 1.0 - 1.0))
+             |      / (len(string_split(text, ' ')) * 1.0) AS mean_tok_len,
+             |    (length(text) * 1.0 - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) * 1.0)
+             |      / (length(text) * 1.0) AS non_alnum_ratio
+             |  FROM documents)
+             |SELECT doc_id, CAST(floor(n_tok) AS INTEGER) AS n_tok,
+             |       CAST(mean_tok_len AS DECIMAL(38,4)) AS mean_tok_len
+             |FROM sig
+             |WHERE n_chars BETWEEN 100 AND 500 AND n_tok >= 20.0
+             |  AND non_alnum_ratio < 0.05 AND mean_tok_len BETWEEN 2.0 AND 10.0
+             |ORDER BY doc_id""".stripMargin)),
+
+    // D6 token frequency (vocabulary head).
+    QDef("d6_token_freq",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(30),
+      Some("""SELECT token, count(*) AS n
+             |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+             |GROUP BY 1 ORDER BY n DESC, token LIMIT 30""".stripMargin)),
+
+    // Language-ID heuristic (stopword argmax, fixed tie-break priority).
+    QDef("d7_lang_id",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TF.langId(col("text")).as("pred"), col("lang"),
+          (TF.langId(col("text")) === col("lang")).cast("int").as("correct"))
+        .orderBy("doc_id"),
+      Some {
+        def hits(words: Seq[String]) =
+          s"len(list_filter(string_split(text, ' '), t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+        val h = TF.langStopwords.map { case (l, ws) => l -> hits(ws) }.toMap
+        s"""SELECT doc_id,
+           |  CASE WHEN ${h("zh")} > greatest(${h("en")}, ${h("es")}, ${h("de")}, ${h("fr")}) THEN 'zh'
+           |       WHEN ${h("fr")} > greatest(${h("en")}, ${h("es")}, ${h("de")}) THEN 'fr'
+           |       WHEN ${h("de")} > greatest(${h("en")}, ${h("es")}) THEN 'de'
+           |       WHEN ${h("es")} > ${h("en")} THEN 'es'
+           |       ELSE 'en' END AS pred,
+           |  lang,
+           |  CAST(CASE WHEN (CASE WHEN ${h("zh")} > greatest(${h("en")}, ${h("es")}, ${h("de")}, ${h("fr")}) THEN 'zh'
+           |       WHEN ${h("fr")} > greatest(${h("en")}, ${h("es")}, ${h("de")}) THEN 'fr'
+           |       WHEN ${h("de")} > greatest(${h("en")}, ${h("es")}) THEN 'de'
+           |       WHEN ${h("es")} > ${h("en")} THEN 'es'
+           |       ELSE 'en' END) = lang THEN 1 ELSE 0 END AS INTEGER) AS correct
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // SimHash document signatures.
+    QDef("d8_simhash",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TF.simhash16(col("text")).as("simhash"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, CAST(${TF.oracleSimhash16Sql("text")} AS INTEGER) AS simhash
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // n-gram Jaccard near-dup pairs via the Dedup operator.
+    QDef("d9_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 60),
+        "text", "doc_id", n = 2, tau = 0.05)
+        .select(col("a"), col("b"), dec4(col("jaccard")).as("jac"))
+        .orderBy("a", "b"),
+      Some("""WITH sh AS (
+             |  SELECT DISTINCT doc_id AS doc, g FROM (
+             |    SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))),
+             |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS g
+             |    FROM documents WHERE doc_id < 60) t),
+             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc AS a, b.doc AS b, count(*) AS i
+             |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc < b.doc GROUP BY 1, 2)
+             |SELECT a, b, CAST(i * 1.0 / ((sa.sz + sb.sz - i) * 1.0) AS DECIMAL(38,4)) AS jac
+             |FROM inter
+             |JOIN sizes sa ON sa.doc = a
+             |JOIN sizes sb ON sb.doc = b
+             |WHERE i * 1.0 / ((sa.sz + sb.sz - i) * 1.0) >= 0.05
+             |ORDER BY a, b""".stripMargin)),
+
+    // Winnowing-style fingerprint (min-md5 over char 8-grams).
+    QDef("d10_fingerprint",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  list_min(list_transform(range(1, length(text) - 6), i -> md5(substring(text, i, 8)))) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Token counting: whitespace + BPE-ish regex proxy.
+    QDef("d11_token_counts",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.tokenCount(col("text")).as("ws_tokens"),
+          TF.bpeTokenCount(col("text")).as("bpe_tokens"),
+          length(col("text")).as("n"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+              |  CAST(len(regexp_extract_all(text, '${TF.bpeTokenPattern}')) AS INTEGER) AS bpe_tokens,
+              |  CAST(length(text) AS INTEGER) AS n
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Brute-force cosine KNN via the Similarity operator (ANN baseline;
+    // the LSH-bucketed scale path is exercised in SimilaritySpec).
+    QDef("d12_knn_bruteforce",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 3)
+          .select(col("qid"), col("rank"), col("id"), dec4(col("cos")).as("cos"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""SELECT qid, rank, id, CAST(cos AS DECIMAL(38,4)) AS cos FROM (
+              |  SELECT q.vec_id AS qid, c.vec_id AS id,
+              |    ${VF.oracleCosineSql("q.embedding", "c.embedding")} AS cos,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY ${VF.oracleCosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+              |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id < 10) t
+              |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
+
+    // Multimodal byte-stats over the opaque binary payload (decode itself is
+    // the stubbed step — MultimodalSpec drives it).
+    QDef("d13_multimodal_bytes",
+      (s, dir) => Multimodal.byteStats(
+        Multimodal.attachBinary(Tables.load(s, dir, "documents"), "doc_id", "text"))
+        .orderBy("id"),
+      Some("""SELECT doc_id AS id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 256 AS fake_channel
+             |FROM documents ORDER BY id""".stripMargin)),
+  )
+}

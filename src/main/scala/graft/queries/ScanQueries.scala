@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import graft.QDef._
+import graft.catalog.{KuduLikeCatalog, TableDef}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.1 — scans, sources, sinks.
+  *
+  * S1-S5 (tablet scan, projection/predicate pushdown, range pruning) are
+  * Spark-native: the parquet reader provides splits + locality
+  * (reference: HiveKuduTableInputFormat.java:148-223) and Catalyst pushes
+  * projections and filters into the scan (the reference's own projection
+  * pushdown was broken — hardcoded to "id,name",
+  * HiveKuduTableInputFormat.java:304). S6 dup-ignore insert
+  * (reference: HiveKuduTableOutputFormat.java:98-101) runs through
+  * [[graft.catalog.KuduLikeCatalog.insert]].
+  */
+object ScanQueries {
+
+  val defs: Seq[QDef] = Seq(
+
+    QDef("s1_full_scan_count",
+      (s, dir) => Tables.load(s, dir, "lineitem").agg(count(lit(1)).as("n")),
+      Some("SELECT count(*) AS n FROM lineitem")),
+
+    // Projection pushdown: only 2 of 11 lineitem columns should reach the scan
+    // (check `.explain` ReadSchema — Catalyst column pruning, SURVEY.md S2).
+    QDef("s2_projection_pushdown",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, o_orderpriority FROM orders ORDER BY o_orderkey")),
+
+    // Key-range scan (reference: scan-range bounds on the partition key,
+    // HiveKuduTableInputFormat.java:466-467) → parquet row-group pruning.
+    QDef("s3_key_range_scan",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey").between(100, 200))
+        .select(col("l_orderkey"), col("l_linenumber"), d182(col("l_quantity")).as("qty"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DECIMAL(18,2)) AS qty
+             |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 200
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Non-key predicate pushdown (reference transport existed but was fed
+    // nothing — decomposePredicate stub, KuduStorageHandler.java:187-193).
+    QDef("s4_predicate_pushdown",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000.0 && col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), d182(col("o_totalprice")).as("price"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+             |FROM orders WHERE o_totalprice > 400000.0 AND o_orderstatus = 'F'
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Insert sink with duplicate-PK-ignore (reference:
+    // HiveKuduTableOutputFormat.java:98-101 setIgnoreAllDuplicateRows).
+    // Batch 1: orders with key % 3 = 0. Batch 2: price-shifted orders with
+    // key % 2 = 0 — rows whose key already exists must be silently dropped.
+    QDef("s6_insert_dup_ignore",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s6_").toString
+        val cat = new KuduLikeCatalog(s, tmp)
+        val orders = Tables.load(s, dir, "orders")
+        cat.createTable(TableDef("orders_k", orders.schema, Seq("o_orderkey")))
+        cat.insert("orders_k", orders.filter(col("o_orderkey") % 3 === 0))
+        cat.insert("orders_k",
+          orders.withColumn("o_totalprice", col("o_totalprice") + lit(100000.0))
+            .filter(col("o_orderkey") % 2 === 0))
+        cat.table("orders_k")
+          .select(col("o_orderkey"), d182(col("o_totalprice")).as("price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+             |FROM orders WHERE o_orderkey % 3 = 0
+             |UNION ALL
+             |SELECT o_orderkey, CAST(o_totalprice + 100000.0 AS DECIMAL(18,2)) AS price
+             |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Inline VALUES source — the reference's own demo insert
+    // (reference: README.md:35 `insert into test_drop values (1,'a'),...`).
+    QDef("s10_values_inline",
+      (s, _) => {
+        import s.implicits._
+        Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "name").orderBy("id")
+      },
+      Some("SELECT * FROM (VALUES (1,'a'),(2,'b'),(3,'a')) AS t(id,name) ORDER BY id")),
+  )
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import graft.QDef._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.5 — window functions (W1-W6), Hive 1.1 windowing surface by
+  * delegation. Every window orders by a unique (o_orderdate, o_orderkey) pair
+  * so ranks and frames are total-order deterministic in both engines.
+  */
+object WindowQueries {
+
+  private val byDate = Window.partitionBy("o_custkey")
+    .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+
+  val defs: Seq[QDef] = Seq(
+
+    QDef("w1_row_number_rank",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(byDate))
+        .withColumn("rk_status", rank().over(
+          Window.partitionBy("o_custkey").orderBy(col("o_orderstatus").asc)))
+        .withColumn("drk_status", dense_rank().over(
+          Window.partitionBy("o_custkey").orderBy(col("o_orderstatus").asc)))
+        .select("o_custkey", "o_orderkey", "rn", "rk_status", "drk_status")
+        .orderBy("o_custkey", "o_orderkey"),
+      Some("""SELECT o_custkey, o_orderkey,
+             |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+             |  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS rk_status,
+             |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS drk_status
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    QDef("w2_lag_lead",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .withColumn("prev_price", coalesce(d182(lag(col("o_totalprice"), 1).over(byDate)), lit(-1).cast("decimal(18,2)")))
+        .withColumn("next_price", coalesce(d182(lead(col("o_totalprice"), 1).over(byDate)), lit(-1).cast("decimal(18,2)")))
+        .select("o_custkey", "o_orderkey", "prev_price", "next_price")
+        .orderBy("o_custkey", "o_orderkey"),
+      Some("""SELECT o_custkey, o_orderkey,
+             |  coalesce(CAST(lag(o_totalprice, 1) OVER w AS DECIMAL(18,2)), -1) AS prev_price,
+             |  coalesce(CAST(lead(o_totalprice, 1) OVER w AS DECIMAL(18,2)), -1) AS next_price
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // Running aggregate with an explicit ROWS frame. Summand is DECIMAL so
+    // the prefix sums are exact regardless of evaluation order.
+    QDef("w3_running_sum",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .withColumn("running_spend",
+          sum(d182(col("o_totalprice")))
+            .over(byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("decimal(38,4)"))
+        .select("o_custkey", "o_orderkey", "running_spend")
+        .orderBy("o_custkey", "o_orderkey"),
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_spend
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // RANGE frame over a numeric ordering key.
+    QDef("w4_range_frame",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .withColumn("n_near", count(lit(1)).over(
+          Window.partitionBy("o_orderstatus").orderBy(col("o_orderkey").asc)
+            .rangeBetween(-100, 0)))
+        .select("o_orderkey", "o_orderstatus", "n_near")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+             |                 RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS n_near
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    QDef("w5_ntile_percentiles",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .withColumn("quartile", ntile(4).over(byDate))
+        .withColumn("pct_rank", dec4(percent_rank().over(byDate)))
+        .withColumn("cume", dec4(cume_dist().over(byDate)))
+        .select("o_custkey", "o_orderkey", "quartile", "pct_rank", "cume")
+        .orderBy("o_custkey", "o_orderkey"),
+      Some("""SELECT o_custkey, o_orderkey,
+             |  ntile(4) OVER w AS quartile,
+             |  CAST(percent_rank() OVER w AS DECIMAL(38,4)) AS pct_rank,
+             |  CAST(cume_dist() OVER w AS DECIMAL(38,4)) AS cume
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // Top-N per group: classic rank-and-filter.
+    QDef("w6_topn_per_group",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_custkey")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), d182(col("o_totalprice")).as("price"))
+        .orderBy("o_custkey", "rn"),
+      Some("""SELECT o_custkey, rn, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+             |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+             |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+  )
+}

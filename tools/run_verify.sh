@@ -1,0 +1,22 @@
+#!/bin/bash
+# Run graft.Verify directly with java (faster than sbt runMain).
+# Usage: tools/run_verify.sh [sfDir] [outDir]
+set -e
+cd "$(dirname "$0")/.."
+SF=${1:-/root/testdata/sf0.01}
+OUT=${2:-/tmp/verify_out}
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.nio.ch=ALL-UNNAMED \
+  --add-opens java.base/sun.nio.cs=ALL-UNNAMED \
+  --add-opens java.base/sun.security.action=ALL-UNNAMED \
+  --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16}
+rm -rf "$OUT"
+exec java $ADD_OPENS -Xmx48g \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
+  graft.Verify "$SF" "$OUT"

@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local approximation of the driver's t2 correctness gate.
+
+Usage: python3 tools/t2_local.py [sfDir] [outDir] [queryFilter...]
+
+Reads outDir/oracle_sql.json (written by graft.Verify), runs each oracle in
+DuckDB over the sfDir parquet tables, reads the corresponding Spark result
+parquet, and compares: columns sorted by name, rows sorted, cell-exact.
+"""
+import duckdb, glob, json, sys
+from decimal import Decimal
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+only = set(sys.argv[3:])
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+
+def norm_cell(v):
+    if isinstance(v, Decimal):
+        return ("dec", str(v.normalize()))
+    if isinstance(v, float):
+        return ("f", repr(v))
+    if isinstance(v, int):
+        return ("i", v)
+    return (type(v).__name__, str(v))
+
+def norm_table(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out_rows = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out_rows.sort(key=lambda r: [str(x) for x in r])
+    return [cols[i] for i in order], out_rows
+
+n_pass = n_fail = 0
+for name in sorted(oracle):
+    if only and name not in only:
+        continue
+    try:
+        cur = con.execute(oracle[name])
+        ocols = [d[0] for d in cur.description]
+        orows = cur.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {str(e).splitlines()[0][:160]}")
+        n_fail += 1
+        continue
+    files = glob.glob(f"{out}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        n_fail += 1
+        continue
+    cur = con.execute(f"SELECT * FROM read_parquet({files!r})")
+    scols = [d[0] for d in cur.description]
+    srows = cur.fetchall()
+    oc, orn = norm_table(ocols, orows)
+    sc, srn = norm_table(scols, srows)
+    if oc != sc:
+        print(f"FAIL {name}: columns spark={sc} oracle={oc}")
+        n_fail += 1
+        continue
+    if len(orn) != len(srn):
+        print(f"FAIL {name}: rows spark={len(srn)} oracle={len(orn)}")
+        n_fail += 1
+        continue
+    bad = [(i, a, b) for i, (a, b) in enumerate(zip(srn, orn)) if a != b]
+    if bad:
+        i, a, b = bad[0]
+        print(f"FAIL {name}: {len(bad)}/{len(srn)} differing rows; first at {i}:")
+        print(f"  cols   {oc}")
+        print(f"  spark  {a}")
+        print(f"  oracle {b}")
+        n_fail += 1
+    else:
+        print(f"PASS {name} ({len(srn)} rows)")
+        n_pass += 1
+
+print(f"\n{n_pass} passed, {n_fail} failed")
+sys.exit(1 if n_fail else 0)

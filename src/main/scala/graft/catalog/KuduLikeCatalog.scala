@@ -119,6 +119,13 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     spark.read.schema(readSchema(name)).parquet(dataDir(name))
   }
 
+  /** Declared schema with the PK-non-null flags (note: Spark's parquet READ
+    * path always reports nullable columns; the declared nullability is
+    * enforced by [[insert]], like the reference does at write time —
+    * KuduStorageHandler.java:251-255).
+    */
+  def schemaOf(name: String): StructType = readSchema(name)
+
   def keyColsOf(name: String): Seq[String] = {
     val meta = Files.readString(metaFile(name))
     // minimal parse of the "keyCols":["a","b"] array we wrote ourselves

@@ -35,34 +35,49 @@ object Similarity {
       .select("qid", "rank", "id", "cos")
   }
 
-  /** Sign-LSH bucketing: bucket = bits of sign(dot(emb, hyperplane_i)).
-    * Hyperplanes are deterministic pseudo-random vectors derived from the
-    * element index via a hash — no driver-side randomness, reproducible
-    * across runs and executors.
+  /** Sign-LSH bucket for one hash table: bits of sign(dot(emb, plane_i)),
+    * planes indexed globally from `planeOffset`. Hyperplane components are
+    * deterministic pseudo-random values derived from (plane, dim) — no
+    * driver-side randomness, reproducible across runs and executors.
     */
-  def signBucket(emb: org.apache.spark.sql.Column, planes: Int): org.apache.spark.sql.Column =
+  def signBucket(emb: org.apache.spark.sql.Column, planes: Int, planeOffset: Int = 0): org.apache.spark.sql.Column =
     (0 until planes).map { p =>
-      // pseudo-random plane component for (plane p, dim i): cos(i * (p+1) * 2.399963)
+      val g = planeOffset + p
+      // plane component for (plane g, dim i): cos(i * (g+1) * 2.399963) —
+      // irrational multiplier gives a sign-balanced pseudo-random direction
       val proj = aggregate(
         zip_with(emb, sequence(lit(1), size(emb)), (x, i) =>
-          x.cast("double") * cos(i.cast("double") * lit((p + 1) * 2.39996322972865332))),
+          x.cast("double") * cos(i.cast("double") * lit((g + 1) * 2.39996322972865332))),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** ANN top-k: score only same-bucket (query, corpus) pairs. */
+  /** ANN top-k with multi-table sign-LSH: `tables` independent bucketings
+    * are exploded on both sides and candidates are the union of same-bucket
+    * pairs (recall = 1-(1-p)^tables per pair). Candidate generation is a
+    * hash-partitioned equi-join on (table, bucket); only deduped candidate
+    * pairs are re-joined to the embeddings and scored — corpus never
+    * cross-joins.
+    */
   def lshTopK(
-      queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 6,
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      planes: Int = 4, tables: Int = 4,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(embCol).as("q_emb"))
-      .withColumn("bucket", signBucket(col("q_emb"), planes))
     val c = corpus.select(col(idCol).as("id"), col(embCol).as("c_emb"))
-      .withColumn("bucket", signBucket(col("c_emb"), planes))
-    val pairs = q.join(c, Seq("bucket"))
+    def buckets(df: DataFrame, id: String, emb: String) = df.select(
+      col(id),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), signBucket(col(emb), planes, t * planes).as("b"))): _*)).as("tb"))
+      .select(col(id), col("tb.t").as("t"), col("tb.b").as("b"))
+    val candidates = buckets(q, "qid", "q_emb")
+      .join(buckets(c, "id", "c_emb"), Seq("t", "b"))
       .filter(col("qid") =!= col("id"))
+      .select("qid", "id").distinct()
+    val scored = candidates.join(q, "qid").join(c, "id")
       .withColumn("cos", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id").asc)
-    pairs.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "id", "cos")
   }

@@ -1,0 +1,149 @@
+package graft
+
+import graft.catalog.{CatalogException, KuduLikeCatalog, TableDef}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.sql.Timestamp
+
+/** Storage-layer semantics (SURVEY.md S6-S9, §1.1-1.2) — the behaviors the
+  * reference implements in Java and we re-express over parquet.
+  */
+class CatalogSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def freshCat() = new KuduLikeCatalog(spark, tmpDir("graft_cat_"))
+
+  private val schema2 = StructType(Seq(
+    StructField("id", IntegerType), StructField("name", StringType)))
+
+  test("S7: create table — key non-nullable, non-key nullable, readable empty") {
+    val cat = freshCat()
+    cat.createTable(TableDef("t", schema2, Seq("id")))
+    assert(cat.table("t").count() === 0)
+    // declared nullability lives in the catalog meta (parquet READ always
+    // reports nullable; enforcement happens in insert, as in the reference)
+    assert(!cat.schemaOf("t")("id").nullable)
+    assert(cat.schemaOf("t")("name").nullable)
+  }
+
+  test("closed type set: nested types rejected (reference HiveKuduBridgeUtils.java:65-66)") {
+    val cat = freshCat()
+    val bad = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("tags", ArrayType(StringType))))
+    val e = intercept[CatalogException] {
+      cat.createTable(TableDef("t", bad, Seq("id")))
+    }
+    assert(e.getMessage.contains("not supported"))
+    // decimal also outside the closed set
+    intercept[CatalogException] {
+      cat.createTable(TableDef("t2",
+        StructType(Seq(StructField("id", DecimalType(10, 2)))), Seq("id")))
+    }
+  }
+
+  test("key column must exist in schema") {
+    val cat = freshCat()
+    intercept[CatalogException] {
+      cat.createTable(TableDef("t", schema2, Seq("nope")))
+    }
+  }
+
+  test("duplicate create rejected; S8 drop removes; re-create then allowed") {
+    val cat = freshCat()
+    cat.createTable(TableDef("t", schema2, Seq("id")))
+    intercept[CatalogException] { cat.createTable(TableDef("t", schema2, Seq("id"))) }
+    cat.dropTable("t")
+    intercept[CatalogException] { cat.table("t") }
+    cat.createTable(TableDef("t", schema2, Seq("id")))
+    assert(cat.table("t").count() === 0)
+  }
+
+  test("S9: rollbackCreateTable removes a half-created table, never throws") {
+    val cat = freshCat()
+    cat.createTable(TableDef("t", schema2, Seq("id")))
+    cat.rollbackCreateTable("t")
+    assert(!cat.exists("t"))
+    cat.rollbackCreateTable("never_existed") // must not throw
+  }
+
+  test("S6: duplicate-key inserts silently ignored, within and across batches") {
+    import spark.implicits._
+    val cat = freshCat()
+    cat.createTable(TableDef("t", schema2, Seq("id")))
+    // in-batch dup on id=1: survivor = first by non-key ordering ("a" < "z")
+    val n1 = cat.insert("t", Seq((1, "z"), (1, "a"), (2, "b")).toDF("id", "name"))
+    assert(n1 === 2)
+    // cross-batch dup on id=2 dropped; id=3 lands
+    val n2 = cat.insert("t", Seq((2, "XXX"), (3, "c")).toDF("id", "name"))
+    assert(n2 === 1)
+    val rows = cat.table("t").orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq === Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("insert is idempotent: same batch twice == once") {
+    import spark.implicits._
+    val cat = freshCat()
+    cat.createTable(TableDef("t", schema2, Seq("id")))
+    val batch = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "name")
+    assert(cat.insert("t", batch) === 3)
+    assert(cat.insert("t", batch) === 0)
+    assert(cat.table("t").count() === 3)
+  }
+
+  test("insert rejects NULL keys and schema mismatch") {
+    import spark.implicits._
+    val cat = freshCat()
+    cat.createTable(TableDef("t", schema2, Seq("id")))
+    val withNull = spark.createDataFrame(
+      Seq(Row(null, "x")).asJava, schema2)
+    intercept[CatalogException] { cat.insert("t", withNull) }
+    intercept[CatalogException] {
+      cat.insert("t", Seq(("a", 1)).toDF("name", "id")) // wrong column order
+    }
+  }
+
+  test("round-trip across the full closed type set (reference HiveKuduWritable round-trip)") {
+    val schema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("s", StringType), StructField("b", ByteType),
+      StructField("h", ShortType), StructField("i", IntegerType),
+      StructField("f", FloatType), StructField("d", DoubleType),
+      StructField("ts", TimestampType), StructField("bool", BooleanType),
+      StructField("bin", BinaryType)))
+    val rows = Seq(
+      Row(1L, "alpha", 1.toByte, 2.toShort, 3, 1.5f, 2.5, new Timestamp(1700000000123L), true, Array[Byte](1, 2, 3)),
+      Row(2L, null, null, null, null, null, null, null, null, null))
+    val cat = freshCat()
+    cat.createTable(TableDef("all_types", schema, Seq("k")))
+    assert(cat.insert("all_types", spark.createDataFrame(rows.asJava, schema)) === 2)
+    val got = cat.table("all_types").orderBy("k").collect()
+    assert(got(0).getLong(0) === 1L)
+    assert(got(0).getString(1) === "alpha")
+    assert(got(0).getByte(2) === 1.toByte)
+    assert(got(0).getShort(3) === 2.toShort)
+    assert(got(0).getInt(4) === 3)
+    assert(got(0).getFloat(5) === 1.5f)
+    assert(got(0).getDouble(6) === 2.5)
+    assert(got(0).getTimestamp(7) === new Timestamp(1700000000123L))
+    assert(got(0).getBoolean(8) === true)
+    assert(got(0).getAs[Array[Byte]](9).toSeq === Seq[Byte](1, 2, 3))
+    assert((1 to 9).forall(got(1).isNullAt))
+  }
+
+  test("S11: attachExternal verifies schema, rejects mismatch") {
+    import spark.implicits._
+    val dir = tmpDir("graft_ext_")
+    Seq((1, "a")).toDF("id", "name").write.mode("overwrite").parquet(s"$dir/p")
+    val cat = freshCat()
+    val df = cat.attachExternal(s"$dir/p",
+      StructType(Seq(StructField("id", IntegerType), StructField("name", StringType))))
+    assert(df.count() === 1)
+    intercept[CatalogException] {
+      cat.attachExternal(s"$dir/p",
+        StructType(Seq(StructField("id", LongType), StructField("name", StringType))))
+    }
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{AsOfJoin, Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Operator-level behaviors with no SQL oracle: as-of join vs brute force,
+  * LSH candidate generation, ANN recall, approx-agg tolerance (SURVEY.md A5,
+  * D2-LSH, J9, §2.8).
+  */
+class OperatorSpec extends SparkSpec {
+
+  test("J9: AsOfJoin.backward matches brute-force join+max formulation") {
+    val e = Tables.load(spark, sf, "events")
+    val purchases = e.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")
+    val clicks = e.filter(col("event_type") === "click").select("user_id", "ts")
+
+    val viaOperator = AsOfJoin.backward(purchases, clicks, "user_id", "ts", "ts",
+      Seq("ts" -> "click_ts"))
+      .select(col("event_id"), col("click_ts"))
+
+    val brute = purchases.as("p")
+      .join(clicks.as("c"),
+        col("p.user_id") === col("c.user_id") && col("c.ts") <= col("p.ts"), "left")
+      .groupBy(col("p.event_id").as("event_id"))
+      .agg(max(col("c.ts")).as("click_ts"))
+
+    assert(viaOperator.count() === purchases.count())
+    assert(viaOperator.exceptAll(brute).count() === 0)
+    assert(brute.exceptAll(viaOperator).count() === 0)
+  }
+
+  test("D1: exact dedup keeps lowest id and is idempotent") {
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val withDups = docs.unionAll(docs.select((col("doc_id") + 5000).as("doc_id"), col("text")))
+    val deduped = Dedup.exact(withDups, "text", "doc_id")
+    assert(deduped.count() === docs.count())
+    assert(deduped.agg(max("doc_id")).head().getLong(0) < 5000)
+    assert(Dedup.exact(deduped, "text", "doc_id").count() === deduped.count())
+  }
+
+  test("D2-LSH: banded candidates find identical and near-identical docs") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 50).select("doc_id", "text")
+    // plant: 1000+i = exact copy of doc i (i<10); 2000+i = copy with one token appended
+    val copies = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 1000).as("doc_id"), col("text"))
+    val nearCopies = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 2000).as("doc_id"), concat(col("text"), lit(" zzz")).as("text"))
+    val corpus = docs.unionAll(copies).unionAll(nearCopies)
+    val cand = Dedup.minhashLshCandidates(corpus, "text", "doc_id", numHashes = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all 10 exact-copy pairs must be candidates (identical signatures)
+    (0 until 10).foreach { i => assert(cand.contains((i.toLong, i + 1000L)), s"exact copy pair $i missing") }
+    // near-copies: banded LSH should catch most single-token edits
+    val nearFound = (0 until 10).count(i => cand.contains((i.toLong, i + 2000L)))
+    assert(nearFound >= 7, s"only $nearFound/10 near-dup pairs found")
+  }
+
+  test("SimHash: identical docs share signature; signature is 16-bit") {
+    val docs = Tables.load(spark, sf, "documents").limit(50)
+    val sh = docs.select(col("doc_id"), TextFunctions.simhash16(col("text")).as("s")).collect()
+    assert(sh.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 65536))
+    val clusters = Dedup.simhashClusters(
+      docs.select("doc_id", "text")
+        .unionAll(docs.select((col("doc_id") + 500).as("doc_id"), col("text"))),
+      "text", "doc_id")
+    // every planted copy's rep equals the original's rep
+    val reps = clusters.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    reps.keys.filter(_ >= 500).foreach { id => assert(reps(id) === reps(id - 500)) }
+  }
+
+  test("ANN: lshTopK returns valid ranks and finds a reasonable share of true neighbors") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val queries = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, e, k = 5)
+    val approx = Similarity.lshTopK(queries, e, k = 5, planes = 4, tables = 4)
+    val exactSet = exact.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approxRows = approx.collect()
+    // structural invariants
+    assert(approxRows.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 5))
+    assert(approxRows.forall(r => r.getLong(0) != r.getLong(2)))
+    // recall against exact top-5 (sign-LSH with 4 planes ≈ coarse buckets)
+    val hits = approxRows.count(r => exactSet.contains((r.getLong(0), r.getLong(2))))
+    val recall = hits.toDouble / exactSet.size
+    assert(recall >= 0.2, s"recall $recall too low")
+    // scored cosines must match the exact computation for the same pairs
+    val exactCos = exact.collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    approxRows.foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(2))).foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-12))
+    }
+  }
+
+  test("A5: approx_count_distinct within 5% of exact") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val both = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey")).as("approx"))
+      .collect()
+    both.foreach { r =>
+      val (exact, approx) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"flag ${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("cosine HOF agrees with a plain Scala computation") {
+    val e = Tables.load(spark, sf, "embeddings").filter(col("vec_id") < 2)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val a = e(0L).map(_.toDouble); val b = e(1L).map(_.toDouble)
+    def dot(x: Array[Double], y: Array[Double]) = x.zip(y).map { case (p, q) => p * q }.sum
+    val expected = dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    val pair = Tables.load(spark, sf, "embeddings").filter(col("vec_id") === 0)
+      .crossJoin(Tables.load(spark, sf, "embeddings").filter(col("vec_id") === 1)
+        .select(col("embedding").as("emb2")))
+      .select(VectorFunctions.cosine(col("embedding"), col("emb2")).as("cos"))
+      .head().getDouble(0)
+    assert(math.abs(pair - expected) < 1e-9)
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.catalog.{KuduLikeCatalog, TableDef}
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generator-driven properties for the storage semantics
+  * (SURVEY.md §5.3): dup-ignore insert counts, idempotence, and
+  * deterministic survivor over arbitrary keyed batches. (Generators are
+  * sampled directly — the scalatest/scalacheck bridge artifact is not
+  * among the pinned deps.)
+  */
+class PropertySpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType), StructField("v", StringType)))
+
+  private val batchGen: Gen[List[(Int, String)]] =
+    Gen.listOfN(40, Gen.zip(Gen.choose(0, 19), Gen.alphaStr.map(_.take(6))))
+
+  test("property: insert lands exactly the distinct keys; re-insert adds nothing") {
+    import spark.implicits._
+    (1 to 6).foreach { i =>
+      val batch = batchGen.apply(Gen.Parameters.default, Seed(42L + i)).get
+      val cat = new KuduLikeCatalog(spark, tmpDir("graft_prop_"))
+      cat.createTable(TableDef("t", schema, Seq("id")))
+      val df = batch.toDF("id", "v")
+      val inserted = cat.insert("t", df)
+      assert(inserted === batch.map(_._1).distinct.size, s"iteration $i")
+      assert(cat.insert("t", df) === 0, s"iteration $i re-insert")
+      assert(cat.table("t").count() === inserted)
+      // survivor per key is deterministic: min by non-key column
+      val expect = batch.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).min) }.toSet
+      val got = cat.table("t").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(got === expect, s"iteration $i survivors")
+    }
+  }
+}

@@ -31,4 +31,16 @@ object Tables {
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Guarantee at least the cluster's default parallelism before a CPU-heavy
+    * narrow transform. A small fixture table is a single parquet row-group =
+    * a single task, which serializes per-row work (md5 shingling, regex)
+    * onto one core; a round-robin repartition fixes that. At production
+    * scale the scan already yields >= defaultParallelism partitions and this
+    * is a no-op — no shuffle is added on the 100-TB path.
+    */
+  def parallel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -24,8 +24,20 @@ object VectorFunctions {
 
   def norm2(a: Column): Column = dot(a, a)
 
-  def cosine(a: Column, b: Column): Column =
+  /** HOF formulation — allocation-heavy; kept as the readable reference
+    * implementation and for cross-checking [[cosine]] in tests.
+    */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** Native codegen cosine ([[CosineSimilarity]]): single fused loop, no
+    * intermediate arrays, bit-identical to [[cosineHof]] and the oracle.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** DuckDB SQL computing the identical cosine (same fold order, same
     * operation tree) for two FLOAT[] columns named `a` and `b`.

@@ -19,7 +19,8 @@ object Dedup {
   /** D1 — exact dedup by content hash: deterministic survivor = lowest id
     * per sha2-256 of the content. One shuffle on the hash.
     */
-  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def exact(df0: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val df = graft.Tables.parallel(df0)
     val h = sha2(col(textCol), 256)
     val w = Window.partitionBy(h).orderBy(col(idCol).asc)
     df.withColumn("__rn", row_number().over(w))
@@ -37,9 +38,10 @@ object Dedup {
     * bounded by signature collisions, not corpus size.
     */
   def minhashLshCandidates(
-      df: DataFrame, textCol: String, idCol: String,
+      df0: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val df = graft.Tables.parallel(df0)
     val rowsPerBand = numHashes / bands
     val sig = (0 until numHashes).map(i => TextFunctions.minhash(col(textCol), i))
     val bandCols = (0 until bands).map { b =>
@@ -59,7 +61,8 @@ object Dedup {
     * distance 0 grouping; distance ≤ k would re-bucket on masked variants).
     * Returns each doc with its cluster representative (min id per bucket).
     */
-  def simhashClusters(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simhashClusters(df0: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val df = graft.Tables.parallel(df0)
     val w = Window.partitionBy(col("simhash"))
     df.withColumn("simhash", TextFunctions.simhash16(col(textCol)))
       .withColumn("rep", min(col(idCol)).over(w))
@@ -74,7 +77,7 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, tau: Double = 0.05): DataFrame = {
-    val shingles = df
+    val shingles = graft.Tables.parallel(df)
       .select(col(idCol).as("doc"), explode(TextFunctions.wordShingles(col(textCol), n)).as("g"))
       .distinct()
     val sizes = shingles.groupBy("doc").agg(count(lit(1)).as("sz"))

@@ -14,7 +14,7 @@ object FuncQueries {
   val defs: Seq[QDef] = Seq(
 
     QDef("f1_string_funcs",
-      (s, dir) => Tables.load(s, dir, "customer")
+      (s, dir) => Tables.parallel(Tables.load(s, dir, "customer"))
         .select(
           col("c_custkey"),
           concat(col("c_name"), lit("-"), col("c_mktsegment")).as("tagged"),
@@ -161,7 +161,7 @@ object FuncQueries {
 
     // Hash functions — also the substrate of dedup D1/D2.
     QDef("f7_hash_funcs",
-      (s, dir) => Tables.load(s, dir, "documents")
+      (s, dir) => Tables.parallel(Tables.load(s, dir, "documents"))
         .select(
           col("doc_id"),
           md5(col("text")).as("h_md5"),

@@ -42,7 +42,7 @@ object PipelineQueries {
       (s, dir) => {
         val sig = TF.minhashSignature(col("text"), 4)
         val w = Window.partitionBy(col("sig"))
-        Tables.load(s, dir, "documents")
+        Tables.parallel(Tables.load(s, dir, "documents"))
           .withColumn("sig", sig)
           .withColumn("rep", min(col("doc_id")).over(w))
           .select(col("doc_id"), col("rep"), md5(col("sig")).as("sig_h"))
@@ -93,7 +93,7 @@ object PipelineQueries {
     QDef("d5_quality_filter",
       (s, dir) => {
         val sig = TF.qualitySignals(col("text")).toMap
-        Tables.load(s, dir, "documents")
+        Tables.parallel(Tables.load(s, dir, "documents"))
           .withColumn("n_tok", sig("n_tokens"))
           .withColumn("mean_tok_len", sig("mean_tok_len"))
           .withColumn("non_alnum_ratio", sig("non_alnum_ratio"))
@@ -131,7 +131,7 @@ object PipelineQueries {
 
     // Language-ID heuristic (stopword argmax, fixed tie-break priority).
     QDef("d7_lang_id",
-      (s, dir) => Tables.load(s, dir, "documents")
+      (s, dir) => Tables.parallel(Tables.load(s, dir, "documents"))
         .select(col("doc_id"), TF.langId(col("text")).as("pred"), col("lang"),
           (TF.langId(col("text")) === col("lang")).cast("int").as("correct"))
         .orderBy("doc_id"),
@@ -156,7 +156,7 @@ object PipelineQueries {
 
     // SimHash document signatures.
     QDef("d8_simhash",
-      (s, dir) => Tables.load(s, dir, "documents")
+      (s, dir) => Tables.parallel(Tables.load(s, dir, "documents"))
         .select(col("doc_id"), TF.simhash16(col("text")).as("simhash"))
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id, CAST(${TF.oracleSimhash16Sql("text")} AS INTEGER) AS simhash
@@ -186,7 +186,7 @@ object PipelineQueries {
 
     // Winnowing-style fingerprint (min-md5 over char 8-grams).
     QDef("d10_fingerprint",
-      (s, dir) => Tables.load(s, dir, "documents")
+      (s, dir) => Tables.parallel(Tables.load(s, dir, "documents"))
         .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
@@ -195,7 +195,7 @@ object PipelineQueries {
 
     // Token counting: whitespace + BPE-ish regex proxy.
     QDef("d11_token_counts",
-      (s, dir) => Tables.load(s, dir, "documents")
+      (s, dir) => Tables.parallel(Tables.load(s, dir, "documents"))
         .select(col("doc_id"),
           TF.tokenCount(col("text")).as("ws_tokens"),
           TF.bpeTokenCount(col("text")).as("bpe_tokens"),

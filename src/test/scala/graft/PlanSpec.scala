@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions — the properties that make these queries hold at
+  * 100 TB (SURVEY.md §4): projection/predicate pushdown into the parquet
+  * scan, broadcast of dimension tables, map-side partial aggregation, and
+  * top-k without a total sort. If a refactor regresses one of these, the
+  * query still returns correct rows at test scale but stops scaling; these
+  * tests make that regression loud.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val q = SparkEntry.all.find(_.name == name).get
+    q.fn(spark, sf).queryExecution.explainString(FormattedMode)
+  }
+
+  test("S2: column pruning reaches the scan (2 of 6 orders columns read)") {
+    val p = planOf("s2_projection_pushdown")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderpriority:string>"), p)
+  }
+
+  test("S4: predicate pushdown reaches the parquet scan") {
+    val p = planOf("s4_predicate_pushdown")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(o_totalprice"), p)
+  }
+
+  test("S3: key-range predicates push down to row-group pruning") {
+    val p = planOf("s3_key_range_scan")
+    assert(p.contains("GreaterThanOrEqual(l_orderkey,100)") &&
+      p.contains("LessThanOrEqual(l_orderkey,200)"), p)
+  }
+
+  test("J2: explicit broadcast of the dimension produces a BroadcastHashJoin") {
+    val p = planOf("j2_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("J7: star join broadcasts the small dims, never shuffles them as build sides") {
+    val p = planOf("j7_star_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("A2/A3: aggregation is partial (map-side) then final — one exchange") {
+    val p = planOf("a3_sum_avg_min_max")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Exchange"), p)
+  }
+
+  test("O2: top-k plans TakeOrderedAndProject, not a total sort") {
+    val p = planOf("o2_top_k")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("whole-stage codegen covers the scan→filter→project pipeline") {
+    val q = SparkEntry.all.find(_.name == "p6_filter_boolean_ops").get
+    val p = q.fn(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(p.contains("WholeStageCodegen"), p.take(500))
+  }
+
+  test("S6 insert: existing-keys side of the anti-join reads only key columns") {
+    // The anti-join's right side must scan just the key, not whole rows.
+    import graft.catalog.{KuduLikeCatalog, TableDef}
+    import spark.implicits._
+    val cat = new KuduLikeCatalog(spark, tmpDir("graft_plan_"))
+    cat.createTable(TableDef("t",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.StringType))),
+      Seq("id")))
+    cat.insert("t", Seq((1, "a")).toDF("id", "payload"))
+    // capture the plan the second insert builds for its anti-join
+    val batch = Seq((1, "x"), (2, "y")).toDF("id", "payload")
+    val existingKeys = cat.table("t").select("id")
+    val plan = batch.join(existingKeys, Seq("id"), "left_anti")
+      .queryExecution.explainString(FormattedMode)
+    assert(plan.contains("ReadSchema: struct<id:int>"), plan)
+  }
+
+  test("J8 range join is an equi-join on the key with a range residual, not a cross product") {
+    val p = planOf("j8_range_join")
+    // any hash/sort-merge equi join is fine; BroadcastNestedLoopJoin is not
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("J9 as-of join is a single window pass: no join operator at all") {
+    val p = planOf("j9_asof_join")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+}

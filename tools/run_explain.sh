@@ -1,5 +1,5 @@
 #!/bin/bash
-# Run graft.Bench directly with java. Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS.
+# tools/run_explain.sh <sfDir> [-t] [query...] — plan + optional timing.
 set -e
 cd "$(dirname "$0")/.."
 ADD_OPENS=""
@@ -11,9 +11,7 @@ ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.nio.ch=ALL-UNNAMED \
   --add-opens java.base/sun.nio.cs=ALL-UNNAMED \
   --add-opens java.base/sun.security.action=ALL-UNNAMED \
   --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
-export SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
-export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
 exec java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-48g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
-  graft.Bench
+  graft.Explain "$@"

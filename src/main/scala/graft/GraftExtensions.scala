@@ -1,0 +1,42 @@
+package graft
+
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension plugin: registers graft's native expressions into the
+  * SQL function registry, so `spark.sql("... graft_cosine(a, b) ...")` works
+  * and plans show the function by name.
+  *
+  * Usage: `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions` on a real cluster.
+  * [[GraftExtensions.register]] installs the same functions into an already-
+  * built session (used by the test/bench entry points).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+  }
+}
+
+object GraftExtensions {
+  private type Builder = Seq[Expression] => Expression
+
+  val functions: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("graft_cosine",
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_cosine(arrayA, arrayB)")
+        CosineSimilarity(args.head, args(1))
+      }))
+
+  /** Register into an existing session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

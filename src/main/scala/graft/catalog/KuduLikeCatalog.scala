@@ -14,9 +14,16 @@ import java.util.Comparator
   * `kudu.table_name` / `kudu.key_columns`
   * (reference: HiveKuduConstants.java:26-30, KuduStorageHandler.java:242).
   */
-final case class TableDef(name: String, schema: StructType, keyCols: Seq[String]) {
+/** @param buckets 0 = flat layout; N > 0 = hash-partition the data into N
+  *   key-hash buckets (directory partitions). This is the Spark analog of
+  *   Kudu's PK hash partitioning into tablets — declared as a goal but left
+  *   unimplemented in the reference (CreateTableOptions passed empty,
+  *   KuduStorageHandler.java:264-267; DesignDocument.md:8).
+  */
+final case class TableDef(name: String, schema: StructType, keyCols: Seq[String], buckets: Int = 0) {
   require(name.nonEmpty, "table name must be non-empty")
   require(keyCols.nonEmpty, "key columns must be non-empty (Kudu tables are keyed)")
+  require(buckets >= 0, "buckets must be >= 0")
 }
 
 /** Error type for catalog validation failures (the reference throws
@@ -94,8 +101,13 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       val normalized = StructType(d.schema.fields.map(f =>
         f.copy(nullable = !d.keyCols.contains(f.name))))
       // Empty initial data so reads work immediately after create.
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], normalized)
-        .write.mode(SaveMode.Overwrite).parquet(dataDir(d.name))
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], normalized)
+      if (d.buckets > 0)
+        empty.withColumn(BucketCol, bucketExpr(d.keyCols, d.buckets))
+          .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(dataDir(d.name))
+      else
+        empty.write.mode(SaveMode.Overwrite).parquet(dataDir(d.name))
       Files.writeString(metaFile(d.name), metaJson(d, normalized))
     } catch {
       case e: Throwable =>
@@ -114,9 +126,33 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   def rollbackCreateTable(name: String): Unit =
     try deleteRecursively(tableDir(name)) catch { case _: Throwable => () }
 
-  def table(name: String): DataFrame = {
+  def table(name: String): DataFrame = rawTable(name).drop(BucketCol)
+
+  /** Point/short-key lookup on a bucketed table: the key hash selects the
+    * bucket, so the scan prunes to ONE directory partition out of N (the
+    * Kudu "route to owning tablet" read path). Falls back to a plain filter
+    * on unbucketed tables.
+    */
+  def lookup(name: String, keyValues: Any*): DataFrame = {
+    val keys = keyColsOf(name)
+    require(keyValues.length == keys.length, s"expected ${keys.length} key values")
+    val keyFilter = keys.zip(keyValues)
+      .map { case (k, v) => col(k) === lit(v) }.reduce(_ && _)
+    val b = bucketsOf(name)
+    val base =
+      if (b > 0) rawTable(name)
+        .filter(col(BucketCol) === pmod(hash(keys.zip(keyValues).map { case (_, v) => lit(v) }: _*), lit(b)))
+      else rawTable(name)
+    base.filter(keyFilter).drop(BucketCol)
+  }
+
+  private def rawTable(name: String): DataFrame = {
     if (!exists(name)) throw new CatalogException(s"table $name does not exist")
-    spark.read.schema(readSchema(name)).parquet(dataDir(name))
+    val b = bucketsOf(name)
+    val schema =
+      if (b > 0) readSchema(name).add(StructField(BucketCol, IntegerType))
+      else readSchema(name)
+    spark.read.schema(schema).parquet(dataDir(name))
   }
 
   /** Declared schema with the PK-non-null flags (note: Spark's parquet READ
@@ -169,12 +205,16 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val toInsert = dedupedBatch
       .join(existingKeys, keys, "left_anti")
       .select(schema.fieldNames.map(col).toSeq: _*)
-      .cache()
-    val n = toInsert.count()
-    if (n > 0)
-      toInsert.write.mode(SaveMode.Append).parquet(dataDir(name))
-    toInsert.unpersist()
-    n
+    // Count rides along with the write (Observation) — one job, not two.
+    val obs = org.apache.spark.sql.Observation()
+    val observed = toInsert.observe(obs, count(lit(1)).as("n"))
+    val b = bucketsOf(name)
+    if (b > 0)
+      observed.withColumn(BucketCol, bucketExpr(keys, b))
+        .write.partitionBy(BucketCol).mode(SaveMode.Append).parquet(dataDir(name))
+    else
+      observed.write.mode(SaveMode.Append).parquet(dataDir(name))
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** External-table attach (SURVEY.md S11 — a reference design goal,
@@ -191,6 +231,18 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     df
   }
 
+  /** Hash-bucket assignment: murmur3 over the key columns mod N — every
+    * executor computes it identically, so routing needs no coordination
+    * (exactly how Kudu routes rows to tablets).
+    */
+  private def bucketExpr(keys: Seq[String], buckets: Int) =
+    pmod(hash(keys.map(col): _*), lit(buckets))
+
+  def bucketsOf(name: String): Int = {
+    val meta = Files.readString(metaFile(name))
+    """"buckets":(\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toInt).getOrElse(0)
+  }
+
   private def readSchema(name: String): StructType = {
     val meta = Files.readString(metaFile(name))
     val m = """"schemaJson":(\{.*\})\}$""".r.findFirstMatchIn(meta.trim)
@@ -198,9 +250,11 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     DataType.fromJson(m.group(1)).asInstanceOf[StructType]
   }
 
+  private val BucketCol = "__bucket"
+
   private def metaJson(d: TableDef, normalized: StructType): String = {
     val keys = d.keyCols.map(k => "\"" + k + "\"").mkString(",")
-    s"""{"name":"${d.name}","keyCols":[$keys],"schemaJson":${normalized.json}}"""
+    s"""{"name":"${d.name}","buckets":${d.buckets},"keyCols":[$keys],"schemaJson":${normalized.json}}"""
   }
 
   private def deleteRecursively(p: Path): Unit =

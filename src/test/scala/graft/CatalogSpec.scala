@@ -133,6 +133,28 @@ class CatalogSpec extends SparkSpec {
     assert((1 to 9).forall(got(1).isNullAt))
   }
 
+  test("bucketed table: hash-partitioned layout, dup-ignore preserved, pruned lookup") {
+    import spark.implicits._
+    val root = tmpDir("graft_bucket_")
+    val cat = new KuduLikeCatalog(spark, root)
+    cat.createTable(TableDef("t", schema2, Seq("id"), buckets = 8))
+    assert(cat.bucketsOf("t") === 8)
+    val n = cat.insert("t", (0 until 100).map(i => (i, s"v$i")).toDF("id", "name"))
+    assert(n === 100)
+    // physical layout: one directory per key-hash bucket
+    val bucketDirs = new java.io.File(s"$root/t/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+    assert(bucketDirs.length === 8)
+    // dup-ignore across batches still holds
+    assert(cat.insert("t", Seq((5, "DUP"), (200, "new")).toDF("id", "name")) === 1)
+    assert(cat.table("t").count() === 101)
+    // lookup returns the row and prunes to a single bucket partition
+    val hit = cat.lookup("t", 42)
+    assert(hit.collect().map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((42, "v42")))
+    val plan = hit.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__bucket"), plan.take(800))
+  }
+
   test("S11: attachExternal verifies schema, rejects mismatch") {
     import spark.implicits._
     val dir = tmpDir("graft_ext_")

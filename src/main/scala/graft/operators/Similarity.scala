@@ -35,6 +35,50 @@ object Similarity {
       .select("qid", "rank", "id", "cos")
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer + cell-restricted
+    * scoring — the other standard scale path besides LSH. Centroids are
+    * trained once (MLlib KMeans, fixed seed, sampled corpus); each corpus
+    * vector is assigned to its nearest cell, queries probe their `nprobe`
+    * nearest cells, and only same-cell pairs are scored. Assignment joins
+    * broadcast the tiny centroid table; candidate scoring is an equi-join on
+    * the cell id. Recall rises with `nprobe` (= 1 - mass outside probed
+    * cells).
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      cells: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val train = corpus.select(array_to_vector(
+      transform(col(embCol), x => x.cast("double"))).as("features"))
+    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10).fit(train)
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+        .toIndexedSeq).toDF("cell", "centroid")
+
+    def assign(df: DataFrame, id: String, emb: String, keep: Int): DataFrame = {
+      val scoredCells = df.join(broadcast(centroids))
+        .withColumn("d", VectorFunctions.cosine(col(emb), col("centroid")))
+      val w = Window.partitionBy(col(id)).orderBy(col("d").desc, col("cell").asc)
+      scoredCells.withColumn("r", row_number().over(w))
+        .filter(col("r") <= keep)
+        .select(col(id), col(emb), col("cell"))
+    }
+
+    val q = assign(queries.select(col(idCol).as("qid"), col(embCol).as("q_emb")), "qid", "q_emb", nprobe)
+    val c = assign(corpus.select(col(idCol).as("id"), col(embCol).as("c_emb")), "id", "c_emb", 1)
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .select("qid", "id", "q_emb", "c_emb").distinct()
+      .withColumn("cos", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "id", "cos")
+  }
+
   /** Sign-LSH bucket for one hash table: bits of sign(dot(emb, plane_i)),
     * planes indexed globally from `planeOffset`. Hyperplane components are
     * deterministic pseudo-random values derived from (plane, dim) — no

@@ -24,13 +24,21 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect() // JIT/session warmup
 
+    // One warmup execution (JIT + codegen cache + page cache), then the
+    // measured run — steady-state numbers, not first-touch noise.
     val results = SparkEntry.all.map { q =>
-      val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      def run(): Unit =
+        q.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      try {
+        run()
+        val t0 = System.nanoTime()
+        run()
+        q.name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          q.name -> -1.0
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

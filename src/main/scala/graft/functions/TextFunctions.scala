@@ -69,15 +69,28 @@ object TextFunctions {
   /** 16-bit SimHash over whitespace tokens. Bit b of a token is hex digit
     * b of its md5 mapped to ±1 (digit >= '8' → +1); the document bit is the
     * sign of the per-bit sum.
+    *
+    * Single fold with a 16-element accumulator so each token is md5-hashed
+    * once (not once per bit) — same integer math, 16x fewer digests.
     */
   def simhash16(text: Column): Column = {
-    val t = tokens(text)
+    // digests materialized first so each token is hashed exactly once (a
+    // digest referenced inside the per-bit lambda would be re-evaluated)
+    val digests = transform(tokens(text), t => md5(t))
+    val folded = aggregate(
+      digests,
+      array((0 until 16).map(_ => lit(0)): _*),
+      (acc, h) =>
+        zip_with(acc, transform(sequence(lit(1), lit(16)),
+          i => when(substring_col(h, i) >= "8", 1).otherwise(-1)),
+          (a, b) => a + b))
     (0 until 16).map { b =>
-      val bitSum = aggregate(t, lit(0),
-        (acc, tok) => acc + when(substring(md5(tok), b + 1, 1) >= "8", 1).otherwise(-1))
-      when(bitSum > 0, lit(1 << b)).otherwise(lit(0))
+      when(element_at(folded, b + 1) > 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
   }
+
+  /** substring(str, pos, 1) with a Column position. */
+  private def substring_col(str: Column, pos: Column): Column = str.substr(pos, lit(1))
 
   /** DuckDB SQL recomputing [[simhash16]] for a text column expression. */
   def oracleSimhash16Sql(textCol: String): String =

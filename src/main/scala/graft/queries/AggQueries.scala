@@ -126,6 +126,20 @@ object AggQueries {
              |  CAST(median(l_extendedprice) AS DECIMAL(38,4)) AS med_price
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Ordered full collect_list (bounded input) serialized to a string.
+    QDef("a10_collect_ordered",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") < 20)
+        .groupBy("o_custkey")
+        .agg(array_join(
+          transform(array_sort(collect_list(col("o_orderkey"))), x => x.cast("string")),
+          ",").as("order_keys"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey,
+             |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys
+             |FROM orders WHERE o_custkey < 20
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Bounded collect: sorted-distinct list serialized to a string so the
     // cross-engine comparison is a plain VARCHAR.
     QDef("a10_collect_list",

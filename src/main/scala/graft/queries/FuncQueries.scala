@@ -159,6 +159,37 @@ object FuncQueries {
              |  CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // F2 extension: calendar arithmetic beyond extraction.
+    QDef("f2_date_arith",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          add_months(col("o_orderdate").cast("date"), 2).as("plus_2mo"),
+          last_day(col("o_orderdate")).cast("date").as("month_end"),
+          weekday(col("o_orderdate")).as("dow_mon0"),
+          quarter(col("o_orderdate")).as("qtr"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+             |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             |  CAST(isodow(o_orderdate) - 1 AS INTEGER) AS dow_mon0,
+             |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // F6 extension: JSON to typed MAP and key introspection (the Hive
+    // map_keys / LATERAL VIEW surface over the reference's string columns).
+    QDef("f6_json_map",
+      (s, dir) => Tables.load(s, dir, "events")
+        .select(
+          col("event_id"),
+          element_at(map_keys(from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("map<string,int>"))), 1).as("first_key"),
+          element_at(from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")), "k").as("k_val"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  json_keys(props)[1] AS first_key,
+             |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // Hash functions — also the substrate of dedup D1/D2.
     QDef("f7_hash_funcs",
       (s, dir) => Tables.parallel(Tables.load(s, dir, "documents"))

@@ -59,6 +59,19 @@ object JoinQueries {
              |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    QDef("j3_right_outer_join",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"), "right")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(max(col("o_orderstatus")), lit("-")).as("max_status"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+             |  coalesce(max(o_orderstatus), '-') AS max_status
+             |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Full outer over two deliberately-mismatched sides; every nullable output
     // is coalesced so null-representation differences cannot bite.
     QDef("j3_full_outer_join",

@@ -28,6 +28,19 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** D1 at scale when only the survivor ids are needed: `min(id)` per
+    * content hash as a partial-aggregating groupBy — the map-side combine
+    * shrinks the shuffle to one (hash, id) pair per hash per partition,
+    * instead of windowing full rows (which shuffles every payload byte).
+    * Returns (idCol, "h" = sha2-256 of the content).
+    */
+  def exactIds(df0: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val df = graft.Tables.parallel(df0)
+    df.groupBy(sha2(col(textCol), 256).as("h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("h"))
+  }
+
   /** D2 — MinHash + banded LSH near-dup candidates.
     *
     * numHashes MinHash values per doc, grouped into `bands` bands of

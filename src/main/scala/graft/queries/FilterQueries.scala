@@ -126,6 +126,19 @@ object FilterQueries {
              |FROM lineitem WHERE l_orderkey < 50
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // Null-safe equality: Spark `<=>` ≡ DuckDB IS NOT DISTINCT FROM.
+    QDef("p11_null_safe_eq",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .withColumn("st", expr("nullif(o_orderstatus, 'O')"))
+        .filter(col("st") <=> lit("F") || col("st") <=> lit(null))
+        .groupBy(coalesce(col("st"), lit("(null)")).as("st"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("st"),
+      Some("""SELECT coalesce(st, '(null)') AS st, count(*) AS n FROM (
+             |  SELECT nullif(o_orderstatus, 'O') AS st FROM orders) t
+             |WHERE st IS NOT DISTINCT FROM 'F' OR st IS NOT DISTINCT FROM NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QDef("p10_distinct",
       (s, dir) => Tables.load(s, dir, "lineitem")
         .select("l_returnflag", "l_linestatus").distinct()

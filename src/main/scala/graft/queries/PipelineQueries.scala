@@ -24,8 +24,7 @@ object PipelineQueries {
         val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
         val withDups = docs.unionAll(
           docs.select((col("doc_id") + 1000).as("doc_id"), col("text")))
-        Dedup.exact(withDups, "text", "doc_id")
-          .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        Dedup.exactIds(withDups, "text", "doc_id")
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, sha256(text) AS h FROM (

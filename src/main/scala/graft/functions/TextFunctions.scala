@@ -27,7 +27,7 @@ object TextFunctions {
     */
   val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
   def bpeTokenCount(text: Column): Column =
-    size(expr(s"regexp_extract_all(${text.toString}, '$bpeTokenPattern', 0)"))
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
 
   /** Word n-gram shingles (space-joined windows of `n` consecutive tokens).
     * Spark's `sequence(1, stop)` DESCENDS when stop < 1, so short docs are

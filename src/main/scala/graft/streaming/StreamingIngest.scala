@@ -1,10 +1,14 @@
 package graft.streaming
 
 import graft.catalog.KuduLikeCatalog
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
+
+/** A closed user session emitted by [[StreamingIngest.sessionize]]. */
+final case class UserSession(
+    user_id: Long, start_ms: Long, end_ms: Long, n_events: Int, total_value: Double)
 
 /** Structured Streaming ingest (SURVEY.md §2.9).
   *
@@ -57,5 +61,43 @@ object StreamingIngest {
   def runToCompletion(w: DataStreamWriter[Row]): Unit = {
     val q: StreamingQuery = w.start()
     q.awaitTermination()
+  }
+
+  /** Gap-based sessionization with custom state (§2.9 /
+    * flatMapGroupsWithState): per user, events closer than `gapMs` extend
+    * the open session; a larger gap closes it and emits a [[UserSession]].
+    * State per key is O(1) (the open session aggregate), the canonical
+    * bounded-state pattern for billions of keys. Works identically over a
+    * stream (Append + ProcessingTimeTimeout) and a batch Dataset via the
+    * same fold, which is how SessionizeSpec cross-checks it.
+    *
+    * Expects rows of (user_id, ts_ms, value) sorted per group by the caller
+    * in batch mode; in streaming, per-microbatch sorting is applied upstream.
+    */
+  def sessionize(
+      spark: SparkSession,
+      events: Dataset[(Long, Long, Double)],
+      gapMs: Long,
+      emitOpenAtEnd: Boolean = true): Dataset[UserSession] = {
+    import spark.implicits._
+    def fold(user: Long, it: Iterator[(Long, Long, Double)],
+        state: GroupState[UserSession]): Iterator[UserSession] = {
+      var open = state.getOption.orNull
+      val out = scala.collection.mutable.ArrayBuffer[UserSession]()
+      it.toSeq.sortBy(_._2).foreach { case (_, ts, v) =>
+        if (open == null) open = UserSession(user, ts, ts, 1, v)
+        else if (ts - open.end_ms <= gapMs)
+          open = open.copy(end_ms = ts, n_events = open.n_events + 1,
+            total_value = open.total_value + v)
+        else { out += open; open = UserSession(user, ts, ts, 1, v) }
+      }
+      if (open != null) {
+        if (emitOpenAtEnd) { out += open; state.remove() }
+        else state.update(open)
+      }
+      out.iterator
+    }
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
   }
 }

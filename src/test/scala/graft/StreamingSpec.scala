@@ -1,7 +1,7 @@
 package graft
 
 import graft.catalog.{KuduLikeCatalog, TableDef}
-import graft.streaming.StreamingIngest
+import graft.streaming.{StreamingIngest, UserSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -48,6 +48,34 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
 
     assert(streamed === batch)
+  }
+
+  test("sessionize: gap-based sessions match a hand computation, streaming == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: two sessions (gap 10s breaks at t=100s); user 2: one session
+    val rows = Seq(
+      (1L, 1000L, 1.0), (1L, 3000L, 2.0), (1L, 100000L, 5.0),
+      (2L, 500L, 7.0), (2L, 9000L, 1.0))
+    val gap = 10000L
+
+    // batch path
+    val batch = StreamingIngest.sessionize(
+      spark, spark.createDataset(rows), gap).collect().sortBy(s => (s.user_id, s.start_ms))
+    assert(batch.toSeq === Seq(
+      UserSession(1L, 1000L, 3000L, 2, 3.0),
+      UserSession(1L, 100000L, 100000L, 1, 5.0),
+      UserSession(2L, 500L, 9000L, 2, 8.0)))
+
+    // streaming path over a MemoryStream, all data in one batch
+    val stream = MemoryStream[(Long, Long, Double)]
+    stream.addData(rows)
+    val q = StreamingIngest.sessionize(spark, stream.toDS(), gap)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sess_out").as[UserSession]
+      .collect().sortBy(s => (s.user_id, s.start_ms))
+    assert(streamed.toSeq === batch.toSeq)
   }
 
   test("foreachBatch ingest into keyed table ignores replayed duplicates") {

@@ -224,6 +224,45 @@ object PipelineQueries {
               |  WHERE q.vec_id < 10) t
               |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
 
+    // Composite end-to-end cleaning pipeline — what a training-data job
+    // actually chains: quality gate → exact dedup → near-dup cluster
+    // representative selection → per-language corpus stats. Each stage is a
+    // library operator; the whole thing is one lazy plan (no materialization
+    // between stages).
+    QDef("d14_clean_corpus_pipeline",
+      (s, dir) => {
+        val docs = Tables.parallel(Tables.load(s, dir, "documents"))
+        val quality = docs.filter(
+          col("n_chars") >= 100 && TF.tokenCount(col("text")) >= 20)
+        val exactRep = Window.partitionBy(sha2(col("text"), 256))
+        val nearRep = Window.partitionBy(col("sig"))
+        val cleaned = quality
+          .withColumn("exact_rep", min(col("doc_id")).over(exactRep))
+          .filter(col("doc_id") === col("exact_rep"))
+          .withColumn("sig", TF.minhashSignature(col("text"), 4))
+          .withColumn("near_rep", min(col("doc_id")).over(nearRep))
+          .filter(col("doc_id") === col("near_rep"))
+        cleaned.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            dec4(avg(TF.tokenCount(col("text")).cast("double"))).as("avg_tokens"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH quality AS (
+              |  SELECT doc_id, lang, n_chars, text FROM documents
+              |  WHERE n_chars >= 100 AND len(string_split(text, ' ')) >= 20),
+              |exact_d AS (
+              |  SELECT * FROM (
+              |    SELECT q.*, min(doc_id) OVER (PARTITION BY sha256(text)) AS exact_rep
+              |    FROM quality q) t WHERE doc_id = exact_rep),
+              |near_d AS (
+              |  SELECT * FROM (
+              |    SELECT e.*, min(doc_id) OVER (PARTITION BY ${TF.oracleMinhashSignatureSql("text", 4)}) AS near_rep
+              |    FROM exact_d e) t WHERE doc_id = near_rep)
+              |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              |  CAST(avg(len(string_split(text, ' ')) * 1.0) AS DECIMAL(38,4)) AS avg_tokens
+              |FROM near_d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Multimodal byte-stats over the opaque binary payload (decode itself is
     // the stubbed step — MultimodalSpec drives it).
     QDef("d13_multimodal_bytes",

@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Edge-input robustness for the text operators: unicode (CJK, accents,
+  * emoji), empty strings, single tokens, shingle guards — inputs a 100-TB
+  * web corpus will definitely contain even though the fixtures don't.
+  */
+class TextEdgeSpec extends SparkSpec {
+
+  private def textsDf(texts: Seq[String]) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  private val edgeTexts = Seq(
+    "",                       // empty
+    "one",                    // single token, shorter than char-8-gram
+    "的 是 在 了 的 是",       // CJK tokens (zh stopwords)
+    "café naïve übung émigré", // accents / non-ASCII letters
+    "a b",                    // below every shingle width
+    "x 🙂 y 🙂 z",            // emoji tokens
+    ("tok " * 200).trim)      // long doc
+
+  test("token/shingle/fingerprint expressions never throw on edge inputs") {
+    val df = textsDf(edgeTexts).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tok"),
+      TextFunctions.bpeTokenCount(col("text")).as("n_bpe"),
+      size(TextFunctions.wordShingles(col("text"), 3)).as("n_sh3"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.simhash16(col("text")).as("sh"),
+      TextFunctions.langId(col("text")).as("lang"))
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(rows.length === edgeTexts.length)
+    // columns: 0=doc_id 1=n_tok 2=n_bpe 3=n_sh3 4=fp 5=sh 6=lang
+    // empty text: split gives one empty token; zero 3-gram shingles
+    assert(rows(0).getInt(3) === 0, "empty text must have no trigram shingles")
+    assert(rows(4).getInt(3) === 0, "2-token text must have no trigram shingles")
+    // CJK text classified zh by the stopword heuristic
+    assert(rows(2).getString(6) === "zh")
+    // simhash stays in 16-bit range for all inputs
+    assert(rows.forall(r => r.getInt(5) >= 0 && r.getInt(5) < 65536))
+    // fingerprint of short text falls back to hashing the text itself
+    assert(rows(1).getString(4) ===
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("one".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
+  test("dedup operators handle edge corpora (empty strings, dup empties)") {
+    val df = textsDf(Seq("", "", "a", "a", "b"))
+    val ids = graft.operators.Dedup.exactIds(df, "text", "doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(0L, 2L, 4L)) // min id per distinct content
+    val cand = graft.operators.Dedup.minhashLshCandidates(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((0L, 1L)) && cand.contains((2L, 3L)))
+  }
+}

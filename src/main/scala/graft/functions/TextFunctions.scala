@@ -68,12 +68,17 @@ object TextFunctions {
 
   /** 16-bit SimHash over whitespace tokens. Bit b of a token is hex digit
     * b of its md5 mapped to ±1 (digit >= '8' → +1); the document bit is the
-    * sign of the per-bit sum.
-    *
-    * Single fold with a 16-element accumulator so each token is md5-hashed
-    * once (not once per bit) — same integer math, 16x fewer digests.
+    * sign of the per-bit sum. Evaluated by the native one-pass
+    * [[SimHash16Expr]]; [[simhash16Hof]] is the declarative spec it must
+    * match (cross-checked in TextEdgeSpec).
     */
   def simhash16(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(SimHash16Expr(ColumnBridge.expression(text)))
+  }
+
+  /** Declarative HOF formulation of [[simhash16]] (reference spec). */
+  def simhash16Hof(text: Column): Column = {
     // digests materialized first so each token is hashed exactly once (a
     // digest referenced inside the per-bit lambda would be re-evaluated)
     val digests = transform(tokens(text), t => md5(t))

@@ -48,6 +48,17 @@ class TextEdgeSpec extends SparkSpec {
         .digest("one".getBytes("UTF-8")).map("%02x".format(_)).mkString)
   }
 
+  test("native SimHash16Expr equals the declarative HOF spec on fixtures and edges") {
+    val fixture = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val edges = textsDf(edgeTexts)
+    Seq(fixture, edges).foreach { df =>
+      val both = df.select(
+        TextFunctions.simhash16(col("text")).as("native"),
+        TextFunctions.simhash16Hof(col("text")).as("hof"))
+      assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    }
+  }
+
   test("dedup operators handle edge corpora (empty strings, dup empties)") {
     val df = textsDf(Seq("", "", "a", "a", "b"))
     val ids = graft.operators.Dedup.exactIds(df, "text", "doc_id")

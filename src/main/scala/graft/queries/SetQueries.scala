@@ -84,6 +84,27 @@ object SetQueries {
              |  (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier) b
              |ORDER BY op, k""".stripMargin)),
 
+    // Skyline / Pareto frontier (operators.Skyline, two-phase BNL): orders
+    // minimizing (price, date) — no other order is both cheaper and earlier.
+    QDef("o6_skyline",
+      (s, dir) => {
+        val sub = Tables.load(s, dir, "orders")
+          .filter(col("o_custkey") < 100)
+          .select(col("o_orderkey"), d182(col("o_totalprice")).as("p"),
+            col("o_orderdate").cast("date").as("d"))
+        graft.operators.Skyline.skyline(sub, Seq("p", "d"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH sub AS (
+             |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+             |         CAST(o_orderdate AS DATE) AS d
+             |  FROM orders WHERE o_custkey < 100)
+             |SELECT o_orderkey, p, d FROM sub a
+             |WHERE NOT EXISTS (SELECT 1 FROM sub b
+             |                  WHERE b.p <= a.p AND b.d <= a.d
+             |                    AND (b.p < a.p OR b.d < a.d))
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // CTE + scalar subquery + EXISTS + derived table: one ANSI SQL text that
     // parses identically in Spark SQL and DuckDB.
     QDef("o5_subqueries",

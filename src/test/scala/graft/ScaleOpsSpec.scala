@@ -66,6 +66,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(repart === byLang)
   }
 
+  test("skyline equals the quadratic NOT EXISTS definition, any partitioning") {
+    val pts = Tables.load(spark, sf, "orders").filter(col("o_custkey") < 50)
+      .select(col("o_orderkey"), col("o_totalprice").as("p"),
+        col("o_orderdate").cast("date").as("d"))
+    val a = pts.as("a"); val b = pts.as("b")
+    val dominated = a.join(b,
+      col("b.p") <= col("a.p") && col("b.d") <= col("a.d") &&
+        (col("b.p") < col("a.p") || col("b.d") < col("a.d")), "left_semi")
+    val expect = pts.exceptAll(dominated).collect().map(_.getLong(0)).sorted
+    val got1 = graft.operators.Skyline.skyline(pts, Seq("p", "d"))
+      .collect().map(_.getLong(0)).sorted
+    val got7 = graft.operators.Skyline.skyline(pts.repartition(7), Seq("p", "d"))
+      .collect().map(_.getLong(0)).sorted
+    assert(got1.toSeq === expect.toSeq)
+    assert(got7.toSeq === expect.toSeq)
+  }
+
   test("A9 companion: percentile_approx within 1% of exact median") {
     val li = Tables.load(spark, sf, "lineitem")
     val rows = li.groupBy("l_returnflag")

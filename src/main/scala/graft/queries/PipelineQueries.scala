@@ -224,6 +224,20 @@ object PipelineQueries {
               |  WHERE q.vec_id < 10) t
               |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
 
+    // Fuzzy (edit-distance) string join via q-gram filter-and-verify —
+    // candidates from a shingle equi-join, never a quadratic cross join.
+    QDef("d15_fuzzy_string_join",
+      (s, dir) => graft.operators.StringSimilarity.fuzzyJoin(
+        Tables.load(s, dir, "part").filter(col("p_partkey") < 1000),
+        "p_name", "p_partkey", q = 2, maxDist = 1)
+        .orderBy("a", "b"),
+      Some("""SELECT a.p_partkey AS a, b.p_partkey AS b,
+             |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+             |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+             |WHERE a.p_partkey < 1000 AND b.p_partkey < 1000
+             |  AND levenshtein(a.p_name, b.p_name) <= 1
+             |ORDER BY a, b""".stripMargin)),
+
     // Composite end-to-end cleaning pipeline — what a training-data job
     // actually chains: quality gate → exact dedup → near-dup cluster
     // representative selection → per-language corpus stats. Each stage is a

@@ -83,6 +83,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got7.toSeq === expect.toSeq)
   }
 
+  test("fuzzy string join equals the quadratic levenshtein definition") {
+    val parts = Tables.load(spark, sf, "part")
+    val got = graft.operators.StringSimilarity.fuzzyJoin(parts, "p_name", "p_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = parts.select(col("p_partkey").as("a"), col("p_name").as("na"))
+    val b = parts.select(col("p_partkey").as("b"), col("p_name").as("nb"))
+    val expect = a.join(b, col("a") < col("b") && levenshtein(col("na"), col("nb")) <= 1)
+      .select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expect)
+  }
+
   test("A9 companion: percentile_approx within 1% of exact median") {
     val li = Tables.load(spark, sf, "lineitem")
     val rows = li.groupBy("l_returnflag")

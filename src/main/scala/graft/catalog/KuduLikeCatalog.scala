@@ -20,7 +20,9 @@ import java.util.Comparator
   *   unimplemented in the reference (CreateTableOptions passed empty,
   *   KuduStorageHandler.java:264-267; DesignDocument.md:8).
   */
-final case class TableDef(name: String, schema: StructType, keyCols: Seq[String], buckets: Int = 0) {
+final case class TableDef(
+    name: String, schema: StructType, keyCols: Seq[String],
+    buckets: Int = 0, rangeCol: Option[String] = None) {
   require(name.nonEmpty, "table name must be non-empty")
   require(keyCols.nonEmpty, "key columns must be non-empty (Kudu tables are keyed)")
   require(buckets >= 0, "buckets must be >= 0")
@@ -103,11 +105,12 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       // Empty initial data so reads work immediately after create.
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], normalized)
-      if (d.buckets > 0)
-        empty.withColumn(BucketCol, bucketExpr(d.keyCols, d.buckets))
-          .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(dataDir(d.name))
-      else
-        empty.write.mode(SaveMode.Overwrite).parquet(dataDir(d.name))
+      d.rangeCol.foreach { rc =>
+        if (!d.schema.fieldNames.contains(rc))
+          throw new CatalogException(s"range column $rc not present in schema")
+      }
+      writePartitioned(empty, d.keyCols, d.buckets, d.rangeCol,
+        dataDir(d.name), SaveMode.Overwrite)
       Files.writeString(metaFile(d.name), metaJson(d, normalized))
     } catch {
       case e: Throwable =>
@@ -126,7 +129,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   def rollbackCreateTable(name: String): Unit =
     try deleteRecursively(tableDir(name)) catch { case _: Throwable => () }
 
-  def table(name: String): DataFrame = rawTable(name).drop(BucketCol)
+  def table(name: String): DataFrame = rawTable(name).drop(BucketCol, RangeCol)
 
   /** Point/short-key lookup on a bucketed table: the key hash selects the
     * bucket, so the scan prunes to ONE directory partition out of N (the
@@ -143,16 +146,78 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       if (b > 0) rawTable(name)
         .filter(col(BucketCol) === pmod(hash(keys.zip(keyValues).map { case (_, v) => lit(v) }: _*), lit(b)))
       else rawTable(name)
-    base.filter(keyFilter).drop(BucketCol)
+    base.filter(keyFilter).drop(BucketCol, RangeCol)
+  }
+
+  /** Time-range scan on a range-partitioned table: prunes to the month
+    * directories overlapping [from, to) before the row-level filter (the
+    * analog of Kudu range-partition pruning).
+    */
+  def lookupRange(name: String, from: java.sql.Timestamp, to: java.sql.Timestamp): DataFrame = {
+    val rc = rangeColOf(name).getOrElse(
+      throw new CatalogException(s"table $name is not range-partitioned"))
+    val fromMonth = new java.text.SimpleDateFormat("yyyy-MM").format(from)
+    val toMonth = new java.text.SimpleDateFormat("yyyy-MM").format(to)
+    rawTable(name)
+      .filter(col(RangeCol) >= fromMonth && col(RangeCol) <= toMonth)
+      .filter(col(rc) >= lit(from) && col(rc) < lit(to))
+      .drop(BucketCol, RangeCol)
   }
 
   private def rawTable(name: String): DataFrame = {
     if (!exists(name)) throw new CatalogException(s"table $name does not exist")
-    val b = bucketsOf(name)
-    val schema =
-      if (b > 0) readSchema(name).add(StructField(BucketCol, IntegerType))
-      else readSchema(name)
+    var schema = readSchema(name)
+    if (rangeColOf(name).isDefined) schema = schema.add(StructField(RangeCol, StringType))
+    if (bucketsOf(name) > 0) schema = schema.add(StructField(BucketCol, IntegerType))
     spark.read.schema(schema).parquet(dataDir(name))
+  }
+
+  /** Shared partitioned-write path: range dirs (month granularity) outer,
+    * hash buckets inner — Kudu's combined range+hash partitioning. Rows are
+    * sorted by key within each output partition so parquet row-group
+    * min/max statistics prune key lookups inside a partition too.
+    */
+  private def writePartitioned(
+      df: DataFrame, keys: Seq[String], buckets: Int, rangeCol: Option[String],
+      dir: String, mode: SaveMode): Unit = {
+    var out = df
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    rangeCol.foreach { rc =>
+      out = out.withColumn(RangeCol, date_format(col(rc), "yyyy-MM"))
+      parts += RangeCol
+    }
+    if (buckets > 0) {
+      out = out.withColumn(BucketCol, bucketExpr(keys, buckets))
+      parts += BucketCol
+    }
+    val sorted = out.sortWithinPartitions(keys.map(col): _*)
+    if (parts.nonEmpty)
+      sorted.write.partitionBy(parts.toSeq: _*).mode(mode).parquet(dir)
+    else
+      sorted.write.mode(mode).parquet(dir)
+  }
+
+  /** Maintenance: rewrite the table into defaultParallelism-sized files
+    * (the analog of Kudu's background compaction — many small per-batch
+    * files degrade scan planning over time). Atomic swap via directory
+    * rename; readers opened before compact keep their snapshot.
+    */
+  def compact(name: String): Unit = {
+    if (!exists(name)) throw new CatalogException(s"table $name does not exist")
+    val keys = keyColsOf(name)
+    val target = tableDir(name).resolve("data_compacting").toString
+    val current = table(name).repartition(spark.sparkContext.defaultParallelism, keys.map(col): _*)
+    writePartitioned(current, keys, bucketsOf(name), rangeColOf(name), target, SaveMode.Overwrite)
+    val dataPath = Paths.get(dataDir(name))
+    val old = tableDir(name).resolve("data_old")
+    Files.move(dataPath, old)
+    Files.move(Paths.get(target), dataPath)
+    deleteRecursively(old)
+  }
+
+  def rangeColOf(name: String): Option[String] = {
+    val meta = Files.readString(metaFile(name))
+    """"rangeCol":"([^"]+)"""".r.findFirstMatchIn(meta).map(_.group(1))
   }
 
   /** Declared schema with the PK-non-null flags (note: Spark's parquet READ
@@ -208,12 +273,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     // Count rides along with the write (Observation) — one job, not two.
     val obs = org.apache.spark.sql.Observation()
     val observed = toInsert.observe(obs, count(lit(1)).as("n"))
-    val b = bucketsOf(name)
-    if (b > 0)
-      observed.withColumn(BucketCol, bucketExpr(keys, b))
-        .write.partitionBy(BucketCol).mode(SaveMode.Append).parquet(dataDir(name))
-    else
-      observed.write.mode(SaveMode.Append).parquet(dataDir(name))
+    writePartitioned(observed, keys, bucketsOf(name), rangeColOf(name),
+      dataDir(name), SaveMode.Append)
     obs.get("n").asInstanceOf[Long]
   }
 
@@ -251,10 +312,12 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   }
 
   private val BucketCol = "__bucket"
+  private val RangeCol = "__range"
 
   private def metaJson(d: TableDef, normalized: StructType): String = {
     val keys = d.keyCols.map(k => "\"" + k + "\"").mkString(",")
-    s"""{"name":"${d.name}","buckets":${d.buckets},"keyCols":[$keys],"schemaJson":${normalized.json}}"""
+    val range = d.rangeCol.map(rc => s"\"rangeCol\":\"$rc\",").getOrElse("")
+    s"""{"name":"${d.name}","buckets":${d.buckets},$range"keyCols":[$keys],"schemaJson":${normalized.json}}"""
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -5,6 +5,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
 
 /** Storage-layer semantics (SURVEY.md S6-S9, §1.1-1.2) — the behaviors the
@@ -153,6 +154,42 @@ class CatalogSpec extends SparkSpec {
     assert(hit.collect().map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((42, "v42")))
     val plan = hit.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("__bucket"), plan.take(800))
+  }
+
+  test("range+hash partitioned table: month dirs, pruned time scans, compaction") {
+    import spark.implicits._
+    val root = tmpDir("graft_range_")
+    val cat = new KuduLikeCatalog(spark, root)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType),
+      StructField("v", DoubleType)))
+    cat.createTable(TableDef("ev", schema, Seq("id"), buckets = 4, rangeCol = Some("ts")))
+    def ts(month: Int, day: Int) = Timestamp.valueOf(f"2024-$month%02d-$day%02d 00:00:00")
+    val rows = (0 until 90).map(i => (i.toLong, ts(1 + i % 3, 1 + i % 27), i * 1.0))
+    assert(cat.insert("ev", rows.toDF("id", "ts", "v")) === 90)
+    // layout: month dirs outer, bucket dirs inner
+    val monthDirs = new java.io.File(s"$root/ev/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__range=")).map(_.getName).sorted
+    assert(monthDirs.toSeq === Seq("__range=2024-01", "__range=2024-02", "__range=2024-03"))
+    // time-range scan prunes to overlapping month partitions
+    val feb = cat.lookupRange("ev", ts(2, 1), Timestamp.valueOf("2024-03-01 00:00:00"))
+    assert(feb.count() === rows.count { case (_, t, _) =>
+      !t.before(ts(2, 1)) && t.before(Timestamp.valueOf("2024-03-01 00:00:00")) })
+    val plan = feb.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__range"), plan.take(800))
+    // compaction: several inserts -> many files; compact -> fewer, same data
+    (1 to 4).foreach { b =>
+      cat.insert("ev", (0 until 20).map(i => (1000L * b + i, ts(1, 1), 1.0)).toDF("id", "ts", "v"))
+    }
+    def nFiles = Files.walk(Paths.get(s"$root/ev/data"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val before = nFiles
+    val rowsBefore = cat.table("ev").orderBy("id").collect().toSeq
+    cat.compact("ev")
+    assert(nFiles < before, s"compact must reduce file count ($before -> $nFiles)")
+    assert(cat.table("ev").orderBy("id").collect().toSeq === rowsBefore)
+    // dup-ignore still intact after compaction
+    assert(cat.insert("ev", Seq((0L, ts(1, 1), 99.0)).toDF("id", "ts", "v")) === 0)
   }
 
   test("S11: attachExternal verifies schema, rejects mismatch") {

@@ -31,6 +31,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_cosine(arrayA, arrayB)")
         CosineSimilarity(args.head, args(1))
+      }),
+    ("graft_simhash16",
+      new ExpressionInfo(classOf[graft.functions.SimHash16Expr].getName, "graft_simhash16"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash16(text)")
+        graft.functions.SimHash16Expr(args.head)
       }))
 
   /** Register into an existing session (idempotent). */

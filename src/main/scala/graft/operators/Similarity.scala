@@ -25,7 +25,8 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(embCol).as("q_emb"))
-    val c = corpus.select(col(idCol).as("id"), col(embCol).as("c_emb"))
+    val c = graft.Tables.parallel(
+      corpus.select(col(idCol).as("id"), col(embCol).as("c_emb")))
     val pairs = q.crossJoin(c)
       .filter(col("qid") =!= col("id"))
       .withColumn("cos", VectorFunctions.cosine(col("q_emb"), col("c_emb")))

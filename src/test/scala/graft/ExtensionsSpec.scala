@@ -28,6 +28,17 @@ class ExtensionsSpec extends SparkSpec {
     viaSql.foreach { case (k, v) => assert(v === viaHof(k), s"pair $k") } // bit-equal
   }
 
+  test("graft_simhash16 registers and equals the Column API") {
+    GraftExtensions.register(spark)
+    Tables.load(spark, sf, "documents").limit(50).createOrReplaceTempView("docs50")
+    val viaSql = spark.sql("SELECT doc_id, graft_simhash16(text) AS s FROM docs50")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaCol = Tables.load(spark, sf, "documents").limit(50)
+      .select(col("doc_id"), graft.functions.TextFunctions.simhash16(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaSql === viaCol)
+  }
+
   test("graft_cosine rejects wrong arity / types with a clear error") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

@@ -1,0 +1,55 @@
+package graft
+
+import graft.catalog.{KuduLikeCatalog, TableDef}
+import org.apache.spark.sql.types._
+
+/** The reference's own end-to-end acceptance test, replayed verbatim.
+  *
+  * `simple_test.sql` (reference: README.md:13-44) with its golden CLI
+  * transcript (README.md:46-218) is the ONLY test the reference ships:
+  * CREATE TABLE test_drop (id INT, name STRING) keyed on id → INSERT VALUES
+  * (1,'a'),(2,'b'),(3,'a') → count(*) = 3 (golden rows README.md:155-158) →
+  * SELECT id WHERE name='a' = {1,3} (README.md:176-180) → GROUP BY name =
+  * (a,2),(b,1) (README.md:205-209) → DROP TABLE. Same DDL + DML + queries
+  * here, through the catalog and Spark SQL over the registered view.
+  */
+class GoldenTranscriptSpec extends SparkSpec {
+
+  test("reference simple_test.sql transcript reproduces, golden rows included") {
+    import spark.implicits._
+    val cat = new KuduLikeCatalog(spark, tmpDir("graft_golden_"))
+
+    // CREATE TABLE test_drop (id INT, name STRING) ... kudu.key_columns=id
+    cat.createTable(TableDef("test_drop",
+      StructType(Seq(StructField("id", IntegerType), StructField("name", StringType))),
+      Seq("id")))
+
+    // INSERT INTO test_drop VALUES (1,'a'),(2,'b'),(3,'a')
+    assert(cat.insert("test_drop", Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "name")) === 3)
+
+    // queries go through SQL, like the Hive CLI did
+    cat.table("test_drop").createOrReplaceTempView("test_drop")
+
+    // SELECT count(*) FROM test_drop  → 3
+    assert(spark.sql("SELECT count(*) FROM test_drop").head().getLong(0) === 3L)
+
+    // SELECT id FROM test_Drop WHERE name = 'a'  → 1, 3
+    val ids = spark.sql("SELECT id FROM test_Drop WHERE name = 'a'")
+      .collect().map(_.getInt(0)).sorted
+    assert(ids.toSeq === Seq(1, 3))
+
+    // SELECT name, count(*) FROM test_drop GROUP BY name → (a,2),(b,1)
+    val grouped = spark.sql("SELECT name, count(*) FROM test_drop GROUP BY name")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(grouped.toSeq === Seq(("a", 2L), ("b", 1L)))
+
+    // PK duplicate-ignore on the same table shape (the handler's one
+    // non-standard write semantic): re-inserting key 1 adds nothing
+    assert(cat.insert("test_drop", Seq((1, "zzz")).toDF("id", "name")) === 0)
+    assert(spark.sql("SELECT count(*) FROM test_drop").head().getLong(0) === 3L)
+
+    // DROP TABLE test_drop
+    cat.dropTable("test_drop")
+    assert(!cat.exists("test_drop"))
+  }
+}

@@ -277,6 +277,107 @@ object PipelineQueries {
               |  CAST(avg(len(string_split(text, ' ')) * 1.0) AS DECIMAL(38,4)) AS avg_tokens
               |FROM near_d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // PII scrubbing: emails/phones normalized to placeholder tokens. The
+    // fixture corpus is synthetic word soup, so PII is injected identically
+    // in both engines before scrubbing — the scrub regexes are the operator
+    // under test.
+    QDef("d16_pii_scrub",
+      (s, dir) => {
+        val withPii = when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact bob@example.com now")))
+          .when(col("doc_id") % 10 === 5,
+            concat(col("text"), lit(" call 555-867-5309 today")))
+          .otherwise(col("text"))
+        Tables.parallel(Tables.load(s, dir, "documents"))
+          .withColumn("t2", withPii)
+          .select(col("doc_id"),
+            regexp_replace(
+              regexp_replace(col("t2"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+              "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>").as("clean"))
+          .filter(col("clean").contains("<EMAIL>") || col("clean").contains("<PHONE>"))
+          .select(col("doc_id"),
+            substring(col("clean"), -30, 30).as("tail"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH injected AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 0 THEN text || ' contact bob@example.com now'
+             |         WHEN doc_id % 10 = 5 THEN text || ' call 555-867-5309 today'
+             |         ELSE text END AS t2
+             |  FROM documents),
+             |scrubbed AS (
+             |  SELECT doc_id,
+             |    regexp_replace(regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+             |                   '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+             |  FROM injected)
+             |SELECT doc_id, substring(clean, length(clean) - 29, 30) AS tail
+             |FROM scrubbed
+             |WHERE clean LIKE '%<EMAIL>%' OR clean LIKE '%<PHONE>%'
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Repetition signal: type-token ratio (distinct/total tokens) — low TTR
+    // marks boilerplate/spam for training-data filtering.
+    QDef("d17_repetition_ttr",
+      (s, dir) => {
+        val t = TF.tokens(col("text"))
+        Tables.parallel(Tables.load(s, dir, "documents"))
+          .select(col("doc_id"),
+            size(array_distinct(t)).as("distinct_toks"),
+            size(t).as("total_toks"),
+            dec4(size(array_distinct(t)).cast("double") / size(t).cast("double")).as("ttr"))
+          .filter(col("ttr") < 0.5)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS distinct_toks,
+             |  CAST(len(string_split(text, ' ')) AS INTEGER) AS total_toks,
+             |  CAST(len(list_distinct(string_split(text, ' '))) * 1.0
+             |       / (len(string_split(text, ' ')) * 1.0) AS DECIMAL(38,4)) AS ttr
+             |FROM documents
+             |WHERE len(list_distinct(string_split(text, ' '))) * 1.0
+             |      / (len(string_split(text, ' ')) * 1.0) < 0.5
+             |ORDER BY doc_id""".stripMargin)),
+
+    // L2 normalization of embeddings (vector preprocessing before ANN):
+    // identical fold-ordered norm in both engines → bit-equal components.
+    QDef("d18_l2_normalize",
+      (s, dir) => {
+        val norm = sqrt(VF.norm2(col("embedding")))
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") < 50)
+          .select(col("vec_id"),
+            dec4(element_at(col("embedding"), 1).cast("double") / norm).as("e1"),
+            dec4(element_at(col("embedding"), 2).cast("double") / norm).as("e2"),
+            dec4(norm).as("norm"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val normSql = s"sqrt(${
+          "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+            "list_transform(list_zip(embedding, embedding), p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))), " +
+            "(acc, v) -> acc + v)"})"
+        s"""SELECT vec_id,
+           |  CAST(CAST(embedding[1] AS DOUBLE) / $normSql AS DECIMAL(38,4)) AS e1,
+           |  CAST(CAST(embedding[2] AS DOUBLE) / $normSql AS DECIMAL(38,4)) AS e2,
+           |  CAST($normSql AS DECIMAL(38,4)) AS norm
+           |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin
+      }),
+
+    // Deterministic hash sampling (reproducible train/eval splits): keep a
+    // doc iff an md5-derived value of its id falls under the rate — same
+    // selection on every engine and every rerun, no rand().
+    QDef("d19_hash_sample",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .withColumn("hv", expr("conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10)").cast("int"))
+        .filter(col("hv") % 10 === 0)
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_sampled FROM (
+             |  SELECT lang,
+             |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS hv
+             |  FROM documents) t
+             |WHERE hv % 10 = 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Multimodal byte-stats over the opaque binary payload (decode itself is
     // the stubbed step — MultimodalSpec drives it).
     QDef("d13_multimodal_bytes",

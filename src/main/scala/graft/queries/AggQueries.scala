@@ -126,6 +126,20 @@ object AggQueries {
              |  CAST(median(l_extendedprice) AS DECIMAL(38,4)) AS med_price
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Pivot (wide aggregation) — Hive's conditional-aggregation idiom.
+    QDef("a11_pivot",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnRenamed("F", "n_f").withColumnRenamed("O", "n_o")
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Ordered full collect_list (bounded input) serialized to a string.
     QDef("a10_collect_ordered",
       (s, dir) => Tables.load(s, dir, "orders")

@@ -88,6 +88,34 @@ object WindowQueries {
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // Session windows (gap-based) in batch: Spark's session_window vs the
+    // classic gaps-and-islands SQL formulation. End = last event + gap.
+    QDef("w7_session_window",
+      (s, dir) => Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          expr("unix_millis(session_window.start)").as("start_ms"),
+          expr("unix_millis(session_window.end)").as("end_ms"),
+          col("n"))
+        .orderBy("user_id", "start_ms"),
+      Some("""WITH marked AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM marked)
+             |SELECT user_id, epoch_ms(min(ts)) AS start_ms,
+             |  epoch_ms(max(ts)) + 1800000 AS end_ms, count(*) AS n
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, start_ms""".stripMargin)),
+
     // Top-N per group: classic rank-and-filter.
     QDef("w6_topn_per_group",
       (s, dir) => Tables.load(s, dir, "orders")

@@ -278,6 +278,72 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     obs.get("n").asInstanceOf[Long]
   }
 
+  /** ALTER TABLE ADD COLUMN (Kudu supports online schema evolution; the
+    * reference wires no alter hook at all). The new column must be in the
+    * closed type set, non-key, and lands nullable; rows written before the
+    * change read back as NULL (parquet missing-column semantics under the
+    * declared schema).
+    */
+  def addColumn(name: String, field: StructField): Unit = {
+    val schema = readSchema(name)
+    if (schema.fieldNames.contains(field.name))
+      throw new CatalogException(s"column ${field.name} already exists")
+    if (!allowedTypes.contains(field.dataType))
+      throw new CatalogException(
+        s"${field.dataType.simpleString} is not supported for column ${field.name}: " +
+          "only the 10 Kudu primitive types are allowed")
+    val d = TableDef(name, schema.add(field.copy(nullable = true)),
+      keyColsOf(name), bucketsOf(name), rangeColOf(name))
+    Files.writeString(metaFile(name), metaJson(d, d.schema))
+  }
+
+  /** UPSERT (Kudu's native upsert op — the reference only wires INSERT with
+    * dup-ignore): batch rows REPLACE existing rows with the same key.
+    * Copy-on-write: survivors = existing anti-join batch-keys, union the
+    * deduped batch, atomic directory swap. At 100 TB this becomes
+    * merge-on-read deltas compacted in the background; semantics and the
+    * key-hash partitioning are the same.
+    *
+    * @return number of rows in the batch applied (after in-batch dedup)
+    */
+  def upsert(name: String, df: DataFrame): Long = {
+    val schema = readSchema(name)
+    val keys = keyColsOf(name)
+    if (df.schema.fieldNames.toSeq != schema.fieldNames.toSeq)
+      throw new CatalogException("upsert schema does not match table schema")
+    val nonKey = schema.fieldNames.filterNot(keys.contains).toSeq
+    val ordering: Seq[org.apache.spark.sql.Column] =
+      if (nonKey.nonEmpty) nonKey.map(col(_).asc) else keys.map(col(_).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    val dedupedBatch = df
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val survivors = table(name).join(dedupedBatch.select(keys.map(col): _*), keys, "left_anti")
+    rewrite(name, survivors.unionByName(dedupedBatch))
+    dedupedBatch.count()
+  }
+
+  /** DELETE rows matching a predicate (Kudu delete op; copy-on-write). */
+  def delete(name: String, condition: org.apache.spark.sql.Column): Long = {
+    val current = table(name)
+    val n = current.filter(condition).count()
+    if (n > 0) rewrite(name, current.filter(!condition))
+    n
+  }
+
+  /** Copy-on-write rewrite with atomic directory swap (shared by upsert /
+    * delete / compact).
+    */
+  private def rewrite(name: String, rows: DataFrame): Unit = {
+    val keys = keyColsOf(name)
+    val target = tableDir(name).resolve("data_rewrite").toString
+    writePartitioned(rows, keys, bucketsOf(name), rangeColOf(name), target, SaveMode.Overwrite)
+    val dataPath = Paths.get(dataDir(name))
+    val old = tableDir(name).resolve("data_old")
+    Files.move(dataPath, old)
+    Files.move(Paths.get(target), dataPath)
+    deleteRecursively(old)
+  }
+
   /** External-table attach (SURVEY.md S11 — a reference design goal,
     * rejected with TODO at KuduStorageHandler.java:230-234): bind an existing
     * parquet directory, verifying the declared schema matches what is there.

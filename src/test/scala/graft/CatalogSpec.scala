@@ -192,6 +192,38 @@ class CatalogSpec extends SparkSpec {
     assert(cat.insert("ev", Seq((0L, ts(1, 1), 99.0)).toDF("id", "ts", "v")) === 0)
   }
 
+  test("alter add column: old rows read NULL, new batches carry the column") {
+    import spark.implicits._
+    val cat = freshCat()
+    cat.createTable(TableDef("t", schema2, Seq("id")))
+    cat.insert("t", Seq((1, "a")).toDF("id", "name"))
+    cat.addColumn("t", StructField("score", DoubleType))
+    intercept[CatalogException] { cat.addColumn("t", StructField("score", DoubleType)) }
+    intercept[CatalogException] { cat.addColumn("t", StructField("bad", ArrayType(IntegerType))) }
+    assert(cat.insert("t", Seq((2, "b", 9.5)).toDF("id", "name", "score")) === 1)
+    val rows = cat.table("t").orderBy("id").collect()
+    assert(rows(0).isNullAt(2), "pre-alter row must read NULL for the new column")
+    assert(rows(1).getDouble(2) === 9.5)
+  }
+
+  test("upsert replaces rows on key; delete removes by predicate") {
+    import spark.implicits._
+    val cat = freshCat()
+    cat.createTable(TableDef("t", schema2, Seq("id"), buckets = 4))
+    cat.insert("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "name"))
+    // upsert: key 2 replaced, key 4 added; in-batch dup on 4 keeps min value
+    assert(cat.upsert("t", Seq((2, "B!"), (4, "z"), (4, "d")).toDF("id", "name")) === 2)
+    val afterUpsert = cat.table("t").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(afterUpsert.toSeq === Seq((1, "a"), (2, "B!"), (3, "c"), (4, "d")))
+    // delete by predicate
+    assert(cat.delete("t", org.apache.spark.sql.functions.col("id") % 2 === 0) === 2)
+    assert(cat.table("t").orderBy("id").collect().map(_.getInt(0)).toSeq === Seq(1, 3))
+    // delete with no matches is a no-op
+    assert(cat.delete("t", org.apache.spark.sql.functions.col("id") > 100) === 0)
+    assert(cat.table("t").count() === 2)
+  }
+
   test("S11: attachExternal verifies schema, rejects mismatch") {
     import spark.implicits._
     val dir = tmpDir("graft_ext_")

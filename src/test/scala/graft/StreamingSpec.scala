@@ -78,6 +78,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("watermark drops events later than the horizon in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, minute: Int) = Ev(id,
+      Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), 1L, "view", 1.0)
+    val stream = MemoryStream[Ev]
+    val agg = StreamingIngest.windowedCounts(stream.toDF(), "10 minutes", "5 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    // batch 1 advances event time to 10:40 → watermark 10:30
+    stream.addData(Seq(ev(1, 0), ev(2, 2), ev(3, 40)))
+    q.processAllAvailable()
+    // batch 2: an event at 10:01 is far behind the watermark → dropped;
+    // one at 10:41 is live
+    stream.addData(Seq(ev(4, 1), ev(5, 41)))
+    q.processAllAvailable()
+    // batch 3 pushes the watermark past all open windows so they emit
+    stream.addData(Seq(ev(6, 59)))
+    q.processAllAvailable(); q.stop()
+    val counts = spark.table("late_out")
+      .select(col("win_start"), col("n")).collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    // the 10:00 window emitted with only the two on-time events — the late
+    // ev(4, 10:01) was dropped by the watermark
+    assert(counts("2024-01-01 10:00:00.0") === 2L)
+    // both 10:40 and 10:41 landed in the 10:40 window
+    assert(counts("2024-01-01 10:40:00.0") === 2L)
+  }
+
   test("foreachBatch ingest into keyed table ignores replayed duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

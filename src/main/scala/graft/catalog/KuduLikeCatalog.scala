@@ -139,12 +139,19 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   def lookup(name: String, keyValues: Any*): DataFrame = {
     val keys = keyColsOf(name)
     require(keyValues.length == keys.length, s"expected ${keys.length} key values")
-    val keyFilter = keys.zip(keyValues)
-      .map { case (k, v) => col(k) === lit(v) }.reduce(_ && _)
+    // Literals MUST be cast to the declared key types before hashing: hash()
+    // of an Int literal differs from hash() of the stored Long, which would
+    // route the bucket filter to the wrong partition and return empty.
+    val schema = readSchema(name)
+    val typedLits = keys.zip(keyValues).map { case (k, v) =>
+      lit(v).cast(schema(k).dataType)
+    }
+    val keyFilter = keys.zip(typedLits)
+      .map { case (k, v) => col(k) === v }.reduce(_ && _)
     val b = bucketsOf(name)
     val base =
       if (b > 0) rawTable(name)
-        .filter(col(BucketCol) === pmod(hash(keys.zip(keyValues).map { case (_, v) => lit(v) }: _*), lit(b)))
+        .filter(col(BucketCol) === pmod(hash(typedLits: _*), lit(b)))
       else rawTable(name)
     base.filter(keyFilter).drop(BucketCol, RangeCol)
   }
@@ -156,8 +163,12 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   def lookupRange(name: String, from: java.sql.Timestamp, to: java.sql.Timestamp): DataFrame = {
     val rc = rangeColOf(name).getOrElse(
       throw new CatalogException(s"table $name is not range-partitioned"))
-    val fromMonth = new java.text.SimpleDateFormat("yyyy-MM").format(from)
-    val toMonth = new java.text.SimpleDateFormat("yyyy-MM").format(to)
+    // pin to UTC: partition values were written by date_format under the
+    // UTC session; the JVM default zone must not leak into pruning bounds
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val fromMonth = fmt.format(from)
+    val toMonth = fmt.format(to)
     rawTable(name)
       .filter(col(RangeCol) >= fromMonth && col(RangeCol) <= toMonth)
       .filter(col(rc) >= lit(from) && col(rc) < lit(to))
@@ -254,10 +265,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       throw new CatalogException(
         s"insert schema ${df.schema.fieldNames.mkString(",")} does not match " +
           s"table schema ${schema.fieldNames.mkString(",")}")
-    keys.foreach { k =>
-      if (df.filter(col(k).isNull).limit(1).count() > 0)
-        throw new CatalogException(s"NULL in key column $k")
-    }
+    rejectNullKeys(df, keys)
     val nonKey = schema.fieldNames.filterNot(keys.contains).toSeq
     val ordering: Seq[org.apache.spark.sql.Column] =
       if (nonKey.nonEmpty) nonKey.map(col(_).asc) else keys.map(col(_).asc)
@@ -311,6 +319,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val keys = keyColsOf(name)
     if (df.schema.fieldNames.toSeq != schema.fieldNames.toSeq)
       throw new CatalogException("upsert schema does not match table schema")
+    rejectNullKeys(df, keys)
     val nonKey = schema.fieldNames.filterNot(keys.contains).toSeq
     val ordering: Seq[org.apache.spark.sql.Column] =
       if (nonKey.nonEmpty) nonKey.map(col(_).asc) else keys.map(col(_).asc)
@@ -322,18 +331,37 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     dedupedBatch.count()
   }
 
-  /** DELETE rows matching a predicate (Kudu delete op; copy-on-write). */
+  /** DELETE rows matching a predicate (Kudu delete op; copy-on-write).
+    * SQL three-valued logic: only rows where the predicate is TRUE are
+    * deleted — NULL-valued predicates keep their rows (filter(!cond) alone
+    * would silently drop them).
+    */
   def delete(name: String, condition: org.apache.spark.sql.Column): Long = {
     val current = table(name)
-    val n = current.filter(condition).count()
-    if (n > 0) rewrite(name, current.filter(!condition))
+    val isDeleted = coalesce(condition, lit(false))
+    val n = current.filter(isDeleted).count()
+    if (n > 0) rewrite(name, current.filter(!isDeleted))
     n
   }
 
-  /** Copy-on-write rewrite with atomic directory swap (shared by upsert /
-    * delete / compact).
+  /** PK-non-null enforcement (reference: KuduStorageHandler.java:251-255) —
+    * one combined job, not one scan per key column.
+    */
+  private def rejectNullKeys(df: DataFrame, keys: Seq[String]): Unit = {
+    val anyNull = keys.map(col(_).isNull).reduce(_ || _)
+    if (df.filter(anyNull).limit(1).count() > 0)
+      throw new CatalogException(s"NULL in key column (keys: ${keys.mkString(",")})")
+  }
+
+  /** Copy-on-write rewrite via directory renames (shared by upsert / delete /
+    * compact). Each rename is atomic on a POSIX filesystem but the PAIR is
+    * not: a crash between the two moves leaves `data_old` holding the data.
+    * [[recoverRewrite]] heals that state (and clears completed-swap litter)
+    * before every rewrite — callers never see a missing data dir across a
+    * restart. On an object store this whole path would be a manifest commit.
     */
   private def rewrite(name: String, rows: DataFrame): Unit = {
+    recoverRewrite(name)
     val keys = keyColsOf(name)
     val target = tableDir(name).resolve("data_rewrite").toString
     writePartitioned(rows, keys, bucketsOf(name), rangeColOf(name), target, SaveMode.Overwrite)
@@ -342,6 +370,19 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     Files.move(dataPath, old)
     Files.move(Paths.get(target), dataPath)
     deleteRecursively(old)
+  }
+
+  /** Heal a half-completed [[rewrite]]: restore data from data_old if the
+    * swap crashed mid-way; drop stale rewrite/old dirs from completed or
+    * abandoned attempts.
+    */
+  private def recoverRewrite(name: String): Unit = {
+    val dataPath = Paths.get(dataDir(name))
+    val old = tableDir(name).resolve("data_old")
+    val target = tableDir(name).resolve("data_rewrite")
+    if (!Files.exists(dataPath) && Files.exists(old)) Files.move(old, dataPath)
+    if (Files.exists(old)) deleteRecursively(old)
+    if (Files.exists(target)) deleteRecursively(target)
   }
 
   /** External-table attach (SURVEY.md S11 — a reference design goal,

@@ -21,7 +21,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullable: Boolean = true // also NULL on mismatched lengths
   override def prettyName: String = "graft_cosine"
 
   private def elemType(e: Expression): DataType =
@@ -43,7 +43,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // zip_with/list_zip pad the shorter array with NULL, making the HOF and
+    // oracle result NULL — mirror that instead of silently scoring a prefix
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     val aF = elemType(left) == FloatType
     val bF = elemType(right) == FloatType
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -65,14 +68,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.$aGet($i);
-         |  double $y = (double) $b.$bGet($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $a.$aGet($i);
+         |    double $y = (double) $b.$bGet($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
          |}
-         |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
        """.stripMargin
     })
   }

@@ -23,7 +23,11 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
   */
 object Skyline {
 
-  def skyline(df: DataFrame, dims: Seq[String]): DataFrame = {
+  def skyline(df0: DataFrame, dims: Seq[String]): DataFrame = {
+    // Rows with NULL in any skyline dimension are excluded up front: NULL
+    // has no place in a dominance order, and the comparator would NPE.
+    import org.apache.spark.sql.functions.col
+    val df = df0.filter(dims.map(col(_).isNotNull).reduce(_ && _))
     val schema = df.schema
     val idx = dims.map(schema.fieldIndex).toArray
 

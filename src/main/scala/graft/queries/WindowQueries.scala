@@ -102,7 +102,7 @@ object WindowQueries {
       Some("""WITH marked AS (
              |  SELECT user_id, ts,
              |    CASE WHEN lag(ts) OVER w IS NULL
-             |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+             |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
              |         THEN 1 ELSE 0 END AS new_sess
              |  FROM events
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

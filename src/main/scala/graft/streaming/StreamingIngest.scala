@@ -67,12 +67,15 @@ object StreamingIngest {
     * flatMapGroupsWithState): per user, events closer than `gapMs` extend
     * the open session; a larger gap closes it and emits a [[UserSession]].
     * State per key is O(1) (the open session aggregate), the canonical
-    * bounded-state pattern for billions of keys. Works identically over a
-    * stream (Append + ProcessingTimeTimeout) and a batch Dataset via the
-    * same fold, which is how SessionizeSpec cross-checks it.
+    * bounded-state pattern for billions of keys.
     *
-    * Expects rows of (user_id, ts_ms, value) sorted per group by the caller
-    * in batch mode; in streaming, per-microbatch sorting is applied upstream.
+    * Emission semantics: with `emitOpenAtEnd = true` (default) every open
+    * session is flushed when its group is processed — correct for batch
+    * Datasets and single-batch streams (how StreamingSpec cross-checks the
+    * two), but a multi-micro-batch stream would split sessions at batch
+    * boundaries. With `emitOpenAtEnd = false` the open session is held in
+    * state across batches; a production continuous pipeline would add an
+    * event-time timeout to flush sessions for keys that go quiet.
     */
   def sessionize(
       spark: SparkSession,

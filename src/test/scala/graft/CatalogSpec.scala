@@ -224,6 +224,22 @@ class CatalogSpec extends SparkSpec {
     assert(cat.table("t").count() === 2)
   }
 
+  test("regression: delete keeps NULL-predicate rows; lookup casts literal types") {
+    import spark.implicits._
+    val cat = freshCat()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("c", StringType)))
+    cat.createTable(TableDef("t", schema, Seq("id"), buckets = 8))
+    cat.insert("t", Seq((1L, "x"), (2L, null), (3L, "y")).toDF("id", "c"))
+    // delete where c = 'x': the NULL row's predicate is NULL, must survive
+    assert(cat.delete("t", col("c") === "x") === 1)
+    assert(cat.table("t").collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+    // lookup with an Int literal against the Long key must still hit the
+    // right hash bucket (literal cast to declared type before hashing)
+    assert(cat.lookup("t", 3).count() === 1)
+    assert(cat.lookup("t", 3L).count() === 1)
+  }
+
   test("S11: attachExternal verifies schema, rejects mismatch") {
     import spark.implicits._
     val dir = tmpDir("graft_ext_")

@@ -59,6 +59,21 @@ class TextEdgeSpec extends SparkSpec {
     }
   }
 
+  test("regression: cosine of mismatched-length arrays is NULL (like the HOF), skyline skips NULL dims") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f, 3f, 4f))).toDF("a", "b")
+    val both = df.select(
+      graft.functions.VectorFunctions.cosine(col("a"), col("b")).as("native"),
+      graft.functions.VectorFunctions.cosineHof(col("a"), col("b")).as("hof")).head()
+    assert(both.isNullAt(0) && both.isNullAt(1))
+    // skyline with a NULL dimension row: excluded, no NPE
+    val pts = Seq((1L, Some(1.0), 1.0), (2L, None, 0.0), (3L, Some(0.5), 2.0))
+      .toDF("id", "x", "y")
+    val sky = graft.operators.Skyline.skyline(pts, Seq("x", "y"))
+      .collect().map(_.getLong(0)).sorted
+    assert(sky.toSeq === Seq(1L, 3L))
+  }
+
   test("dedup operators handle edge corpora (empty strings, dup empties)") {
     val df = textsDf(Seq("", "", "a", "a", "b"))
     val ids = graft.operators.Dedup.exactIds(df, "text", "doc_id")

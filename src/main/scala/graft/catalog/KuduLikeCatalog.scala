@@ -129,7 +129,34 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   def rollbackCreateTable(name: String): Unit =
     try deleteRecursively(tableDir(name)) catch { case _: Throwable => () }
 
-  def table(name: String): DataFrame = rawTable(name).drop(BucketCol, RangeCol)
+  /** Current table contents. Fast path with no pending mutations reads the
+    * base directly; with pending delta layers (merge-on-read, see [[upsert]])
+    * the effective row per key is the highest-sequence version, tombstones
+    * removed.
+    */
+  def table(name: String): DataFrame =
+    effective(name).drop(BucketCol, RangeCol)
+
+  /** Base+delta overlay with internal columns retained (for pruned lookups).
+    * Kudu's read path does exactly this merge across DiskRowSets and
+    * DeltaFiles; [[compact]] folds it down again.
+    */
+  private def effective(name: String): DataFrame = {
+    val seqs = deltaSeqs(name)
+    if (seqs.isEmpty) rawTable(name)
+    else {
+      val keys = keyColsOf(name)
+      val base = rawTable(name)
+        .withColumn(OpCol, lit("upsert")).withColumn(SeqCol, lit(0))
+      val layers = seqs.map(q => readDelta(name, q).withColumn(SeqCol, lit(q)))
+      val unioned = layers.foldLeft(base)((acc, d) => acc.unionByName(d))
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col(SeqCol).desc)
+      unioned
+        .withColumn("__v", row_number().over(w))
+        .filter(col("__v") === 1 && col(OpCol) === "upsert")
+        .drop("__v", OpCol, SeqCol)
+    }
+  }
 
   /** Point/short-key lookup on a bucketed table: the key hash selects the
     * bucket, so the scan prunes to ONE directory partition out of N (the
@@ -149,10 +176,12 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val keyFilter = keys.zip(typedLits)
       .map { case (k, v) => col(k) === v }.reduce(_ && _)
     val b = bucketsOf(name)
+    // bucket + key filters push through the delta-overlay union into every
+    // layer's parquet scan, so pruning survives pending mutations
     val base =
-      if (b > 0) rawTable(name)
+      if (b > 0) effective(name)
         .filter(col(BucketCol) === pmod(hash(typedLits: _*), lit(b)))
-      else rawTable(name)
+      else effective(name)
     base.filter(keyFilter).drop(BucketCol, RangeCol)
   }
 
@@ -169,7 +198,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
     val fromMonth = fmt.format(from)
     val toMonth = fmt.format(to)
-    rawTable(name)
+    effective(name)
       .filter(col(RangeCol) >= fromMonth && col(RangeCol) <= toMonth)
       .filter(col(rc) >= lit(from) && col(rc) < lit(to))
       .drop(BucketCol, RangeCol)
@@ -216,14 +245,12 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   def compact(name: String): Unit = {
     if (!exists(name)) throw new CatalogException(s"table $name does not exist")
     val keys = keyColsOf(name)
-    val target = tableDir(name).resolve("data_compacting").toString
-    val current = table(name).repartition(spark.sparkContext.defaultParallelism, keys.map(col): _*)
-    writePartitioned(current, keys, bucketsOf(name), rangeColOf(name), target, SaveMode.Overwrite)
-    val dataPath = Paths.get(dataDir(name))
-    val old = tableDir(name).resolve("data_old")
-    Files.move(dataPath, old)
-    Files.move(Paths.get(target), dataPath)
-    deleteRecursively(old)
+    val folded = table(name) // materializes the delta overlay into the write
+      .repartition(spark.sparkContext.defaultParallelism, keys.map(col): _*)
+    rewrite(name, folded)
+    // deltas now folded into the base; a crash before this delete merely
+    // re-applies identical versions over an identical merge (idempotent)
+    deleteRecursively(deltasDir(name))
   }
 
   def rangeColOf(name: String): Option[String] = {
@@ -281,8 +308,14 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     // Count rides along with the write (Observation) — one job, not two.
     val obs = org.apache.spark.sql.Observation()
     val observed = toInsert.observe(obs, count(lit(1)).as("n"))
-    writePartitioned(observed, keys, bucketsOf(name), rangeColOf(name),
-      dataDir(name), SaveMode.Append)
+    if (deltaSeqs(name).nonEmpty)
+      // pending mutation layers: the insert must land ABOVE them — a base
+      // append (sequence 0) would stay shadowed by an older tombstone of a
+      // re-inserted key
+      writeDelta(name, observed.withColumn(OpCol, lit("upsert")))
+    else
+      writePartitioned(observed, keys, bucketsOf(name), rangeColOf(name),
+        dataDir(name), SaveMode.Append)
     obs.get("n").asInstanceOf[Long]
   }
 
@@ -307,10 +340,13 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
 
   /** UPSERT (Kudu's native upsert op — the reference only wires INSERT with
     * dup-ignore): batch rows REPLACE existing rows with the same key.
-    * Copy-on-write: survivors = existing anti-join batch-keys, union the
-    * deduped batch, atomic directory swap. At 100 TB this becomes
-    * merge-on-read deltas compacted in the background; semantics and the
-    * key-hash partitioning are the same.
+    *
+    * Merge-on-read, exactly Kudu's base+delta design: the deduped batch is
+    * APPENDED as a new delta layer (cost = one shuffle + write of the
+    * batch — the table is never rewritten on the mutation path); reads
+    * overlay layers by sequence and [[compact]] folds them back into the
+    * base. Write amplification moves to the background where it belongs at
+    * 100 TB.
     *
     * @return number of rows in the batch applied (after in-batch dedup)
     */
@@ -326,21 +362,26 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     val dedupedBatch = df
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-    val survivors = table(name).join(dedupedBatch.select(keys.map(col): _*), keys, "left_anti")
-    rewrite(name, survivors.unionByName(dedupedBatch))
-    dedupedBatch.count()
+    val obs = org.apache.spark.sql.Observation()
+    writeDelta(name, dedupedBatch
+      .withColumn(OpCol, lit("upsert"))
+      .observe(obs, count(lit(1)).as("n")))
+    obs.get("n").asInstanceOf[Long]
   }
 
-  /** DELETE rows matching a predicate (Kudu delete op; copy-on-write).
-    * SQL three-valued logic: only rows where the predicate is TRUE are
-    * deleted — NULL-valued predicates keep their rows (filter(!cond) alone
-    * would silently drop them).
+  /** DELETE rows matching a predicate (Kudu delete op). SQL three-valued
+    * logic: only rows where the predicate is TRUE are deleted — NULL-valued
+    * predicates keep their rows.
+    *
+    * Merge-on-read: matching rows are appended as tombstones (op=delete)
+    * carrying their original payload, so they land in the same range/bucket
+    * partitions as the rows they shadow and partition pruning stays correct.
     */
   def delete(name: String, condition: org.apache.spark.sql.Column): Long = {
-    val current = table(name)
     val isDeleted = coalesce(condition, lit(false))
-    val n = current.filter(isDeleted).count()
-    if (n > 0) rewrite(name, current.filter(!isDeleted))
+    val tombstones = table(name).filter(isDeleted).withColumn(OpCol, lit("delete"))
+    val n = tombstones.count()
+    if (n > 0) writeDelta(name, tombstones)
     n
   }
 
@@ -399,6 +440,30 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     df
   }
 
+  private def deltasDir(name: String): Path = tableDir(name).resolve("deltas")
+
+  private def deltaSeqs(name: String): Seq[Int] = {
+    val d = deltasDir(name)
+    if (!Files.exists(d)) Seq.empty
+    else d.toFile.listFiles().filter(_.isDirectory)
+      .map(_.getName.toInt).sorted.toSeq
+  }
+
+  private def readDelta(name: String, seq: Int): DataFrame = {
+    var schema = readSchema(name).add(StructField(OpCol, StringType))
+    if (rangeColOf(name).isDefined) schema = schema.add(StructField(RangeCol, StringType))
+    if (bucketsOf(name) > 0) schema = schema.add(StructField(BucketCol, IntegerType))
+    spark.read.schema(schema).parquet(deltasDir(name).resolve(seq.toString).toString)
+  }
+
+  /** Append one mutation layer (rows must carry [[OpCol]]). */
+  private def writeDelta(name: String, rows: DataFrame): Unit = {
+    val seq = deltaSeqs(name).lastOption.getOrElse(0) + 1
+    Files.createDirectories(deltasDir(name))
+    writePartitioned(rows, keyColsOf(name), bucketsOf(name), rangeColOf(name),
+      deltasDir(name).resolve(seq.toString).toString, SaveMode.Overwrite)
+  }
+
   /** Hash-bucket assignment: murmur3 over the key columns mod N — every
     * executor computes it identically, so routing needs no coordination
     * (exactly how Kudu routes rows to tablets).
@@ -420,6 +485,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
 
   private val BucketCol = "__bucket"
   private val RangeCol = "__range"
+  private val OpCol = "__op"
+  private val SeqCol = "__seq"
 
   private def metaJson(d: TableDef, normalized: StructType): String = {
     val keys = d.keyCols.map(k => "\"" + k + "\"").mkString(",")

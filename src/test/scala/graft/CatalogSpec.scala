@@ -240,6 +240,45 @@ class CatalogSpec extends SparkSpec {
     assert(cat.lookup("t", 3L).count() === 1)
   }
 
+  test("merge-on-read: mutations append delta layers, never rewrite the base; compact folds") {
+    import spark.implicits._
+    val root = tmpDir("graft_mor_")
+    val cat = new KuduLikeCatalog(spark, root)
+    cat.createTable(TableDef("t", schema2, Seq("id"), buckets = 4))
+    cat.insert("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "name"))
+
+    def baseFileTimes: Map[String, Long] =
+      Files.walk(Paths.get(s"$root/t/data"))
+        .filter(p => p.toString.endsWith(".parquet"))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => p.toString -> p.toFile.lastModified()).toMap
+    val baseBefore = baseFileTimes
+
+    // layered mutations: upsert, delete, upsert again on the same key
+    cat.upsert("t", Seq((2, "B1")).toDF("id", "name"))
+    cat.delete("t", col("id") === 3)
+    cat.upsert("t", Seq((2, "B2"), (4, "d")).toDF("id", "name"))
+
+    // base untouched — mutations were delta appends (Kudu DeltaFile analog)
+    assert(baseFileTimes === baseBefore, "mutation path must not rewrite the base")
+    assert(new java.io.File(s"$root/t/deltas").listFiles().count(_.isDirectory) >= 3)
+
+    // latest layer wins; tombstone hides id=3; insert cannot overwrite live key
+    def snapshot = cat.table("t").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(snapshot === Seq((1, "a"), (2, "B2"), (4, "d")))
+    assert(cat.insert("t", Seq((2, "nope"), (3, "back")).toDF("id", "name")) === 1)
+    assert(snapshot === Seq((1, "a"), (2, "B2"), (3, "back"), (4, "d")))
+    // pruned point lookup sees pending mutations
+    assert(cat.lookup("t", 2).head().getString(1) === "B2")
+
+    // compact folds layers into the base and clears them; data unchanged
+    cat.compact("t")
+    assert(!new java.io.File(s"$root/t/deltas").exists())
+    assert(snapshot === Seq((1, "a"), (2, "B2"), (3, "back"), (4, "d")))
+    assert(cat.lookup("t", 2).head().getString(1) === "B2")
+  }
+
   test("S11: attachExternal verifies schema, rejects mismatch") {
     import spark.implicits._
     val dir = tmpDir("graft_ext_")

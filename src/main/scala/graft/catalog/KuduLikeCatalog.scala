@@ -137,12 +137,25 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   def table(name: String): DataFrame =
     effective(name).drop(BucketCol, RangeCol)
 
+  /** Snapshot read at a mutation version (Kudu READ_AT_SNAPSHOT analog):
+    * version 0 = the compacted base, version v = base + delta layers ≤ v.
+    * Free with merge-on-read — the overlay just stops at the version.
+    * Note [[compact]] folds layers into the base, advancing what version 0
+    * means; snapshots are stable between compactions.
+    */
+  def tableAsOf(name: String, version: Int): DataFrame =
+    effective(name, Some(version)).drop(BucketCol, RangeCol)
+
+  /** Highest mutation version currently readable (0 = no pending deltas). */
+  def currentVersion(name: String): Int =
+    deltaSeqs(name).lastOption.getOrElse(0)
+
   /** Base+delta overlay with internal columns retained (for pruned lookups).
     * Kudu's read path does exactly this merge across DiskRowSets and
     * DeltaFiles; [[compact]] folds it down again.
     */
-  private def effective(name: String): DataFrame = {
-    val seqs = deltaSeqs(name)
+  private def effective(name: String, asOf: Option[Int] = None): DataFrame = {
+    val seqs = deltaSeqs(name).filter(q => asOf.forall(q <= _))
     if (seqs.isEmpty) rawTable(name)
     else {
       val keys = keyColsOf(name)

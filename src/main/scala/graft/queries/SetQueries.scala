@@ -84,6 +84,34 @@ object SetQueries {
              |  (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier) b
              |ORDER BY op, k""".stripMargin)),
 
+    // Correlated scalar subquery in the SELECT list — same ANSI text in
+    // both engines.
+    QDef("o7_correlated_scalar",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql(
+          """SELECT n_nationkey, n_name,
+            |  (SELECT count(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey) AS n_customers,
+            |  (SELECT count(*) FROM supplier sp WHERE sp.s_nationkey = n.n_nationkey) AS n_suppliers
+            |FROM nation n ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT n_nationkey, n_name,
+             |  (SELECT count(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey) AS n_customers,
+             |  (SELECT count(*) FROM supplier sp WHERE sp.s_nationkey = n.n_nationkey) AS n_suppliers
+             |FROM nation n ORDER BY n_nationkey""".stripMargin)),
+
+    // NOT IN against a set containing NULL — the classic three-valued-logic
+    // trap: the result must be empty in both engines.
+    QDef("p12_not_in_null",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql(
+          """SELECT count(*) AS n FROM customer
+            |WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders)""".stripMargin)
+      },
+      Some("""SELECT count(*) AS n FROM customer
+             |WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders)""".stripMargin)),
+
     // Skyline / Pareto frontier (operators.Skyline, two-phase BNL): orders
     // minimizing (price, date) — no other order is both cheaper and earlier.
     QDef("o6_skyline",

@@ -279,6 +279,25 @@ class CatalogSpec extends SparkSpec {
     assert(cat.lookup("t", 2).head().getString(1) === "B2")
   }
 
+  test("snapshot reads: tableAsOf(v) sees exactly the first v mutation layers") {
+    import spark.implicits._
+    val cat = freshCat()
+    cat.createTable(TableDef("t", schema2, Seq("id")))
+    cat.insert("t", Seq((1, "a"), (2, "b")).toDF("id", "name"))     // base (v0)
+    cat.upsert("t", Seq((2, "B")).toDF("id", "name"))               // v1
+    cat.delete("t", col("id") === 1)                                // v2
+    cat.upsert("t", Seq((3, "c")).toDF("id", "name"))               // v3
+    assert(cat.currentVersion("t") === 3)
+    def snap(v: Int) = cat.tableAsOf("t", v).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(snap(0) === Seq((1, "a"), (2, "b")))
+    assert(snap(1) === Seq((1, "a"), (2, "B")))
+    assert(snap(2) === Seq((2, "B")))
+    assert(snap(3) === Seq((2, "B"), (3, "c")))
+    assert(snap(3) === cat.table("t").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq)
+  }
+
   test("S11: attachExternal verifies schema, rejects mismatch") {
     import spark.implicits._
     val dir = tmpDir("graft_ext_")

@@ -298,6 +298,41 @@ class CatalogSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1))).toSeq)
   }
 
+  test("merge-on-read honors range+bucket pruning: lookupRange sees mutations") {
+    import spark.implicits._
+    val cat = new KuduLikeCatalog(spark, tmpDir("graft_morrange_"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType),
+      StructField("v", DoubleType)))
+    cat.createTable(TableDef("ev", schema, Seq("id"), buckets = 4, rangeCol = Some("ts")))
+    def ts(month: Int, day: Int) = Timestamp.valueOf(f"2024-$month%02d-$day%02d 00:00:00")
+    cat.insert("ev", (0 until 60).map(i => (i.toLong, ts(1 + i % 2, 1 + i % 27), 1.0)).toDF("id", "ts", "v"))
+    // mutate: bump value of a January row, delete a February row
+    cat.upsert("ev", Seq((0L, ts(1, 1), 99.0)).toDF("id", "ts", "v"))
+    cat.delete("ev", col("id") === 1) // id=1 is a February row
+    val jan = cat.lookupRange("ev", ts(1, 1), ts(2, 1)).collect()
+    assert(jan.find(_.getLong(0) == 0L).get.getDouble(2) === 99.0, "upsert visible in range scan")
+    val feb = cat.lookupRange("ev", ts(2, 1), ts(3, 1)).collect()
+    assert(!feb.exists(_.getLong(0) == 1L), "tombstone hides deleted row in range scan")
+    // after compaction the same answers hold
+    cat.compact("ev")
+    assert(cat.lookupRange("ev", ts(1, 1), ts(2, 1))
+      .filter(col("id") === 0).head().getDouble(2) === 99.0)
+    assert(cat.lookupRange("ev", ts(2, 1), ts(3, 1))
+      .filter(col("id") === 1).count() === 0)
+  }
+
+  test("Dedup.exact and Dedup.exactIds agree on survivors") {
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val withDups = docs.unionAll(
+      docs.select((col("doc_id") + 7000).as("doc_id"), col("text")))
+    val viaWindow = graft.operators.Dedup.exact(withDups, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val viaAgg = graft.operators.Dedup.exactIds(withDups, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(viaWindow.toSeq === viaAgg.toSeq)
+  }
+
   test("S11: attachExternal verifies schema, rejects mismatch") {
     import spark.implicits._
     val dir = tmpDir("graft_ext_")

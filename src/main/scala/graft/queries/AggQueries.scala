@@ -101,6 +101,26 @@ object AggQueries {
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY g_rf, g_ls, rf, ls""".stripMargin)),
 
+    QDef("a7_cube",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+          grouping(col("o_orderstatus")).cast("int").as("g_st"),
+          grouping(col("o_orderpriority")).cast("int").as("g_pr"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("st"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("pr"),
+          col("g_st"), col("g_pr"), col("n"))
+        .orderBy("g_st", "g_pr", "st", "pr"),
+      Some("""SELECT coalesce(o_orderstatus, '(all)') AS st,
+             |  coalesce(o_orderpriority, '(all)') AS pr,
+             |  CAST(grouping(o_orderstatus) AS INTEGER) AS g_st,
+             |  CAST(grouping(o_orderpriority) AS INTEGER) AS g_pr,
+             |  count(*) AS n
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY g_st, g_pr, st, pr""".stripMargin)),
+
     QDef("a8_stats_agg",
       (s, dir) => Tables.load(s, dir, "lineitem")
         .groupBy("l_returnflag")

@@ -136,6 +136,33 @@ object FuncQueries {
              |  CAST(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DECIMAL(38,4)) AS elem_max
              |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin)),
 
+    // Array set algebra (F5 extension). Sorted + serialized because DuckDB's
+    // list_intersect does not preserve order.
+    QDef("f5_array_setops",
+      (s, dir) => {
+        val a = sequence(lit(1), col("c_custkey") % 5 + 3)
+        val b = sequence(col("c_custkey") % 3 + 1, lit(6))
+        def ser(arr: org.apache.spark.sql.Column) =
+          array_join(transform(array_sort(arr), x => x.cast("string")), ",")
+        Tables.load(s, dir, "customer").filter(col("c_custkey") < 50)
+          .select(
+            col("c_custkey"),
+            ser(array_intersect(a, b)).as("inter"),
+            ser(array_union(a, b)).as("uni"),
+            ser(array_except(a, b)).as("diff"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH t AS (
+             |  SELECT c_custkey,
+             |    range(1, c_custkey % 5 + 4) AS a,
+             |    range(c_custkey % 3 + 1, 7) AS b
+             |  FROM customer WHERE c_custkey < 50)
+             |SELECT c_custkey,
+             |  coalesce(array_to_string(list_sort(list_intersect(a, b)), ','), '') AS inter,
+             |  coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','), '') AS uni,
+             |  coalesce(array_to_string(list_sort(list_filter(a, x -> NOT list_contains(b, x))), ','), '') AS diff
+             |FROM t ORDER BY c_custkey""".stripMargin)),
+
     // Generator / LATERAL VIEW explode (§2.10 UDTF surface → built-in posexplode).
     QDef("f5_explode",
       (s, dir) => Tables.load(s, dir, "embeddings")

@@ -19,6 +19,30 @@ class PropertySpec extends SparkSpec {
   private val batchGen: Gen[List[(Int, String)]] =
     Gen.listOfN(40, Gen.zip(Gen.choose(0, 19), Gen.alphaStr.map(_.take(6))))
 
+  test("property: as-of join equals brute force on random event sets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pairGen = Gen.listOfN(120,
+      Gen.zip(Gen.choose(0L, 8L), Gen.choose(0L, 5000L), Gen.choose(0L, 5000L)))
+    (1 to 4).foreach { i =>
+      val rows = pairGen.apply(Gen.Parameters.default, Seed(99L + i)).get
+      val left = rows.take(60).zipWithIndex
+        .map { case ((u, t, _), id) => (id.toLong, u, new java.sql.Timestamp(t)) }
+        .toDF("event_id", "user_id", "ts")
+      val right = rows.drop(60)
+        .map { case (u, _, t) => (u, new java.sql.Timestamp(t)) }
+        .toDF("user_id", "ts")
+      val viaOp = graft.operators.AsOfJoin.backward(left, right, "user_id", "ts", "ts",
+        Seq("ts" -> "m_ts")).select("event_id", "m_ts")
+      val brute = left.as("l").join(right.as("r"),
+          col("l.user_id") === col("r.user_id") && col("r.ts") <= col("l.ts"), "left")
+        .groupBy(col("l.event_id").as("event_id"))
+        .agg(max(col("r.ts")).as("m_ts"))
+      assert(viaOp.exceptAll(brute).count() === 0, s"iteration $i op-extra")
+      assert(brute.exceptAll(viaOp).count() === 0, s"iteration $i brute-extra")
+    }
+  }
+
   test("property: insert lands exactly the distinct keys; re-insert adds nothing") {
     import spark.implicits._
     (1 to 6).foreach { i =>

@@ -30,6 +30,20 @@ class OperatorSpec extends SparkSpec {
     assert(brute.exceptAll(viaOperator).count() === 0)
   }
 
+  test("J9 broadcast variant: identical to the window formulation, no left shuffle") {
+    val e = Tables.load(spark, sf, "events")
+    val purchases = e.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")
+    val clicks = e.filter(col("event_type") === "click").select("user_id", "ts")
+    val windowed = AsOfJoin.backward(purchases, clicks, "user_id", "ts", "ts",
+      Seq("ts" -> "click_ts")).select("event_id", "click_ts")
+    val broadcasted = AsOfJoin.backwardBroadcast(purchases, clicks, "user_id", "ts", "ts",
+      Seq("ts" -> "click_ts")).select("event_id", "click_ts")
+    assert(broadcasted.exceptAll(windowed).count() === 0)
+    assert(windowed.exceptAll(broadcasted).count() === 0)
+    // the broadcast plan has no Exchange on the left path
+    assert(!broadcasted.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("D1: exact dedup keeps lowest id and is idempotent") {
     val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
     val withDups = docs.unionAll(docs.select((col("doc_id") + 5000).as("doc_id"), col("text")))

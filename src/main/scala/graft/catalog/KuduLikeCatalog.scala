@@ -150,6 +150,30 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   def currentVersion(name: String): Int =
     deltaSeqs(name).lastOption.getOrElse(0)
 
+  /** Change feed (CDC): every mutation row applied in versions
+    * (fromVersion, toVersion] with its operation ("upsert"/"delete") and
+    * version — downstream incremental consumers read this instead of
+    * diffing snapshots. Only valid between compactions (compact folds
+    * layers away); at 100 TB the layers ARE the changelog, so this is a
+    * pure metadata-pruned scan of exactly the requested batches.
+    */
+  def changesBetween(name: String, fromVersion: Int, toVersion: Int): DataFrame = {
+    val seqs = deltaSeqs(name).filter(q => q > fromVersion && q <= toVersion)
+    val schema = readSchema(name)
+    if (seqs.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.add(StructField("op", StringType)).add(StructField("version", IntegerType)))
+    } else {
+      seqs.map { q =>
+        readDelta(name, q)
+          .withColumn("version", lit(q))
+          .drop(BucketCol, RangeCol)
+          .withColumnRenamed(OpCol, "op")
+          .select((schema.fieldNames.toSeq :+ "op" :+ "version").map(col): _*)
+      }.reduce(_ unionByName _)
+    }
+  }
+
   /** Base+delta overlay with internal columns retained (for pruned lookups).
     * Kudu's read path does exactly this merge across DiskRowSets and
     * DeltaFiles; [[compact]] folds it down again.

@@ -58,6 +58,18 @@ object StreamingIngest {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Streaming exact-dedup: watermarked `dropDuplicatesWithinWatermark` on
+    * the key — replays and cross-batch duplicates inside the watermark
+    * horizon are dropped with bounded state (keys older than the horizon
+    * are evicted from the state store). The stateless front half of the
+    * pipeline that [[ingestInto]]'s keyed insert backstops exactly-once
+    * per key beyond the horizon.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   def runToCompletion(w: DataStreamWriter[Row]): Unit = {
     val q: StreamingQuery = w.start()
     q.awaitTermination()

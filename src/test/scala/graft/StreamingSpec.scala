@@ -107,6 +107,24 @@ class StreamingSpec extends SparkSpec {
     assert(counts("2024-01-01 10:40:00.0") === 2L)
   }
 
+  test("streaming dedup drops within-watermark duplicates with bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, minute: Int) = Ev(id,
+      Timestamp.valueOf(f"2024-01-01 11:$minute%02d:00"), 1L, "view", 1.0)
+    val stream = MemoryStream[Ev]
+    val deduped = StreamingIngest.dedupStream(stream.toDF(), Seq("event_id"), "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    stream.addData(Seq(ev(1, 0), ev(1, 1), ev(2, 2)))   // in-batch dup of id 1
+    q.processAllAvailable()
+    stream.addData(Seq(ev(2, 3), ev(3, 4)))             // cross-batch dup of id 2
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("foreachBatch ingest into keyed table ignores replayed duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, MapType, StructType}
 
 /** A declared query: a Spark implementation plus (when SQL-expressible) an
   * equivalent DuckDB oracle SQL over the same parquet tables.
@@ -34,4 +35,37 @@ object QDef {
     */
   val revenueExpr: String =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+
+  /** Driver-gate output adapter (round-1 verdict root cause): the driver
+    * hashes Spark-side DECIMAL cells as `str(Decimal)` ('25.0000') but
+    * oracle-side decimals as float64 `repr` ('25.0'), so provably-equal
+    * values hash-mismatch whenever the declared scale prints trailing zeros.
+    * Decimal math stays internal (exact, shuffle-order-independent); only the
+    * FINAL representation is cast to DOUBLE — and Verify wraps the paired
+    * oracle SQL with the same casts — so identical decimals become identical
+    * doubles with identical reprs on both sides.
+    *
+    * Nested decimals (array/map/struct element) can't be auto-cast and are
+    * rejected loudly: cast elements to DOUBLE inside the query instead.
+    */
+  def castDecimalOutputs(df: DataFrame): DataFrame = {
+    def holdsDecimal(t: DataType): Boolean = t match {
+      case _: DecimalType   => true
+      case ArrayType(e, _)  => holdsDecimal(e)
+      case MapType(k, v, _) => holdsDecimal(k) || holdsDecimal(v)
+      case s: StructType    => s.fields.exists(f => holdsDecimal(f.dataType))
+      case _                => false
+    }
+    val fields = df.schema.fields
+    fields.foreach { f =>
+      require(f.dataType.isInstanceOf[DecimalType] || !holdsDecimal(f.dataType),
+        s"output column '${f.name}': DECIMAL nested in ${f.dataType.simpleString} " +
+          "defeats the driver-hash adapter — cast elements to DOUBLE in the query")
+    }
+    if (!fields.exists(_.dataType.isInstanceOf[DecimalType])) df
+    else df.select(fields.map { f =>
+      if (f.dataType.isInstanceOf[DecimalType]) col(f.name).cast("double").as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
+  }
 }

@@ -1,8 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.DecimalType
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Decimal adapter (round-1 verdict): the driver hashes Spark parquet
+  * decimals as str(Decimal) but oracle decimals as float64 repr, so final
+  * DECIMAL outputs are cast to DOUBLE on BOTH sides — the Spark result via
+  * QDef.castDecimalOutputs, the oracle SQL via a projection wrapper adding
+  * CAST(col AS DOUBLE) for exactly the columns that were decimal in the
+  * Spark schema. Inner ORDER BY survives the wrapper (projection-only outer
+  * select; validated in-order vs DuckDB by tools/t2_local.py T2_INORDER=1).
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -15,13 +25,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // per query: output fields in Spark order, flagged decimal-or-not
+    val outFields = scala.collection.mutable.Map.empty[String, Seq[(String, Boolean)]]
+    SparkEntry.all.foreach { q =>
+      try {
+        val raw = q.fn(spark, sfDir)
+        val fields = raw.schema.fields
+          .map(f => f.name -> f.dataType.isInstanceOf[DecimalType]).toSeq
+        QDef.castDecimalOutputs(raw).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/${q.name}")
+        outFields(q.name) = fields
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] ${q.name} failed: ${e.getMessage}")
       }
     }
+    def wrapOracle(name: String, sql: String): String =
+      outFields.get(name) match {
+        case Some(fields) if fields.exists(_._2) =>
+          val proj = fields.map { case (n, isDec) =>
+            val qn = "\"" + n + "\""
+            if (isDec) s"CAST($qn AS DOUBLE) AS $qn" else qn
+          }.mkString(", ")
+          s"SELECT $proj FROM (\n$sql\n) graft_decimal_adapter"
+        case _ => sql
+      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -35,7 +62,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(wrapOracle(k, v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

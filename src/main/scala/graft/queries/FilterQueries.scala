@@ -73,11 +73,13 @@ object FilterQueries {
         .filter((col("l_returnflag") === "R" || col("l_returnflag") === "A") &&
           !(col("l_quantity") > 10.0) && col("l_discount") > 0.02)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture —
+        // l_returnflag completes a total order (T2_INORDER caught the tie).
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag"),
       Some("""SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
              |WHERE (l_returnflag = 'R' OR l_returnflag = 'A')
              |  AND NOT (l_quantity > 10.0) AND l_discount > 0.02
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY l_orderkey, l_linenumber, l_returnflag""".stripMargin)),
 
     QDef("p7_filter_like_regex",
       (s, dir) => Tables.load(s, dir, "customer")

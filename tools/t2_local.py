@@ -6,13 +6,24 @@ Usage: python3 tools/t2_local.py [sfDir] [outDir] [queryFilter...]
 Reads outDir/oracle_sql.json (written by graft.Verify), runs each oracle in
 DuckDB over the sfDir parquet tables, reads the corresponding Spark result
 parquet, and compares: columns sorted by name, rows sorted, cell-exact.
+
+Two extra gates beyond the cell-exact compare (round-1 driver findings):
+- DECIMAL gate: FAIL any query whose final output contains a DECIMAL column
+  on either side. The driver hashes Spark decimals as str(Decimal) but
+  oracle decimals as float64 repr, so equal values hash-mismatch; the only
+  safe contract is "no decimal in final output" (QDef.castDecimalOutputs +
+  Verify's oracle wrapper enforce it engine-side; this catches regressions).
+- T2_INORDER=1: skip the row sort, comparing in result order. Validates that
+  every query's total ORDER BY survives both engines (and the Verify oracle
+  wrapper's subquery) in case the driver's hash is row-order-sensitive.
 """
-import duckdb, glob, json, sys
+import duckdb, glob, json, os, sys
 from decimal import Decimal
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 only = set(sys.argv[3:])
+inorder = os.environ.get("T2_INORDER") == "1"
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -35,8 +46,14 @@ def norm_cell(v):
 def norm_table(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out_rows = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    out_rows.sort(key=lambda r: [str(x) for x in r])
+    if not inorder:
+        out_rows.sort(key=lambda r: [str(x) for x in r])
     return [cols[i] for i in order], out_rows
+
+def decimal_cols(select_sql):
+    """Column names whose DuckDB-inferred type is DECIMAL for a query."""
+    rows = con.execute(f"DESCRIBE {select_sql}").fetchall()
+    return [r[0] for r in rows if "DECIMAL" in str(r[1]).upper()]
 
 n_pass = n_fail = 0
 for name in sorted(oracle):
@@ -58,6 +75,13 @@ for name in sorted(oracle):
     cur = con.execute(f"SELECT * FROM read_parquet({files!r})")
     scols = [d[0] for d in cur.description]
     srows = cur.fetchall()
+    sdec = decimal_cols(f"SELECT * FROM read_parquet({files!r})")
+    odec = decimal_cols(oracle[name])
+    if sdec or odec:
+        print(f"FAIL {name}: DECIMAL in final output (driver hash asymmetry):"
+              f" spark={sdec} oracle={odec}")
+        n_fail += 1
+        continue
     oc, orn = norm_table(ocols, orows)
     sc, srn = norm_table(scols, srows)
     if oc != sc:

@@ -37,6 +37,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_simhash16(text)")
         graft.functions.SimHash16Expr(args.head)
+      }),
+    ("graft_simhash64",
+      new ExpressionInfo(classOf[graft.functions.SimHash64Expr].getName, "graft_simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash64(text)")
+        graft.functions.SimHash64Expr(args.head)
       }))
 
   /** Register into an existing session (idempotent). */

@@ -97,6 +97,56 @@ object TextFunctions {
   /** substring(str, pos, 1) with a Column position. */
   private def substring_col(str: Column, pos: Column): Column = str.substr(pos, lit(1))
 
+  /** 64-bit SimHash — the corpus-scale signature (native [[SimHash64Expr]];
+    * bit lattice documented there).
+    */
+  def simhash64(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(text)))
+  }
+
+  /** Declarative HOF formulation of [[simhash64]] (the spec the native
+    * expression must match bit-for-bit — cross-checked in TextEdgeSpec).
+    */
+  def simhash64Hof(text: Column): Column = {
+    val digests = transform(tokens(text), t => md5(t))
+    val folded = aggregate(
+      digests,
+      array((0 until 64).map(_ => lit(0)): _*),
+      (acc, h) =>
+        zip_with(acc, array((0 until 64).map { b =>
+          val nib = conv(substring(h, b / 4 + 1, 1), 16, 10).cast("int")
+          when(shiftright(nib, 3 - (b % 4)).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)
+        }: _*),
+          (a, x) => a + x))
+    (0 until 64).map { b =>
+      when(element_at(folded, b + 1) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB CTE fragment recomputing [[simhash64]] for table `tbl` with
+    * columns (idCol, textCol): yields `(idCol, sh BIGINT)` named `simhash64_sig`.
+    * Tokens are md5-hashed once (unnest + group-by), then each of the 64 bit
+    * sums is aggregated; bit 63's weight is BIGINT min-value (two's
+    * complement), matching Spark's `1L << 63`.
+    */
+  def oracleSimhash64Cte(tbl: String, idCol: String, textCol: String): String =
+    s"""simhash64_tok AS (
+       |  SELECT $idCol, unnest(string_split($textCol, ' ')) AS t FROM $tbl),
+       |simhash64_h AS (SELECT $idCol, md5(t) AS h FROM simhash64_tok),
+       |simhash64_bits AS (
+       |  SELECT $idCol, bs.b AS b,
+       |    sum(CASE WHEN ((strpos('0123456789abcdef', substring(h, CAST(bs.b // 4 + 1 AS INTEGER), 1)) - 1)
+       |                   >> CAST(3 - (bs.b % 4) AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM simhash64_h, (SELECT unnest(range(64)) AS b) bs
+       |  GROUP BY $idCol, bs.b),
+       |simhash64_sig AS (
+       |  SELECT $idCol, CAST(sum(CASE WHEN s > 0 THEN
+       |      (CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+       |            ELSE (1::BIGINT << CAST(b AS INTEGER)) END)
+       |    ELSE 0 END) AS BIGINT) AS sh
+       |  FROM simhash64_bits GROUP BY $idCol)""".stripMargin
+
   /** DuckDB SQL recomputing [[simhash16]] for a text column expression. */
   def oracleSimhash16Sql(textCol: String): String =
     (0 until 16).map { b =>

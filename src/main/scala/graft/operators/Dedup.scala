@@ -82,6 +82,74 @@ object Dedup {
       .select(col(idCol), col("simhash"), col("rep"))
   }
 
+  /** SimHash64 near-dup with a Hamming-distance guarantee — the corpus-scale
+    * replacement for [[simhashClusters]]' exact-16-bit grouping (round-1
+    * verdict: 65,536 buckets is a toy space).
+    *
+    * Block-permutation banding (Manku/Jain/Das Sarma, WWW 2007): the 64-bit
+    * signature is split into `blocks` contiguous blocks; one candidate table
+    * per `(blocks - k)`-subset of blocks, keyed by those blocks' bits. If two
+    * signatures differ in ≤ k bits, the diffs touch ≤ k blocks, so the table
+    * keyed on the remaining `blocks - k` intact blocks matches them —
+    * candidate recall at Hamming ≤ k is EXACT (asserted vs the quadratic
+    * formulation in OperatorSpec), never heuristic. Defaults blocks=6, k=3:
+    * C(6,3)=20 tables with ~32-bit keys — 2^32 bucket space, so bucket
+    * population stays near-uniform at corpus scale (×20 replication of
+    * (id, sig) pairs only — payloads never fan out).
+    *
+    * Verification inside each bucket is exact (`bit_count(a^b) <= k`).
+    * Returns (idCol, simhash64, rep) where rep = min id over the doc's
+    * Hamming-≤k neighborhood including itself (single-link, 1 hop).
+    */
+  def simhash64NearDup(
+      df0: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, blocks: Int = 6): DataFrame = {
+    val df = graft.Tables.parallel(df0)
+    val sig = df.select(col(idCol), TextFunctions.simhash64(col(textCol)).as("sh"))
+    val pairs = simhash64Pairs(sig, idCol, k, blocks)
+    // rep = min over {self} ∪ neighbors; keys-only shuffle (no payloads)
+    val rep = sig.select(col(idCol).as("d"), col(idCol).as("nbr"))
+      .union(pairs.select(col("a").as("d"), col("b").as("nbr")))
+      .union(pairs.select(col("b").as("d"), col("a").as("nbr")))
+      .groupBy("d").agg(min("nbr").as("rep"))
+    sig.join(rep, sig(idCol) === rep("d"))
+      .select(sig(idCol), col("sh").as("simhash64"), col("rep"))
+  }
+
+  /** Banded candidate tables for a (id, "sh") signature frame: one row per
+    * (doc, table) with the table's block-key struct. Exposed for the
+    * bucket-skew bound in ScaleOpsSpec.
+    */
+  def simhash64Banded(sig: DataFrame, idCol: String, k: Int, blocks: Int): DataFrame = {
+    require(k < blocks, s"pigeonhole guarantee needs k < blocks (got k=$k, blocks=$blocks)")
+    require(blocks <= 16, "more than 16 blocks explodes the table count")
+    val sizes = Array.fill(blocks)(64 / blocks)
+    (0 until 64 % blocks).foreach(sizes(_) += 1)
+    val offsets = sizes.scanLeft(0)(_ + _)
+    def blockVal(i: Int) =
+      shiftrightunsigned(col("sh"), offsets(i))
+        .bitwiseAND(lit(if (sizes(i) == 64) -1L else (1L << sizes(i)) - 1))
+    val tables = (0 until blocks).combinations(blocks - k).toSeq
+    val keyCols = tables.zipWithIndex.map { case (t, ti) =>
+      // positional field names — identical struct type across tables
+      struct(lit(ti).as("t") +: t.zipWithIndex.map {
+        case (i, pos) => blockVal(i).as(s"k$pos")
+      }: _*)
+    }
+    sig.select(col(idCol), col("sh"), explode(array(keyCols: _*)).as("key"))
+  }
+
+  /** Verified Hamming-≤k pairs (a < b) from the banded candidate join. */
+  def simhash64Pairs(sig: DataFrame, idCol: String, k: Int, blocks: Int): DataFrame = {
+    val banded = simhash64Banded(sig, idCol, k, blocks)
+    val lhs = banded.select(col("key"), col(idCol).as("a"), col("sh").as("sha"))
+    val rhs = banded.select(col("key"), col(idCol).as("b"), col("sh").as("shb"))
+    lhs.join(rhs, Seq("key"))
+      .filter(col("a") < col("b"))
+      .filter(bit_count(col("sha").bitwiseXOR(col("shb"))) <= k)
+      .select(col("a"), col("b")).distinct()
+  }
+
   /** n-gram Jaccard similarity for candidate pairs: explode distinct word
     * n-gram shingles, self-join on the shingle (bucket-local), count
     * intersections, derive |A∪B| from per-doc set sizes. Returns

@@ -378,6 +378,26 @@ object PipelineQueries {
              |WHERE hv % 10 = 0
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // 64-bit SimHash near-dup with exact Hamming-≤3 recall via Manku-style
+    // block-permutation banding (Dedup.simhash64NearDup — the corpus-scale
+    // path; d8 keeps the legacy 16-bit signature). The oracle recomputes the
+    // signature from md5 nibbles and takes rep = min id over the quadratic
+    // Hamming-≤3 neighborhood — equal to the banded result BY GUARANTEE, so
+    // this gate proves the recall claim, not just plausibility.
+    QDef("d20_simhash64_neardup",
+      (s, dir) => Dedup.simhash64NearDup(
+        Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""WITH ${TF.oracleSimhash64Cte("documents", "doc_id", "text")},
+              |rep AS (
+              |  SELECT a.doc_id AS doc_id, min(b.doc_id) AS rep
+              |  FROM simhash64_sig a JOIN simhash64_sig b
+              |    ON bit_count(xor(a.sh, b.sh)) <= 3
+              |  GROUP BY a.doc_id)
+              |SELECT s.doc_id, s.sh AS simhash64, r.rep AS rep
+              |FROM simhash64_sig s JOIN rep r ON s.doc_id = r.doc_id
+              |ORDER BY s.doc_id""".stripMargin)),
+
     // Multimodal byte-stats over the opaque binary payload (decode itself is
     // the stubbed step — MultimodalSpec drives it).
     QDef("d13_multimodal_bytes",

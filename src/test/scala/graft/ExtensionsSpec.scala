@@ -39,6 +39,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql === viaCol)
   }
 
+  test("graft_simhash64 registers and equals the Column API") {
+    GraftExtensions.register(spark)
+    Tables.load(spark, sf, "documents").limit(50).createOrReplaceTempView("docs50x")
+    val viaSql = spark.sql("SELECT doc_id, graft_simhash64(text) AS s FROM docs50x")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCol = Tables.load(spark, sf, "documents").limit(50)
+      .select(col("doc_id"), graft.functions.TextFunctions.simhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql === viaCol)
+  }
+
   test("graft_cosine rejects wrong arity / types with a clear error") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

@@ -85,6 +85,24 @@ class OperatorSpec extends SparkSpec {
     reps.keys.filter(_ >= 500).foreach { id => assert(reps(id) === reps(id - 500)) }
   }
 
+  test("SimHash64 banding: candidate recall at Hamming<=3 is EXACT vs the quadratic truth") {
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val sig = docs.select(col("doc_id"),
+      TextFunctions.simhash64(col("text")).as("sh"))
+    val banded = Dedup.simhash64Pairs(sig, "doc_id", k = 3, blocks = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s = sig.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val quadratic = (for {
+      (ia, sa) <- s; (ib, sb) <- s
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    // pigeonhole guarantee: <=3 differing bits touch <=3 of 6 blocks, so the
+    // table keyed on the 3 intact blocks matches — banded == quadratic, not ⊆
+    assert(banded === quadratic,
+      s"banded=${banded.size} quadratic=${quadratic.size} " +
+        s"missed=${(quadratic -- banded).take(5)} extra=${(banded -- quadratic).take(5)}")
+  }
+
   test("ANN: lshTopK returns valid ranks and finds a reasonable share of true neighbors") {
     val e = Tables.load(spark, sf, "embeddings")
     val queries = e.filter(col("vec_id") < 20)

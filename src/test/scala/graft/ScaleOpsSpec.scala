@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{MinHashCorpusAggregator, TextFunctions}
-import graft.operators.{Similarity, SkewJoin}
+import graft.operators.{Dedup, Similarity, SkewJoin}
 import org.apache.spark.sql.functions._
 
 /** Scale-path operators with no SQL oracle: salted skew join equivalence,
@@ -34,6 +34,24 @@ class ScaleOpsSpec extends SparkSpec {
     val hits = rows.count(r => exactSet.contains((r.getLong(0), r.getLong(2))))
     val recall = hits.toDouble / exactSet.size
     assert(recall >= 0.3, s"IVF recall $recall too low")
+  }
+
+  test("SimHash64 banding: bucket population stays flat (no quadratic bucket)") {
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val sig = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.simhash64(col("text")).as("sh"))
+    val n = sig.count()
+    val buckets = Dedup.simhash64Banded(sig, "doc_id", k = 3, blocks = 6)
+      .groupBy("key").agg(count(lit(1)).as("sz"))
+    val maxBucket = buckets.agg(max(col("sz"))).head().getLong(0)
+    // ~32-bit keys: buckets hold only genuinely near-identical signatures.
+    // A quadratic hot bucket (the 16-bit failure mode) would be O(n).
+    assert(maxBucket <= math.max(4L, n / 20),
+      s"hot bucket of $maxBucket docs out of $n")
+    // candidate volume is a vanishing fraction of n^2
+    val candidates = Dedup.simhash64Pairs(sig, "doc_id", k = 3, blocks = 6).count()
+    assert(candidates <= n * (n - 1) / 2 / 20,
+      s"$candidates candidate pairs for $n docs is near-quadratic")
   }
 
   test("corpus-level MinHash UDAF: identical corpora → jaccard 1, disjoint-ish < 1") {

@@ -59,6 +59,39 @@ class TextEdgeSpec extends SparkSpec {
     }
   }
 
+  test("native SimHash64Expr equals the declarative HOF spec on fixtures and edges") {
+    val fixture = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val edges = textsDf(edgeTexts)
+    Seq(fixture, edges).foreach { df =>
+      val both = df.select(
+        TextFunctions.simhash64(col("text")).as("native"),
+        TextFunctions.simhash64Hof(col("text")).as("hof"))
+      assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    }
+  }
+
+  test("simhash64: small edits stay within Hamming<=3 on long docs (near-dup property)") {
+    // one changed token out of 500: each bit's ±1 sum moves by at most 2, so
+    // only bits whose token-sum sits at the sign boundary can flip — on a
+    // 500-token doc that's rare per bit, keeping planted near-dups inside the
+    // banding's Hamming-<=3 guarantee. Deterministic (md5, fixed texts).
+    val base = (0 until 500).map(i => s"tok$i").mkString(" ")
+    val mutants = (0 until 10).map { m =>
+      (0 until 500).map(i => if (i == m * 50) "CHANGED" else s"tok$i").mkString(" ")
+    }
+    val df = textsDf(base +: mutants)
+    val sh = df.select(TextFunctions.simhash64(col("text")).as("sh"))
+      .collect().map(_.getLong(0))
+    val within = (1 until sh.length)
+      .count(i => java.lang.Long.bitCount(sh(0) ^ sh(i)) <= 3)
+    assert(within >= 8, s"only $within/10 one-token mutants within Hamming<=3")
+    // and the full near-dup operator clusters them with the base doc
+    val clustered = graft.operators.Dedup
+      .simhash64NearDup(df, "text", "doc_id")
+      .filter(col("rep") === 0L).count()
+    assert(clustered >= within + 1)
+  }
+
   test("regression: cosine of mismatched-length arrays is NULL (like the HOF), skyline skips NULL dims") {
     import spark.implicits._
     val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f, 3f, 4f))).toDF("a", "b")

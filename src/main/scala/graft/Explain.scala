@@ -28,9 +28,13 @@ object Explain {
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
       if (time) {
+        // cold + warm (bench methodology: one warmup, then the measured run)
         val t0 = System.nanoTime()
         df.write.mode("overwrite").format("noop").save()
-        println(f"[time] ${q.name}: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val cold = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        q.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        println(f"[time] ${q.name}: cold $cold%.2f s, warm ${(System.nanoTime() - t1) / 1e9}%.2f s")
       }
     }
     spark.stop()

@@ -248,14 +248,17 @@ object PipelineQueries {
         val docs = Tables.parallel(Tables.load(s, dir, "documents"))
         val quality = docs.filter(
           col("n_chars") >= 100 && TF.tokenCount(col("text")) >= 20)
-        val exactRep = Window.partitionBy(sha2(col("text"), 256))
-        val nearRep = Window.partitionBy(col("sig"))
-        val cleaned = quality
-          .withColumn("exact_rep", min(col("doc_id")).over(exactRep))
-          .filter(col("doc_id") === col("exact_rep"))
-          .withColumn("sig", TF.minhashSignature(col("text"), 4))
-          .withColumn("near_rep", min(col("doc_id")).over(nearRep))
-          .filter(col("doc_id") === col("near_rep"))
+        // Rep selection shuffles (key, min id) pairs only — groupBy gets a
+        // map-side combine, unlike the round-1 windows which hash-partitioned
+        // every payload byte twice. The left-semi joins that keep surviving
+        // full rows share the doc_id partitioning, so the corpus body moves
+        // at most once (and AQE broadcasts the survivor id sets when small).
+        def survivors(df: org.apache.spark.sql.DataFrame, key: org.apache.spark.sql.Column) =
+          df.groupBy(key.as("k")).agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        val exactD = quality.join(
+          survivors(quality, sha2(col("text"), 256)), Seq("doc_id"), "left_semi")
+        val cleaned = exactD.join(
+          survivors(exactD, TF.minhashSignature(col("text"), 4)), Seq("doc_id"), "left_semi")
         cleaned.groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("total_chars"),

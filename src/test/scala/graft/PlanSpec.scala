@@ -92,4 +92,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(p.contains("Window"), p)
   }
+
+  test("D14: dedup rep-selection never windows full rows (keys-only shuffles)") {
+    val p = planOf("d14_clean_corpus_pipeline")
+    // round-1 plan hash-partitioned every payload byte twice through Window;
+    // the de-skewed plan aggregates (key, id) pairs and semi-joins back
+    assert(!p.contains("Window"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
 }

@@ -43,6 +43,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_simhash64(text)")
         graft.functions.SimHash64Expr(args.head)
+      }),
+    ("graft_fingerprint",
+      new ExpressionInfo(classOf[graft.functions.FingerprintMd5Expr].getName, "graft_fingerprint"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_fingerprint(text)")
+        graft.functions.FingerprintMd5Expr(args.head)
       }))
 
   /** Register into an existing session (idempotent). */

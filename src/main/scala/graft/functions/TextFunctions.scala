@@ -198,8 +198,16 @@ object TextFunctions {
 
   /** Winnowing-style document fingerprint: minimum md5 over character
     * 8-gram shingles — stable under small edits anywhere but the minimal
-    * shingle (SURVEY.md "document fingerprinting").
+    * shingle (SURVEY.md "document fingerprinting"). Evaluated by the native
+    * one-pass [[FingerprintMd5Expr]]; [[fingerprintHof]] is the declarative
+    * spec it must match (cross-checked in TextEdgeSpec).
     */
-  def fingerprint(text: Column): Column =
+  def fingerprint(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(FingerprintMd5Expr(ColumnBridge.expression(text)))
+  }
+
+  /** Declarative HOF formulation of [[fingerprint]] (reference spec). */
+  def fingerprintHof(text: Column): Column =
     array_min(transform(charShingles(text, 8), g => md5(g)))
 }

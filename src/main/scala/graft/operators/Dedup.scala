@@ -154,17 +154,36 @@ object Dedup {
     * n-gram shingles, self-join on the shingle (bucket-local), count
     * intersections, derive |A∪B| from per-doc set sizes. Returns
     * (a, b, inter, size_a, size_b, jaccard) for pairs with jaccard ≥ τ.
+    *
+    * Skew guard (round-1 verdict): candidate generation joins only shingles
+    * with document frequency ≤ `dfMax`. A stop-phrase shingle shared by 1%
+    * of a 100-TB corpus otherwise creates a quadratic bucket, while
+    * contributing almost nothing to any pair's jaccard. Verification stays
+    * EXACT: intersection counts are recomputed over ALL shingles (uncapped)
+    * for candidate pairs, so surviving pairs carry the true jaccard. The
+    * only pairs dropped are those whose shared shingles are ALL ubiquitous
+    * (each in > dfMax docs) — pairs similar purely by stop-phrases, which is
+    * the standard stop-gram filtering trade (cf. prefix-filter set-similarity
+    * joins); ScaleOpsSpec asserts equivalence vs the quadratic truth on a
+    * corpus with a planted corpus-wide shingle.
     */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, tau: Double = 0.05): DataFrame = {
+      n: Int = 3, tau: Double = 0.05, dfMax: Long = 1000): DataFrame = {
     val shingles = graft.Tables.parallel(df)
       .select(col(idCol).as("doc"), explode(TextFunctions.wordShingles(col(textCol), n)).as("g"))
       .distinct()
     val sizes = shingles.groupBy("doc").agg(count(lit(1)).as("sz"))
-    val inter = shingles.select(col("doc").as("a"), col("g"))
-      .join(shingles.select(col("doc").as("b"), col("g")), Seq("g"))
+    val discriminative = shingles.groupBy("g")
+      .agg(count(lit(1)).as("df")).filter(col("df") <= dfMax).select("g")
+    val capped = shingles.join(discriminative, Seq("g"))
+    val cand = capped.select(col("g"), col("doc").as("a"))
+      .join(capped.select(col("g"), col("doc").as("b")), Seq("g"))
       .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val inter = cand
+      .join(shingles.select(col("doc").as("a"), col("g")), Seq("a"))
+      .join(shingles.select(col("doc").as("b"), col("g")), Seq("b", "g"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc").as("a"), col("sz").as("sza")), Seq("a"))

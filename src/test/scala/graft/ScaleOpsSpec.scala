@@ -54,6 +54,30 @@ class ScaleOpsSpec extends SparkSpec {
       s"$candidates candidate pairs for $n docs is near-quadratic")
   }
 
+  test("ngram Jaccard: df-capped candidates equal the quadratic truth despite a planted hot shingle") {
+    import spark.implicits._
+    // every doc opens with the same stop-phrase ("common stop phrase" is in
+    // all 200 docs → a quadratic bucket without the cap); pairs (2k, 2k+1)
+    // share discriminative shingles and are the true near-dups
+    val docs = (0 until 200).map { i =>
+      val k = i / 2
+      val tail = if (i % 2 == 0) "x" else "y"
+      (i.toLong, s"common stop phrase body$k alpha$k beta$k gamma$tail")
+    }.toDF("doc_id", "text")
+    def result(dfMax: Long) =
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 2, tau = 0.5, dfMax = dfMax)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSet
+    val quadratic = result(Long.MaxValue) // cap vacuous → exact quadratic join
+    val capped = result(50)
+    assert(quadratic === capped)
+    assert(quadratic.size === 100, s"expected the 100 planted pairs, got ${quadratic.size}")
+    // and the cap actually shrinks candidate generation: the hot shingle is out
+    val shingleDf = docs.select(explode(
+      graft.functions.TextFunctions.wordShingles(col("text"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    assert(shingleDf.filter(col("df") > 50).count() === 2) // "common stop", "stop phrase"
+  }
+
   test("corpus-level MinHash UDAF: identical corpora → jaccard 1, disjoint-ish < 1") {
     import spark.implicits._
     val k = 16

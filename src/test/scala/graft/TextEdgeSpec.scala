@@ -70,6 +70,18 @@ class TextEdgeSpec extends SparkSpec {
     }
   }
 
+  test("native FingerprintMd5Expr equals the declarative HOF spec on fixtures and edges") {
+    val fixture = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    // surrogate-pair emoji exercise the code-point (not UTF-16) shingling
+    val edges = textsDf(edgeTexts :+ "🙂🙂🙂🙂🙂🙂🙂🙂🙂 padded out")
+    Seq(fixture, edges).foreach { df =>
+      val both = df.select(
+        TextFunctions.fingerprint(col("text")).as("native"),
+        TextFunctions.fingerprintHof(col("text")).as("hof"))
+      assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    }
+  }
+
   test("simhash64: small edits stay within Hamming<=3 on long docs (near-dup property)") {
     // one changed token out of 500: each bit's ±1 sum moves by at most 2, so
     // only bits whose token-sum sits at the sign boundary can flip — on a

@@ -78,6 +78,15 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
 
   def exists(name: String): Boolean = Files.exists(metaFile(name))
 
+  /** All tables in this catalog root (directories carrying `_meta.json`). */
+  def tableNames: Seq[String] = {
+    val r = Paths.get(root)
+    if (!Files.exists(r)) Seq.empty
+    else r.toFile.listFiles()
+      .filter(f => f.isDirectory && Files.exists(f.toPath.resolve("_meta.json")))
+      .map(_.getName).sorted.toSeq
+  }
+
   /** Validate a TableDef against the reference's rules. */
   def validate(d: TableDef): Unit = {
     d.schema.fields.foreach { f =>
@@ -229,10 +238,14 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   def lookupRange(name: String, from: java.sql.Timestamp, to: java.sql.Timestamp): DataFrame = {
     val rc = rangeColOf(name).getOrElse(
       throw new CatalogException(s"table $name is not range-partitioned"))
-    // pin to UTC: partition values were written by date_format under the
-    // UTC session; the JVM default zone must not leak into pruning bounds
+    // both sides of the pruning derive from ONE clock: __range partition
+    // values were written by date_format under the SESSION timezone, so the
+    // bounds must format under that same zone — a pinned UTC (or the JVM
+    // default) would silently drop rows near month boundaries in any other
+    // session zone
+    val sessionZone = spark.conf.get("spark.sql.session.timeZone")
     val fmt = new java.text.SimpleDateFormat("yyyy-MM")
-    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone(sessionZone))
     val fromMonth = fmt.format(from)
     val toMonth = fmt.format(to)
     effective(name)
@@ -323,13 +336,40 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * @return number of rows actually appended
     */
   def insert(name: String, df: DataFrame): Long = {
+    rejectNullKeys(df, keyColsOf(name))
+    insertClean(name, df)
+  }
+
+  /** INSERT in skip-and-count mode: rows with a NULL key column are skipped
+    * and counted instead of failing the whole batch — the reference writer's
+    * observable behavior under dirty input, where per-row apply errors are
+    * accumulated into a Hadoop counter and logged rather than thrown
+    * (reference: HiveKuduTableOutputFormat.java:285-311).
+    *
+    * The rejected count rides on the same job as the write (an Observation
+    * placed before the null-key filter), so dirty batches cost no extra scan.
+    *
+    * @return (rowsInserted, rowsRejected)
+    */
+  def insertCounted(name: String, df: DataFrame): (Long, Long) = {
+    val keys = keyColsOf(name)
+    val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)
+    val obs = org.apache.spark.sql.Observation()
+    val clean = df
+      .observe(obs, count(when(anyNullKey, lit(1))).as("rejected"))
+      .filter(!anyNullKey)
+    val inserted = insertClean(name, clean)
+    (inserted, obs.get("rejected").asInstanceOf[Long])
+  }
+
+  /** Shared insert path; callers have already handled NULL keys. */
+  private def insertClean(name: String, df: DataFrame): Long = {
     val schema = readSchema(name)
     val keys = keyColsOf(name)
     if (df.schema.fieldNames.toSeq != schema.fieldNames.toSeq)
       throw new CatalogException(
         s"insert schema ${df.schema.fieldNames.mkString(",")} does not match " +
           s"table schema ${schema.fieldNames.mkString(",")}")
-    rejectNullKeys(df, keys)
     val nonKey = schema.fieldNames.filterNot(keys.contains).toSeq
     val ordering: Seq[org.apache.spark.sql.Column] =
       if (nonKey.nonEmpty) nonKey.map(col(_).asc) else keys.map(col(_).asc)
@@ -342,18 +382,18 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val toInsert = dedupedBatch
       .join(existingKeys, keys, "left_anti")
       .select(schema.fieldNames.map(col).toSeq: _*)
-    // Count rides along with the write (Observation) — one job, not two.
-    val obs = org.apache.spark.sql.Observation()
-    val observed = toInsert.observe(obs, count(lit(1)).as("n"))
     if (deltaSeqs(name).nonEmpty)
       // pending mutation layers: the insert must land ABOVE them — a base
       // append (sequence 0) would stay shadowed by an older tombstone of a
       // re-inserted key
-      writeDelta(name, observed.withColumn(OpCol, lit("upsert")))
-    else
-      writePartitioned(observed, keys, bucketsOf(name), rangeColOf(name),
-        dataDir(name), SaveMode.Append)
-    obs.get("n").asInstanceOf[Long]
+      writeDelta(name, toInsert.withColumn(OpCol, lit("upsert")))
+    else {
+      // Count rides along with the write (Observation) — one job, not two.
+      val obs = org.apache.spark.sql.Observation()
+      writePartitioned(toInsert.observe(obs, count(lit(1)).as("n")),
+        keys, bucketsOf(name), rangeColOf(name), dataDir(name), SaveMode.Append)
+      obs.get("n").asInstanceOf[Long]
+    }
   }
 
   /** ALTER TABLE ADD COLUMN (Kudu supports online schema evolution; the
@@ -399,11 +439,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     val dedupedBatch = df
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-    val obs = org.apache.spark.sql.Observation()
-    writeDelta(name, dedupedBatch
-      .withColumn(OpCol, lit("upsert"))
-      .observe(obs, count(lit(1)).as("n")))
-    obs.get("n").asInstanceOf[Long]
+    writeDelta(name, dedupedBatch.withColumn(OpCol, lit("upsert")))
   }
 
   /** DELETE rows matching a predicate (Kudu delete op). SQL three-valued
@@ -417,9 +453,9 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   def delete(name: String, condition: org.apache.spark.sql.Column): Long = {
     val isDeleted = coalesce(condition, lit(false))
     val tombstones = table(name).filter(isDeleted).withColumn(OpCol, lit("delete"))
-    val n = tombstones.count()
-    if (n > 0) writeDelta(name, tombstones)
-    n
+    // single job: writeDelta counts via Observation during the write and
+    // commits nothing when the predicate matched no rows
+    writeDelta(name, tombstones)
   }
 
   /** PK-non-null enforcement (reference: KuduStorageHandler.java:251-255) —
@@ -479,10 +515,16 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
 
   private def deltasDir(name: String): Path = tableDir(name).resolve("deltas")
 
+  /** Committed mutation layers, in sequence order. Only all-digit directory
+    * names count: in-flight `.tmp_*` layers, `_temporary` litter, or any
+    * other stray entry are invisible to readers (they'd otherwise either
+    * merge a torn batch or crash the `toInt`).
+    */
   private def deltaSeqs(name: String): Seq[Int] = {
     val d = deltasDir(name)
     if (!Files.exists(d)) Seq.empty
-    else d.toFile.listFiles().filter(_.isDirectory)
+    else d.toFile.listFiles()
+      .filter(f => f.isDirectory && f.getName.nonEmpty && f.getName.forall(_.isDigit))
       .map(_.getName.toInt).sorted.toSeq
   }
 
@@ -493,12 +535,30 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     spark.read.schema(schema).parquet(deltasDir(name).resolve(seq.toString).toString)
   }
 
-  /** Append one mutation layer (rows must carry [[OpCol]]). */
-  private def writeDelta(name: String, rows: DataFrame): Unit = {
+  /** Append one mutation layer (rows must carry [[OpCol]]) and return how
+    * many rows it holds. The row count rides along with the write as an
+    * `Observation` — one job, never a separate count scan.
+    *
+    * Commit is ATOMIC: the layer is written to a hidden `.tmp_<seq>`
+    * directory and renamed into place only after the write completes, so a
+    * crash mid-write can never leave a torn layer that [[deltaSeqs]] would
+    * merge into every read. Empty batches commit nothing.
+    */
+  private def writeDelta(name: String, rows: DataFrame): Long = {
     val seq = deltaSeqs(name).lastOption.getOrElse(0) + 1
     Files.createDirectories(deltasDir(name))
-    writePartitioned(rows, keyColsOf(name), bucketsOf(name), rangeColOf(name),
-      deltasDir(name).resolve(seq.toString).toString, SaveMode.Overwrite)
+    val tmp = deltasDir(name).resolve(s".tmp_$seq")
+    deleteRecursively(tmp) // litter from a crashed previous attempt
+    val obs = org.apache.spark.sql.Observation()
+    writePartitioned(rows.observe(obs, count(lit(1)).as("n")),
+      keyColsOf(name), bucketsOf(name), rangeColOf(name),
+      tmp.toString, SaveMode.Overwrite)
+    val n = obs.get("n").asInstanceOf[Long]
+    if (n > 0)
+      Files.move(tmp, deltasDir(name).resolve(seq.toString),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    else deleteRecursively(tmp)
+    n
   }
 
   /** Hash-bucket assignment: murmur3 over the key columns mod N — every

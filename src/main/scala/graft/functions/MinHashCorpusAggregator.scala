@@ -21,9 +21,13 @@ class MinHashCorpusAggregator(k: Int)
   override def zero: Array[String] = Array.fill(k)(Top)
 
   override def reduce(buf: Array[String], sig: Seq[String]): Array[String] = {
+    // a short signature would leave sentinel components in the buffer, and
+    // sentinel==sentinel slots would count as matches in estimateJaccard —
+    // signatures are fixed-k by construction, so reject anything else loudly
+    require(sig.length == k, s"signature has ${sig.length} components, expected $k")
     var i = 0
     while (i < k) {
-      if (i < sig.length && sig(i) < buf(i)) buf(i) = sig(i)
+      if (sig(i) < buf(i)) buf(i) = sig(i)
       i += 1
     }
     buf

@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   * with identical (key, ts), the winner is the one with the greatest payload
   * values (window ordering includes the payload columns for determinism).
   *
+  * NULL timestamps (both variants, asserted identical in OperatorSpec):
+  * a right row with a null timestamp can never be "the most recent ≤ ts"
+  * and is dropped; a left row with a null timestamp survives with a null
+  * payload (no right row is ≤ an unknown time).
+  *
   * @param payload (rightColumn -> outputColumn) values to carry from the
   *                matched right row; output names must not collide with left.
   */
@@ -43,7 +48,8 @@ object AsOfJoin {
       case (df, (in, out)) => df.withColumn(out, lit(null).cast(right.schema(in).dataType))
     }
     val rTagged = payload.foldLeft(
-      right.withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))) {
+      right.filter(col(rightTs).isNotNull) // null-ts right rows never match
+        .withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))) {
       case (df, (in, out)) => df.withColumn(out, col(in))
     }
     val r = keepLeft.filterNot(rTagged.columns.contains).foldLeft(rTagged) {
@@ -82,7 +88,8 @@ object AsOfJoin {
     require(payloadOut.intersect(left.columns.toSeq).isEmpty,
       "payload output names collide with left columns")
     val rightCols = Seq(key, rightTs) ++ payload.map(_._1)
-    val rightRows = right.select(rightCols.distinct.map(col): _*).collect()
+    val rightRows = right.filter(col(rightTs).isNotNull) // same rule as [[backward]]
+      .select(rightCols.distinct.map(col): _*).collect()
     val tsIdx = rightCols.distinct.indexOf(rightTs)
     val keyIdx = rightCols.distinct.indexOf(key)
     val payIdx = payload.map { case (in, _) => rightCols.distinct.indexOf(in) }
@@ -115,14 +122,18 @@ object AsOfJoin {
     left.mapPartitions { it =>
       val idx = bIndex.value
       it.map { row =>
-        val timeline = idx.getOrElse(row.get(keyOrd), Array.empty[(Long, Seq[Any])])
-        val t = row.getTimestamp(tsOrd).getTime
-        // rightmost entry with ts <= t (ties within equal ts resolved by the
-        // sort above: the LAST, i.e. greatest payload, wins)
-        var lo = 0; var hi = timeline.length - 1; var ans = -1
-        while (lo <= hi) {
-          val mid = (lo + hi) >>> 1
-          if (timeline(mid)._1 <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+        var ans = -1
+        var timeline = Array.empty[(Long, Seq[Any])]
+        if (!row.isNullAt(tsOrd)) { // null-ts left row → null payload
+          timeline = idx.getOrElse(row.get(keyOrd), Array.empty[(Long, Seq[Any])])
+          val t = row.getTimestamp(tsOrd).getTime
+          // rightmost entry with ts <= t (ties within equal ts resolved by
+          // the sort above: the LAST, i.e. greatest payload, wins)
+          var lo = 0; var hi = timeline.length - 1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (timeline(mid)._1 <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+          }
         }
         val pay: Seq[Any] =
           if (ans >= 0) timeline(ans)._2 else payload.map(_ => null)

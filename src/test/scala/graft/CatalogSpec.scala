@@ -361,6 +361,95 @@ class CatalogSpec extends SparkSpec {
     assert(replayed === current)
   }
 
+  test("dirty-batch insertCounted: null-key rows skipped and counted, clean rows land") {
+    val cat = freshCat()
+    cat.createTable(TableDef("t", schema2, Seq("id")))
+    val dirty = spark.createDataFrame(Seq(
+      Row(1, "a"), Row(null, "x"), Row(2, "b"), Row(null, "y"), Row(2, "dup")).asJava, schema2)
+    // reference behavior: bad rows counted into an error counter, not thrown
+    // (HiveKuduTableOutputFormat.java:285-311)
+    val (inserted, rejected) = cat.insertCounted("t", dirty)
+    assert(inserted === 2) // id=2 in-batch dup keeps first by non-key order
+    assert(rejected === 2)
+    assert(cat.table("t").orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      === Seq((1, "a"), (2, "b")))
+    // the strict mode still throws on the same batch
+    intercept[CatalogException] { cat.insert("t", dirty) }
+    // clean batch: rejected = 0
+    assert(cat.insertCounted("t",
+      spark.createDataFrame(Seq(Row(3, "c")).asJava, schema2)) === ((1L, 0L)))
+  }
+
+  test("stray dirs in deltas/ are invisible: only committed all-digit layers read") {
+    import spark.implicits._
+    val root = tmpDir("graft_stray_")
+    val cat = new KuduLikeCatalog(spark, root)
+    cat.createTable(TableDef("t", schema2, Seq("id")))
+    cat.insert("t", Seq((1, "a")).toDF("id", "name"))
+    cat.upsert("t", Seq((1, "A")).toDF("id", "name")) // layer 1
+    // simulate a torn write + job litter: neither may surface in reads or
+    // be counted as a committed version
+    Files.createDirectories(Paths.get(s"$root/t/deltas/.tmp_7"))
+    Files.createDirectories(Paths.get(s"$root/t/deltas/_temporary"))
+    assert(cat.currentVersion("t") === 1)
+    assert(cat.table("t").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      === Seq((1, "A")))
+    // the next mutation commits as layer 2, unconfused by the litter
+    assert(cat.upsert("t", Seq((2, "b")).toDF("id", "name")) === 1)
+    assert(cat.currentVersion("t") === 2)
+    // empty mutations commit no layer at all
+    assert(cat.delete("t", col("id") > 100) === 0)
+    assert(cat.upsert("t", spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema2)) === 0)
+    assert(cat.currentVersion("t") === 2)
+  }
+
+  test("delete is one Spark action: the count rides on the write, no pre-scan") {
+    import spark.implicits._
+    val cat = freshCat()
+    cat.createTable(TableDef("t", schema2, Seq("id")))
+    cat.insert("t", Seq((1, "a"), (2, "b")).toDF("id", "name"))
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      assert(cat.delete("t", col("id") === 1) === 1)
+      // the listener bus is async — wait for the event(s) to drain
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (actions.get() < 1 && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(500) // a second action, if any, would land right behind
+      assert(actions.get() === 1, s"delete ran ${actions.get()} actions, expected 1 (write only)")
+    } finally spark.listenerManager.unregister(listener)
+    assert(cat.table("t").collect().map(_.getInt(0)).toSeq === Seq(2))
+  }
+
+  test("range pruning follows the session clock: non-UTC zone keeps boundary rows") {
+    import spark.implicits._
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val cat = new KuduLikeCatalog(spark, tmpDir("graft_tz_"))
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("ts", TimestampType)))
+      cat.createTable(TableDef("ev", schema, Seq("id"), rangeCol = Some("ts")))
+      // 2024-03-01 02:00 UTC = 2024-02-29 18:00 in LA → written to the
+      // 2024-02 month partition under the LA session; UTC-pinned pruning
+      // bounds would look in 2024-03 and silently drop the row
+      val boundary = new Timestamp(
+        java.time.Instant.parse("2024-03-01T02:00:00Z").toEpochMilli)
+      cat.insert("ev", Seq((1L, boundary)).toDF("id", "ts"))
+      val hit = cat.lookupRange("ev", boundary,
+        new Timestamp(boundary.getTime + 3600 * 1000))
+      assert(hit.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
+  }
+
   test("S11: attachExternal verifies schema, rejects mismatch") {
     import spark.implicits._
     val dir = tmpDir("graft_ext_")

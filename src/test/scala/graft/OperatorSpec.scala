@@ -30,6 +30,27 @@ class OperatorSpec extends SparkSpec {
     assert(brute.exceptAll(viaOperator).count() === 0)
   }
 
+  test("J9: null timestamps — identical semantics in both variants, no NPE") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val nullTs = null.asInstanceOf[java.sql.Timestamp]
+    val left = Seq(
+      (1L, "k1", t("2024-01-01 10:00:00")),
+      (2L, "k1", nullTs), // null left ts → null payload (no row ≤ unknown time)
+      (3L, "k2", t("2024-01-01 10:00:00"))).toDF("event_id", "k", "ts")
+    val right = Seq(
+      ("k1", t("2024-01-01 09:00:00"), 7.0),
+      ("k1", nullTs, 99.0), // null right ts → never "most recent ≤ ts"
+      ("k2", nullTs, 42.0)).toDF("k", "ts", "v")
+    def norm(df: org.apache.spark.sql.DataFrame): Set[(Long, Any)] =
+      df.select("event_id", "pay").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+        .toSet[(Long, Any)]
+    val expected = Set[(Long, Any)]((1L, 7.0), (2L, null), (3L, null))
+    assert(norm(AsOfJoin.backward(left, right, "k", "ts", "ts", Seq("v" -> "pay"))) === expected)
+    assert(norm(AsOfJoin.backwardBroadcast(left, right, "k", "ts", "ts", Seq("v" -> "pay"))) === expected)
+  }
+
   test("J9 broadcast variant: identical to the window formulation, no left shuffle") {
     val e = Tables.load(spark, sf, "events")
     val purchases = e.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")

@@ -78,6 +78,13 @@ class ScaleOpsSpec extends SparkSpec {
     assert(shingleDf.filter(col("df") > 50).count() === 2) // "common stop", "stop phrase"
   }
 
+  test("MinHash UDAF rejects under-length signatures (sentinel-inflation guard)") {
+    val agg = new graft.functions.MinHashCorpusAggregator(16)
+    // a short signature would leave '￿' sentinels in the buffer and
+    // estimateJaccard would count sentinel==sentinel slots as matches
+    intercept[IllegalArgumentException] { agg.reduce(agg.zero, Seq("aa", "bb")) }
+  }
+
   test("corpus-level MinHash UDAF: identical corpora → jaccard 1, disjoint-ish < 1") {
     import spark.implicits._
     val k = 16

@@ -1,0 +1,170 @@
+package graft
+
+import graft.catalog.{CatalogException, KuduLikeCatalog, TableDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** SQL-text entry point for the keyed-table catalog.
+  *
+  * The reference's entire user surface is Hive SQL DDL — `CREATE TABLE …
+  * STORED BY '…KuduStorageHandler' TBLPROPERTIES('kudu.key_columns'='…')`,
+  * `INSERT INTO`, `DROP TABLE` (reference: README.md:22-44) — so the catalog
+  * must be drivable from SQL text, not just the Scala API. Statements the
+  * catalog owns (CREATE / DROP / INSERT / UPSERT / DELETE on catalog tables)
+  * are parsed here and routed to [[KuduLikeCatalog]]; every other statement
+  * falls through to `spark.sql` with all catalog tables registered as temp
+  * views, so SELECTs see catalog tables next to anything else in the session.
+  *
+  * Recognized TBLPROPERTIES:
+  *  - `kudu.key_columns`   (required) — comma-separated primary key
+  *  - `kudu.table_name`, `kudu.master_addresses` — accepted and ignored
+  *    (storage routing is the catalog root here, not a Kudu master)
+  *  - `graft.hash_buckets`  — hash-partition the data into N key buckets
+  *  - `graft.range_column`  — month-range partition on this column
+  *
+  * DDL/DML statements return a one-row status frame `(operation, table,
+  * rows)`; queries return their result frame.
+  */
+object GraftSql {
+
+  def execute(spark: SparkSession, cat: KuduLikeCatalog, sqlText: String): DataFrame = {
+    val stmt = sqlText.trim.stripSuffix(";").trim
+    val upper = stmt.toUpperCase
+    if (upper.startsWith("CREATE TABLE")) create(spark, cat, stmt)
+    else if (upper.startsWith("DROP TABLE")) drop(spark, cat, stmt)
+    else if (upper.startsWith("INSERT INTO") || upper.startsWith("UPSERT INTO"))
+      writeInto(spark, cat, stmt)
+    else if (upper.startsWith("DELETE FROM")) delete(spark, cat, stmt)
+    else { registerViews(spark, cat); spark.sql(stmt) }
+  }
+
+  /** Register every catalog table as a temp view (refreshing snapshots). */
+  def registerViews(spark: SparkSession, cat: KuduLikeCatalog): Unit =
+    cat.tableNames.foreach(n => cat.table(n).createOrReplaceTempView(n))
+
+  private val CreateHead =
+    """(?is)^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?\s*""".r
+  private val DropHead =
+    """(?is)^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?`?([\w.]+)`?$""".r
+  private val WriteHead =
+    """(?is)^(INSERT|UPSERT)\s+INTO\s+(?:TABLE\s+)?`?([\w.]+)`?\s+(.*)$""".r
+  private val DeleteHead =
+    """(?is)^DELETE\s+FROM\s+`?([\w.]+)`?(?:\s+WHERE\s+(.*))?$""".r
+
+  private def create(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame = {
+    val m = CreateHead.findFirstMatchIn(stmt).getOrElse(
+      throw new CatalogException(s"cannot parse CREATE TABLE: $stmt"))
+    val ifNotExists = m.group(1) != null
+    val name = m.group(2)
+    val open = stmt.indexOf('(', m.end - 1)
+    if (open < 0) throw new CatalogException(s"CREATE TABLE $name: missing column list")
+    val (colsDdl, afterCols) = balancedParen(stmt, open)
+    // the reference maps CHAR/VARCHAR onto plain STRING
+    // (HiveKuduBridgeUtils.java:38-44) — normalize before parsing
+    val normalized = colsDdl
+      .replaceAll("(?i)\\bvarchar\\s*\\(\\s*\\d+\\s*\\)", "string")
+      .replaceAll("(?i)\\bchar\\s*\\(\\s*\\d+\\s*\\)", "string")
+    val schema = StructType.fromDDL(normalized)
+    val props = tblProperties(stmt.substring(afterCols))
+    val keyCols = props.get("kudu.key_columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(throw new CatalogException(
+        s"CREATE TABLE $name requires TBLPROPERTIES('kudu.key_columns'='…') " +
+          "(reference: README.md:28)"))
+    if (!(ifNotExists && cat.exists(name))) {
+      cat.createTable(TableDef(name, schema, keyCols,
+        buckets = props.get("graft.hash_buckets").map(_.trim.toInt).getOrElse(0),
+        rangeCol = props.get("graft.range_column").map(_.trim)))
+      registerViews(spark, cat)
+    }
+    status(spark, "CREATE TABLE", name, 0L)
+  }
+
+  private def drop(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame =
+    stmt match {
+      case DropHead(ifExists, name) if cat.exists(name) || ifExists != null =>
+        if (cat.exists(name)) {
+          cat.dropTable(name)
+          spark.catalog.dropTempView(name)
+        }
+        status(spark, "DROP TABLE", name, 0L)
+      case _ =>
+        // not a catalog table — let Spark's own catalog handle it
+        spark.sql(stmt)
+    }
+
+  private def writeInto(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame =
+    stmt match {
+      case WriteHead(op, name, source) if cat.exists(name) =>
+        val schema = cat.schemaOf(name)
+        registerViews(spark, cat) // the SELECT form may read catalog tables
+        val src =
+          if (source.trim.toUpperCase.startsWith("VALUES"))
+            spark.sql(s"SELECT * FROM ${source.trim}")
+          else spark.sql(source.trim)
+        if (src.columns.length != schema.fields.length)
+          throw new CatalogException(
+            s"$op INTO $name: ${src.columns.length} columns, table has ${schema.fields.length}")
+        // positional mapping, cast to the declared types (Hive INSERT semantics)
+        val aligned = src.select(src.columns.zip(schema.fields).map {
+          case (c, f) => col(s"`$c`").cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+        val n =
+          if (op.equalsIgnoreCase("UPSERT")) cat.upsert(name, aligned)
+          else cat.insert(name, aligned)
+        registerViews(spark, cat)
+        status(spark, s"${op.toUpperCase} INTO", name, n)
+      case _ => { registerViews(spark, cat); spark.sql(stmt) }
+    }
+
+  private def delete(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame =
+    stmt match {
+      case DeleteHead(name, cond) if cat.exists(name) =>
+        val n = cat.delete(name, Option(cond).map(expr).getOrElse(lit(true)))
+        registerViews(spark, cat)
+        status(spark, "DELETE FROM", name, n)
+      case _ => spark.sql(stmt)
+    }
+
+  /** Substring inside the balanced paren at `open` (quote-aware) and the
+    * index just past its close.
+    */
+  private def balancedParen(s: String, open: Int): (String, Int) = {
+    var depth = 0
+    var i = open
+    var inQuote = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false }
+      else c match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return (s.substring(open + 1, i), i + 1)
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new CatalogException(s"unbalanced parentheses in: $s")
+  }
+
+  private def tblProperties(tail: String): Map[String, String] =
+    "(?i)TBLPROPERTIES".r.findFirstMatchIn(tail) match {
+      case Some(kw) =>
+        val open = tail.indexOf('(', kw.end)
+        if (open < 0) Map.empty
+        else {
+          val (blob, _) = balancedParen(tail, open)
+          """'([^']+)'\s*=\s*'([^']*)'""".r.findAllMatchIn(blob)
+            .map(p => p.group(1) -> p.group(2)).toMap
+        }
+      case None => Map.empty
+    }
+
+  private def status(spark: SparkSession, op: String, table: String, rows: Long): DataFrame = {
+    import spark.implicits._
+    Seq((op, table, rows)).toDF("operation", "table", "rows")
+  }
+}

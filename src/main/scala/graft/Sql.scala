@@ -2,15 +2,21 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc SQL runner over the fixture tables — the analog of the Hive CLI
-  * session in the reference's demo (reference: README.md:46-218).
+/** Ad-hoc SQL runner over the fixture tables and the keyed-table catalog —
+  * the analog of the Hive CLI session in the reference's demo
+  * (reference: README.md:46-218).
   *
-  * `tools/run_sql.sh <sfDir> "SELECT ..."` — registers every fixture table
-  * as a view plus the graft SQL functions, executes, prints rows.
+  * `tools/run_sql.sh <sfDir> "<sql>[; <sql>…]"` — registers every fixture
+  * table as a view plus the graft SQL functions, then executes each
+  * statement through [[GraftSql]]: catalog DDL/DML (`CREATE TABLE … STORED
+  * BY … TBLPROPERTIES('kudu.key_columns'=…)`, `INSERT INTO`, `UPSERT INTO`,
+  * `DELETE FROM`, `DROP TABLE`) routes to the [[graft.catalog.KuduLikeCatalog]]
+  * rooted at `$GRAFT_CATALOG_ROOT` (default `/tmp/graft_catalog`); anything
+  * else runs as plain Spark SQL with the catalog tables in scope as views.
   */
 object Sql {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: graft.Sql <sfDir> <sql> [maxRows]")
+    require(args.length >= 2, "usage: graft.Sql <sfDir> <sql>[;<sql>…] [maxRows]")
     val (sfDir, sql) = (args(0), args(1))
     val maxRows = if (args.length > 2) args(2).toInt else 100
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,7 +30,11 @@ object Sql {
     spark.sparkContext.setLogLevel("WARN")
     Tables.registerAll(spark, sfDir)
     GraftExtensions.register(spark)
-    spark.sql(sql).show(maxRows, truncate = false)
+    val cat = new graft.catalog.KuduLikeCatalog(
+      spark, sys.env.getOrElse("GRAFT_CATALOG_ROOT", "/tmp/graft_catalog"))
+    sql.split(";").map(_.trim).filter(_.nonEmpty).foreach { stmt =>
+      GraftSql.execute(spark, cat, stmt).show(maxRows, truncate = false)
+    }
     spark.stop()
   }
 }

@@ -52,4 +52,41 @@ class GoldenTranscriptSpec extends SparkSpec {
     cat.dropTable("test_drop")
     assert(!cat.exists("test_drop"))
   }
+
+  test("the same transcript drives end-to-end through the SQL entry point") {
+    // the reference's user surface is SQL text, not an API
+    // (simple_test.sql, README.md:13-44) — replay it as statements through
+    // GraftSql, golden rows included
+    val cat = new KuduLikeCatalog(spark, tmpDir("graft_golden_sql_"))
+    def sql(s: String) = GraftSql.execute(spark, cat, s)
+
+    sql("""CREATE TABLE test_drop (id INT, name STRING)
+          |STORED BY 'org.kududb.hive.KuduStorageHandler'
+          |TBLPROPERTIES(
+          |  'kudu.table_name' = 'test_drop',
+          |  'kudu.master_addresses' = '127.0.0.1:7051',
+          |  'kudu.key_columns' = 'id'
+          |);""".stripMargin)
+    assert(cat.exists("test_drop"))
+    assert(cat.keyColsOf("test_drop") === Seq("id"))
+
+    val ins = sql("INSERT INTO TABLE test_drop VALUES (1,'a'),(2,'b'),(3,'a')")
+    assert(ins.head().getLong(2) === 3L)
+
+    assert(sql("SELECT count(*) FROM test_drop").head().getLong(0) === 3L)
+    assert(sql("SELECT id FROM test_Drop WHERE name = 'a'")
+      .collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 3))
+    assert(sql("SELECT name, count(*) FROM test_drop GROUP BY name")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      === Seq(("a", 2L), ("b", 1L)))
+
+    // PK duplicate-ignore through SQL: re-inserting key 1 adds nothing
+    assert(sql("INSERT INTO test_drop VALUES (1,'zzz')").head().getLong(2) === 0L)
+    assert(sql("SELECT count(*) FROM test_drop").head().getLong(0) === 3L)
+
+    sql("DROP TABLE test_drop")
+    assert(!cat.exists("test_drop"))
+    // IF EXISTS on a gone table is a no-op, not an error
+    sql("DROP TABLE IF EXISTS test_drop")
+  }
 }

@@ -49,6 +49,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_fingerprint(text)")
         graft.functions.FingerprintMd5Expr(args.head)
+      }),
+    ("graft_minhash_sig",
+      new ExpressionInfo(classOf[graft.functions.MinHashSigExpr].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_minhash_sig(text) (k=4)")
+        graft.functions.MinHashSigExpr(args.head)
       }))
 
   /** Register into an existing session (idempotent). */

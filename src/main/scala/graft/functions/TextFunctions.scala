@@ -56,8 +56,18 @@ object TextFunctions {
   def minhash(text: Column, seed: Int): Column =
     array_min(transform(tokens(text), t => md5(concat(lit(s"$seed:"), t))))
 
-  /** Concatenated k-hash MinHash signature (exact-match grouping key). */
-  def minhashSignature(text: Column, k: Int): Column =
+  /** Concatenated k-hash MinHash signature (exact-match grouping key).
+    * Evaluated by the native one-pass [[MinHashSigExpr]];
+    * [[minhashSignatureHof]] is the declarative spec it must match
+    * (cross-checked in TextEdgeSpec).
+    */
+  def minhashSignature(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(text), k))
+  }
+
+  /** Declarative HOF formulation of [[minhashSignature]] (reference spec). */
+  def minhashSignatureHof(text: Column, k: Int): Column =
     concat_ws("|", (0 until k).map(minhash(text, _)): _*)
 
   /** DuckDB SQL recomputing [[minhash]] / [[minhashSignature]] exactly. */

@@ -248,17 +248,22 @@ object PipelineQueries {
         val docs = Tables.parallel(Tables.load(s, dir, "documents"))
         val quality = docs.filter(
           col("n_chars") >= 100 && TF.tokenCount(col("text")) >= 20)
-        // Rep selection shuffles (key, min id) pairs only — groupBy gets a
-        // map-side combine, unlike the round-1 windows which hash-partitioned
-        // every payload byte twice. The left-semi joins that keep surviving
-        // full rows share the doc_id partitioning, so the corpus body moves
-        // at most once (and AQE broadcasts the survivor id sets when small).
-        def survivors(df: org.apache.spark.sql.DataFrame, key: org.apache.spark.sql.Column) =
-          df.groupBy(key.as("k")).agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-        val exactD = quality.join(
-          survivors(quality, sha2(col("text"), 256)), Seq("doc_id"), "left_semi")
-        val cleaned = exactD.join(
-          survivors(exactD, TF.minhashSignature(col("text"), 4)), Seq("doc_id"), "left_semi")
+          .select("doc_id", "lang", "n_chars", "text")
+        // Rep selection is ONE partial-aggregating pass per dedup stage:
+        // min_by keeps the whole min-doc_id row per key, so the partial
+        // aggregate combines map-side to at most one candidate row per
+        // (key, partition) before the shuffle — the MORE duplicated the
+        // corpus, the LESS it shuffles, with no semi-join back and no
+        // recomputation of the upstream subtree (the round-1 windows
+        // shuffled every payload byte twice; the semi-join variant
+        // re-evaluated the quality scan per join side). No join, no
+        // window: each stage is scan → partial agg → one exchange.
+        def reps(df: org.apache.spark.sql.DataFrame, key: org.apache.spark.sql.Column) =
+          df.groupBy(key.as("__k"))
+            .agg(min_by(struct(df.columns.map(col): _*), col("doc_id")).as("__r"))
+            .select(col("__r.*"))
+        val exactD = reps(quality, sha2(col("text"), 256))
+        val cleaned = reps(exactD, TF.minhashSignature(col("text"), 4))
         cleaned.groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("total_chars"),

@@ -93,11 +93,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
-  test("D14: dedup rep-selection never windows full rows (keys-only shuffles)") {
+  test("D14: dedup rep-selection is pure aggregation — no window, no join") {
     val p = planOf("d14_clean_corpus_pipeline")
-    // round-1 plan hash-partitioned every payload byte twice through Window;
-    // the de-skewed plan aggregates (key, id) pairs and semi-joins back
+    // round-1 hash-partitioned every payload byte twice through Window; the
+    // semi-join variant re-evaluated the upstream scan per join side. The
+    // min_by formulation is scan → partial agg → exchange per stage: map-side
+    // combine keeps one candidate row per (key, partition), so shuffle volume
+    // SHRINKS with duplication
     assert(!p.contains("Window"), p)
-    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("min_by"), p)
   }
 }

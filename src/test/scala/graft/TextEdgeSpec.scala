@@ -70,6 +70,17 @@ class TextEdgeSpec extends SparkSpec {
     }
   }
 
+  test("native MinHashSigExpr equals the declarative HOF spec on fixtures and edges") {
+    val fixture = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val edges = textsDf(edgeTexts)
+    Seq(fixture, edges).foreach { df =>
+      val both = df.select(
+        TextFunctions.minhashSignature(col("text"), 4).as("native"),
+        TextFunctions.minhashSignatureHof(col("text"), 4).as("hof"))
+      assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    }
+  }
+
   test("native FingerprintMd5Expr equals the declarative HOF spec on fixtures and edges") {
     val fixture = Tables.load(spark, sf, "documents").select("doc_id", "text")
     // surrogate-pair emoji exercise the code-point (not UTF-16) shingling

@@ -370,14 +370,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       throw new CatalogException(
         s"insert schema ${df.schema.fieldNames.mkString(",")} does not match " +
           s"table schema ${schema.fieldNames.mkString(",")}")
-    val nonKey = schema.fieldNames.filterNot(keys.contains).toSeq
-    val ordering: Seq[org.apache.spark.sql.Column] =
-      if (nonKey.nonEmpty) nonKey.map(col(_).asc) else keys.map(col(_).asc)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
-    val dedupedBatch = df
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val dedupedBatch = firstPerKey(df, schema.fieldNames.toSeq, keys)
     val existingKeys = table(name).select(keys.map(col): _*)
     val toInsert = dedupedBatch
       .join(existingKeys, keys, "left_anti")
@@ -433,13 +426,23 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     if (df.schema.fieldNames.toSeq != schema.fieldNames.toSeq)
       throw new CatalogException("upsert schema does not match table schema")
     rejectNullKeys(df, keys)
-    val nonKey = schema.fieldNames.filterNot(keys.contains).toSeq
-    val ordering: Seq[org.apache.spark.sql.Column] =
-      if (nonKey.nonEmpty) nonKey.map(col(_).asc) else keys.map(col(_).asc)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
-    val dedupedBatch = df
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val dedupedBatch = firstPerKey(df, schema.fieldNames.toSeq, keys)
     writeDelta(name, dedupedBatch.withColumn(OpCol, lit("upsert")))
+  }
+
+  /** In-batch dedup: the survivor per key is the first row when ordered by
+    * all non-key columns ascending, nulls first (deterministic, unlike the
+    * reference's arrival-order race). One partial-aggregating pass — min_by
+    * over the non-key struct combines map-side to one candidate row per
+    * (key, partition), so a dup-heavy batch shrinks BEFORE the shuffle
+    * (a partitionBy-key window would shuffle every payload byte first).
+    */
+  private def firstPerKey(df: DataFrame, fields: Seq[String], keys: Seq[String]): DataFrame = {
+    val nonKey = fields.filterNot(keys.contains)
+    val ord = struct((if (nonKey.nonEmpty) nonKey else keys).map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(struct(fields.map(col): _*), ord).as("__r"))
+      .select(col("__r.*"))
   }
 
   /** DELETE rows matching a predicate (Kudu delete op). SQL three-valued

@@ -224,6 +224,29 @@ object PipelineQueries {
               |  WHERE q.vec_id < 10) t
               |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
 
+    // Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥ τ.
+    // Brute-force on a bounded id range — the exact baseline the ANN paths
+    // are measured against; at corpus scale candidates come from the
+    // sign-LSH / IVF bucketed joins in operators/Similarity (recall-gated
+    // in OperatorSpec/ScaleOpsSpec), with this exact cosine as the verify.
+    QDef("d21_embedding_neardup",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 200)
+        val l = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+        val r = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+        l.crossJoin(r).filter(col("a") < col("b"))
+          .withColumn("cos", VF.cosine(col("ea"), col("eb")))
+          .filter(col("cos") >= 0.35)
+          .select(col("a"), col("b"), dec4(col("cos")).as("cos"))
+          .orderBy("a", "b")
+      },
+      Some(s"""SELECT a.vec_id AS a, b.vec_id AS b,
+              |  CAST(${VF.oracleCosineSql("a.embedding", "b.embedding")} AS DECIMAL(38,4)) AS cos
+              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              |WHERE a.vec_id < 200 AND b.vec_id < 200
+              |  AND ${VF.oracleCosineSql("a.embedding", "b.embedding")} >= 0.35
+              |ORDER BY a, b""".stripMargin)),
+
     // Fuzzy (edit-distance) string join via q-gram filter-and-verify —
     // candidates from a shingle equi-join, never a quadratic cross join.
     QDef("d15_fuzzy_string_join",

@@ -247,6 +247,59 @@ object PipelineQueries {
               |  AND ${VF.oracleCosineSql("a.embedding", "b.embedding")} >= 0.35
               |ORDER BY a, b""".stripMargin)),
 
+    // Training-sequence packing: concatenate documents in id order and cut
+    // at a token budget — per SHARD, which is how packing distributes: each
+    // shard's running sum is a window over ITS partition only, so no global
+    // single-partition window ever exists and shards pack independently on
+    // as many executors as there are shards (the per-shard frame state is
+    // one running sum). seq is the training-sequence ordinal within the
+    // shard; (shard, seq) is the packed unit.
+    QDef("d22_sequence_pack",
+      (s, dir) => {
+        val docs = Tables.parallel(Tables.load(s, dir, "documents"))
+          .select(col("doc_id"), (col("doc_id") % 32).as("shard"),
+            TF.tokenCount(col("text")).as("toks"))
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs
+          .withColumn("seq",
+            floor((sum(col("toks")).over(w) - col("toks")) / lit(2048)))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, shard, toks,
+             |  CAST(floor((sum(toks) OVER (PARTITION BY shard ORDER BY doc_id) - toks) / 2048) AS BIGINT) AS seq
+             |FROM (
+             |  SELECT doc_id, doc_id % 32 AS shard,
+             |    CAST(len(string_split(text, ' ')) AS INTEGER) AS toks
+             |  FROM documents) t
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Corpus mixture sampling: deterministic per-language keep rates via the
+    // d19 md5-hash fraction (en downsampled to 1/2, es/de to 4/5, zh/fr kept
+    // whole) — the "data mixture" step of a training pipeline, reproducible
+    // across runs/engines because the coin is a hash, not an RNG. Narrow
+    // (filter only), no shuffle before the final ordering.
+    QDef("d23_mixture_sample",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .withColumn("hv",
+          expr("conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10)").cast("int"))
+        .withColumn("threshold",
+          when(col("lang") === "en", 32768)
+            .when(col("lang") === "es" || col("lang") === "de", 52428)
+            .otherwise(65536))
+        .filter(col("hv") < col("threshold"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang,
+             |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS hv,
+             |    CASE WHEN lang = 'en' THEN 32768
+             |         WHEN lang IN ('es','de') THEN 52428
+             |         ELSE 65536 END AS threshold
+             |  FROM documents) t
+             |WHERE hv < threshold
+             |ORDER BY doc_id""".stripMargin)),
+
     // Fuzzy (edit-distance) string join via q-gram filter-and-verify —
     // candidates from a shingle equi-join, never a quadratic cross join.
     QDef("d15_fuzzy_string_join",

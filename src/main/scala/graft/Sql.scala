@@ -32,9 +32,25 @@ object Sql {
     GraftExtensions.register(spark)
     val cat = new graft.catalog.KuduLikeCatalog(
       spark, sys.env.getOrElse("GRAFT_CATALOG_ROOT", "/tmp/graft_catalog"))
-    sql.split(";").map(_.trim).filter(_.nonEmpty).foreach { stmt =>
+    splitStatements(sql).foreach { stmt =>
       GraftSql.execute(spark, cat, stmt).show(maxRows, truncate = false)
     }
     spark.stop()
+  }
+
+  /** Split on `;` outside single-quoted literals (a `';'` inside a string
+    * constant must not end the statement).
+    */
+  private[graft] def splitStatements(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var inQuote = false
+    s.foreach { c =>
+      if (c == '\'') { inQuote = !inQuote; cur.append(c) }
+      else if (c == ';' && !inQuote) { out += cur.toString; cur.clear() }
+      else cur.append(c)
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -24,7 +24,7 @@ import java.security.MessageDigest
   * hex comparison `array_min` performs.
   */
 case class FingerprintMd5Expr(child: Expression, n: Int = 8)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_fingerprint"
@@ -45,8 +45,18 @@ case class FingerprintMd5Expr(child: Expression, n: Int = 8)
     false
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  /** Codegen stays inside WholeStageCodegen: one call on this kernel, no
+    * interpreted-projection fallback for the enclosing stage.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(input: UTF8String): UTF8String = {
+    val s = input.toString
     val cps = s.codePoints().toArray
     var best: Array[Byte] = null
     if (cps.length < n) {

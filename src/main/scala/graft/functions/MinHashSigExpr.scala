@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -26,7 +26,7 @@ import java.security.MessageDigest
   * comparison `array_min` performs.
   */
 case class MinHashSigExpr(child: Expression, k: Int = 4)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_minhash_sig"
@@ -49,9 +49,19 @@ case class MinHashSigExpr(child: Expression, k: Int = 4)
     false
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  /** Codegen stays inside WholeStageCodegen: one call on this kernel, no
+    * interpreted-projection fallback for the enclosing stage.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(input: UTF8String): UTF8String = {
     // split(text, " ") semantics: regex split, trailing empties KEPT
-    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val toks = input.toString.split(" ", -1)
     val best = Array.ofDim[Array[Byte]](k)
     var t = 0
     while (t < toks.length) {

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -19,7 +19,7 @@ import java.security.MessageDigest
   * `sum > 0`. Integer arithmetic only — no cross-engine float concerns.
   */
 case class SimHash16Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_simhash16"
@@ -30,8 +30,19 @@ case class SimHash16Expr(child: Expression)
 
   @transient private lazy val md = MessageDigest.getInstance("MD5")
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  /** Codegen stays inside WholeStageCodegen: the generated code makes one
+    * call on this kernel rather than dropping the whole stage to an
+    * interpreted projection (what CodegenFallback would do).
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(input: UTF8String): Int = {
+    val text = input.toString
     // Spark's split(text, " ") keeps trailing empty tokens (limit -1)
     val tokens = text.split(" ", -1)
     val counts = new Array[Int](16)

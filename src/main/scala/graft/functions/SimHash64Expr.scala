@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -23,7 +23,7 @@ import java.security.MessageDigest
   * Integer arithmetic only — no cross-engine float concerns.
   */
 case class SimHash64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"
@@ -34,8 +34,18 @@ case class SimHash64Expr(child: Expression)
 
   @transient private lazy val md = MessageDigest.getInstance("MD5")
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  /** Codegen stays inside WholeStageCodegen: one call on this kernel, no
+    * interpreted-projection fallback for the enclosing stage.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(input: UTF8String): Long = {
+    val text = input.toString
     // Spark's split(text, " ") keeps trailing empty tokens (limit -1)
     val tokens = text.split(" ", -1)
     val counts = new Array[Int](64)

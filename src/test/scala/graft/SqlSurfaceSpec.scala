@@ -70,6 +70,13 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(cat.tableNames === Seq("t"))
   }
 
+  test("CLI statement split respects quoted semicolons") {
+    assert(Sql.splitStatements("SELECT 1; SELECT 'a;b' ;; SELECT 2")
+      === Seq("SELECT 1", "SELECT 'a;b'", "SELECT 2"))
+    assert(Sql.splitStatements("INSERT INTO t VALUES (1, ';')")
+      === Seq("INSERT INTO t VALUES (1, ';')"))
+  }
+
   test("non-catalog statements fall through to spark.sql with catalog views in scope") {
     val (_, sql) = fresh()
     sql("""CREATE TABLE dim (id INT, v STRING)

@@ -56,7 +56,7 @@ object Bench {
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/bench.json"),
+      java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_OUT", "bench.json")),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""" + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
     println(line)

@@ -29,14 +29,33 @@ import org.apache.spark.sql.types.StructType
 object GraftSql {
 
   def execute(spark: SparkSession, cat: KuduLikeCatalog, sqlText: String): DataFrame = {
-    val stmt = sqlText.trim.stripSuffix(";").trim
-    val upper = stmt.toUpperCase
-    if (upper.startsWith("CREATE TABLE")) create(spark, cat, stmt)
+    val stmt = stripLeadingComments(sqlText).trim.stripSuffix(";").trim
+    // keyword dispatch on whitespace-collapsed text so multi-line DML is not
+    // misrouted to spark.sql (the statement parsers themselves accept \s+)
+    val upper = stmt.toUpperCase.replaceAll("\\s+", " ")
+    // CREATE routes to the catalog only for the reference's dialect (STORED
+    // BY / kudu.* properties) — plain Spark CREATE (USING/CTAS) falls through
+    val isCatalogCreate = upper.startsWith("CREATE TABLE") &&
+      (upper.contains("STORED BY") || upper.contains("KUDU.KEY_COLUMNS"))
+    if (isCatalogCreate) create(spark, cat, stmt)
     else if (upper.startsWith("DROP TABLE")) drop(spark, cat, stmt)
     else if (upper.startsWith("INSERT INTO") || upper.startsWith("UPSERT INTO"))
       writeInto(spark, cat, stmt)
     else if (upper.startsWith("DELETE FROM")) delete(spark, cat, stmt)
     else { registerViews(spark, cat); spark.sql(stmt) }
+  }
+
+  /** Drop full-line `--` comments at the head of a statement (the parsers
+    * anchor on the first keyword). Comments inside the statement body are
+    * left to the underlying parsers.
+    */
+  private def stripLeadingComments(s: String): String = {
+    var t = s.trim
+    while (t.startsWith("--")) {
+      val nl = t.indexOf('\n')
+      t = if (nl < 0) "" else t.substring(nl + 1).trim
+    }
+    t
   }
 
   /** Register every catalog table as a temp view (refreshing snapshots). */
@@ -83,14 +102,14 @@ object GraftSql {
 
   private def drop(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame =
     stmt match {
-      case DropHead(ifExists, name) if cat.exists(name) || ifExists != null =>
-        if (cat.exists(name)) {
-          cat.dropTable(name)
-          spark.catalog.dropTempView(name)
-        }
+      case DropHead(_, name) if cat.exists(name) =>
+        cat.dropTable(name)
+        spark.catalog.dropTempView(name)
         status(spark, "DROP TABLE", name, 0L)
       case _ =>
-        // not a catalog table — let Spark's own catalog handle it
+        // not a catalog table — let Spark's own catalog handle it (including
+        // its IF EXISTS no-op; a silent fake-success here would hide a live
+        // Spark table)
         spark.sql(stmt)
     }
 

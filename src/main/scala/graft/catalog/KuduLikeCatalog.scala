@@ -239,15 +239,15 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val rc = rangeColOf(name).getOrElse(
       throw new CatalogException(s"table $name is not range-partitioned"))
     // both sides of the pruning derive from ONE clock: __range partition
-    // values were written by date_format under the SESSION timezone, so the
-    // bounds must format under that same zone — a pinned UTC (or the JVM
-    // default) would silently drop rows near month boundaries in any other
-    // session zone
-    val sessionZone = spark.conf.get("spark.sql.session.timeZone")
-    val fmt = new java.text.SimpleDateFormat("yyyy-MM")
-    fmt.setTimeZone(java.util.TimeZone.getTimeZone(sessionZone))
-    val fromMonth = fmt.format(from)
-    val toMonth = fmt.format(to)
+    // values were written by date_format under the zone recorded at CREATE
+    // time (writes assert the session still matches it — [[assertZone]]),
+    // so bounds format under that recorded zone no matter what zone the
+    // READING session runs in. ZoneId.of (not TimeZone.getTimeZone, which
+    // silently falls back to GMT) so offset-style ids like "+08:00" work.
+    val zone = java.time.ZoneId.of(zoneOf(name).getOrElse(sessionZone))
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM").withZone(zone)
+    val fromMonth = fmt.format(from.toInstant)
+    val toMonth = fmt.format(to.toInstant)
     effective(name)
       .filter(col(RangeCol) >= fromMonth && col(RangeCol) <= toMonth)
       .filter(col(rc) >= lit(from) && col(rc) < lit(to))
@@ -294,6 +294,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     */
   def compact(name: String): Unit = {
     if (!exists(name)) throw new CatalogException(s"table $name does not exist")
+    assertZone(name)
     val keys = keyColsOf(name)
     val folded = table(name) // materializes the delta overlay into the write
       .repartition(spark.sparkContext.defaultParallelism, keys.map(col): _*)
@@ -307,6 +308,32 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val meta = Files.readString(metaFile(name))
     """"rangeCol":"([^"]+)"""".r.findFirstMatchIn(meta).map(_.group(1))
   }
+
+  /** Timezone the `__range` partition values were (and must keep being)
+    * formatted under — recorded at CREATE time. Absent on non-range tables
+    * and tables created before zones were recorded.
+    */
+  def zoneOf(name: String): Option[String] = {
+    val meta = Files.readString(metaFile(name))
+    """"zone":"([^"]+)"""".r.findFirstMatchIn(meta).map(_.group(1))
+  }
+
+  private def sessionZone: String = spark.conf.get("spark.sql.session.timeZone")
+
+  /** Range-partitioned writes format `__range` with `date_format`, which
+    * follows the session timezone — so every write must run under the zone
+    * the table was created with, or month directories would mix clocks and
+    * pruning would silently drop boundary rows.
+    */
+  private def assertZone(name: String): Unit =
+    if (rangeColOf(name).isDefined)
+      zoneOf(name).foreach { z =>
+        if (z != sessionZone)
+          throw new CatalogException(
+            s"table $name is range-partitioned under timezone $z but " +
+              s"spark.sql.session.timeZone is $sessionZone — set the session " +
+              "zone to match before writing")
+      }
 
   /** Declared schema with the PK-non-null flags (note: Spark's parquet READ
     * path always reports nullable columns; the declared nullability is
@@ -364,6 +391,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
 
   /** Shared insert path; callers have already handled NULL keys. */
   private def insertClean(name: String, df: DataFrame): Long = {
+    assertZone(name)
     val schema = readSchema(name)
     val keys = keyColsOf(name)
     if (df.schema.fieldNames.toSeq != schema.fieldNames.toSeq)
@@ -421,6 +449,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * @return number of rows in the batch applied (after in-batch dedup)
     */
   def upsert(name: String, df: DataFrame): Long = {
+    assertZone(name)
     val schema = readSchema(name)
     val keys = keyColsOf(name)
     if (df.schema.fieldNames.toSeq != schema.fieldNames.toSeq)
@@ -454,6 +483,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * partitions as the rows they shadow and partition pruning stays correct.
     */
   def delete(name: String, condition: org.apache.spark.sql.Column): Long = {
+    assertZone(name)
     val isDeleted = coalesce(condition, lit(false))
     val tombstones = table(name).filter(isDeleted).withColumn(OpCol, lit("delete"))
     // single job: writeDelta counts via Observation during the write and
@@ -527,7 +557,10 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val d = deltasDir(name)
     if (!Files.exists(d)) Seq.empty
     else d.toFile.listFiles()
-      .filter(f => f.isDirectory && f.getName.nonEmpty && f.getName.forall(_.isDigit))
+      // length bound: an all-digit name past Int range (epoch-millis litter)
+      // must stay invisible, not crash the toInt
+      .filter(f => f.isDirectory && f.getName.nonEmpty &&
+        f.getName.length <= 9 && f.getName.forall(_.isDigit))
       .map(_.getName.toInt).sorted.toSeq
   }
 
@@ -590,7 +623,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
 
   private def metaJson(d: TableDef, normalized: StructType): String = {
     val keys = d.keyCols.map(k => "\"" + k + "\"").mkString(",")
-    val range = d.rangeCol.map(rc => s"\"rangeCol\":\"$rc\",").getOrElse("")
+    val range = d.rangeCol
+      .map(rc => s"""\"rangeCol\":\"$rc\",\"zone\":\"$sessionZone\",""").getOrElse("")
     s"""{"name":"${d.name}","buckets":${d.buckets},$range"keyCols":[$keys],"schemaJson":${normalized.json}}"""
   }
 

@@ -35,15 +35,7 @@ case class FingerprintMd5Expr(child: Expression, n: Int = 8)
 
   @transient private lazy val md = MessageDigest.getInstance("MD5")
 
-  private def lessUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < a.length) {
-      val ai = a(i) & 0xff; val bi = b(i) & 0xff
-      if (ai != bi) return ai < bi
-      i += 1
-    }
-    false
-  }
+  import Md5Kernel.lessUnsigned
 
   override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
 
@@ -73,7 +65,7 @@ case class FingerprintMd5Expr(child: Expression, n: Int = 8)
       }
     }
     val hex = new StringBuilder(32)
-    best.foreach(b => hex.append(f"$b%02x"))
+    Md5Kernel.appendHex(hex, best)
     UTF8String.fromString(hex.toString)
   }
 

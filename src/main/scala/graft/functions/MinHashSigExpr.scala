@@ -39,15 +39,7 @@ case class MinHashSigExpr(child: Expression, k: Int = 4)
   @transient private lazy val seedPrefixes: Array[Array[Byte]] =
     Array.tabulate(k)(s => s"$s:".getBytes(StandardCharsets.UTF_8))
 
-  private def lessUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < a.length) {
-      val ai = a(i) & 0xff; val bi = b(i) & 0xff
-      if (ai != bi) return ai < bi
-      i += 1
-    }
-    false
-  }
+  import Md5Kernel.lessUnsigned
 
   override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
 
@@ -81,7 +73,7 @@ case class MinHashSigExpr(child: Expression, k: Int = 4)
     var s = 0
     while (s < k) {
       if (s > 0) hex.append('|')
-      best(s).foreach(b => hex.append(f"$b%02x"))
+      Md5Kernel.appendHex(hex, best(s))
       s += 1
     }
     UTF8String.fromString(hex.toString)

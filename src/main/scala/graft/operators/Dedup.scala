@@ -106,14 +106,25 @@ object Dedup {
       k: Int = 3, blocks: Int = 6): DataFrame = {
     val df = graft.Tables.parallel(df0)
     val sig = df.select(col(idCol), TextFunctions.simhash64(col(textCol)).as("sh"))
-    val pairs = simhash64Pairs(sig, idCol, k, blocks)
-    // rep = min over {self} ∪ neighbors; keys-only shuffle (no payloads)
-    val rep = sig.select(col(idCol).as("d"), col(idCol).as("nbr"))
-      .union(pairs.select(col("a").as("d"), col("b").as("nbr")))
-      .union(pairs.select(col("b").as("d"), col("a").as("nbr")))
-      .groupBy("d").agg(min("nbr").as("rep"))
-    sig.join(rep, sig(idCol) === rep("d"))
-      .select(sig(idCol), col("sh").as("simhash64"), col("rep"))
+    val banded = simhash64Banded(sig, idCol, k, blocks)
+    val lhs = banded.select(col("key"), col(idCol).as("a"), col("sh").as("sha"))
+    val rhs = banded.select(col("key"), col(idCol).as("b"), col("sh").as("shb"))
+    // verified pairs CARRYING both signatures: same-table duplicate pairs
+    // are harmless under the min() fold below, so no distinct pass (unlike
+    // simhash64Pairs' exact-pairs contract)
+    val pairs = lhs.join(rhs, Seq("key"))
+      .filter(col("a") < col("b"))
+      .filter(bit_count(col("sha").bitwiseXOR(col("shb"))) <= k)
+      .select(col("a"), col("b"), col("sha"), col("shb"))
+    // rep = min over {self} ∪ neighbors. The signature rides the union
+    // (positional: d, sh, nbr) so no join back onto sig — the round-1 shape
+    // re-ran the signature scan a fourth time AND re-evaluated the kernel
+    // inside the join's null filters.
+    val rep = sig.select(col(idCol).as("d"), col("sh"), col(idCol).as("nbr"))
+      .union(pairs.select(col("a"), col("sha"), col("b")))
+      .union(pairs.select(col("b"), col("shb"), col("a")))
+      .groupBy("d").agg(min("sh").as("simhash64"), min("nbr").as("rep"))
+    rep.select(col("d").as(idCol), col("simhash64"), col("rep"))
   }
 
   /** Banded candidate tables for a (id, "sh") signature frame: one row per

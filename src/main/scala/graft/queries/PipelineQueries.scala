@@ -163,9 +163,14 @@ object PipelineQueries {
 
     // n-gram Jaccard near-dup pairs via the Dedup operator.
     QDef("d9_ngram_jaccard",
+      // dfMax is vacuous here ON PURPOSE: this oracle is the exact
+      // quadratic Jaccard definition, so the shingle-df cap (the scale
+      // knob) must not be able to diverge from it on any fixture refresh.
+      // The cap's equivalence-where-it-matters is gated separately in
+      // ScaleOpsSpec (planted hot shingle).
       (s, dir) => Dedup.ngramJaccardPairs(
         Tables.load(s, dir, "documents").filter(col("doc_id") < 60),
-        "text", "doc_id", n = 2, tau = 0.05)
+        "text", "doc_id", n = 2, tau = 0.05, dfMax = Long.MaxValue)
         .select(col("a"), col("b"), dec4(col("jaccard")).as("jac"))
         .orderBy("a", "b"),
       Some("""WITH sh AS (

@@ -391,6 +391,8 @@ class CatalogSpec extends SparkSpec {
     // be counted as a committed version
     Files.createDirectories(Paths.get(s"$root/t/deltas/.tmp_7"))
     Files.createDirectories(Paths.get(s"$root/t/deltas/_temporary"))
+    // all-digit but past Int range (epoch-millis litter): invisible, not a crash
+    Files.createDirectories(Paths.get(s"$root/t/deltas/1755000000000"))
     assert(cat.currentVersion("t") === 1)
     assert(cat.table("t").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
       === Seq((1, "A")))
@@ -429,25 +431,37 @@ class CatalogSpec extends SparkSpec {
     assert(cat.table("t").collect().map(_.getInt(0)).toSeq === Seq(2))
   }
 
-  test("range pruning follows the session clock: non-UTC zone keeps boundary rows") {
+  test("range pruning follows the table's recorded zone; writes under another zone refuse") {
     import spark.implicits._
     val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    val cat = new KuduLikeCatalog(spark, tmpDir("graft_tz_"))
+    val boundary = new Timestamp(
+      java.time.Instant.parse("2024-03-01T02:00:00Z").toEpochMilli)
     try {
       spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
-      val cat = new KuduLikeCatalog(spark, tmpDir("graft_tz_"))
       val schema = StructType(Seq(
         StructField("id", LongType), StructField("ts", TimestampType)))
       cat.createTable(TableDef("ev", schema, Seq("id"), rangeCol = Some("ts")))
+      assert(cat.zoneOf("ev") === Some("America/Los_Angeles"))
       // 2024-03-01 02:00 UTC = 2024-02-29 18:00 in LA → written to the
       // 2024-02 month partition under the LA session; UTC-pinned pruning
       // bounds would look in 2024-03 and silently drop the row
-      val boundary = new Timestamp(
-        java.time.Instant.parse("2024-03-01T02:00:00Z").toEpochMilli)
       cat.insert("ev", Seq((1L, boundary)).toDF("id", "ts"))
       val hit = cat.lookupRange("ev", boundary,
         new Timestamp(boundary.getTime + 3600 * 1000))
       assert(hit.collect().map(_.getLong(0)).toSeq === Seq(1L))
     } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
+    // a READER session in a different zone still prunes correctly — the
+    // bounds derive from the zone recorded at create time, not the session
+    val hitFromUtc = cat.lookupRange("ev", boundary,
+      new Timestamp(boundary.getTime + 3600 * 1000))
+    assert(hitFromUtc.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // but a WRITE under a mismatched session zone would mix clocks inside
+    // __range — it must refuse instead of corrupting pruning
+    val e = intercept[CatalogException] {
+      cat.insert("ev", Seq((2L, boundary)).toDF("id", "ts"))
+    }
+    assert(e.getMessage.contains("America/Los_Angeles"))
   }
 
   test("S11: attachExternal verifies schema, rejects mismatch") {

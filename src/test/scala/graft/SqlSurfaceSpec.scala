@@ -58,8 +58,10 @@ class SqlSurfaceSpec extends SparkSpec {
 
   test("CREATE without kudu.key_columns fails loudly; IF NOT EXISTS is idempotent") {
     val (cat, sql) = fresh()
+    // STORED BY marks the reference dialect → catalog path → missing
+    // kudu.key_columns is an error, not a silent fall-through
     val e = intercept[CatalogException] {
-      sql("CREATE TABLE nope (id INT) TBLPROPERTIES('kudu.table_name'='nope')")
+      sql("CREATE TABLE nope (id INT) STORED BY 'handler' TBLPROPERTIES('kudu.table_name'='nope')")
     }
     assert(e.getMessage.contains("kudu.key_columns"))
     sql("CREATE TABLE t (id INT) TBLPROPERTIES('kudu.key_columns'='id')")
@@ -68,6 +70,26 @@ class SqlSurfaceSpec extends SparkSpec {
       sql("CREATE TABLE t (id INT) TBLPROPERTIES('kudu.key_columns'='id')")
     }
     assert(cat.tableNames === Seq("t"))
+  }
+
+  test("plain Spark CREATE/DROP pass through; only the reference dialect hits the catalog") {
+    val (cat, sql) = fresh()
+    // CTAS with no STORED BY / kudu.* properties is Spark's business
+    sql("CREATE TABLE plain_ctas AS SELECT 1 AS id")
+    try {
+      assert(sql("SELECT count(*) FROM plain_ctas").head().getLong(0) === 1L)
+      assert(cat.tableNames.isEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS plain_ctas")
+    // DROP of a non-catalog table must reach spark.sql (not fake success)
+    spark.sql("CREATE TABLE plain_t (id INT) USING parquet")
+    sql("DROP TABLE IF EXISTS plain_t")
+    assert(!spark.catalog.tableExists("plain_t"))
+    // multi-line catalog DML still routes to the catalog
+    sql("CREATE TABLE ml (id INT, v STRING)\nTBLPROPERTIES('kudu.key_columns'='id')")
+    sql("-- load batch\nINSERT\n  INTO ml\nVALUES (1,'x')")
+    assert(sql("SELECT count(*) FROM ml").head().getLong(0) === 1L)
+    sql("DELETE\nFROM ml\nWHERE id = 1")
+    assert(sql("SELECT count(*) FROM ml").head().getLong(0) === 0L)
   }
 
   test("CLI statement split respects quoted semicolons") {

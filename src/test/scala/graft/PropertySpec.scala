@@ -43,6 +43,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: random mutation sequences match an in-memory model, snapshots included") {
+    import spark.implicits._
+    (1 to 2).foreach { iter =>
+      val cat = new KuduLikeCatalog(spark, tmpDir("graft_model_"))
+      cat.createTable(TableDef("t", schema, Seq("id"),
+        buckets = if (iter % 2 == 0) 4 else 0))
+      val rnd = new scala.util.Random(1234 + iter)
+      def batch() = List.fill(8)((rnd.nextInt(12), rnd.nextInt(1000).toString))
+
+      var model = Map.empty[Int, String]
+      // tableAsOf(v) is only stable while version numbering is stable —
+      // base appends (insert with no pending deltas) and compact() both
+      // change what version 0 means, so snapshots re-baseline there
+      var deltasExist = false
+      val snapshots = scala.collection.mutable.ArrayBuffer[(Int, Map[Int, String])]()
+
+      (1 to 10).foreach { step =>
+        rnd.nextInt(4) match {
+          case 0 => // INSERT: only keys not live land; in-batch survivor = min v
+            val b = batch()
+            val newRows = b.groupBy(_._1).collect {
+              case (k, vs) if !model.contains(k) => (k, vs.map(_._2).min)
+            }
+            val n = cat.insert("t", b.toDF("id", "v"))
+            assert(n === newRows.size, s"iter $iter step $step insert count")
+            model ++= newRows
+            if (!deltasExist) snapshots.clear() // landed in the base
+          case 1 => // UPSERT: every key in the batch replaced
+            val b = batch()
+            cat.upsert("t", b.toDF("id", "v"))
+            model ++= b.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).min) }
+            deltasExist = true
+          case 2 => // DELETE by key predicate
+            val m = 2 + rnd.nextInt(3); val r = rnd.nextInt(m)
+            val n = cat.delete("t", org.apache.spark.sql.functions.col("id") % m === r)
+            val hit = model.keySet.filter(k => k % m == r)
+            assert(n === hit.size, s"iter $iter step $step delete count")
+            model --= hit
+            if (n > 0) deltasExist = true
+          case 3 => // COMPACT: state invariant, folds versions away
+            cat.compact("t")
+            deltasExist = false
+            snapshots.clear()
+        }
+        if (deltasExist) snapshots += ((cat.currentVersion("t"), model))
+        val got = cat.table("t").collect().map(x => (x.getInt(0), x.getString(1))).toSet
+        assert(got === model.toSet, s"iter $iter step $step state")
+      }
+      // every stable snapshot replays exactly
+      snapshots.foreach { case (v, m) =>
+        val got = cat.tableAsOf("t", v).collect()
+          .map(x => (x.getInt(0), x.getString(1))).toSet
+        assert(got === m.toSet, s"iter $iter snapshot v$v")
+      }
+    }
+  }
+
   test("property: insert lands exactly the distinct keys; re-insert adds nothing") {
     import spark.implicits._
     (1 to 6).foreach { i =>

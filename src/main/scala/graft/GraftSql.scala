@@ -42,6 +42,7 @@ object GraftSql {
     else if (upper.startsWith("INSERT INTO") || upper.startsWith("UPSERT INTO"))
       writeInto(spark, cat, stmt)
     else if (upper.startsWith("DELETE FROM")) delete(spark, cat, stmt)
+    else if (upper.startsWith("ALTER TABLE")) alter(spark, cat, stmt)
     else { registerViews(spark, cat); spark.sql(stmt) }
   }
 
@@ -70,6 +71,8 @@ object GraftSql {
     """(?is)^(INSERT|UPSERT)\s+INTO\s+(?:TABLE\s+)?`?([\w.]+)`?\s+(.*)$""".r
   private val DeleteHead =
     """(?is)^DELETE\s+FROM\s+`?([\w.]+)`?(?:\s+WHERE\s+(.*))?$""".r
+  private val AlterHead =
+    """(?is)^ALTER\s+TABLE\s+`?([\w.]+)`?\s+ADD\s+COLUMNS?\s*(.+)$""".r
 
   private def create(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame = {
     val m = CreateHead.findFirstMatchIn(stmt).getOrElse(
@@ -143,6 +146,25 @@ object GraftSql {
         val n = cat.delete(name, Option(cond).map(expr).getOrElse(lit(true)))
         registerViews(spark, cat)
         status(spark, "DELETE FROM", name, n)
+      case _ => spark.sql(stmt)
+    }
+
+  /** ALTER TABLE … ADD COLUMN(S) — online schema evolution (new column must
+    * be non-key, in the closed type set; lands nullable).
+    */
+  private def alter(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame =
+    stmt match {
+      case AlterHead(name, colsDdl) if cat.exists(name) =>
+        val raw = colsDdl.trim
+        val inner = // optional wrapping parens: ADD COLUMNS (a int, b string)
+          if (raw.startsWith("(") && raw.endsWith(")")) raw.substring(1, raw.length - 1)
+          else raw
+        val fields = StructType.fromDDL(inner
+          .replaceAll("(?i)\\bvarchar\\s*\\(\\s*\\d+\\s*\\)", "string")
+          .replaceAll("(?i)\\bchar\\s*\\(\\s*\\d+\\s*\\)", "string")).fields
+        fields.foreach(f => cat.addColumn(name, f))
+        registerViews(spark, cat)
+        status(spark, "ALTER TABLE", name, fields.length.toLong)
       case _ => spark.sql(stmt)
     }
 

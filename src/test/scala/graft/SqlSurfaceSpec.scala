@@ -92,6 +92,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sql("SELECT count(*) FROM ml").head().getLong(0) === 0L)
   }
 
+  test("ALTER TABLE ADD COLUMN(S) evolves the schema online") {
+    val (cat, sql) = fresh()
+    sql("CREATE TABLE t (id INT, v STRING) TBLPROPERTIES('kudu.key_columns'='id')")
+    sql("INSERT INTO t VALUES (1,'a')")
+    sql("ALTER TABLE t ADD COLUMN score DOUBLE")
+    sql("ALTER TABLE t ADD COLUMNS (tag VARCHAR(8), n BIGINT)")
+    assert(cat.schemaOf("t").fieldNames.toSeq === Seq("id", "v", "score", "tag", "n"))
+    sql("INSERT INTO t VALUES (2,'b', 1.5, 'x', 9)")
+    val rows = sql("SELECT id, score, tag, n FROM t ORDER BY id").collect()
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2) && rows(0).isNullAt(3))
+    assert(rows(1).getDouble(1) === 1.5 && rows(1).getString(2) === "x" && rows(1).getLong(3) === 9L)
+    // ALTER on a non-catalog table falls through to spark.sql (and fails
+    // there if the relation is a temp view)
+    intercept[Exception] { sql("ALTER TABLE no_such_t ADD COLUMN x INT") }
+  }
+
   test("CLI statement split respects quoted semicolons") {
     assert(Sql.splitStatements("SELECT 1; SELECT 'a;b' ;; SELECT 2")
       === Seq("SELECT 1", "SELECT 'a;b'", "SELECT 2"))

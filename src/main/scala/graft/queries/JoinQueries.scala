@@ -215,5 +215,27 @@ object JoinQueries {
               |WHERE a.vec_id < 80 AND b.vec_id < 80
               |  AND ${VectorFunctions.oracleCosineSql("a.embedding", "b.embedding")} >= 0.25
               |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Salted skew join: the hot-key fallback when AQE's skew splitting is
+    // not enough (power-law keys at 100 TB). Oracle = the PLAIN join — the
+    // salt must be semantically invisible; spreading is deterministic
+    // (hash(l_linenumber), never rand()) so retried tasks stay exactly-once.
+    QDef("j11_salted_join",
+      (s, dir) => {
+        val fat = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            d182(col("l_extendedprice")).as("price"))
+        val thin = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        graft.operators.SkewJoin
+          .saltedInnerJoin(fat, thin, Seq("l_orderkey"), "l_linenumber")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("price")).cast("decimal(38,4)").as("total"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS total
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

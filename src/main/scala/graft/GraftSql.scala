@@ -82,12 +82,7 @@ object GraftSql {
     val open = stmt.indexOf('(', m.end - 1)
     if (open < 0) throw new CatalogException(s"CREATE TABLE $name: missing column list")
     val (colsDdl, afterCols) = balancedParen(stmt, open)
-    // the reference maps CHAR/VARCHAR onto plain STRING
-    // (HiveKuduBridgeUtils.java:38-44) — normalize before parsing
-    val normalized = colsDdl
-      .replaceAll("(?i)\\bvarchar\\s*\\(\\s*\\d+\\s*\\)", "string")
-      .replaceAll("(?i)\\bchar\\s*\\(\\s*\\d+\\s*\\)", "string")
-    val schema = StructType.fromDDL(normalized)
+    val schema = StructType.fromDDL(normalizeTypes(colsDdl))
     val props = tblProperties(stmt.substring(afterCols))
     val keyCols = props.get("kudu.key_columns")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -159,14 +154,20 @@ object GraftSql {
         val inner = // optional wrapping parens: ADD COLUMNS (a int, b string)
           if (raw.startsWith("(") && raw.endsWith(")")) raw.substring(1, raw.length - 1)
           else raw
-        val fields = StructType.fromDDL(inner
-          .replaceAll("(?i)\\bvarchar\\s*\\(\\s*\\d+\\s*\\)", "string")
-          .replaceAll("(?i)\\bchar\\s*\\(\\s*\\d+\\s*\\)", "string")).fields
-        fields.foreach(f => cat.addColumn(name, f))
+        val fields = StructType.fromDDL(normalizeTypes(inner)).fields
+        cat.addColumns(name, fields.toSeq) // atomic: all-or-nothing
         registerViews(spark, cat)
         status(spark, "ALTER TABLE", name, fields.length.toLong)
       case _ => spark.sql(stmt)
     }
+
+  /** The reference maps CHAR/VARCHAR onto plain STRING
+    * (HiveKuduBridgeUtils.java:38-44) — one normalization shared by
+    * CREATE and ALTER so the two can never accept different column DDL.
+    */
+  private def normalizeTypes(ddl: String): String = ddl
+    .replaceAll("(?i)\\bvarchar\\s*\\(\\s*\\d+\\s*\\)", "string")
+    .replaceAll("(?i)\\bchar\\s*\\(\\s*\\d+\\s*\\)", "string")
 
   /** Substring inside the balanced paren at `open` (quote-aware) and the
     * index just past its close.

@@ -120,7 +120,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       }
       writePartitioned(empty, d.keyCols, d.buckets, d.rangeCol,
         dataDir(d.name), SaveMode.Overwrite)
-      Files.writeString(metaFile(d.name), metaJson(d, normalized))
+      Files.writeString(metaFile(d.name),
+        metaJson(d, normalized, d.rangeCol.map(_ => sessionZone)))
     } catch {
       case e: Throwable =>
         rollbackCreateTable(d.name) // reference: KuduStorageHandler.java:312-330
@@ -423,17 +424,30 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * change read back as NULL (parquet missing-column semantics under the
     * declared schema).
     */
-  def addColumn(name: String, field: StructField): Unit = {
+  def addColumn(name: String, field: StructField): Unit = addColumns(name, Seq(field))
+
+  /** Multi-column ALTER is ATOMIC: every field validates before any meta
+    * write, so a bad column mid-list cannot leave the schema partially
+    * evolved (Kudu's alter is a single atomic schema change). The recorded
+    * range-partition zone is PRESERVED, never re-stamped from the current
+    * session — re-stamping would silently disarm [[assertZone]]'s
+    * mixed-clock protection.
+    */
+  def addColumns(name: String, fields: Seq[StructField]): Unit = {
     val schema = readSchema(name)
-    if (schema.fieldNames.contains(field.name))
-      throw new CatalogException(s"column ${field.name} already exists")
-    if (!allowedTypes.contains(field.dataType))
-      throw new CatalogException(
-        s"${field.dataType.simpleString} is not supported for column ${field.name}: " +
-          "only the 10 Kudu primitive types are allowed")
-    val d = TableDef(name, schema.add(field.copy(nullable = true)),
+    val taken = scala.collection.mutable.Set[String](schema.fieldNames: _*)
+    fields.foreach { field =>
+      if (!taken.add(field.name))
+        throw new CatalogException(s"column ${field.name} already exists")
+      if (!allowedTypes.contains(field.dataType))
+        throw new CatalogException(
+          s"${field.dataType.simpleString} is not supported for column ${field.name}: " +
+            "only the 10 Kudu primitive types are allowed")
+    }
+    val d = TableDef(name,
+      fields.foldLeft(schema)((s, f) => s.add(f.copy(nullable = true))),
       keyColsOf(name), bucketsOf(name), rangeColOf(name))
-    Files.writeString(metaFile(name), metaJson(d, d.schema))
+    Files.writeString(metaFile(name), metaJson(d, d.schema, zoneOf(name)))
   }
 
   /** UPSERT (Kudu's native upsert op — the reference only wires INSERT with
@@ -621,10 +635,15 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   private val OpCol = "__op"
   private val SeqCol = "__seq"
 
-  private def metaJson(d: TableDef, normalized: StructType): String = {
+  /** @param zone the `__range` formatting zone to record — the session zone
+    *   at CREATE, and the table's EXISTING zone on any later meta rewrite
+    */
+  private def metaJson(d: TableDef, normalized: StructType, zone: Option[String]): String = {
     val keys = d.keyCols.map(k => "\"" + k + "\"").mkString(",")
-    val range = d.rangeCol
-      .map(rc => s"""\"rangeCol\":\"$rc\",\"zone\":\"$sessionZone\",""").getOrElse("")
+    val range = d.rangeCol.map { rc =>
+      val z = zone.map(z => s"""\"zone\":\"$z\",""").getOrElse("")
+      s"""\"rangeCol\":\"$rc\",$z"""
+    }.getOrElse("")
     s"""{"name":"${d.name}","buckets":${d.buckets},$range"keyCols":[$keys],"schemaJson":${normalized.json}}"""
   }
 

@@ -200,10 +200,38 @@ class CatalogSpec extends SparkSpec {
     cat.addColumn("t", StructField("score", DoubleType))
     intercept[CatalogException] { cat.addColumn("t", StructField("score", DoubleType)) }
     intercept[CatalogException] { cat.addColumn("t", StructField("bad", ArrayType(IntegerType))) }
+    // multi-column alter is ATOMIC: a bad column mid-list persists nothing
+    intercept[CatalogException] {
+      cat.addColumns("t", Seq(
+        StructField("ok", LongType), StructField("bad", DecimalType(9, 2))))
+    }
+    intercept[CatalogException] { // in-list duplicate
+      cat.addColumns("t", Seq(StructField("x", LongType), StructField("x", LongType)))
+    }
+    assert(cat.schemaOf("t").fieldNames.toSeq === Seq("id", "name", "score"))
     assert(cat.insert("t", Seq((2, "b", 9.5)).toDF("id", "name", "score")) === 1)
     val rows = cat.table("t").orderBy("id").collect()
     assert(rows(0).isNullAt(2), "pre-alter row must read NULL for the new column")
     assert(rows(1).getDouble(2) === 9.5)
+  }
+
+  test("alter preserves the recorded range zone (never re-stamped from the session)") {
+    import spark.implicits._
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    val cat = new KuduLikeCatalog(spark, tmpDir("graft_tzalter_"))
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      cat.createTable(TableDef("ev",
+        StructType(Seq(StructField("id", LongType), StructField("ts", TimestampType))),
+        Seq("id"), rangeCol = Some("ts")))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
+    // alter runs under UTC; the LA zone must survive so assertZone keeps
+    // refusing mixed-clock writes
+    cat.addColumn("ev", StructField("v", DoubleType))
+    assert(cat.zoneOf("ev") === Some("America/Los_Angeles"))
+    intercept[CatalogException] {
+      cat.insert("ev", Seq((1L, new Timestamp(0L), 1.0)).toDF("id", "ts", "v"))
+    }
   }
 
   test("upsert replaces rows on key; delete removes by predicate") {

@@ -27,4 +27,49 @@ object SkewJoin {
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(exploded, keys :+ "__salt").drop("__salt")
   }
+
+  /** Salt ONLY the hot keys — the production form of [[saltedInnerJoin]].
+    *
+    * Exploding the whole thin side ×salts is wasteful when (as in any
+    * power-law distribution) only a handful of keys are actually hot: at
+    * 100 TB a thin side of 10⁸ dim rows ×16 salts is 1.6×10⁹ shuffled rows
+    * to fix a skew that lives in maybe 100 keys. Here hot keys are detected
+    * with a keys-only aggregation over the fat side (map-side combine, so
+    * the detection shuffle carries one (key, count) pair per map partition
+    * per distinct key — never payloads), and the hot set is broadcast to
+    * split both inputs:
+    *
+    *   - hot slice:  salted join (hot fat rows spread over `salts` reducers;
+    *     only the hot thin rows are exploded — bounded by |hot| × salts)
+    *   - cold slice: plain shuffled join, untouched keys keep their normal
+    *     single-reducer path (AQE still free to pick broadcast/SMJ)
+    *
+    * Inner-join semantics make the union exact: hot and cold key sets are
+    * disjoint, so every matched pair lands in exactly one slice. Result
+    * multiset is identical to `fat.join(thin, keys)` — verified against a
+    * planted-skew oracle in ScaleOpsSpec and the j12 DuckDB oracle.
+    *
+    * `hotThreshold` is the fat-side row count per key above which a key is
+    * salted; size it to a few × the rows-per-reducer you can tolerate. The
+    * detection pass is exact; at extreme scale a sampled detection
+    * (`fat.sample(f)` with threshold×f) buys a cheaper pass at the cost of
+    * missing borderline keys — borderline keys are precisely the ones that
+    * don't need salting.
+    */
+  def saltedInnerJoinHotKeys(
+      fat: DataFrame, thin: DataFrame, keys: Seq[String],
+      spreader: String, salts: Int = 16, hotThreshold: Long = 1000000L): DataFrame = {
+    require(salts > 0 && hotThreshold > 0)
+    val keyCols = keys.map(col)
+    val hot = fat.groupBy(keyCols: _*).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > hotThreshold)
+      .select(keyCols: _*)
+    val hotB = broadcast(hot)
+    val saltedHot = saltedInnerJoin(
+      fat.join(hotB, keys, "left_semi"),
+      thin.join(hotB, keys, "left_semi"),
+      keys, spreader, salts)
+    val plainCold = fat.join(hotB, keys, "left_anti").join(thin, keys)
+    saltedHot.unionByName(plainCold)
+  }
 }

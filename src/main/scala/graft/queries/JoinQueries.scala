@@ -237,5 +237,30 @@ object JoinQueries {
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS total
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Hot-key-only salting — the production form: keys above the frequency
+    // threshold are detected with a keys-only agg, broadcast, and salted;
+    // everything else takes the normal join path (no thin-side explosion).
+    // Threshold 4 splits the fixture's 1-7 lines-per-order distribution into
+    // a real hot slice and a real cold slice, so both paths are exercised.
+    // Oracle = the PLAIN join again: the split must be semantically invisible.
+    QDef("j12_salted_hot_join",
+      (s, dir) => {
+        val fat = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            d182(col("l_extendedprice")).as("price"))
+        val thin = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        graft.operators.SkewJoin
+          .saltedInnerJoinHotKeys(fat, thin, Seq("l_orderkey"), "l_linenumber",
+            salts = 8, hotThreshold = 4L)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("price")).cast("decimal(38,4)").as("total"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS total
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

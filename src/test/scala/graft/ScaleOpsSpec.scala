@@ -23,6 +23,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("hot-key salting: planted power-law skew, multiset equals plain join") {
+    import spark.implicits._
+    // one key owns half the fat side (the classic hot key), the rest uniform
+    val fat = ((1 to 5000).map(i => (42L, i)) ++
+      (1 to 5000).map(i => (i.toLong % 97, i))).toDF("k", "payload")
+    val thin = (0L to 100L).map(k => (k, s"dim_$k")).toDF("k", "attr")
+    val plain = fat.join(thin, Seq("k"))
+    val hotOnly = SkewJoin.saltedInnerJoinHotKeys(fat, thin, Seq("k"),
+      spreader = "payload", salts = 8, hotThreshold = 1000L)
+    assert(hotOnly.count() === plain.count())
+    assert(hotOnly.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(hotOnly).count() === 0)
+    // sanity on the split itself: exactly one key crosses threshold 1000
+    val hot = fat.groupBy("k").count().filter(col("count") > 1000L).collect()
+    assert(hot.map(_.getLong(0)).toSeq === Seq(42L))
+  }
+
   test("IVF ANN: valid structure and recall comparable to probing promise") {
     val e = Tables.load(spark, sf, "embeddings")
     val queries = e.filter(col("vec_id") < 20)

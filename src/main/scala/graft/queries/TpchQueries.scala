@@ -189,5 +189,248 @@ object TpchQueries {
              |  ON o_orderkey = big.l_orderkey
              |JOIN customer ON o_custkey = c_custkey
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // Q4: order-priority checking — the EXISTS shape. The fixture lacks
+    // l_commitdate/l_receiptdate, so "late" is l_shipdate > o_orderdate.
+    // EXISTS compiles to a left-semi join: the fact side is never duplicated
+    // by multi-line orders, and only (orderkey) crosses the shuffle.
+    QDef("tpch_q4",
+      (s, dir) => {
+        val ord = Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >= "1996-07-01" && col("o_orderdate") < "1996-10-01")
+        val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        ord.join(li,
+            col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q8: national market share — two nation roles in one plan (supplier
+    // nation for the share, customer nation→region for the scope), every
+    // dimension broadcast, one fact-fact shuffle (orders⋈lineitem). The
+    // ratio is computed as exact DECIMAL sums cast to DOUBLE at the end, so
+    // the division is a single deterministic IEEE op in both engines; the
+    // no-supplier-rows year degenerates to 0.0 via coalesce, not NULL.
+    QDef("tpch_q8",
+      (s, dir) => {
+        val nat = Tables.load(s, dir, "nation")
+        val custSide = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+          .join(broadcast(nat.select(col("n_nationkey"), col("n_regionkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("c_custkey")
+        val suppSide = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+          .join(broadcast(nat.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "supp_nation")
+        val partStd = Tables.load(s, dir, "part")
+          .filter(col("p_type") === "STANDARD").select("p_partkey")
+        Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01")
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+          .join(Tables.load(s, dir, "lineitem")
+            .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(partStd), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(custSide), col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(broadcast(suppSide), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+          .agg(
+            (coalesce(
+              sum(when(col("supp_nation") === "NATION_5", expr(revenueExpr))).cast("double"),
+              lit(0.0)) /
+              sum(expr(revenueExpr)).cast("double")).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some(s"""SELECT year(o_orderdate) AS o_year,
+              |  COALESCE(CAST(sum(CASE WHEN n2.n_name = 'NATION_5' THEN $revenueExpr END) AS DOUBLE), 0.0)
+              |    / CAST(sum($revenueExpr) AS DOUBLE) AS mkt_share
+              |FROM orders
+              |JOIN lineitem ON o_orderkey = l_orderkey
+              |JOIN part ON l_partkey = p_partkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              |WHERE p_type = 'STANDARD'
+              |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              |  AND o_custkey IN (SELECT c_custkey FROM customer
+              |                    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              |                    JOIN region ON n1.n_regionkey = r_regionkey
+              |                    WHERE r_name = 'ASIA')
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q12: shipping-mode priority counts (l_linestatus stands in for the
+    // fixture's missing l_shipmode) — join + conditional aggregation; the
+    // CASE folds into the partial agg so only (status, two longs) shuffle.
+    QDef("tpch_q12",
+      (s, dir) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .join(Tables.load(s, dir, "lineitem")
+            .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+            .select("l_orderkey", "l_linestatus"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("l_linestatus")
+          .agg(
+            sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+          .orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q13: customer order-count distribution — LEFT OUTER with a join-side
+    // predicate (kept in the ON clause so no-match customers still appear),
+    // then a second, tiny aggregation over the counts. The first agg shuffles
+    // (custkey, long); the distribution agg is over ≤ a few hundred rows.
+    QDef("tpch_q13",
+      (s, dir) => {
+        val perCust = Tables.load(s, dir, "customer").select("c_custkey")
+          .join(Tables.load(s, dir, "orders")
+            .filter(col("o_orderpriority") =!= "1-URGENT")
+            .select("o_orderkey", "o_custkey"),
+            col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+        perCust.groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist
+             |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+             |      FROM customer LEFT OUTER JOIN orders
+             |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |      GROUP BY 1) counts
+             |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // Q14: promo revenue ratio — broadcast part join, conditional DECIMAL
+    // sums cast to DOUBLE for one deterministic division.
+    QDef("tpch_q14",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-09-01" && col("l_shipdate") < "1996-10-01")
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(broadcast(Tables.load(s, dir, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          ((coalesce(
+            sum(when(col("p_type") === "PROMO", expr(revenueExpr))).cast("double"),
+            lit(0.0)) * lit(100.0)) /
+            sum(expr(revenueExpr)).cast("double")).as("promo_revenue")),
+      Some(s"""SELECT (COALESCE(CAST(sum(CASE WHEN p_type = 'PROMO' THEN $revenueExpr END) AS DOUBLE), 0.0) * 100.0)
+              |    / CAST(sum($revenueExpr) AS DOUBLE) AS promo_revenue
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+              |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin)),
+
+    // Q17: small-quantity-order revenue — the correlated-average shape.
+    // Scale plan: filter part FIRST (broadcast, ~thousandth of the table),
+    // left-semi restrict lineitem to those parts, and only then compute the
+    // per-part average over the restricted fact slice — the per-part agg
+    // shuffles (partkey, sum, count) for qualifying parts only, never the
+    // whole fact table. The threshold (0.2×avg) is assembled in DOUBLE from
+    // exact DECIMAL sums so both engines cut the same rows.
+    QDef("tpch_q17",
+      (s, dir) => {
+        val parts = broadcast(Tables.load(s, dir, "part")
+          .filter(col("p_brand") === "Brand#23" && col("p_size") < 5)
+          .select("p_partkey"))
+        val li = Tables.load(s, dir, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+          .join(parts, col("l_partkey") === col("p_partkey"), "left_semi")
+        val thresholds = li.groupBy(col("l_partkey").as("t_partkey"))
+          .agg(((sum(d182(col("l_quantity"))).cast("double") /
+            count(lit(1)).cast("double")) * lit(0.2)).as("qty_threshold"))
+        li.join(broadcast(thresholds), col("l_partkey") === col("t_partkey"))
+          .filter(col("l_quantity") < col("qty_threshold"))
+          .agg(coalesce(sum(d182(col("l_extendedprice"))).cast("double") / lit(7.0),
+            lit(0.0)).as("avg_yearly"))
+      },
+      Some("""SELECT COALESCE(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 0.0) AS avg_yearly
+             |FROM lineitem
+             |JOIN part ON p_partkey = l_partkey
+             |JOIN (SELECT l_partkey AS t_partkey,
+             |        (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |           / CAST(count(*) AS DOUBLE)) * 0.2 AS qty_threshold
+             |      FROM lineitem
+             |      WHERE l_partkey IN (SELECT p_partkey FROM part
+             |                          WHERE p_brand = 'Brand#23' AND p_size < 5)
+             |      GROUP BY 1) t ON l_partkey = t_partkey
+             |WHERE p_brand = 'Brand#23' AND p_size < 5
+             |  AND l_quantity < qty_threshold""".stripMargin)),
+
+    // Q19: discounted revenue under disjunctive brand/size/quantity triples
+    // (p_size stands in for the fixture's missing p_container). The brand/
+    // size half of each disjunct prunes part BEFORE the broadcast join; the
+    // residual OR over (brand, quantity) stays a codegen'd filter.
+    QDef("tpch_q19",
+      (s, dir) => {
+        val p = Tables.load(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+          .filter(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)) ||
+              (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)) ||
+              (col("p_brand") === "Brand#7" && col("p_size").between(1, 15)))
+        Tables.load(s, dir, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)) ||
+              (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)) ||
+              (col("p_brand") === "Brand#7" && col("l_quantity").between(20, 30)))
+          .agg(coalesce(sum(expr(revenueExpr)).cast("double"), lit(0.0)).as("revenue"))
+      },
+      Some(s"""SELECT COALESCE(CAST(sum($revenueExpr) AS DOUBLE), 0.0) AS revenue
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+              |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+              |   OR (p_brand = 'Brand#7'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // Q22: dormant high-balance customers (every fixture customer has
+    // orders, so "no orders at all" would be vacuous — the anti-join is
+    // against RECENT orders instead; c_nationkey stands in for the missing
+    // phone country code). Global average rides in as a broadcast 1-row
+    // cross join — no driver-side collect; the anti join shuffles only
+    // (custkey) after the date filter prunes the orders side.
+    QDef("tpch_q22",
+      (s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_nationkey", "c_acctbal")
+        val avgBal = cust.filter(col("c_acctbal") > 0.0)
+          .agg((sum(d182(col("c_acctbal"))).cast("double") /
+            count(lit(1)).cast("double")).as("avg_bal"))
+        val recent = Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >= "2000-01-01").select("o_custkey")
+        cust.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey").as("cntrycode"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(d182(col("c_acctbal"))).cast("double").as("totacctbal"))
+          .orderBy("cntrycode")
+      },
+      Some("""SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+             |FROM customer
+             |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             |                          / CAST(count(*) AS DOUBLE)
+             |                   FROM customer WHERE c_acctbal > 0.0)
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -203,4 +203,83 @@ object Dedup {
         col("inter").cast("double") / (col("sza") + col("szb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= tau)
   }
+
+  /** Benchmark decontamination report — for every training document, the
+    * number of distinct word n-grams it shares with an evaluation/benchmark
+    * corpus (the standard "13-gram overlap" decontamination rule of LLM
+    * training pipelines; n is a parameter because fixture documents are
+    * short).
+    *
+    * Scale design: the eval side is a benchmark — thousands of documents,
+    * not billions — so its distinct shingle set is collected into a
+    * broadcast hash relation. The training corpus is then touched exactly
+    * once with a narrow projection (per-row `array_distinct` keeps the
+    * explode per-doc-unique WITHOUT a (id, shingle) distinct shuffle); the
+    * only shuffle in the whole plan carries (id, count) partial aggregates
+    * of matched docs. Training payload bytes never move.
+    *
+    * Returns (idCol, n_overlap) for contaminated docs only.
+    */
+  def contaminationReport(
+      train: DataFrame, eval: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val evalShingles = eval
+      .select(explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("g"))
+      .distinct()
+    graft.Tables.parallel(train)
+      .select(col(idCol),
+        explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("g"))
+      .join(broadcast(evalShingles), Seq("g"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** The production decontamination op: training docs minus everything the
+    * [[contaminationReport]] flags — an anti join on the (small) contaminated
+    * id set, so the clean corpus streams through untouched.
+    */
+  def decontaminate(
+      train: DataFrame, eval: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    train.join(
+      broadcast(contaminationReport(train, eval, textCol, idCol, n).select(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** Cross-corpus n-gram Jaccard near-dup pairs — the two-corpus form of
+    * [[ngramJaccardPairs]]: which NEW documents near-duplicate something in a
+    * REFERENCE corpus (incremental-crawl dedup, eval-set fuzzy
+    * decontamination). Returns (a = new id, b = ref id, inter, jaccard ≥ τ).
+    *
+    * Same filter-and-verify scale shape as the self-join variant: candidates
+    * come from an equi-join on shingles (bucket-local, never all-pairs), the
+    * df cap drops only non-discriminative grams from CANDIDATE GENERATION
+    * (document frequency measured on the reference side — the standing
+    * corpus is where stop-phrases accumulate at scale), and verification
+    * recomputes exact intersections over ALL shingles of candidate pairs.
+    */
+  def ngramJaccardPairsCross(
+      newDf: DataFrame, refDf: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, tau: Double = 0.05, dfMax: Long = 1000): DataFrame = {
+    def shingles(df: DataFrame, as: String) = graft.Tables.parallel(df)
+      .select(col(idCol).as(as),
+        explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("g"))
+    val shA = shingles(newDf, "a")
+    val shB = shingles(refDf, "b")
+    val sizesA = shA.groupBy("a").agg(count(lit(1)).as("sza"))
+    val sizesB = shB.groupBy("b").agg(count(lit(1)).as("szb"))
+    val discriminative = shB.groupBy("g")
+      .agg(count(lit(1)).as("df")).filter(col("df") <= dfMax).select("g")
+    val cand = shA.join(discriminative, Seq("g"))
+      .join(shB, Seq("g"))
+      .select("a", "b").distinct()
+    val inter = cand
+      .join(shA, Seq("a"))
+      .join(shB, Seq("b", "g"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizesA, Seq("a")).join(sizesB, Seq("b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select("a", "b", "inter", "jaccard")
+  }
 }

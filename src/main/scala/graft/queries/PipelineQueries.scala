@@ -496,5 +496,89 @@ object PipelineQueries {
       Some("""SELECT doc_id AS id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
              |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 256 AS fake_channel
              |FROM documents ORDER BY id""".stripMargin)),
+
+    // Benchmark decontamination (the "13-gram rule" at fixture scale): every
+    // 20th doc plays the benchmark set; training docs sharing any word
+    // 4-gram with it are flagged with their distinct-overlap count. The eval
+    // shingle set is BROADCAST (benchmarks are small by definition), so the
+    // training corpus is one narrow pass — no payload shuffle anywhere.
+    QDef("d24_decontaminate",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.contaminationReport(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "text", "doc_id", n = 4)
+          .orderBy("doc_id")
+      },
+      Some("""WITH ev AS (SELECT DISTINCT g FROM (
+             |  SELECT unnest(list_transform(range(1, len(string_split(text,' ')) - 2),
+             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+             |         string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) AS g
+             |  FROM documents WHERE doc_id % 20 = 0) t),
+             |tr AS (SELECT DISTINCT doc_id, g FROM (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 2),
+             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+             |         string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) AS g
+             |  FROM documents WHERE doc_id % 20 <> 0) t)
+             |SELECT doc_id, count(*) AS n_overlap
+             |FROM tr JOIN ev USING (g)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Deterministic global training shuffle: shard + in-shard position from
+    // an md5 coin — the reproducible replacement for ORDER BY rand() when
+    // writing training shards. Per-shard windows ARE the scale path: shards
+    // are the parallel unit (thousands at 100 TB), each sorts independently
+    // after one hash-partition shuffle; no global sort, no RNG state.
+    QDef("d25_train_shuffle",
+      (s, dir) => {
+        val hv = md5(concat(lit("shuf:"), col("doc_id").cast("string")))
+        Tables.load(s, dir, "documents")
+          .withColumn("hv", hv)
+          .withColumn("shard",
+            expr("cast(conv(substring(hv, 1, 4), 16, 10) as int) % 8"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("shard").orderBy(col("hv"), col("doc_id"))))
+          .select("doc_id", "shard", "pos")
+          .orderBy("shard", "pos")
+      },
+      Some("""SELECT doc_id, shard,
+             |  row_number() OVER (PARTITION BY shard ORDER BY hv, doc_id) AS pos
+             |FROM (SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS hv,
+             |        CAST(('0x' || substring(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 8 AS shard
+             |      FROM documents) t
+             |ORDER BY shard, pos""".stripMargin)),
+
+    // Cross-corpus near-dup: which src0 (new crawl) docs near-duplicate a
+    // src1 (standing corpus) doc — incremental-ingest dedup. Exact
+    // filter-and-verify with shingle-join candidates; dfMax vacuous here so
+    // the oracle is the literal quadratic cross Jaccard (the cap's scale
+    // behavior is gated in ScaleOpsSpec, same argument as d9).
+    QDef("d26_cross_corpus_neardup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.ngramJaccardPairsCross(
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") === "src1"),
+          "text", "doc_id", n = 2, tau = 0.05, dfMax = Long.MaxValue)
+          .select(col("a"), col("b"), col("inter"), dec4(col("jaccard")).as("jac"))
+          .orderBy("a", "b")
+      },
+      Some("""WITH sa AS (SELECT DISTINCT doc_id AS a, g FROM (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' '))),
+             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS g
+             |  FROM documents WHERE source = 'src0') t),
+             |sb AS (SELECT DISTINCT doc_id AS b, g FROM (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' '))),
+             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS g
+             |  FROM documents WHERE source = 'src1') t),
+             |za AS (SELECT a, count(*) AS sza FROM sa GROUP BY 1),
+             |zb AS (SELECT b, count(*) AS szb FROM sb GROUP BY 1),
+             |inter AS (SELECT a, b, count(*) AS i FROM sa JOIN sb USING (g) GROUP BY 1, 2)
+             |SELECT a, b, i AS inter,
+             |  CAST(i * 1.0 / ((za.sza + zb.szb - i) * 1.0) AS DECIMAL(38,4)) AS jac
+             |FROM inter JOIN za USING (a) JOIN zb USING (b)
+             |WHERE i * 1.0 / ((za.sza + zb.szb - i) * 1.0) >= 0.05
+             |ORDER BY a, b""".stripMargin)),
   )
 }

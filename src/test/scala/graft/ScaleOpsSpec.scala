@@ -95,6 +95,45 @@ class ScaleOpsSpec extends SparkSpec {
     assert(shingleDf.filter(col("df") > 50).count() === 2) // "common stop", "stop phrase"
   }
 
+  test("decontaminate: clean ∪ contaminated partitions the training corpus") {
+    val docs = Tables.load(spark, sf, "documents")
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val eval = docs.filter(col("doc_id") % 20 === 0)
+    val report = Dedup.contaminationReport(train, eval, "text", "doc_id", n = 4)
+    val clean = Dedup.decontaminate(train, eval, "text", "doc_id", n = 4)
+    val nTrain = train.count()
+    assert(report.count() + clean.count() === nTrain)
+    // disjoint and exhaustive over ids
+    val union = clean.select("doc_id").union(report.select("doc_id"))
+    assert(union.distinct().count() === nTrain)
+    // a doc that literally IS an eval doc's text must be flagged: plant one
+    import spark.implicits._
+    val evalRow = eval.select("text").limit(1).as[String].collect().head
+    val planted = train.limit(0).sparkSession
+      .createDataset(Seq((999999L, evalRow))).toDF("doc_id", "text")
+    val flagged = Dedup.contaminationReport(
+      train.select("doc_id", "text").union(planted), eval, "text", "doc_id", n = 4)
+    assert(flagged.filter(col("doc_id") === 999999L).count() === 1)
+  }
+
+  test("cross-corpus Jaccard: df cap equals quadratic truth; self-consistency with within-set variant") {
+    import spark.implicits._
+    // src A docs pair with src B docs (k ↔ k); a corpus-wide stop-phrase on
+    // the B side would explode candidate buckets without the ref-side cap
+    val a = (0 until 100).map(k => (k.toLong, s"common stop phrase body$k alpha$k beta$k gammax"))
+      .toDF("doc_id", "text")
+    val b = (0 until 100).map(k => (10000L + k, s"common stop phrase body$k alpha$k beta$k gammay"))
+      .toDF("doc_id", "text")
+    def result(dfMax: Long) =
+      Dedup.ngramJaccardPairsCross(a, b, "text", "doc_id", n = 2, tau = 0.5, dfMax = dfMax)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val quadratic = result(Long.MaxValue)
+    val capped = result(50)
+    assert(quadratic === capped)
+    assert(quadratic.size === 100, s"expected 100 planted cross pairs, got ${quadratic.size}")
+    assert(quadratic.forall { case (x, y, _) => y === x + 10000L })
+  }
+
   test("MinHash UDAF rejects under-length signatures (sentinel-inflation guard)") {
     val agg = new graft.functions.MinHashCorpusAggregator(16)
     // a short signature would leave '￿' sentinels in the buffer and

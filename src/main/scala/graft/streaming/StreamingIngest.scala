@@ -75,6 +75,32 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Streaming decontamination: drop streamed documents sharing any word
+    * n-gram with a STATIC eval/benchmark corpus — the streaming face of
+    * [[graft.operators.Dedup.decontaminate]].
+    *
+    * The eval shingle set is materialized ONCE at plan-build time into an
+    * array literal (justified driver materialization: benchmark sets are
+    * KBs–MBs by definition, and the alternatives — a stream-static join on
+    * exploded shingles plus a re-group, or a stateful aggregation — would
+    * need a watermark/state store for what is logically a stateless row
+    * predicate). The filter is then a narrow codegen'd `arrays_overlap`
+    * over each micro-batch: no shuffle, no state, unbounded stream rate.
+    * An eval corpus too big for a literal belongs in `foreachBatch` +
+    * the batch operator's broadcast join instead.
+    */
+  def decontaminateStream(
+      docs: DataFrame, evalDocs: DataFrame, textCol: String, n: Int): DataFrame = {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.Encoders
+    val evalShingles: Array[String] = evalDocs
+      .select(explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("g"))
+      .distinct().as[String](Encoders.STRING).collect()
+    docs.filter(!arrays_overlap(
+      array_distinct(TextFunctions.wordShingles(col(textCol), n)),
+      typedlit(evalShingles)))
+  }
+
   /** Gap-based sessionization with custom state (§2.9 /
     * flatMapGroupsWithState): per user, events closer than `gapMs` extend
     * the open session; a larger gap closes it and emits a [[UserSession]].

@@ -93,6 +93,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("Q17: part filter pushed to scan; per-part average computed on the semi-restricted slice only") {
+    val p = planOf("tpch_q17")
+    assert(p.contains("EqualTo(p_brand,Brand#23)") && p.contains("LessThan(p_size,5)"), p)
+    // both lineitem passes are cut down by a LeftSemi BEFORE any aggregate —
+    // the pre-agg must never run over the whole fact table
+    assert("BroadcastHashJoin LeftSemi".r.findAllIn(p).size === 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("Q19: disjunctive brand/size predicate prunes part at the scan; join stays broadcast") {
+    val p = planOf("tpch_q19")
+    assert(p.contains("Or(And(EqualTo(p_brand,Brand#12)"), p)
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("Q22: global average is a broadcast nested-loop of ONE row, then a broadcast anti join") {
+    val p = planOf("tpch_q22")
+    // the 1-row cross join is the sanctioned BNLJ; the anti join must hash
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin LeftAnti") || p.contains("SortMergeJoin LeftAnti"), p)
+  }
+
+  test("D24: decontamination never shuffles training payloads — eval shingles broadcast, one agg exchange") {
+    val p = planOf("d24_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // no Window over the training side, and text never appears post-explode:
+    // only (doc_id, g) flow into the join
+    assert(!p.contains("Window"), p)
+  }
+
   test("D14: dedup rep-selection is pure aggregation — no window, no join") {
     val p = planOf("d14_clean_corpus_pipeline")
     // round-1 hash-partitioned every payload byte twice through Window; the

@@ -9,6 +9,7 @@ import org.apache.spark.sql.streaming.Trigger
 import java.sql.Timestamp
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class StreamDoc(doc_id: Long, text: String)
 
 /** Structured Streaming ingest (SURVEY.md §2.9): watermarked windowed aggs
   * equal their batch counterpart; foreachBatch insert keeps dup-ignore
@@ -48,6 +49,35 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
 
     assert(streamed === batch)
+  }
+
+  test("streaming decontamination equals the batch operator, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, sf, "documents")
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val evalDocs = docs.filter(col("doc_id") % 20 === 0)
+
+    val trainRows = train.select("doc_id", "text").limit(200)
+      .collect().map(r => StreamDoc(r.getLong(0), r.getString(1))).toSeq
+    val stream = MemoryStream[StreamDoc]
+    // two micro-batches: per-batch filtering must not depend on batch cut
+    stream.addData(trainRows.take(97))
+    stream.addData(trainRows.drop(97))
+
+    val cleaned = StreamingIngest.decontaminateStream(stream.toDF(), evalDocs, "text", n = 4)
+    val q = cleaned.writeStream.outputMode("append")
+      .format("memory").queryName("decon_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("decon_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val batchDf = spark.createDataset(trainRows).toDF()
+    val batch = graft.operators.Dedup.decontaminate(batchDf, evalDocs, "text", "doc_id", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed === batch)
+    assert(streamed.size < trainRows.size, "expected some contamination to be dropped")
   }
 
   test("sessionize: gap-based sessions match a hand computation, streaming == batch") {

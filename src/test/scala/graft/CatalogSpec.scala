@@ -389,6 +389,54 @@ class CatalogSpec extends SparkSpec {
     assert(replayed === current)
   }
 
+  test("incremental agg maintenance from CDC equals recompute (moves, deletes, emptied groups)") {
+    import graft.operators.IncrementalAgg
+    import spark.implicits._
+    val cat = freshCat()
+    val schema3 = StructType(Seq(
+      StructField("id", IntegerType), StructField("grp", StringType),
+      StructField("v", DoubleType)))
+    cat.createTable(TableDef("src", schema3, Seq("id")))
+    cat.insert("src", Seq(
+      (1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0), (4, "b", 7.0))
+      .toDF("id", "grp", "v"))
+
+    val agg0 = IncrementalAgg.recompute(cat.tableAsOf("src", 0), Seq("grp"), "v")
+
+    // v1: in-group value change, cross-group MOVE (2: a→b), brand-new group c
+    cat.upsert("src", Seq((1, "a", 11.0), (2, "b", 20.0), (10, "c", 99.0))
+      .toDF("id", "grp", "v"))
+    // v2: empty group c entirely; shrink b
+    cat.delete("src", col("id") === 10 || col("id") === 3)
+
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val truth = asMap(IncrementalAgg.recompute(cat.table("src"), Seq("grp"), "v"))
+
+    // one-shot window (0, 2]
+    val oneShot = IncrementalAgg.merge(agg0,
+      IncrementalAgg.delta(cat, "src", 0, 2, Seq("grp"), "v"), Seq("grp"))
+    assert(asMap(oneShot) === truth)
+    assert(!asMap(oneShot).contains("c"), "emptied group must vanish")
+
+    // stepwise (0,1] then (1,2] — same answer (telescoping retractions)
+    val step = IncrementalAgg.merge(
+      IncrementalAgg.merge(agg0,
+        IncrementalAgg.delta(cat, "src", 0, 1, Seq("grp"), "v"), Seq("grp")),
+      IncrementalAgg.delta(cat, "src", 1, 2, Seq("grp"), "v"), Seq("grp"))
+    assert(asMap(step) === truth)
+
+    // production writeback: agg lives as a keyed table, only touched groups
+    // written; emptied group is tombstoned
+    val aggSchema = StructType(Seq(
+      StructField("grp", StringType), StructField("n", LongType),
+      StructField("total", DoubleType)))
+    cat.createTable(TableDef("agg", aggSchema, Seq("grp")))
+    cat.insert("agg", agg0.select("grp", "n", "total"))
+    IncrementalAgg.maintainInto(cat, "agg", cat, "src", 0, 2, Seq("grp"), "v")
+    assert(asMap(cat.table("agg").select("grp", "n", "total")) === truth)
+  }
+
   test("dirty-batch insertCounted: null-key rows skipped and counted, clean rows land") {
     val cat = freshCat()
     cat.createTable(TableDef("t", schema2, Seq("id")))

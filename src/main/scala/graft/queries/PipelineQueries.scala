@@ -580,5 +580,30 @@ object PipelineQueries {
              |FROM inter JOIN za USING (a) JOIN zb USING (b)
              |WHERE i * 1.0 / ((za.sza + zb.szb - i) * 1.0) >= 0.05
              |ORDER BY a, b""".stripMargin)),
+
+    // Corpus TF-IDF: top-3 characteristic terms per doc, df over the FULL
+    // corpus. Rational idf (N+1)/(df+1) — same ranking as the log form but
+    // bit-deterministic across engines (integer counts in, one division).
+    QDef("d27_tfidf_topk",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.TfIdf.topTerms(docs, "text", "doc_id", k = 3)
+          .filter(col("doc_id") < 50)
+          .select("doc_id", "term", "tf", "df", "score")
+          .orderBy("doc_id", "term")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df
+             |       FROM (SELECT DISTINCT doc_id, term FROM tok) t GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             |    CAST(tf.tf AS DOUBLE) * (CAST(n.n + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)) AS score
+             |  FROM tf JOIN df USING (term) CROSS JOIN n)
+             |SELECT doc_id, term, tf, df, score FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+             |  FROM scored) x
+             |WHERE rn <= 3 AND doc_id < 50
+             |ORDER BY doc_id, term""".stripMargin)),
   )
 }

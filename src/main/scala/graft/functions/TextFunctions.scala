@@ -30,15 +30,29 @@ object TextFunctions {
     size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
 
   /** Word n-gram shingles (space-joined windows of `n` consecutive tokens).
-    * Spark's `sequence(1, stop)` DESCENDS when stop < 1, so short docs are
-    * guarded to an empty shingle set explicitly.
+    * Short docs (< n tokens) are guarded to an empty shingle set explicitly.
+    *
+    * Formulated as `transform` over a zip of n shifted slices of the token
+    * array, NOT as index arithmetic reaching back into the array from the
+    * lambda: higher-order functions are interpreted (CodegenFallback) with
+    * no common-subexpression elimination inside the lambda, so a lambda
+    * containing `element_at(split(text), i + o)` RE-SPLITS the document n
+    * times per shingle — O(n·|doc|) splits per row (measured: 6× the whole
+    * decontamination scan at sf0.1). Here the lambda touches only its own
+    * zip-struct variable; the token array is evaluated at most n times per
+    * ROW, and that bound survives any optimizer inlining of the tokens
+    * expression.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) >= n,
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesOf(tokens(text), n)
+
+  /** [[wordShingles]] over an existing token-array column. */
+  def wordShinglesOf(toks: Column, n: Int): Column = {
+    val win = size(toks) - (n - 1)
+    when(win >= 1,
       transform(
-        sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*)))
+        arrays_zip((1 to n).map(k => slice(toks, lit(k), win)): _*),
+        s => concat_ws(" ", (0 until n).map(i => s.getField(i.toString)): _*)))
       .otherwise(array().cast("array<string>"))
   }
 

@@ -75,6 +75,29 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Stream-stream interval join (§2.9): purchases within `windowMinutes`
+    * AFTER a view by the same user — the streaming face of the batch range
+    * join (`j8_range_join`). Both sides carry a watermark and the join
+    * condition bounds event-time distance in BOTH directions, so Spark can
+    * evict state on each side once the other side's watermark passes
+    * `ts + window` — state is O(rate × (watermark + window)) per side,
+    * never unbounded; without the two-sided time bound a stream-stream
+    * inner join would have to keep every row forever.
+    */
+  def intervalJoinStreams(
+      views: DataFrame, purchases: DataFrame,
+      watermark: String = "30 minutes", windowMinutes: Int = 30): DataFrame = {
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"), col("value"))
+    v.join(p,
+      col("v_user") === col("b_user") &&
+        col("b_ts") > col("v_ts") &&
+        col("b_ts") <= col("v_ts") + expr(s"INTERVAL $windowMinutes MINUTE"))
+      .select(col("v_user").as("user_id"), col("v_ts"), col("b_ts"), col("value"))
+  }
+
   /** Streaming decontamination: drop streamed documents sharing any word
     * n-gram with a STATIC eval/benchmark corpus — the streaming face of
     * [[graft.operators.Dedup.decontaminate]].

@@ -51,6 +51,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream-stream interval join equals the batch range join across a batch cut") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents()
+    val views = events.filter(_.event_type == "view")
+    val buys = events.filter(_.event_type == "purchase")
+
+    val vs = MemoryStream[Ev]
+    val ps = MemoryStream[Ev]
+    // split each side across two micro-batches: matches must not depend on
+    // which batch carried which row (that is what the state store is for)
+    vs.addData(views.take(views.size / 2)); ps.addData(buys.take(buys.size / 2))
+    vs.addData(views.drop(views.size / 2)); ps.addData(buys.drop(buys.size / 2))
+
+    val joined = StreamingIngest.intervalJoinStreams(vs.toDF(), ps.toDF())
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable(); q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))
+    val streamed = spark.table("ssj_out").collect().map(key).toSeq.sorted
+    val batch = spark.createDataset(views).toDF()
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .join(spark.createDataset(buys).toDF()
+        .select(col("user_id").as("b_user"), col("ts").as("b_ts"), col("value")),
+        col("v_user") === col("b_user") && col("b_ts") > col("v_ts") &&
+          col("b_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTE"))
+      .select(col("v_user").as("user_id"), col("v_ts"), col("b_ts"))
+      .collect().map(key).toSeq.sorted
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming decontamination equals the batch operator, stateless") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

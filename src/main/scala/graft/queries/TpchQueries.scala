@@ -399,6 +399,84 @@ object TpchQueries {
               |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
               |   OR (p_brand = 'Brand#7'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
 
+    // Q7: volume shipping between two nations — BOTH nation roles filtered
+    // to a two-element set before anything joins, so each dimension chain
+    // (supplier→n1, customer→n2) broadcasts at a fraction of its table; the
+    // symmetric (A,B)/(B,A) disjunction is a residual on the joined pair.
+    QDef("tpch_q7",
+      (s, dir) => {
+        val nat = Tables.load(s, dir, "nation")
+          .filter(col("n_name").isin("NATION_3", "NATION_7"))
+        val supp = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+          .join(broadcast(nat.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "supp_nation")
+        val cust = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+          .join(broadcast(nat.select(col("n_nationkey").as("n2k"), col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("n2k"))
+          .select("c_custkey", "cust_nation")
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1998-01-01")
+          .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .filter(
+            (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+              (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("bigint").as("l_year"))
+          .agg(sum(expr(revenueExpr)).cast("decimal(38,4)").as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              |  year(l_shipdate) AS l_year,
+              |  CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS revenue
+              |FROM supplier
+              |JOIN lineitem ON s_suppkey = l_suppkey
+              |JOIN orders ON o_orderkey = l_orderkey
+              |JOIN customer ON c_custkey = o_custkey
+              |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+              |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+              |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Q15: top supplier by period revenue — the argmax-via-scalar shape.
+    // The per-supplier aggregate is computed ONCE and reused for both the
+    // max (1-row broadcast) and the equality probe; ties all surface
+    // (ORDER BY makes that deterministic). Exact DECIMAL revenue makes the
+    // max-equality well-defined — an argmax on floats would be engine-
+    // dependent at ties.
+    QDef("tpch_q15",
+      (s, dir) => {
+        val rev = Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+          .groupBy(col("l_suppkey"))
+          .agg(sum(expr(revenueExpr)).as("total_revenue"))
+        val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+        Tables.load(s, dir, "supplier").select("s_suppkey", "s_name")
+          .join(rev, col("s_suppkey") === col("l_suppkey"))
+          .crossJoin(broadcast(top))
+          .filter(col("total_revenue") === col("max_revenue"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("total_revenue").cast("decimal(38,4)").as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some(s"""WITH rev AS (
+              |  SELECT l_suppkey AS supplier_no, sum($revenueExpr) AS total_revenue
+              |  FROM lineitem
+              |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+              |  GROUP BY 1)
+              |SELECT s_suppkey, s_name, CAST(total_revenue AS DECIMAL(38,4)) AS total_revenue
+              |FROM supplier JOIN rev ON s_suppkey = supplier_no
+              |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+              |ORDER BY s_suppkey""".stripMargin)),
+
     // Q22: dormant high-balance customers (every fixture customer has
     // orders, so "no orders at all" would be vacuous — the anti-join is
     // against RECENT orders instead; c_nationkey stands in for the missing

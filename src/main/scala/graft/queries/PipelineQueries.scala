@@ -605,5 +605,34 @@ object PipelineQueries {
              |  FROM scored) x
              |WHERE rn <= 3 AND doc_id < 50
              |ORDER BY doc_id, term""".stripMargin)),
+
+    // Exact-quota stratified sampling: exactly k docs per language, chosen
+    // by md5 order — the exact-budget companion to d23's rate-based mixture
+    // (training mixes are usually specified as exact token/doc budgets).
+    // Deterministic across engines and reruns; the per-stratum window sorts
+    // only each language's partition (languages are the parallel unit; a
+    // skewed stratum at 100 TB would swap row_number for a two-phase
+    // threshold: sample the stratum's hash distribution, cut at the quota
+    // quantile, exact-trim the boundary bucket).
+    QDef("d28_stratified_sample",
+      (s, dir) => {
+        val hv = md5(concat(lit("strat:"), col("doc_id").cast("string")))
+        Tables.load(s, dir, "documents")
+          .withColumn("hv", hv)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("lang").orderBy(col("hv"), col("doc_id"))))
+          .filter(col("rn") <= 40)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), min(col("hv")).as("first_hv"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n, min(hv) AS first_hv
+             |FROM (SELECT lang, hv,
+             |        row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+             |      FROM (SELECT lang, doc_id,
+             |              md5('strat:' || CAST(doc_id AS VARCHAR)) AS hv
+             |            FROM documents) h) t
+             |WHERE rn <= 40
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

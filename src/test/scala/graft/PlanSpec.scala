@@ -124,6 +124,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("runtime bloom-filter injection prunes the fact side of a selective shuffle join") {
+    // At 100 TB the fact scan of a selective shuffle join is the cost; Spark's
+    // InjectRuntimeFilter builds a bloom filter from the filtered (small) side
+    // and semi-filters fact rows BEFORE the shuffle. Fixture sizes sit under
+    // the production thresholds, so the test pins them down — the assertion is
+    // about the rewrite being available to this engine's plans, not about
+    // default thresholds.
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+      val ord = Tables.load(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      val p = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("might_contain"), p.take(2000))
+    } finally old.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("D14: dedup rep-selection is pure aggregation — no window, no join") {
     val p = planOf("d14_clean_corpus_pipeline")
     // round-1 hash-partitioned every payload byte twice through Window; the

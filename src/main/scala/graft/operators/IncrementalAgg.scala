@@ -34,6 +34,15 @@ object IncrementalAgg {
   def delta(
       cat: KuduLikeCatalog, table: String, fromVersion: Int, toVersion: Int,
       groupCols: Seq[String], valueCol: String): DataFrame = {
+    require(0 <= fromVersion && fromVersion <= toVersion,
+      s"bad version window ($fromVersion, $toVersion]")
+    // a compact() folds the changelog away and resets version numbering —
+    // a stale window would silently read an EMPTY delta and corrupt the
+    // maintained aggregate; fail loudly and make the consumer re-bootstrap
+    val current = cat.currentVersion(table)
+    require(toVersion <= current,
+      s"toVersion $toVersion exceeds current changelog version $current " +
+        s"(table compacted?) — re-bootstrap the aggregate with recompute()")
     val keys = cat.keyColsOf(table)
     val changes = cat.changesBetween(table, fromVersion, toVersion)
     // latest change per key wins vs the from-state (ties impossible: the

@@ -100,6 +100,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: incremental agg tracks random upsert/delete sequences exactly") {
+    import graft.operators.IncrementalAgg
+    import spark.implicits._
+    val schema3 = StructType(Seq(
+      StructField("id", IntegerType), StructField("grp", StringType),
+      StructField("v", DoubleType)))
+    (1 to 2).foreach { iter =>
+      val cat = new KuduLikeCatalog(spark, tmpDir("graft_iagg_"))
+      cat.createTable(TableDef("t", schema3, Seq("id")))
+      val rnd = new scala.util.Random(777 + iter)
+      def grp() = s"g${rnd.nextInt(4)}"
+      // bootstrap lands in the BASE (version 0); only versioned mutations after
+      cat.insert("t", List.tabulate(8)(i => (i, grp(), rnd.nextInt(100).toDouble))
+        .toDF("id", "grp", "v"))
+      var maintained = IncrementalAgg.recompute(cat.table("t"), Seq("grp"), "v")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSeq // pin the bootstrap so later deltas can't recompute through it
+      var prev = cat.currentVersion("t")
+      (1 to 8).foreach { step =>
+        if (rnd.nextBoolean()) {
+          // upserts move keys between groups and change values
+          cat.upsert("t", List.fill(5)((rnd.nextInt(12), grp(), rnd.nextInt(100).toDouble))
+            .toDF("id", "grp", "v"))
+        } else {
+          val m = 2 + rnd.nextInt(3)
+          cat.delete("t", org.apache.spark.sql.functions.col("id") % m === rnd.nextInt(m))
+        }
+        val cur = cat.currentVersion("t")
+        val prevDf = maintained.toDF("grp", "n", "total")
+        maintained = IncrementalAgg.merge(prevDf,
+          IncrementalAgg.delta(cat, "t", prev, cur, Seq("grp"), "v"), Seq("grp"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+        prev = cur
+        val truth = IncrementalAgg.recompute(cat.table("t"), Seq("grp"), "v")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(maintained.toSet === truth, s"iter $iter step $step")
+      }
+      // stale window after compact fails loudly instead of reading empty
+      if (prev > 0) {
+        cat.compact("t")
+        val e = intercept[IllegalArgumentException] {
+          IncrementalAgg.delta(cat, "t", 0, prev, Seq("grp"), "v")
+        }
+        assert(e.getMessage.contains("re-bootstrap"))
+      }
+    }
+  }
+
   test("property: insert lands exactly the distinct keys; re-insert adds nothing") {
     import spark.implicits._
     (1 to 6).foreach { i =>

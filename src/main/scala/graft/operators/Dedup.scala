@@ -181,9 +181,16 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, tau: Double = 0.05, dfMax: Long = 1000): DataFrame = {
+    // The (doc, shingle) frame feeds sizes, the df cap, candidate
+    // generation, AND exact verification — four consumers whose alias
+    // renames defeat exchange reuse, which would otherwise re-shingle the
+    // corpus per consumer (16 scans in the unpersisted plan). Set-similarity
+    // joins stage-materialize the shingle table in practice; persist() is
+    // that staging (MEMORY_AND_DISK — spills, never recomputes).
     val shingles = graft.Tables.parallel(df)
       .select(col(idCol).as("doc"), explode(TextFunctions.wordShingles(col(textCol), n)).as("g"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shingles.groupBy("doc").agg(count(lit(1)).as("sz"))
     val discriminative = shingles.groupBy("g")
       .agg(count(lit(1)).as("df")).filter(col("df") <= dfMax).select("g")
@@ -259,9 +266,12 @@ object Dedup {
   def ngramJaccardPairsCross(
       newDf: DataFrame, refDf: DataFrame, textCol: String, idCol: String,
       n: Int = 3, tau: Double = 0.05, dfMax: Long = 1000): DataFrame = {
+    // staged like ngramJaccardPairs: each side feeds sizes + candidates +
+    // verification, so both shingle frames persist instead of re-scanning
     def shingles(df: DataFrame, as: String) = graft.Tables.parallel(df)
       .select(col(idCol).as(as),
         explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shA = shingles(newDf, "a")
     val shB = shingles(refDf, "b")
     val sizesA = shA.groupBy("a").agg(count(lit(1)).as("sza"))

@@ -25,12 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object TfIdf {
 
-  /** (idCol, term, tf, df, score) for every (document, term) pair. */
+  /** (idCol, term, tf, df, score) for every (document, term) pair.
+    *
+    * df derives FROM the tf frame (tf already has one row per (doc, term),
+    * so counting rows per term IS the document frequency) — the corpus is
+    * scanned once, not once per aggregate, and no extra distinct pass runs.
+    */
   def scores(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = graft.Tables.parallel(docs)
       .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val df = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n"))
     tf.join(df, Seq("term"))
       .crossJoin(broadcast(n))

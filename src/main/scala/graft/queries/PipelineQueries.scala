@@ -634,5 +634,52 @@ object PipelineQueries {
              |            FROM documents) h) t
              |WHERE rn <= 40
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The capstone composition: quality gate → exact dedup → benchmark
+    // decontamination → exact per-language quota — each stage the library
+    // operator itself (exactIds / decontaminate), not a re-derivation, so
+    // this query breaks if any operator's semantics drift. Scale shape is
+    // the sum of its parts: narrow quality filter, keys-only dedup shuffle,
+    // broadcast decontamination, per-stratum windows.
+    QDef("d29_prep_pipeline",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .filter(col("n_chars").between(100, 500))
+        val train0 = docs.filter(col("doc_id") % 20 =!= 0)
+        val evalDocs = docs.filter(col("doc_id") % 20 === 0)
+        val deduped = train0.join(
+          Dedup.exactIds(train0, "text", "doc_id").select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val clean = Dedup.decontaminate(deduped, evalDocs, "text", "doc_id", n = 4)
+        clean
+          .withColumn("hv", md5(concat(lit("pick:"), col("doc_id").cast("string"))))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("lang").orderBy(col("hv"), col("doc_id"))))
+          .filter(col("rn") <= 10)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some("""WITH q AS (SELECT doc_id, text, lang FROM documents
+             |           WHERE n_chars BETWEEN 100 AND 500),
+             |tr AS (SELECT * FROM q WHERE doc_id % 20 <> 0),
+             |surv AS (SELECT min(doc_id) AS doc_id FROM tr GROUP BY sha256(text)),
+             |dd AS (SELECT tr.* FROM tr JOIN surv USING (doc_id)),
+             |evg AS (SELECT DISTINCT g FROM (
+             |  SELECT unnest(list_transform(range(1, len(string_split(text,' ')) - 2),
+             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+             |         string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) AS g
+             |  FROM q WHERE doc_id % 20 = 0) t),
+             |bad AS (SELECT DISTINCT doc_id FROM (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 2),
+             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+             |         string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) AS g
+             |  FROM dd) d JOIN evg USING (g)),
+             |clean AS (SELECT doc_id, lang FROM dd
+             |          WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = dd.doc_id))
+             |SELECT doc_id, lang FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY lang
+             |    ORDER BY md5('pick:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM clean) x
+             |WHERE rn <= 10 ORDER BY doc_id""".stripMargin)),
   )
 }

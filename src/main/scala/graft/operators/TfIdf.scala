@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * term scores against corpus-wide document frequencies, and top-k
   * characteristic terms per document.
   *
-  * The idf factor is the RATIONAL (N+1)/(df+1) rather than its logarithm:
-  * ranking is identical (log is monotone), but division of exact integer
+  * The idf factor is the RATIONAL (N+1)/(df+1) rather than its logarithm —
+  * a recognized idf variant (log merely dampens): division of exact integer
   * counts is bit-deterministic across engines while `ln` can differ in the
   * last ulp between libm implementations — the same determinism discipline
-  * as the engine's decimal money math.
+  * as the engine's decimal money math. Note the variants agree on ordering
+  * only among terms with EQUAL tf (monotonicity is per-factor); across
+  * different tf the log's damping can reorder, so this is a deliberate
+  * scoring choice, not a disguised log-idf (ScaleOpsSpec pins down exactly
+  * the per-tf-class agreement).
   *
   * Scale shape: tf is a (doc, term) partial-aggregating groupBy (map-side
   * combine absorbs within-doc repetition before the shuffle); df aggregates

@@ -582,8 +582,9 @@ object PipelineQueries {
              |ORDER BY a, b""".stripMargin)),
 
     // Corpus TF-IDF: top-3 characteristic terms per doc, df over the FULL
-    // corpus. Rational idf (N+1)/(df+1) — same ranking as the log form but
-    // bit-deterministic across engines (integer counts in, one division).
+    // corpus. Rational idf (N+1)/(df+1) — a standard no-log idf variant,
+    // chosen because integer-count division is bit-deterministic across
+    // engines (ln differs in the last ulp between libm implementations).
     QDef("d27_tfidf_topk",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")

@@ -134,6 +134,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(quadratic.forall { case (x, y, _) => y === x + 10000L })
   }
 
+  test("TF-IDF rational idf ranks like log-idf within each tf class (the true invariant)") {
+    import org.apache.spark.sql.expressions.Window
+    // tf × f(df) rankings agree across idf variants ONLY among terms with
+    // equal tf — monotonicity of f is per-factor, the tf product can reorder
+    // across tf classes (this test replaced a wrong whole-ranking claim)
+    val docs = Tables.load(spark, sf, "documents").filter(col("doc_id") < 100)
+    val n = docs.count().toDouble
+    val scored = graft.operators.TfIdf.scores(docs, "text", "doc_id")
+      .withColumn("logscore",
+        col("tf").cast("double") * (log(lit(n + 1.0)) - log(col("df").cast("double") + 1.0)))
+    def ranking(scoreCol: String) = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id", "tf").orderBy(col(scoreCol).desc, col("term"))))
+      .select("doc_id", "tf", "term", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3))).toSet
+    assert(ranking("score") === ranking("logscore"))
+  }
+
   test("MinHash UDAF rejects under-length signatures (sentinel-inflation guard)") {
     val agg = new graft.functions.MinHashCorpusAggregator(16)
     // a short signature would leave '￿' sentinels in the buffer and

@@ -152,6 +152,31 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ranking("score") === ranking("logscore"))
   }
 
+  test("Misra–Gries heavy hitters: guaranteed recall, bounded undercount, merge-safe") {
+    import spark.implicits._
+    import graft.functions.HeavyHittersAggregator
+    val toks = Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("t")).as[String]
+    val k = 16
+    val sketch: Map[String, Long] =
+      toks.select(new HeavyHittersAggregator(k).toColumn.name("hh")).head()
+    assert(sketch.size <= k)
+    val n = toks.count()
+    val exact = toks.groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bound = n.toDouble / (k + 1)
+    // classic MG guarantee, which must hold across Spark's partial/merge path:
+    // every true heavy hitter survives; reported counts never overcount and
+    // undercount by at most n/(k+1)
+    exact.foreach { case (t, c) =>
+      if (c > bound) assert(sketch.contains(t), s"heavy hitter '$t' (freq $c > $bound) missing")
+    }
+    sketch.foreach { case (t, c) =>
+      assert(c <= exact(t), s"'$t' overcounted: $c > ${exact(t)}")
+      assert(exact(t) - c <= bound, s"'$t' undercount beyond bound")
+    }
+  }
+
   test("MinHash UDAF rejects under-length signatures (sentinel-inflation guard)") {
     val agg = new graft.functions.MinHashCorpusAggregator(16)
     // a short signature would leave '￿' sentinels in the buffer and

@@ -414,9 +414,27 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       val obs = org.apache.spark.sql.Observation()
       writePartitioned(toInsert.observe(obs, count(lit(1)).as("n")),
         keys, bucketsOf(name), rangeColOf(name), dataDir(name), SaveMode.Append)
-      obs.get("n").asInstanceOf[Long]
+      val n = obs.get("n").asInstanceOf[Long]
+      // base appends bypass the delta changelog (no version bump) — bump the
+      // base epoch so CDC consumers (IncrementalAgg) can detect that their
+      // bootstrapped base state went stale and fail loudly
+      if (n > 0) bumpBaseEpoch(name)
+      n
     }
   }
+
+  /** Monotone counter of base-file appends (inserts taking the non-delta
+    * path). Changelog windows are only valid while this is unchanged: base
+    * appends add rows that `changesBetween` never reports.
+    */
+  def baseEpoch(name: String): Long = {
+    val f = tableDir(name).resolve("base_epoch")
+    if (Files.exists(f)) Files.readString(f).trim.toLong else 0L
+  }
+
+  private def bumpBaseEpoch(name: String): Unit =
+    Files.writeString(tableDir(name).resolve("base_epoch"),
+      (baseEpoch(name) + 1).toString)
 
   /** ALTER TABLE ADD COLUMN (Kudu supports online schema evolution; the
     * reference wires no alter hook at all). The new column must be in the

@@ -16,6 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Staged shingle frames, one slot per operator+side: persisting without
+    * ever unpersisting would leak a cached copy per CALL (bench loops alone
+    * run these operators every round). Each new call releases the previous
+    * frame for its slot — at most one cached copy per slot per session.
+    * `unpersist(blocking = false)` is safe against a concurrent reader of
+    * the old frame: missing blocks are recomputed, never wrong.
+    */
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def stage(slot: String, df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(staged.put(slot, p)).filter(_ ne p).foreach(_.unpersist(false))
+    p
+  }
+
   /** D1 — exact dedup by content hash: deterministic survivor = lowest id
     * per sha2-256 of the content. One shuffle on the hash.
     */
@@ -185,12 +200,12 @@ object Dedup {
     // generation, AND exact verification — four consumers whose alias
     // renames defeat exchange reuse, which would otherwise re-shingle the
     // corpus per consumer (16 scans in the unpersisted plan). Set-similarity
-    // joins stage-materialize the shingle table in practice; persist() is
-    // that staging (MEMORY_AND_DISK — spills, never recomputes).
-    val shingles = graft.Tables.parallel(df)
+    // joins stage-materialize the shingle table in practice; stage() is
+    // that staging (MEMORY_AND_DISK — spills, never recomputes — and the
+    // previous call's frame is released).
+    val shingles = stage("jaccard", graft.Tables.parallel(df)
       .select(col(idCol).as("doc"), explode(TextFunctions.wordShingles(col(textCol), n)).as("g"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     val sizes = shingles.groupBy("doc").agg(count(lit(1)).as("sz"))
     val discriminative = shingles.groupBy("g")
       .agg(count(lit(1)).as("df")).filter(col("df") <= dfMax).select("g")
@@ -267,11 +282,11 @@ object Dedup {
       newDf: DataFrame, refDf: DataFrame, textCol: String, idCol: String,
       n: Int = 3, tau: Double = 0.05, dfMax: Long = 1000): DataFrame = {
     // staged like ngramJaccardPairs: each side feeds sizes + candidates +
-    // verification, so both shingle frames persist instead of re-scanning
-    def shingles(df: DataFrame, as: String) = graft.Tables.parallel(df)
-      .select(col(idCol).as(as),
-        explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // verification, so both shingle frames stage instead of re-scanning
+    def shingles(df: DataFrame, as: String) = stage(s"jaccard-cross-$as",
+      graft.Tables.parallel(df)
+        .select(col(idCol).as(as),
+          explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("g")))
     val shA = shingles(newDf, "a")
     val shB = shingles(refDf, "b")
     val sizesA = shA.groupBy("a").agg(count(lit(1)).as("sza"))

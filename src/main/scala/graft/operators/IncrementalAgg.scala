@@ -30,10 +30,17 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalAgg {
 
-  /** Net per-group change in (n, total) caused by versions (from, to]. */
+  /** Net per-group change in (n, total) caused by versions (from, to].
+    *
+    * `baseEpoch` is the value of [[KuduLikeCatalog.baseEpoch]] the consumer
+    * captured when it bootstrapped: inserts into a table with no pending
+    * delta layers append to the BASE without emitting CDC or bumping the
+    * version, so without this check the maintained aggregate would go
+    * silently stale (the rows exist but the changelog never reports them).
+    */
   def delta(
       cat: KuduLikeCatalog, table: String, fromVersion: Int, toVersion: Int,
-      groupCols: Seq[String], valueCol: String): DataFrame = {
+      baseEpoch: Long, groupCols: Seq[String], valueCol: String): DataFrame = {
     require(0 <= fromVersion && fromVersion <= toVersion,
       s"bad version window ($fromVersion, $toVersion]")
     // a compact() folds the changelog away and resets version numbering —
@@ -43,6 +50,11 @@ object IncrementalAgg {
     require(toVersion <= current,
       s"toVersion $toVersion exceeds current changelog version $current " +
         s"(table compacted?) — re-bootstrap the aggregate with recompute()")
+    val epochNow = cat.baseEpoch(table)
+    require(epochNow == baseEpoch,
+      s"base epoch moved ($baseEpoch -> $epochNow): rows were inserted via the " +
+        "base-append path, which the changelog does not cover — re-bootstrap " +
+        "the aggregate with recompute()")
     val keys = cat.keyColsOf(table)
     val changes = cat.changesBetween(table, fromVersion, toVersion)
     // latest change per key wins vs the from-state (ties impossible: the
@@ -70,14 +82,23 @@ object IncrementalAgg {
   /** Merge a [[delta]] into the previous aggregate frame: full outer join on
     * the group key — new groups appear, emptied groups (n = 0) vanish. The
     * join is sized by |agg| + |delta|, never by the fact table.
+    *
+    * The join is NULL-SAFE (`<=>`): group columns are ordinary nullable
+    * columns, and a null-keyed group must meet its own delta row — a
+    * null-unsafe join would drop its retractions (losing deletes) or
+    * duplicate the group (on additions).
     */
-  def merge(prevAgg: DataFrame, d: DataFrame, groupCols: Seq[String]): DataFrame =
-    prevAgg.join(d, groupCols, "full_outer")
+  def merge(prevAgg: DataFrame, d: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val p = prevAgg.select(
+      (groupCols.map(g => col(g).as(s"__p_$g")) :+ col("n") :+ col("total")): _*)
+    val cond = groupCols.map(g => col(s"__p_$g") <=> col(g)).reduce(_ && _)
+    p.join(d, cond, "full_outer")
       .select(
-        (groupCols.map(col) :+
+        (groupCols.map(g => coalesce(col(s"__p_$g"), col(g)).as(g)) :+
           (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n") :+
           (coalesce(col("total"), lit(0.0)) + coalesce(col("d_total"), lit(0.0))).as("total")): _*)
       .filter(col("n") > 0L)
+  }
 
   /** The aggregate this operator maintains, computed from scratch — the
     * oracle for tests and the bootstrap for version 0.
@@ -91,13 +112,18 @@ object IncrementalAgg {
     * upsert for surviving groups, tombstones for emptied ones — so refresh
     * cost is O(touched groups), and readers see the aggregate through the
     * ordinary merge-on-read path.
+    *
+    * Because the group columns ARE the aggregate table's primary key (and
+    * the catalog rejects null keys), null-valued groups cannot be
+    * represented here — maintain those through the frame-level [[merge]],
+    * which is null-safe.
     */
   def maintainInto(
       cat: KuduLikeCatalog, aggTable: String,
       srcCat: KuduLikeCatalog, srcTable: String,
-      fromVersion: Int, toVersion: Int,
+      fromVersion: Int, toVersion: Int, baseEpoch: Long,
       groupCols: Seq[String], valueCol: String): Unit = {
-    val d = delta(srcCat, srcTable, fromVersion, toVersion, groupCols, valueCol)
+    val d = delta(srcCat, srcTable, fromVersion, toVersion, baseEpoch, groupCols, valueCol)
     val touched = merge(
       cat.table(aggTable).join(d.select(groupCols.map(col): _*), groupCols, "left_semi"),
       d, groupCols)

@@ -37,7 +37,8 @@ object TfIdf {
     */
   def scores(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = graft.Tables.parallel(docs)
-      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .select(col(idCol),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n"))

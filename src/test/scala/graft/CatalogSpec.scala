@@ -402,6 +402,7 @@ class CatalogSpec extends SparkSpec {
       .toDF("id", "grp", "v"))
 
     val agg0 = IncrementalAgg.recompute(cat.tableAsOf("src", 0), Seq("grp"), "v")
+    val epoch0 = cat.baseEpoch("src")
 
     // v1: in-group value change, cross-group MOVE (2: a→b), brand-new group c
     cat.upsert("src", Seq((1, "a", 11.0), (2, "b", 20.0), (10, "c", 99.0))
@@ -415,15 +416,15 @@ class CatalogSpec extends SparkSpec {
 
     // one-shot window (0, 2]
     val oneShot = IncrementalAgg.merge(agg0,
-      IncrementalAgg.delta(cat, "src", 0, 2, Seq("grp"), "v"), Seq("grp"))
+      IncrementalAgg.delta(cat, "src", 0, 2, epoch0, Seq("grp"), "v"), Seq("grp"))
     assert(asMap(oneShot) === truth)
     assert(!asMap(oneShot).contains("c"), "emptied group must vanish")
 
     // stepwise (0,1] then (1,2] — same answer (telescoping retractions)
     val step = IncrementalAgg.merge(
       IncrementalAgg.merge(agg0,
-        IncrementalAgg.delta(cat, "src", 0, 1, Seq("grp"), "v"), Seq("grp")),
-      IncrementalAgg.delta(cat, "src", 1, 2, Seq("grp"), "v"), Seq("grp"))
+        IncrementalAgg.delta(cat, "src", 0, 1, epoch0, Seq("grp"), "v"), Seq("grp")),
+      IncrementalAgg.delta(cat, "src", 1, 2, epoch0, Seq("grp"), "v"), Seq("grp"))
     assert(asMap(step) === truth)
 
     // production writeback: agg lives as a keyed table, only touched groups
@@ -433,8 +434,28 @@ class CatalogSpec extends SparkSpec {
       StructField("total", DoubleType)))
     cat.createTable(TableDef("agg", aggSchema, Seq("grp")))
     cat.insert("agg", agg0.select("grp", "n", "total"))
-    IncrementalAgg.maintainInto(cat, "agg", cat, "src", 0, 2, Seq("grp"), "v")
+    IncrementalAgg.maintainInto(cat, "agg", cat, "src", 0, 2, epoch0, Seq("grp"), "v")
     assert(asMap(cat.table("agg").select("grp", "n", "total")) === truth)
+
+    // base-path inserts bypass the changelog — the epoch guard must catch a
+    // consumer holding a pre-insert bootstrap instead of silently diverging
+    val cat2 = freshCat()
+    cat2.createTable(TableDef("src2", schema3, Seq("id")))
+    cat2.insert("src2", Seq((1, "a", 1.0)).toDF("id", "grp", "v"))
+    val e0 = cat2.baseEpoch("src2")
+    cat2.insert("src2", Seq((2, "a", 2.0)).toDF("id", "grp", "v")) // base append
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.delta(cat2, "src2", 0, 0, e0, Seq("grp"), "v")
+    }
+    assert(e.getMessage.contains("base epoch"))
+
+    // null-group merge is null-safe: retraction on a null key must land
+    val prevN = Seq(("x", 2L, 30.0), (null.asInstanceOf[String], 2L, 30.0))
+      .toDF("grp", "n", "total")
+    val dN = Seq((null.asInstanceOf[String], -1L, -19.0)).toDF("grp", "d_n", "d_total")
+    val merged = IncrementalAgg.merge(prevN, dN, Seq("grp")).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getDouble(2))).toSet
+    assert(merged === Set((Some("x"), 2L, 30.0), (None, 1L, 11.0)))
   }
 
   test("dirty-batch insertCounted: null-key rows skipped and counted, clean rows land") {

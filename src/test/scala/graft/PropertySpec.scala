@@ -118,6 +118,7 @@ class PropertySpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
         .toSeq // pin the bootstrap so later deltas can't recompute through it
       var prev = cat.currentVersion("t")
+      val epoch = cat.baseEpoch("t")
       (1 to 8).foreach { step =>
         if (rnd.nextBoolean()) {
           // upserts move keys between groups and change values
@@ -130,7 +131,7 @@ class PropertySpec extends SparkSpec {
         val cur = cat.currentVersion("t")
         val prevDf = maintained.toDF("grp", "n", "total")
         maintained = IncrementalAgg.merge(prevDf,
-          IncrementalAgg.delta(cat, "t", prev, cur, Seq("grp"), "v"), Seq("grp"))
+          IncrementalAgg.delta(cat, "t", prev, cur, epoch, Seq("grp"), "v"), Seq("grp"))
           .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
         prev = cur
         val truth = IncrementalAgg.recompute(cat.table("t"), Seq("grp"), "v")
@@ -141,7 +142,7 @@ class PropertySpec extends SparkSpec {
       if (prev > 0) {
         cat.compact("t")
         val e = intercept[IllegalArgumentException] {
-          IncrementalAgg.delta(cat, "t", 0, prev, Seq("grp"), "v")
+          IncrementalAgg.delta(cat, "t", 0, prev, epoch, Seq("grp"), "v")
         }
         assert(e.getMessage.contains("re-bootstrap"))
       }

@@ -60,15 +60,16 @@ class StreamingSpec extends SparkSpec {
 
     val vs = MemoryStream[Ev]
     val ps = MemoryStream[Ev]
-    // split each side across two micro-batches: matches must not depend on
-    // which batch carried which row (that is what the state store is for)
-    vs.addData(views.take(views.size / 2)); ps.addData(buys.take(buys.size / 2))
-    vs.addData(views.drop(views.size / 2)); ps.addData(buys.drop(buys.size / 2))
-
     val joined = StreamingIngest.intervalJoinStreams(vs.toDF(), ps.toDF())
     val q = joined.writeStream.outputMode("append")
       .format("memory").queryName("ssj_out")
       .trigger(Trigger.ProcessingTime(0)).start()
+    // split each side across two REAL micro-batches (processAllAvailable
+    // between adds — data queued before the first trigger would land in one
+    // batch): matches spanning the cut must come from the state store
+    vs.addData(views.take(views.size / 2)); ps.addData(buys.take(buys.size / 2))
+    q.processAllAvailable()
+    vs.addData(views.drop(views.size / 2)); ps.addData(buys.drop(buys.size / 2))
     q.processAllAvailable(); q.stop()
 
     def key(r: org.apache.spark.sql.Row) =
@@ -96,14 +97,15 @@ class StreamingSpec extends SparkSpec {
     val trainRows = train.select("doc_id", "text").limit(200)
       .collect().map(r => StreamDoc(r.getLong(0), r.getString(1))).toSeq
     val stream = MemoryStream[StreamDoc]
-    // two micro-batches: per-batch filtering must not depend on batch cut
-    stream.addData(trainRows.take(97))
-    stream.addData(trainRows.drop(97))
-
     val cleaned = StreamingIngest.decontaminateStream(stream.toDF(), evalDocs, "text", n = 4)
     val q = cleaned.writeStream.outputMode("append")
       .format("memory").queryName("decon_out")
       .trigger(Trigger.ProcessingTime(0)).start()
+    // two REAL micro-batches (trigger between the adds): per-batch filtering
+    // must not depend on where the batch cut falls
+    stream.addData(trainRows.take(97))
+    q.processAllAvailable()
+    stream.addData(trainRows.drop(97))
     q.processAllAvailable(); q.stop()
 
     val streamed = spark.table("decon_out").select("doc_id")

@@ -43,6 +43,8 @@ object GraftSql {
       writeInto(spark, cat, stmt)
     else if (upper.startsWith("DELETE FROM")) delete(spark, cat, stmt)
     else if (upper.startsWith("ALTER TABLE")) alter(spark, cat, stmt)
+    else if (upper.startsWith("DESCRIBE ") || upper.startsWith("DESC "))
+      describe(spark, cat, stmt)
     else { registerViews(spark, cat); spark.sql(stmt) }
   }
 
@@ -73,6 +75,8 @@ object GraftSql {
     """(?is)^DELETE\s+FROM\s+`?([\w.]+)`?(?:\s+WHERE\s+(.*))?$""".r
   private val AlterHead =
     """(?is)^ALTER\s+TABLE\s+`?([\w.]+)`?\s+ADD\s+COLUMNS?\s*(.+)$""".r
+  private val DescribeHead =
+    """(?is)^DESC(?:RIBE)?\s+(FORMATTED\s+)?(?:TABLE\s+)?`?([\w.]+)`?$""".r
 
   private def create(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame = {
     val m = CreateHead.findFirstMatchIn(stmt).getOrElse(
@@ -161,6 +165,52 @@ object GraftSql {
       case _ => spark.sql(stmt)
     }
 
+  /** DESCRIBE [FORMATTED] <table> for catalog tables — the reference
+    * transcript's step 2 (`describe formatted test_drop`, README.md:33 and
+    * golden output README.md:76-110): a (col_name, data_type, comment) frame
+    * listing the columns, and with FORMATTED also the Hive-style detailed
+    * sections carrying the storage handler, the `kudu.*` / `graft.*` table
+    * parameters, and the bucket/range partitioning. Non-catalog tables fall
+    * through to Spark's own DESCRIBE.
+    */
+  private def describe(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame =
+    stmt match {
+      case DescribeHead(fmt, name) if cat.exists(name) =>
+        import spark.implicits._
+        val schema = cat.schemaOf(name)
+        val keys = cat.keyColsOf(name)
+        val cols = schema.fields.toSeq.map { f =>
+          (f.name, f.dataType.simpleString,
+            if (keys.contains(f.name)) "primary key" else "")
+        }
+        val rows =
+          if (fmt == null) cols
+          else {
+            val buckets = cat.bucketsOf(name)
+            val range = cat.rangeColOf(name)
+            cols ++ Seq(
+              ("", "", ""),
+              ("# Detailed Table Information", "", ""),
+              ("Location:", cat.location(name), ""),
+              ("Table Type:", "MANAGED_TABLE", ""),
+              ("Table Parameters:", "", ""),
+              ("", "kudu.table_name", name),
+              ("", "kudu.key_columns", keys.mkString(",")),
+              ("", "storage_handler", "graft.catalog.KuduLikeCatalog")) ++
+              (if (buckets > 0) Seq(("", "graft.hash_buckets", buckets.toString)) else Nil) ++
+              range.map(rc => ("", "graft.range_column", rc)).toSeq ++
+              cat.zoneOf(name).map(z => ("", "graft.range_zone", z)).toSeq ++
+              Seq(
+                ("", "", ""),
+                ("# Storage Information", "", ""),
+                ("Num Buckets:", if (buckets > 0) buckets.toString else "-1", ""),
+                ("Bucket Columns:",
+                  if (buckets > 0) keys.mkString("[", ", ", "]") else "[]", ""))
+          }
+        rows.toDF("col_name", "data_type", "comment")
+      case _ => { registerViews(spark, cat); spark.sql(stmt) }
+    }
+
   /** The reference maps CHAR/VARCHAR onto plain STRING
     * (HiveKuduBridgeUtils.java:38-44) — one normalization shared by
     * CREATE and ALTER so the two can never accept different column DDL.
@@ -170,7 +220,9 @@ object GraftSql {
     .replaceAll("(?i)\\bchar\\s*\\(\\s*\\d+\\s*\\)", "string")
 
   /** Substring inside the balanced paren at `open` (quote-aware) and the
-    * index just past its close.
+    * index just past its close. Inside a literal, a doubled `''` and a
+    * backslash-escaped `\'` are CONTENT, not a closing quote — otherwise
+    * `('it''s')` would flip the quote state and mis-track the parens.
     */
   private def balancedParen(s: String, open: Int): (String, Int) = {
     var depth = 0
@@ -178,8 +230,13 @@ object GraftSql {
     var inQuote = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inQuote) { if (c == '\'') inQuote = false }
-      else c match {
+      if (inQuote) {
+        if (c == '\\') i += 1 // escaped next char (incl. \') is literal
+        else if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1 // '' literal
+          else inQuote = false
+        }
+      } else c match {
         case '\'' => inQuote = true
         case '(' => depth += 1
         case ')' =>

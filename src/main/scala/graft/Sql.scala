@@ -39,16 +39,26 @@ object Sql {
   }
 
   /** Split on `;` outside single-quoted literals (a `';'` inside a string
-    * constant must not end the statement).
+    * constant must not end the statement). Escaped quotes inside a literal —
+    * the SQL-standard doubled `''` and backslash `\'` — are content, so
+    * `VALUES (1, 'it''s; x')` stays one statement.
     */
   private[graft] def splitStatements(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
     var inQuote = false
-    s.foreach { c =>
-      if (c == '\'') { inQuote = !inQuote; cur.append(c) }
-      else if (c == ';' && !inQuote) { out += cur.toString; cur.clear() }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        if (c == '\\' && i + 1 < s.length) { cur.append(c).append(s.charAt(i + 1)); i += 1 }
+        else if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+          cur.append("''"); i += 1
+        } else { if (c == '\'') inQuote = false; cur.append(c) }
+      } else if (c == '\'') { inQuote = true; cur.append(c) }
+      else if (c == ';') { out += cur.toString; cur.clear() }
       else cur.append(c)
+      i += 1
     }
     out += cur.toString
     out.toSeq.map(_.trim).filter(_.nonEmpty)

@@ -78,6 +78,9 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
 
   def exists(name: String): Boolean = Files.exists(metaFile(name))
 
+  /** Physical location of a table's directory (DESCRIBE FORMATTED surface). */
+  def location(name: String): String = tableDir(name).toAbsolutePath.toString
+
   /** All tables in this catalog root (directories carrying `_meta.json`). */
   def tableNames: Seq[String] = {
     val r = Paths.get(root)
@@ -243,9 +246,13 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     // values were written by date_format under the zone recorded at CREATE
     // time (writes assert the session still matches it — [[assertZone]]),
     // so bounds format under that recorded zone no matter what zone the
-    // READING session runs in. ZoneId.of (not TimeZone.getTimeZone, which
-    // silently falls back to GMT) so offset-style ids like "+08:00" work.
-    val zone = java.time.ZoneId.of(zoneOf(name).getOrElse(sessionZone))
+    // READING session runs in. Tables created before zones were recorded
+    // had their __range values written under UTC (the round-1 convention),
+    // so the fallback is UTC — NOT the reading session's zone, which could
+    // format boundary months under the wrong clock. ZoneId.of (not
+    // TimeZone.getTimeZone, which silently falls back to GMT) so
+    // offset-style ids like "+08:00" work.
+    val zone = java.time.ZoneId.of(zoneOf(name).getOrElse("UTC"))
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM").withZone(zone)
     val fromMonth = fmt.format(from.toInstant)
     val toMonth = fmt.format(to.toInstant)
@@ -296,6 +303,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   def compact(name: String): Unit = {
     if (!exists(name)) throw new CatalogException(s"table $name does not exist")
     assertZone(name)
+    val hadDeltas = deltaSeqs(name).nonEmpty
     val keys = keyColsOf(name)
     val folded = table(name) // materializes the delta overlay into the write
       .repartition(spark.sparkContext.defaultParallelism, keys.map(col): _*)
@@ -303,6 +311,12 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     // deltas now folded into the base; a crash before this delete merely
     // re-applies identical versions over an identical merge (idempotent)
     deleteRecursively(deltasDir(name))
+    // folding layers RESETS changelog numbering to 0 — a consumer that
+    // bootstrapped at version 0 before the fold would otherwise see
+    // currentVersion()==0 again and read an empty (but "valid") delta
+    // window, silently missing the folded mutations. Bumping the base
+    // epoch forces the same loud re-bootstrap path as a base append.
+    if (hadDeltas) bumpBaseEpoch(name)
   }
 
   def rangeColOf(name: String): Option[String] = {
@@ -429,12 +443,29 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     */
   def baseEpoch(name: String): Long = {
     val f = tableDir(name).resolve("base_epoch")
-    if (Files.exists(f)) Files.readString(f).trim.toLong else 0L
+    if (!Files.exists(f)) 0L
+    else try Files.readString(f).trim.toLong
+    catch {
+      // an unparseable epoch means the staleness guard is disarmed — fail
+      // loudly rather than return a default that lets stale reads pass
+      case _: NumberFormatException =>
+        throw new CatalogException(
+          s"corrupt base_epoch for $name — cannot verify changelog freshness")
+    }
   }
 
-  private def bumpBaseEpoch(name: String): Unit =
-    Files.writeString(tableDir(name).resolve("base_epoch"),
-      (baseEpoch(name) + 1).toString)
+  /** Same tmp+ATOMIC_MOVE discipline as [[writeDelta]]: an in-place write
+    * could be seen truncated by a racing reader (or survive a crash torn),
+    * turning every later read into a parse failure.
+    */
+  private def bumpBaseEpoch(name: String): Unit = {
+    val next = (baseEpoch(name) + 1).toString
+    val tmp = tableDir(name).resolve(".base_epoch_tmp")
+    Files.writeString(tmp, next)
+    Files.move(tmp, tableDir(name).resolve("base_epoch"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** ALTER TABLE ADD COLUMN (Kudu supports online schema evolution; the
     * reference wires no alter hook at all). The new column must be in the

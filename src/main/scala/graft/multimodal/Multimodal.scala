@@ -11,13 +11,17 @@ final case class DecodedMedia(
 /** Multimodal-column plumbing (SURVEY.md §2.8 north-star "multimodal
   * columns"): media as opaque `binary` columns with typed metadata.
   *
-  * The container has no image/audio codec libraries, so the decode step is a
-  * clearly-marked deterministic STUB ([[decodeStub]]) — it derives fake
-  * dimensions from the byte content. Everything around it is the real
-  * 100-TB-shaped plumbing: binary column + metadata struct schema, partition-
-  * parallel `mapPartitions` batch iteration (the Scala analog of
-  * `mapInPandas` batches), and a typed `Dataset[DecodedMedia]` output that
-  * downstream relational operators consume normally.
+  * [[decode]] REALLY decodes the two uncompressed formats parseable in pure
+  * JVM with no codec libraries — BMP (BI_RGB, 24/32-bit) and binary PPM
+  * (P6) — yielding true width/height/channels and a checksum over the pixel
+  * bytes only (row padding excluded). Compressed formats (JPEG/PNG/audio)
+  * would need codec libraries the container does not have, so they fall back
+  * to the clearly-marked deterministic STUB ([[decodeStub]]). Everything
+  * around the codec is the real 100-TB-shaped plumbing: binary column +
+  * metadata struct schema, partition-parallel `mapPartitions` batch
+  * iteration (the Scala analog of `mapInPandas` batches), and a typed
+  * `Dataset[DecodedMedia]` output that downstream relational operators
+  * consume normally.
   */
 object Multimodal {
 
@@ -33,28 +37,194 @@ object Multimodal {
         lit("fake/raw").as("format"),
         length(col(textCol).cast("binary")).cast("long").as("n_bytes")).as("meta"))
 
-  /** STUB decoder — stands in for an image/audio codec call.
-    *
-    * Real implementation would hand `payload` to a native decoder per
-    * partition batch; this derives deterministic pseudo-dimensions from the
-    * bytes so the full pipeline (schema, batching, typed output) is
-    * exercised and testable without codec libraries.
+  /** Decoder dispatch: REAL parse for the headerless-friendly uncompressed
+    * formats (BMP `BM`, PPM `P6`), deterministic stub for everything else
+    * (compressed codecs are not available in this container). Dispatch is on
+    * the payload's magic bytes, not the metadata format string — corrupt or
+    * mislabeled metadata must not route bytes to the wrong parser.
     */
-  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
+  def decode(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
     import spark.implicits._
     media.select(col("id"), col("payload"), col("meta.format").as("format"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
         it.map { case (id, bytes, fmt) =>
-          // ??? real decode goes here; deterministic fake below
-          var cs = 1469598103934665603L // FNV-1a over payload bytes
-          var i = 0
-          while (i < bytes.length) { cs = (cs ^ (bytes(i) & 0xffL)) * 1099511628211L; i += 1 }
-          val w = 64 + (math.abs(cs) % 577).toInt
-          val h = 64 + (math.abs(cs / 769) % 433).toInt
-          DecodedMedia(id, fmt, bytes.length.toLong, w, h, 3, cs)
+          if (isBmp(bytes)) decodeBmp(id, bytes)
+          else if (isPpm(bytes)) decodePpm(id, bytes)
+          else stubRecord(id, bytes, fmt)
         }
       }
+  }
+
+  /** Magic alone is not enough — payloads may be arbitrary bytes (text that
+    * happens to start with "BM"), so the sniff also demands structural
+    * consistency: the header's declared file size must equal the actual
+    * length and the DIB header size must be a known value. A false positive
+    * would then require text to embed its own little-endian byte count at
+    * offset 2 — not something that happens by accident.
+    */
+  private def isBmp(b: Array[Byte]): Boolean =
+    b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
+      le32(b, 2) == b.length &&
+      Set(40, 52, 56, 108, 124).contains(le32(b, 14))
+
+  private def isPpm(b: Array[Byte]): Boolean =
+    b.length >= 3 && b(0) == 'P' && b(1) == '6' &&
+      (b(2) == '\n' || b(2) == ' ' || b(2) == '\t' || b(2) == '\r') &&
+      ppmConsistent(b)
+
+  /** A P6 header is only believed if its declared width×height×3 payload
+    * exactly fits the remaining bytes.
+    */
+  private def ppmConsistent(b: Array[Byte]): Boolean =
+    try {
+      val (w, h, _, off) = ppmHeader(b)
+      w > 0 && h > 0 && b.length == off + w * h * 3
+    } catch { case _: Exception => false }
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** FNV-1a over a byte range — the pixel checksum primitive. */
+  private def fnv(b: Array[Byte], from: Int, until: Int, seed: Long): Long = {
+    var cs = seed
+    var i = from
+    while (i < until) { cs = (cs ^ (b(i) & 0xffL)) * 1099511628211L; i += 1 }
+    cs
+  }
+
+  private val FnvSeed = 1469598103934665603L
+
+  /** Uncompressed BMP (BITMAPINFOHEADER, BI_RGB, 24/32-bit). Width/height
+    * are int32 LE at offsets 18/22 (height may be negative = top-down);
+    * pixel rows are padded to 4-byte boundaries — the checksum covers pixel
+    * bytes only, so a re-encode with different padding garbage hashes
+    * identically.
+    */
+  private def decodeBmp(id: Long, b: Array[Byte]): DecodedMedia = {
+    val pixelOff = le32(b, 10)
+    val width = le32(b, 18)
+    val height = math.abs(le32(b, 22))
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    require(compression == 0, s"BMP $id: only BI_RGB (0) supported, got $compression")
+    require(bpp == 24 || bpp == 32, s"BMP $id: only 24/32-bit supported, got $bpp")
+    val channels = bpp / 8
+    val rowBytes = width * channels
+    val stride = (rowBytes + 3) & ~3 // rows pad to 4-byte boundaries
+    var cs = FnvSeed
+    var row = 0
+    while (row < height) {
+      val start = pixelOff + row * stride
+      cs = fnv(b, start, start + rowBytes, cs)
+      row += 1
+    }
+    DecodedMedia(id, "image/bmp", b.length.toLong, width, height, channels, cs)
+  }
+
+  /** Binary PPM (`P6`) header: ASCII whitespace-separated width, height,
+    * maxval (with `#` comments), one whitespace, then width×height×3 raw
+    * bytes. Returns (width, height, maxval, pixelOffset).
+    */
+  private def ppmHeader(b: Array[Byte]): (Int, Int, Int, Int) = {
+    var i = 2 // past "P6"
+    def skipWs(): Unit = {
+      var more = true
+      while (more && i < b.length) {
+        val c = b(i).toChar
+        if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else more = false
+      }
+    }
+    def int(): Int = {
+      skipWs()
+      var v = 0
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
+      v
+    }
+    val width = int()
+    val height = int()
+    val maxval = int()
+    require(maxval > 0 && maxval < 256, s"PPM: only 8-bit maxval supported, got $maxval")
+    i += 1 // the single whitespace after maxval
+    (width, height, maxval, i)
+  }
+
+  private def decodePpm(id: Long, b: Array[Byte]): DecodedMedia = {
+    val (width, height, _, off) = ppmHeader(b)
+    val n = width * height * 3
+    require(b.length >= off + n, s"PPM $id: truncated pixel data")
+    DecodedMedia(id, "image/ppm", b.length.toLong, width, height, 3,
+      fnv(b, off, off + n, FnvSeed))
+  }
+
+  /** STUB decoder — stands in for a compressed-codec call the container
+    * cannot make. Derives deterministic pseudo-dimensions from the bytes so
+    * the full pipeline (schema, batching, typed output) is exercised and
+    * testable without codec libraries.
+    */
+  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.select(col("id"), col("payload"), col("meta.format").as("format"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(it => it.map { case (id, bytes, fmt) => stubRecord(id, bytes, fmt) })
+  }
+
+  private def stubRecord(id: Long, bytes: Array[Byte], fmt: String): DecodedMedia = {
+    val cs = fnv(bytes, 0, bytes.length, FnvSeed)
+    val w = 64 + (math.abs(cs) % 577).toInt
+    val h = 64 + (math.abs(cs / 769) % 433).toInt
+    DecodedMedia(id, fmt, bytes.length.toLong, w, h, 3, cs)
+  }
+
+  /** Minimal 24-bit BI_RGB BMP encoder — the test-fixture counterpart of
+    * [[decodeBmp]] (rows written bottom-up with 4-byte padding, exactly the
+    * layout the decoder walks). `rgb` is row-major top-down (r,g,b)*.
+    */
+  def encodeBmp24(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb must be width*height*3 bytes")
+    val stride = (width * 3 + 3) & ~3
+    val pixelBytes = stride * height
+    val size = 54 + pixelBytes
+    val out = new Array[Byte](size)
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(2, size); putLe32(10, 54)
+    putLe32(14, 40) // BITMAPINFOHEADER
+    putLe32(18, width); putLe32(22, height)
+    out(26) = 1 // planes
+    out(28) = 24 // bpp
+    putLe32(30, 0) // BI_RGB
+    putLe32(34, pixelBytes)
+    var row = 0
+    while (row < height) {
+      // BMP stores rows bottom-up; pixels are (b,g,r)
+      val srcRow = height - 1 - row
+      var x = 0
+      while (x < width) {
+        val s = (srcRow * width + x) * 3
+        val d = 54 + row * stride + x * 3
+        out(d) = rgb(s + 2); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s)
+        x += 1
+      }
+      row += 1
+    }
+    out
+  }
+
+  /** Binary PPM (P6) encoder — fixture counterpart of [[decodePpm]]. */
+  def encodePpm(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb must be width*height*3 bytes")
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    header ++ rgb
   }
 
   /** Frame sampling over a decoded stream: every `stride`-th record per

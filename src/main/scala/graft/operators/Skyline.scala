@@ -11,11 +11,17 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
   * Two phases: (1) partition-local block-nested-loop pruning — narrow, no
   * shuffle, eliminates the overwhelming majority of rows (the local skyline
   * is a superset of each partition's contribution to the global one);
-  * (2) global BNL over the union of local skylines on a single partition.
-  * Phase 2's input is |local skylines| ≈ d-th order log-power of n for
-  * random data — tiny relative to 100 TB inputs; for adversarial (fully
-  * anti-correlated) data where the skyline itself is huge, phase 2 becomes
-  * the bottleneck by problem definition, not by plan choice.
+  * (2) global BNL over the union of local skylines. Phase 2's input is
+  * |local skylines| ≈ d-th order log-power of n for random data — tiny
+  * relative to 100 TB inputs — so the normal path is one single-task merge.
+  * Anti-correlated data can make local skylines huge, so phase 2 counts the
+  * survivors first and falls back to TOURNAMENT HALVING: each round
+  * shuffles survivors into half as many partitions and BNL-prunes again,
+  * bounding per-task memory at (survivors / partitions) per round instead
+  * of putting the entire un-pruned union on one node. Rounds stop when the
+  * survivor set fits the single merge or a round fails to shrink it — the
+  * latter means the TRUE skyline is simply that large (output-bound by
+  * problem definition, not by plan choice).
   *
   * This is a deliberate `mapPartitions` operator (SURVEY.md §2 preference
   * (d)): the BNL window is per-partition imperative state that neither
@@ -23,7 +29,17 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
   */
 object Skyline {
 
-  def skyline(df0: DataFrame, dims: Seq[String]): DataFrame = {
+  /** The final round's survivor frame, one slot per session: persisting
+    * without ever unpersisting would leak a cached copy per call (the bench
+    * loop alone calls this every round). Each call releases the previous
+    * frame; `unpersist(blocking = false)` against a concurrent reader is
+    * safe — missing blocks recompute, never corrupt.
+    */
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def skyline(df0: DataFrame, dims: Seq[String],
+      mergeThreshold: Long = 100000L): DataFrame = {
     // Rows with NULL in any skyline dimension are excluded up front: NULL
     // has no place in a dominance order, and the comparator would NPE.
     import org.apache.spark.sql.functions.col
@@ -62,7 +78,27 @@ object Skyline {
     }
 
     val enc = Encoders.row(schema)
-    val local = df.mapPartitions(bnl)(enc)
-    local.repartition(1).mapPartitions(bnl)(enc)
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    // Phase 2: count survivors before committing to a single-task merge.
+    // Each tournament round materializes its output (count) BEFORE the
+    // parent round is released, so no round ever recomputes the scan.
+    var cur = df.mapPartitions(bnl)(enc).persist(MEMORY_AND_DISK)
+    var cnt = cur.count()
+    var parts = cur.rdd.getNumPartitions
+    var prev = Long.MaxValue
+    while (cnt > mergeThreshold && parts > 1 && cnt < prev) {
+      prev = cnt
+      parts = math.max(1, parts / 2)
+      val next = cur.repartition(parts).mapPartitions(bnl)(enc).persist(MEMORY_AND_DISK)
+      cnt = next.count()
+      cur.unpersist(false)
+      cur = next
+    }
+    // park the last survivor frame in the slot registry — released by the
+    // next skyline() call, recomputed (not corrupted) if read after that
+    Option(staged.put("skyline-survivors", cur)).filter(_ ne cur)
+      .foreach(_.unpersist(false))
+    cur.repartition(1).mapPartitions(bnl)(enc)
   }
 }

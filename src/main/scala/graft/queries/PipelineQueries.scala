@@ -153,13 +153,16 @@ object PipelineQueries {
            |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
-    // SimHash document signatures.
+    // SimHash document signatures — 64-bit (round-2 verdict: the 16-bit
+    // signature space collides everything at corpus scale; it survives only
+    // as the graft_simhash16 demo scalar, not as a declared operator).
     QDef("d8_simhash",
       (s, dir) => Tables.parallel(Tables.load(s, dir, "documents"))
-        .select(col("doc_id"), TF.simhash16(col("text")).as("simhash"))
+        .select(col("doc_id"), TF.simhash64(col("text")).as("simhash"))
         .orderBy("doc_id"),
-      Some(s"""SELECT doc_id, CAST(${TF.oracleSimhash16Sql("text")} AS INTEGER) AS simhash
-              |FROM documents ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH ${TF.oracleSimhash64Cte("documents", "doc_id", "text")}
+              |SELECT doc_id, sh AS simhash
+              |FROM simhash64_sig ORDER BY doc_id""".stripMargin)),
 
     // n-gram Jaccard near-dup pairs via the Dedup operator.
     QDef("d9_ngram_jaccard",

@@ -510,5 +510,261 @@ object TpchQueries {
              |                  WHERE o_custkey = c_custkey
              |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q2: minimum-cost supplier — the correlated-min shape. The fixture has
+    // no partsupp; the part-supplier catalog is DERIVED from lineitem as
+    // min(l_extendedprice) per (part, supplier) — a keys-only groupBy with
+    // map-side combine. Qualifying parts are filtered FIRST and broadcast,
+    // so the per-part min is computed only over qualifying parts' European
+    // suppliers; the min-equality probe is on exact DECIMAL (float argmax
+    // would be engine-dependent at ties).
+    QDef("tpch_q2",
+      (s, dir) => {
+        val esupp = Tables.load(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+          .join(broadcast(Tables.load(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.load(s, dir, "region").filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            d182(col("s_acctbal")).as("s_acctbal"), col("n_name"))
+        val qualParts = broadcast(Tables.load(s, dir, "part")
+          .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+          .select("p_partkey", "p_type"))
+        val ps = Tables.load(s, dir, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_extendedprice")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(d182(col("l_extendedprice"))).as("cost"))
+        val ecost = ps.join(broadcast(esupp), col("l_suppkey") === col("s_suppkey"))
+          .join(qualParts, col("l_partkey") === col("p_partkey"))
+        val minCost = ecost.groupBy(col("l_partkey").as("mk"))
+          .agg(min(col("cost")).as("min_cost"))
+        ecost.join(minCost,
+            col("l_partkey") === col("mk") && col("cost") === col("min_cost"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_type"),
+            col("cost").cast("decimal(38,4)").as("supplycost"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             |         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+             |  FROM lineitem GROUP BY 1, 2),
+             |esupp AS (
+             |  SELECT s_suppkey, s_name, CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal, n_name
+             |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+             |ecost AS (SELECT ps.partkey, ps.suppkey, ps.cost
+             |          FROM ps JOIN esupp ON ps.suppkey = s_suppkey),
+             |mincost AS (SELECT partkey, min(cost) AS min_cost FROM ecost GROUP BY 1)
+             |SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+             |       CAST(e.cost AS DECIMAL(38,4)) AS supplycost
+             |FROM ecost e JOIN mincost m ON e.partkey = m.partkey AND e.cost = m.min_cost
+             |JOIN esupp ON e.suppkey = esupp.s_suppkey
+             |JOIN part ON p_partkey = e.partkey
+             |WHERE p_size = 15 AND p_type = 'STANDARD'
+             |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin)),
+
+    // Q9: product-type profit by nation and year. ps_supplycost (no partsupp
+    // in the fixture) stands in as p_retailprice × quantity, all DECIMAL so
+    // the profit term is exact in both engines. Part (name-filtered) and the
+    // supplier→nation chain broadcast; the single shuffle is orders⋈lineitem.
+    QDef("tpch_q9",
+      (s, dir) => {
+        val redParts = broadcast(Tables.load(s, dir, "part")
+          .filter(col("p_name").like("%red%"))
+          .select("p_partkey", "p_retailprice"))
+        val suppNat = broadcast(Tables.load(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")
+          .join(broadcast(Tables.load(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "n_name"))
+        Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice", "l_discount")
+          .join(redParts, col("l_partkey") === col("p_partkey"))
+          .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast("bigint").as("o_year"))
+          .agg(sum(expr(s"$revenueExpr - " +
+            "CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))"))
+            .cast("decimal(38,4)").as("sum_profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some(s"""SELECT nation, o_year, CAST(sum(amount) AS DECIMAL(38,4)) AS sum_profit FROM (
+              |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+              |    $revenueExpr
+              |      - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+              |  FROM lineitem
+              |  JOIN orders ON o_orderkey = l_orderkey
+              |  JOIN part ON p_partkey = l_partkey
+              |  JOIN supplier ON s_suppkey = l_suppkey
+              |  JOIN nation ON n_nationkey = s_nationkey
+              |  WHERE p_name LIKE '%red%') t
+              |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin)),
+
+    // Q11: important stock — per-part value vs a fraction of the global
+    // total. Inventory value (no partsupp) is Σ extendedprice × quantity of
+    // the target nation's suppliers' lineitems. The nation's supplier keys
+    // broadcast as a semi-join; the global total rides back in as a 1-row
+    // broadcast (no collect). The fraction compare crosses to DOUBLE from
+    // identical exact decimal sums, so both engines cut the same parts.
+    QDef("tpch_q11",
+      (s, dir) => {
+        val natSupp = broadcast(Tables.load(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")
+          .join(broadcast(Tables.load(s, dir, "nation").filter(col("n_name") === "NATION_9")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey"))
+        val value = Tables.load(s, dir, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+          .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .groupBy(col("l_partkey").as("ps_partkey"))
+          .agg(sum(expr(
+            "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))"))
+            .as("value"))
+        val total = value.agg(sum(col("value")).cast("double").as("total"))
+        value.crossJoin(broadcast(total))
+          .filter(col("value").cast("double") > col("total") * 0.001)
+          .select(col("ps_partkey"), col("value").cast("decimal(38,4)").as("value"))
+          .orderBy(col("value").desc, col("ps_partkey"))
+      },
+      Some("""WITH val AS (
+             |  SELECT l_partkey AS ps_partkey,
+             |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS value
+             |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  WHERE n_name = 'NATION_9' GROUP BY 1)
+             |SELECT ps_partkey, CAST(value AS DECIMAL(38,4)) AS value FROM val
+             |WHERE CAST(value AS DOUBLE) > (SELECT CAST(sum(value) AS DOUBLE) * 0.001 FROM val)
+             |ORDER BY value DESC, ps_partkey""".stripMargin)),
+
+    // Q16: supplier relationship — distinct suppliers per part attribute
+    // triple, minus complaint suppliers (s_acctbal < 0 stands in for the
+    // fixture's missing s_comment). The part-supplier pairs are a keys-only
+    // DISTINCT over the fact table; part and the excluded-supplier set both
+    // broadcast (the NOT IN is an anti join — key columns are non-null, so
+    // the semantics coincide).
+    QDef("tpch_q16",
+      (s, dir) => {
+        val ps = Tables.load(s, dir, "lineitem")
+          .select("l_partkey", "l_suppkey").distinct()
+        val parts = broadcast(Tables.load(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#23" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+          .select("p_partkey", "p_brand", "p_type", "p_size"))
+        val excluded = broadcast(Tables.load(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0).select("s_suppkey"))
+        ps.join(parts, col("l_partkey") === col("p_partkey"))
+          .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+             |JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+             |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // Q20: potential part promotion — suppliers who DOMINATE shipments of a
+    // name-class of parts in a year window (> half a part's shipped quantity;
+    // the fixture has no ps_availqty, so dominance replaces the stock-excess
+    // test — same nested correlated-aggregate shape). The per-part total
+    // comes from a window over the already-aggregated (part, supplier) frame
+    // — one keys-only shuffle, no second scan, no join. The dominant-supplier
+    // set semi-joins into the nation-filtered supplier dimension.
+    QDef("tpch_q20",
+      (s, dir) => {
+        val smallParts = broadcast(Tables.load(s, dir, "part")
+          .filter(col("p_name").like("small%")).select("p_partkey"))
+        val qty = Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+          .select("l_partkey", "l_suppkey", "l_quantity")
+          .join(smallParts, col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(sum(d182(col("l_quantity"))).as("sq"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+        val dominant = qty
+          .withColumn("tq", sum(col("sq")).over(w))
+          .filter(col("sq").cast("double") > col("tq").cast("double") * 0.5)
+          .select("l_suppkey").distinct()
+        Tables.load(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+          .join(broadcast(Tables.load(s, dir, "nation")
+            .filter(col("n_name").isin("NATION_6", "NATION_9", "NATION_11"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select("s_name", "n_name")
+          .orderBy("s_name")
+      },
+      Some("""WITH qty AS (
+             |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+             |  GROUP BY 1, 2),
+             |tot AS (SELECT l_partkey AS tp, sum(sq) AS tq FROM qty GROUP BY 1)
+             |SELECT s_name, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |WHERE s_suppkey IN (SELECT l_suppkey FROM qty JOIN tot ON l_partkey = tp
+             |                    WHERE CAST(sq AS DOUBLE) > CAST(tq AS DOUBLE) * 0.5)
+             |  AND n_name IN ('NATION_6', 'NATION_9', 'NATION_11')
+             |ORDER BY s_name""".stripMargin)),
+
+    // Q21: suppliers who kept orders waiting — the hardest semi-join shape
+    // in the suite: EXISTS + NOT EXISTS against the SAME fact. "Late" is
+    // l_shipdate > o_orderdate (the fixture lacks commit/receipt dates, as
+    // in Q4). A supplier is counted per late line in a finished order where
+    // ANOTHER supplier shares the order (EXISTS → left-semi with a
+    // same-order/different-supplier residual) but NO other supplier was late
+    // on it (NOT EXISTS → left-anti on the same late-lines frame). Only
+    // (orderkey, suppkey) pairs cross any shuffle; the supplier dimension
+    // broadcasts.
+    QDef("tpch_q21",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+        val late = li
+          .join(Tables.load(s, dir, "orders")
+            .filter(col("o_orderstatus") === "F").select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate"))
+          .select("l_orderkey", "l_suppkey")
+        val suppNat = broadcast(Tables.load(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey")
+          .join(broadcast(Tables.load(s, dir, "nation").filter(col("n_name") === "NATION_9")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_name"))
+        late.join(suppNat, col("l_suppkey") === col("s_suppkey"))
+          .join(li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2")),
+            col("l_orderkey") === col("k2") && col("s2") =!= col("l_suppkey"), "left_semi")
+          .join(late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3")),
+            col("l_orderkey") === col("k3") && col("s3") =!= col("l_suppkey"), "left_anti")
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      Some("""WITH l1 AS (
+             |  SELECT l_orderkey, l_suppkey FROM lineitem
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate)
+             |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+             |FROM l1
+             |JOIN supplier ON s_suppkey = l1.l_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE n_name = 'NATION_9'
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM l1 l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey)
+             |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)),
   )
 }

@@ -70,6 +70,25 @@ class GoldenTranscriptSpec extends SparkSpec {
     assert(cat.exists("test_drop"))
     assert(cat.keyColsOf("test_drop") === Seq("id"))
 
+    // describe formatted test_drop — the transcript's step 2
+    // (README.md:33, golden output README.md:76-110): column rows plus the
+    // detailed sections carrying the kudu.* parameters and storage handler
+    val desc = sql("describe formatted test_drop")
+    assert(desc.columns.toSeq === Seq("col_name", "data_type", "comment"))
+    val rows = desc.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.contains(("id", "int", "primary key")))
+    assert(rows.contains(("name", "string", "")))
+    assert(rows.contains(("", "kudu.table_name", "test_drop")))
+    assert(rows.contains(("", "kudu.key_columns", "id")))
+    assert(rows.contains(("", "storage_handler", "graft.catalog.KuduLikeCatalog")))
+    assert(rows.contains(("Table Type:", "MANAGED_TABLE", "")))
+    assert(rows.exists(r => r._1 == "Location:" && r._2.endsWith("test_drop")))
+    assert(rows.contains(("# Detailed Table Information", "", "")))
+    assert(rows.contains(("# Storage Information", "", "")))
+    assert(rows.contains(("Num Buckets:", "-1", "")))
+    // plain DESCRIBE: just the column rows
+    assert(sql("DESCRIBE test_drop").collect().length === 2)
+
     val ins = sql("INSERT INTO TABLE test_drop VALUES (1,'a'),(2,'b'),(3,'a')")
     assert(ins.head().getLong(2) === 3L)
 

@@ -24,27 +24,48 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect() // JIT/session warmup
 
-    // One warmup execution (JIT + codegen cache + page cache), then the
-    // median of several measured passes — a single GC pause in a long
-    // session branded a code-identical query 3.2x slower in round 2's
-    // one-pass artifact, so one outlier pass must not decide the number.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
-    val results = SparkEntry.all.map { q =>
-      def run(): Unit =
-        q.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+    // One warmup sweep (JIT + codegen cache + page cache), then `passes`
+    // full sweeps over the whole query list, per-query median ACROSS sweeps.
+    // Round-2 ran one pass per query: a single GC pause branded a
+    // code-identical query 3.2x slower. Round-3 ran 3 CONSECUTIVE passes per
+    // query: a multi-second transient host disturbance (CPU contention from
+    // co-scheduled driver work) covers all 3 back-to-back passes, so the
+    // median keeps the inflated number — that is exactly the r3
+    // d18_l2_normalize "6x regression": adjacent run positions d3/d4/d5 and
+    // d15..d18 were inflated together, and solo reruns plus a full local
+    // re-bench reproduce the r1/r2 numbers bit-for-code-identical plans.
+    // Pass-major interleaving separates a query's measurements by a whole
+    // sweep (~60 s), so any short disturbance lands on different queries in
+    // each sweep and the per-query median rejects it.
+    val passes = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt).getOrElse(3).max(1)
+    val queries = SparkEntry.all
+    def run(q: QDef): Unit =
+      q.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+    val failed = scala.collection.mutable.Set[String]()
+    queries.foreach { q =>
+      try run(q) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          failed += q.name
+      }
+    }
+    val samples = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    for (_ <- 1 to passes; q <- queries if !failed(q.name)) {
       try {
-        run()
-        val times = Array.fill(passes) {
-          val t0 = System.nanoTime()
-          run()
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        q.name -> times(times.length / 2)
+        val t0 = System.nanoTime()
+        run(q)
+        samples(q.name) = ((System.nanoTime() - t0) / 1e9) :: samples(q.name)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-          q.name -> -1.0
+          failed += q.name
       }
+    }
+    val results = queries.map { q =>
+      val ts = samples(q.name).sorted
+      q.name -> (if (failed(q.name) || ts.isEmpty) -1.0 else ts(ts.length / 2))
     }
     // Round-1 postmortem: the driver's stdout capture truncated the JSON
     // line (BENCH_r01 "parsed": null, tail mid-JSON). Keep stdout to exactly

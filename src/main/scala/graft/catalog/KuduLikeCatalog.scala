@@ -308,15 +308,19 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val folded = table(name) // materializes the delta overlay into the write
       .repartition(spark.sparkContext.defaultParallelism, keys.map(col): _*)
     rewrite(name, folded)
-    // deltas now folded into the base; a crash before this delete merely
-    // re-applies identical versions over an identical merge (idempotent)
-    deleteRecursively(deltasDir(name))
     // folding layers RESETS changelog numbering to 0 — a consumer that
     // bootstrapped at version 0 before the fold would otherwise see
     // currentVersion()==0 again and read an empty (but "valid") delta
     // window, silently missing the folded mutations. Bumping the base
     // epoch forces the same loud re-bootstrap path as a base append.
+    // The bump happens BEFORE the delta delete: an early bump on crash is
+    // harmless (one extra loud re-bootstrap over identical state), whereas
+    // a crash after the delete but before a late bump would leave changelog
+    // numbering reset under an unchanged epoch — a silent miss.
     if (hadDeltas) bumpBaseEpoch(name)
+    // deltas now folded into the base; a crash before this delete merely
+    // re-applies identical versions over an identical merge (idempotent)
+    deleteRecursively(deltasDir(name))
   }
 
   def rangeColOf(name: String): Option[String] = {
@@ -342,13 +346,38 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     */
   private def assertZone(name: String): Unit =
     if (rangeColOf(name).isDefined)
-      zoneOf(name).foreach { z =>
-        if (z != sessionZone)
-          throw new CatalogException(
-            s"table $name is range-partitioned under timezone $z but " +
-              s"spark.sql.session.timeZone is $sessionZone — set the session " +
-              "zone to match before writing")
+      zoneOf(name) match {
+        case Some(z) =>
+          if (z != sessionZone)
+            throw new CatalogException(
+              s"table $name is range-partitioned under timezone $z but " +
+                s"spark.sql.session.timeZone is $sessionZone — set the session " +
+                "zone to match before writing")
+        case None =>
+          // Legacy range table created before zones were recorded: freeze the
+          // clock at the first write under the zone guard, so later writes
+          // from a different session zone fail loudly instead of mixing
+          // month-directory conventions (reads prune under the stamped zone
+          // via [[lookupRange]]).
+          stampZone(name, sessionZone)
       }
+
+  /** Record `zone` in the table meta (only ever called when no zone is
+    * recorded yet — re-stamping would disarm [[assertZone]]).
+    */
+  private def stampZone(name: String, zone: String): Unit = {
+    val meta = Files.readString(metaFile(name))
+    val stamped = meta.replaceFirst(
+      """"rangeCol":"([^"]+)",""",
+      s""""rangeCol":"$$1","zone":"$zone",""")
+    if (stamped != meta) {
+      val tmp = tableDir(name).resolve(".meta_tmp")
+      Files.writeString(tmp, stamped)
+      Files.move(tmp, metaFile(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
 
   /** Declared schema with the PK-non-null flags (note: Spark's parquet READ
     * path always reports nullable columns; the declared nullability is

@@ -11,12 +11,15 @@ final case class DecodedMedia(
 /** Multimodal-column plumbing (SURVEY.md §2.8 north-star "multimodal
   * columns"): media as opaque `binary` columns with typed metadata.
   *
-  * [[decode]] REALLY decodes the two uncompressed formats parseable in pure
-  * JVM with no codec libraries — BMP (BI_RGB, 24/32-bit) and binary PPM
-  * (P6) — yielding true width/height/channels and a checksum over the pixel
-  * bytes only (row padding excluded). Compressed formats (JPEG/PNG/audio)
-  * would need codec libraries the container does not have, so they fall back
-  * to the clearly-marked deterministic STUB ([[decodeStub]]). Everything
+  * [[decode]] REALLY decodes the formats parseable in pure JVM with no
+  * codec libraries — BMP (BI_RGB, 24/32-bit), binary PPM (P6), and
+  * non-interlaced 8-bit PNG (gray/RGB/RGBA; zlib inflate ships in
+  * `java.util.zip`) — yielding true width/height/channels and a checksum
+  * over the pixel bytes only (row padding / filter bytes excluded). Formats
+  * whose codecs genuinely are not in this container (JPEG/audio) fall back
+  * to the clearly-marked deterministic STUB ([[decodeStub]]), as does any
+  * payload whose sniff passes but whose parse fails — one corrupt record
+  * degrades, never kills the job. Everything
   * around the codec is the real 100-TB-shaped plumbing: binary column +
   * metadata struct schema, partition-parallel `mapPartitions` batch
   * iteration (the Scala analog of `mapInPandas` batches), and a typed
@@ -49,9 +52,19 @@ object Multimodal {
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
         it.map { case (id, bytes, fmt) =>
-          if (isBmp(bytes)) decodeBmp(id, bytes)
-          else if (isPpm(bytes)) decodePpm(id, bytes)
-          else stubRecord(id, bytes, fmt)
+          // A payload that passes a sniff but then fails its parser (lying
+          // header, unsupported sub-format like RLE BMP or interlaced PNG,
+          // truncated pixel data) degrades to the stub record instead of
+          // failing the executor task: one corrupt record must never kill a
+          // 100-TB decode job.
+          try {
+            if (isBmp(bytes)) decodeBmp(id, bytes)
+            else if (isPpm(bytes)) decodePpm(id, bytes)
+            else if (isPng(bytes)) decodePng(id, bytes)
+            else stubRecord(id, bytes, fmt)
+          } catch {
+            case scala.util.control.NonFatal(_) => stubRecord(id, bytes, fmt)
+          }
         }
       }
   }
@@ -218,6 +231,202 @@ object Multimodal {
       row += 1
     }
     out
+  }
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** PNG sniff: 8-byte signature followed immediately by a 13-byte IHDR
+    * chunk (mandatory first chunk per the spec) — random bytes shaped like
+    * the signature alone are not believed.
+    */
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 33 && PngSig.indices.forall(i => b(i) == PngSig(i)) &&
+      be32(b, 8) == 13 &&
+      b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** Pure-JVM PNG decode — non-interlaced 8-bit grayscale/RGB/RGBA
+    * (color types 0/2/6). IDAT chunks are concatenated, inflated with the
+    * JDK's `Inflater` (zlib is in `java.util.zip`, no codec library needed),
+    * and each scanline is un-filtered (None/Sub/Up/Average/Paeth). The
+    * checksum covers the reconstructed pixel bytes, so the same image
+    * re-encoded with different per-row filter choices or deflate levels
+    * hashes identically. Unsupported shapes (16-bit, palette, interlaced)
+    * throw — [[decode]] catches and degrades to the stub.
+    */
+  private def decodePng(id: Long, b: Array[Byte]): DecodedMedia = {
+    val width = be32(b, 16)
+    val height = be32(b, 20)
+    val bitDepth = b(24)
+    val colorType = b(25)
+    val interlace = b(28)
+    require(width > 0 && height > 0, s"PNG $id: bad dimensions ${width}x$height")
+    require(bitDepth == 8, s"PNG $id: only 8-bit depth supported, got $bitDepth")
+    require(interlace == 0, s"PNG $id: interlaced (Adam7) not supported")
+    val channels = colorType match {
+      case 0 => 1 // grayscale
+      case 2 => 3 // RGB
+      case 6 => 4 // RGBA
+      case t => throw new IllegalArgumentException(
+        s"PNG $id: color type $t not supported")
+    }
+    // Walk the chunk list, concatenating IDAT payloads.
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var done = false
+    while (!done && i + 8 <= b.length) {
+      val len = be32(b, i)
+      require(len >= 0 && i + 12 + len <= b.length, s"PNG $id: corrupt chunk at $i")
+      val isIdat = b(i + 4) == 'I' && b(i + 5) == 'D' && b(i + 6) == 'A' && b(i + 7) == 'T'
+      val isIend = b(i + 4) == 'I' && b(i + 5) == 'E' && b(i + 6) == 'N' && b(i + 7) == 'D'
+      if (isIdat) idat.write(b, i + 8, len)
+      if (isIend) done = true
+      i += 12 + len
+    }
+    val stride = width * channels
+    val raw = new Array[Byte]((stride + 1) * height) // +1 filter byte per row
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    try {
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        require(n > 0 || !inf.needsInput(), s"PNG $id: truncated IDAT stream")
+        off += n
+      }
+    } finally inf.end()
+    require(off == raw.length, s"PNG $id: pixel data does not match dimensions")
+    val pix = new Array[Byte](stride * height)
+    var row = 0
+    while (row < height) {
+      val f = raw(row * (stride + 1)) & 0xff
+      val rs = row * (stride + 1) + 1
+      val ps = row * stride
+      val pp = ps - stride // prior row start (valid when row > 0)
+      var x = 0
+      f match {
+        case 0 => System.arraycopy(raw, rs, pix, ps, stride)
+        case 1 => // Sub: left neighbor
+          while (x < stride) {
+            val left = if (x >= channels) pix(ps + x - channels) & 0xff else 0
+            pix(ps + x) = ((raw(rs + x) & 0xff) + left).toByte
+            x += 1
+          }
+        case 2 => // Up: prior-row neighbor
+          while (x < stride) {
+            val up = if (row > 0) pix(pp + x) & 0xff else 0
+            pix(ps + x) = ((raw(rs + x) & 0xff) + up).toByte
+            x += 1
+          }
+        case 3 => // Average of left and up (floor)
+          while (x < stride) {
+            val left = if (x >= channels) pix(ps + x - channels) & 0xff else 0
+            val up = if (row > 0) pix(pp + x) & 0xff else 0
+            pix(ps + x) = ((raw(rs + x) & 0xff) + ((left + up) >> 1)).toByte
+            x += 1
+          }
+        case 4 => // Paeth predictor
+          while (x < stride) {
+            val left = if (x >= channels) pix(ps + x - channels) & 0xff else 0
+            val up = if (row > 0) pix(pp + x) & 0xff else 0
+            val ul = if (row > 0 && x >= channels) pix(pp + x - channels) & 0xff else 0
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+            pix(ps + x) = ((raw(rs + x) & 0xff) + pred).toByte
+            x += 1
+          }
+        case other =>
+          throw new IllegalArgumentException(s"PNG $id: unknown filter $other")
+      }
+      row += 1
+    }
+    DecodedMedia(id, "image/png", b.length.toLong, width, height, channels,
+      fnv(pix, 0, pix.length, FnvSeed))
+  }
+
+  /** PNG encoder — fixture counterpart of [[decodePng]]. `filter` selects
+    * the per-row filter (0–4) so tests can drive every un-filter branch of
+    * the decoder; the filtered bytes are computed as the exact spec inverse
+    * of the decoder's reconstruction. `channels` 1/3/4 map to color types
+    * 0/2/6.
+    */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte],
+      channels: Int = 3, filter: Int = 0): Array[Byte] = {
+    require(rgb.length == width * height * channels,
+      "rgb must be width*height*channels bytes")
+    require(filter >= 0 && filter <= 4, "filter must be 0..4")
+    val colorType = channels match {
+      case 1 => 0; case 3 => 2; case 4 => 6
+      case c => throw new IllegalArgumentException(s"channels $c unsupported")
+    }
+    val stride = width * channels
+    val raw = new Array[Byte]((stride + 1) * height)
+    var row = 0
+    while (row < height) {
+      raw(row * (stride + 1)) = filter.toByte
+      val ps = row * stride
+      val pp = ps - stride
+      var x = 0
+      while (x < stride) {
+        val cur = rgb(ps + x) & 0xff
+        val left = if (x >= channels) rgb(ps + x - channels) & 0xff else 0
+        val up = if (row > 0) rgb(pp + x) & 0xff else 0
+        val ul = if (row > 0 && x >= channels) rgb(pp + x - channels) & 0xff else 0
+        val filtered = filter match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - ((left + up) >> 1)
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+            cur - pred
+        }
+        raw(row * (stride + 1) + 1 + x) = filtered.toByte
+        x += 1
+      }
+      row += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) comp.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig, 0, PngSig.length)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be(v: Int): Array[Byte] = Array(
+        ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      val t = typ.getBytes("US-ASCII")
+      out.write(be(data.length), 0, 4)
+      out.write(t, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      out.write(be(crc.getValue.toInt), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    def putBe32(off: Int, v: Int): Unit = {
+      ihdr(off) = ((v >> 24) & 0xff).toByte; ihdr(off + 1) = ((v >> 16) & 0xff).toByte
+      ihdr(off + 2) = ((v >> 8) & 0xff).toByte; ihdr(off + 3) = (v & 0xff).toByte
+    }
+    putBe32(0, width); putBe32(4, height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = colorType.toByte
+    // ihdr(10..12): compression 0, filter method 0, interlace 0
+    chunk("IHDR", ihdr)
+    chunk("IDAT", comp.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   /** Binary PPM (P6) encoder — fixture counterpart of [[decodePpm]]. */

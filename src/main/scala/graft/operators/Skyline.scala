@@ -29,17 +29,23 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
   */
 object Skyline {
 
-  /** The final round's survivor frame, one slot per session: persisting
-    * without ever unpersisting would leak a cached copy per call (the bench
-    * loop alone calls this every round). Each call releases the previous
-    * frame; `unpersist(blocking = false)` against a concurrent reader is
-    * safe — missing blocks recompute, never corrupt.
+  /** EAGER: the skyline is computed at call time (survivor counting per
+    * tournament round, then the final single-task merge) and returned as a
+    * materialized, lineage-truncated frame. Every intermediate cached frame
+    * is released before this returns — there is no cross-call retained
+    * cache; the result's own blocks are reclaimed by Spark's ContextCleaner
+    * once the returned frame is unreferenced.
     */
-  private val staged =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
   def skyline(df0: DataFrame, dims: Seq[String],
-      mergeThreshold: Long = 100000L): DataFrame = {
+      mergeThreshold: Long = 100000L): DataFrame =
+    skylineWithRounds(df0, dims, mergeThreshold)._1
+
+  /** [[skyline]] plus the number of tournament-halving rounds taken —
+    * 0 on the normal path (local skylines fit the single merge directly).
+    * Exposed for tests asserting the fallback actually engages.
+    */
+  private[graft] def skylineWithRounds(df0: DataFrame, dims: Seq[String],
+      mergeThreshold: Long = 100000L): (DataFrame, Int) = {
     // Rows with NULL in any skyline dimension are excluded up front: NULL
     // has no place in a dominance order, and the comparator would NPE.
     import org.apache.spark.sql.functions.col
@@ -87,18 +93,23 @@ object Skyline {
     var cnt = cur.count()
     var parts = cur.rdd.getNumPartitions
     var prev = Long.MaxValue
+    var rounds = 0
     while (cnt > mergeThreshold && parts > 1 && cnt < prev) {
       prev = cnt
+      rounds += 1
       parts = math.max(1, parts / 2)
       val next = cur.repartition(parts).mapPartitions(bnl)(enc).persist(MEMORY_AND_DISK)
       cnt = next.count()
       cur.unpersist(false)
       cur = next
     }
-    // park the last survivor frame in the slot registry — released by the
-    // next skyline() call, recomputed (not corrupted) if read after that
-    Option(staged.put("skyline-survivors", cur)).filter(_ ne cur)
-      .foreach(_.unpersist(false))
-    cur.repartition(1).mapPartitions(bnl)(enc)
+    // Materialize the final merge NOW (localCheckpoint(eager): one job over
+    // the cached survivors, result stored as its own blocks with the lineage
+    // truncated), then release the survivor frame immediately — nothing is
+    // parked for a later call, and the result's blocks go away with the
+    // returned frame itself (ContextCleaner unpersists GC'd RDDs).
+    val out = cur.repartition(1).mapPartitions(bnl)(enc).localCheckpoint(true)
+    cur.unpersist(false)
+    (out, rounds)
   }
 }

@@ -77,6 +77,76 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(_.format === "text")) // both routed to the stub, no parse attempt
   }
 
+  private def fnvOf(bytes: Array[Byte]): Long = {
+    var cs = 1469598103934665603L
+    bytes.foreach(b => cs = (cs ^ (b & 0xffL)) * 1099511628211L)
+    cs
+  }
+
+  private def asMedia(rows: Seq[(Long, Array[Byte], String)]) = {
+    import spark.implicits._
+    rows.map { case (id, b, f) => (id, b, (f, b.length.toLong)) }
+      .toDF("id", "payload", "meta")
+      .select(col("id"), col("payload"),
+        struct(col("meta._1").as("format"), col("meta._2").as("n_bytes")).as("meta"))
+  }
+
+  test("decode really inflates and un-filters PNG — every filter type, RGB and RGBA") {
+    // A 7x5 gradient whose rows exercise real prediction deltas. The same
+    // pixels encoded under each per-row filter (None/Sub/Up/Average/Paeth)
+    // and both color types must reconstruct to the identical checksum.
+    val (w, h) = (7, 5)
+    val rgb = Array.tabulate(w * h * 3)(i => (i * 11 % 253).toByte)
+    val rgba = Array.tabulate(w * h * 4)(i => (i * 13 % 251).toByte)
+    val gray = Array.tabulate(w * h)(i => (i * 17 % 249).toByte)
+    val rows = (0 to 4).map(f =>
+      (f.toLong, Multimodal.encodePng(w, h, rgb, 3, f), "image/png")) ++ Seq(
+      (10L, Multimodal.encodePng(w, h, rgba, 4, 4), "image/png"),
+      (11L, Multimodal.encodePng(w, h, gray, 1, 2), "image/png"))
+    val out = Multimodal.decode(spark, asMedia(rows)).collect().sortBy(_.id)
+    assert(out.length === 7)
+    assert(out.forall(_.format === "image/png"), "all must route to the real PNG parser")
+    out.foreach(d => assert((d.width, d.height) === ((w, h))))
+    // filters are an encoding detail: all five RGB variants hash identically,
+    // to exactly the FNV of the raw pixel bytes
+    val rgbOut = out.filter(_.id <= 4)
+    assert(rgbOut.forall(_.channels === 3))
+    assert(rgbOut.map(_.checksum).distinct.toSeq === Seq(fnvOf(rgb)))
+    assert(out.find(_.id == 10L).get.channels === 4)
+    assert(out.find(_.id == 10L).get.checksum === fnvOf(rgba))
+    assert(out.find(_.id == 11L).get.channels === 1)
+    assert(out.find(_.id == 11L).get.checksum === fnvOf(gray))
+  }
+
+  test("corrupt or unsupported payloads degrade to the stub, never fail the task") {
+    // Each payload passes (or nearly passes) a sniff, then fails its parser.
+    val (w, h) = (5, 3)
+    val rgb = Array.tabulate(w * h * 3)(i => (i * 7 % 251).toByte)
+    val bmp = Multimodal.encodeBmp24(w, h, rgb)
+    // lying BMP header: declare RLE8 compression (field at offset 30)
+    val rle = bmp.clone(); rle(30) = 1
+    // lying BMP header: pixel offset way past the end of the buffer
+    val oob = bmp.clone(); oob(10) = 0x7f.toByte; oob(11) = 0x7f.toByte
+    // truncated PNG: valid signature+IHDR, IDAT cut short
+    val png = Multimodal.encodePng(w, h, rgb)
+    val cut = png.take(png.length - 20)
+    // interlaced PNG: flip the IHDR interlace byte (offset 8+4+4+12 = 28)
+    val adam7 = png.clone(); adam7(28) = 1
+    val out = Multimodal.decode(spark, asMedia(Seq(
+      (1L, rle, "image/bmp"), (2L, oob, "image/bmp"),
+      (3L, cut, "image/png"), (4L, adam7, "image/png"))))
+      .collect().sortBy(_.id)
+    assert(out.length === 4, "no record may be dropped or fail the job")
+    // all four fell back to the stub: format preserved from metadata,
+    // stub-shaped dimensions
+    assert(out.forall(d => d.format == "image/bmp" || d.format == "image/png"))
+    assert(out.forall(d => d.width >= 64 && d.height >= 64 && d.channels == 3))
+    // and an intact payload in the same batch still parses for real
+    val okOut = Multimodal.decode(spark, asMedia(Seq((9L, png, "image/png"))))
+      .collect().head
+    assert((okOut.width, okOut.height, okOut.checksum) === ((w, h, fnvOf(rgb))))
+  }
+
   test("sampleEvery keeps every stride-th id") {
     val d = Multimodal.decodeStub(spark, media())
     val sampled = Multimodal.sampleEvery(d, 5).collect().map(_.id).sorted

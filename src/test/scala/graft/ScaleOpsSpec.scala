@@ -231,6 +231,35 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got7.toSeq === expect.toSeq)
   }
 
+  test("skyline tournament-halving fallback engages on anti-correlated data and matches the quadratic truth") {
+    // Layered anti-correlated fixture: layer L holds (i, 1000-i+L). Points
+    // within a layer never dominate each other (perfectly anti-correlated),
+    // so partition-local pruning leaves huge survivor sets; a layer-L point
+    // is dominated only by a handful of near-diagonal points in lower
+    // layers, which co-locate progressively as the tournament halves the
+    // partition count. The true skyline is exactly layer 0.
+    val pts = spark.range(3000).select(
+      (col("id") % 1000).as("x"),
+      (lit(1000L) - (col("id") % 1000) + floor(col("id") / 1000).cast("long")).as("y"))
+      .repartition(32)
+    val (got, rounds) = graft.operators.Skyline.skylineWithRounds(
+      pts, Seq("x", "y"), mergeThreshold = 50L)
+    assert(rounds >= 2, s"fallback must take multiple halving rounds, took $rounds")
+    val a = pts.as("a"); val b = pts.as("b")
+    val dominated = a.join(b,
+      col("b.x") <= col("a.x") && col("b.y") <= col("a.y") &&
+        (col("b.x") < col("a.x") || col("b.y") < col("a.y")), "left_semi")
+    val expect = pts.exceptAll(dominated)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === expect.toSeq)
+    assert(expect.length === 1000, "fixture sanity: true skyline is layer 0")
+    // regression guard: the generous default threshold must keep the normal
+    // path on the zero-round single merge
+    val (_, r0) = graft.operators.Skyline.skylineWithRounds(pts, Seq("x", "y"))
+    assert(r0 === 0, s"normal path must take zero tournament rounds, took $r0")
+  }
+
   test("fuzzy string join equals the quadratic levenshtein definition") {
     val parts = Tables.load(spark, sf, "part")
     val got = graft.operators.StringSimilarity.fuzzyJoin(parts, "p_name", "p_partkey")

@@ -39,6 +39,7 @@ object GraftSql {
       (upper.contains("STORED BY") || upper.contains("KUDU.KEY_COLUMNS"))
     if (isCatalogCreate) create(spark, cat, stmt)
     else if (upper.startsWith("DROP TABLE")) drop(spark, cat, stmt)
+    else if (upper.startsWith("INSERT OVERWRITE")) overwriteInto(spark, cat, stmt)
     else if (upper.startsWith("INSERT INTO") || upper.startsWith("UPSERT INTO"))
       writeInto(spark, cat, stmt)
     else if (upper.startsWith("DELETE FROM")) delete(spark, cat, stmt)
@@ -71,6 +72,8 @@ object GraftSql {
     """(?is)^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?`?([\w.]+)`?$""".r
   private val WriteHead =
     """(?is)^(INSERT|UPSERT)\s+INTO\s+(?:TABLE\s+)?`?([\w.]+)`?\s+(.*)$""".r
+  private val OverwriteHead =
+    """(?is)^INSERT\s+OVERWRITE\s+(?:TABLE\s+)?`?([\w.]+)`?\s+(.*)$""".r
   private val DeleteHead =
     """(?is)^DELETE\s+FROM\s+`?([\w.]+)`?(?:\s+WHERE\s+(.*))?$""".r
   private val AlterHead =
@@ -83,16 +86,18 @@ object GraftSql {
       throw new CatalogException(s"cannot parse CREATE TABLE: $stmt"))
     val ifNotExists = m.group(1) != null
     val name = m.group(2)
+    val tail = stmt.substring(m.end)
+    splitCtas(tail) match {
+      case Some((head, query)) =>
+        return createAsSelect(spark, cat, name, ifNotExists, head, query)
+      case None => ()
+    }
     val open = stmt.indexOf('(', m.end - 1)
     if (open < 0) throw new CatalogException(s"CREATE TABLE $name: missing column list")
     val (colsDdl, afterCols) = balancedParen(stmt, open)
     val schema = StructType.fromDDL(normalizeTypes(colsDdl))
     val props = tblProperties(stmt.substring(afterCols))
-    val keyCols = props.get("kudu.key_columns")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(throw new CatalogException(
-        s"CREATE TABLE $name requires TBLPROPERTIES('kudu.key_columns'='…') " +
-          "(reference: README.md:28)"))
+    val keyCols = requiredKeyCols(name, props)
     if (!(ifNotExists && cat.exists(name))) {
       cat.createTable(TableDef(name, schema, keyCols,
         buckets = props.get("graft.hash_buckets").map(_.trim.toInt).getOrElse(0),
@@ -100,6 +105,83 @@ object GraftSql {
       registerViews(spark, cat)
     }
     status(spark, "CREATE TABLE", name, 0L)
+  }
+
+  private def requiredKeyCols(name: String, props: Map[String, String]): Seq[String] =
+    props.get("kudu.key_columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(throw new CatalogException(
+        s"CREATE TABLE $name requires TBLPROPERTIES('kudu.key_columns'='…') " +
+          "(reference: README.md:28)"))
+
+  /** CTAS — `CREATE TABLE t STORED BY … TBLPROPERTIES('kudu.key_columns'=…)
+    * AS SELECT …` (Hive 1.1 dialect the reference delegates to hive-exec;
+    * users of the reference reach for this on day one). The schema comes
+    * from the SELECT, the key/bucket/range layout from the properties, and
+    * the rows land through the catalog's strict [[KuduLikeCatalog.insert]]
+    * discipline (PK non-null, in-batch dup-ignore). A failed load drops the
+    * half-created table — CTAS is create+load or nothing.
+    */
+  private def createAsSelect(spark: SparkSession, cat: KuduLikeCatalog,
+      name: String, ifNotExists: Boolean, head: String, query: String): DataFrame = {
+    if (ifNotExists && cat.exists(name))
+      return status(spark, "CREATE TABLE AS SELECT", name, 0L)
+    val props = tblProperties(head)
+    val keyCols = requiredKeyCols(name, props)
+    registerViews(spark, cat) // the SELECT may read catalog tables
+    val src = spark.sql(query)
+    keyCols.foreach { k =>
+      if (!src.columns.contains(k))
+        throw new CatalogException(
+          s"CTAS $name: key column $k not in SELECT output (${src.columns.mkString(",")})")
+    }
+    cat.createTable(TableDef(name, src.schema, keyCols,
+      buckets = props.get("graft.hash_buckets").map(_.trim.toInt).getOrElse(0),
+      rangeCol = props.get("graft.range_column").map(_.trim)))
+    val n =
+      try cat.insert(name, src)
+      catch { case e: Throwable => cat.rollbackCreateTable(name); throw e }
+    registerViews(spark, cat)
+    status(spark, "CREATE TABLE AS SELECT", name, n)
+  }
+
+  /** Find a top-nesting-level `AS <query>` boundary (quote- and paren-aware:
+    * a column list's parens or a quoted handler class can never fake one).
+    * Returns (text before AS, the query text — outer parens stripped).
+    */
+  private def splitCtas(tail: String): Option[(String, String)] = {
+    var i = 0
+    var depth = 0
+    var inQuote = false
+    def isWord(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+    while (i < tail.length) {
+      val c = tail.charAt(i)
+      if (inQuote) {
+        if (c == '\\') i += 1
+        else if (c == '\'') {
+          if (i + 1 < tail.length && tail.charAt(i + 1) == '\'') i += 1
+          else inQuote = false
+        }
+      } else c match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'A' | 'a' if depth == 0 && (i == 0 || !isWord(tail.charAt(i - 1))) &&
+            i + 2 < tail.length && (tail.charAt(i + 1) == 'S' || tail.charAt(i + 1) == 's') &&
+            !isWord(tail.charAt(i + 2)) =>
+          val rest = tail.substring(i + 2).trim
+          val up = rest.toUpperCase
+          if (up.startsWith("SELECT") || up.startsWith("WITH") || up.startsWith("VALUES"))
+            return Some((tail.substring(0, i), rest))
+          if (rest.startsWith("(")) {
+            val (inner, _) = balancedParen(rest, 0)
+            return Some((tail.substring(0, i), inner.trim))
+          }
+        case _ => ()
+      }
+      i += 1
+    }
+    None
   }
 
   private def drop(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame =
@@ -136,6 +218,33 @@ object GraftSql {
           else cat.insert(name, aligned)
         registerViews(spark, cat)
         status(spark, s"${op.toUpperCase} INTO", name, n)
+      case _ => { registerViews(spark, cat); spark.sql(stmt) }
+    }
+
+  /** `INSERT OVERWRITE TABLE t <query>` — Hive's truncate-and-load, routed
+    * to [[KuduLikeCatalog.overwrite]] (same positional column mapping and
+    * declared-type casts as INSERT INTO; same dup-ignore key discipline,
+    * applied within the incoming batch).
+    */
+  private def overwriteInto(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame =
+    stmt match {
+      case OverwriteHead(name, source) if cat.exists(name) =>
+        val schema = cat.schemaOf(name)
+        registerViews(spark, cat)
+        val src =
+          if (source.trim.toUpperCase.startsWith("VALUES"))
+            spark.sql(s"SELECT * FROM ${source.trim}")
+          else spark.sql(source.trim)
+        if (src.columns.length != schema.fields.length)
+          throw new CatalogException(
+            s"INSERT OVERWRITE $name: ${src.columns.length} columns, " +
+              s"table has ${schema.fields.length}")
+        val aligned = src.select(src.columns.zip(schema.fields).map {
+          case (c, f) => col(s"`$c`").cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+        val n = cat.overwrite(name, aligned)
+        registerViews(spark, cat)
+        status(spark, "INSERT OVERWRITE", name, n)
       case _ => { registerViews(spark, cat); spark.sql(stmt) }
     }
 

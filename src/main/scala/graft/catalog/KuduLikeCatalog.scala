@@ -551,6 +551,35 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     writeDelta(name, dedupedBatch.withColumn(OpCol, lit("upsert")))
   }
 
+  /** INSERT OVERWRITE semantics (Hive's truncate-and-load — the reference
+    * delegates this verb to hive-exec, reference pom.xml:28-31): replace the
+    * table contents with the batch under the same key discipline as
+    * [[insert]] — PK non-null enforced, in-batch dup-ignore keeping the
+    * deterministic first row per key. Pending mutation layers are discarded
+    * (OVERWRITE replaces them too), and the base epoch is bumped FIRST so
+    * CDC consumers re-bootstrap loudly even if the process dies mid-replace
+    * (the replace itself is the same pair-rename swap as [[compact]] — see
+    * [[rewrite]] for the crash-recovery story).
+    *
+    * @return number of rows the table holds after the overwrite
+    */
+  def overwrite(name: String, df: DataFrame): Long = {
+    assertZone(name)
+    val schema = readSchema(name)
+    val keys = keyColsOf(name)
+    if (df.schema.fieldNames.toSeq != schema.fieldNames.toSeq)
+      throw new CatalogException(
+        s"overwrite schema ${df.schema.fieldNames.mkString(",")} does not match " +
+          s"table schema ${schema.fieldNames.mkString(",")}")
+    rejectNullKeys(df, keys)
+    val deduped = firstPerKey(df, schema.fieldNames.toSeq, keys)
+    bumpBaseEpoch(name)
+    deleteRecursively(deltasDir(name))
+    val obs = org.apache.spark.sql.Observation()
+    rewrite(name, deduped.observe(obs, count(lit(1)).as("n")))
+    obs.get("n").asInstanceOf[Long]
+  }
+
   /** In-batch dedup: the survivor per key is the first row when ordered by
     * all non-key columns ascending, nulls first (deterministic, unlike the
     * reference's arrival-order race). One partial-aggregating pass — min_by

@@ -12,14 +12,15 @@ final case class DecodedMedia(
   * columns"): media as opaque `binary` columns with typed metadata.
   *
   * [[decode]] REALLY decodes the formats parseable in pure JVM with no
-  * codec libraries — BMP (BI_RGB, 24/32-bit), binary PPM (P6), and
+  * codec libraries — BMP (BI_RGB, 24/32-bit), binary PPM (P6),
   * non-interlaced 8-bit PNG (gray/RGB/RGBA; zlib inflate ships in
-  * `java.util.zip`) — yielding true width/height/channels and a checksum
-  * over the pixel bytes only (row padding / filter bytes excluded). Formats
-  * whose codecs genuinely are not in this container (JPEG/audio) fall back
-  * to the clearly-marked deterministic STUB ([[decodeStub]]), as does any
-  * payload whose sniff passes but whose parse fails — one corrupt record
-  * degrades, never kills the job. Everything
+  * `java.util.zip`), and PCM WAV (RIFF, format code 1) — yielding true
+  * dimensions/channels and a checksum over the payload bytes only (row
+  * padding / filter bytes / container chunks excluded). Formats whose
+  * codecs genuinely are not in this container (JPEG, compressed audio)
+  * fall back to the clearly-marked deterministic STUB ([[decodeStub]]), as
+  * does any payload whose sniff passes but whose parse fails — one corrupt
+  * record degrades, never kills the job. Everything
   * around the codec is the real 100-TB-shaped plumbing: binary column +
   * metadata struct schema, partition-parallel `mapPartitions` batch
   * iteration (the Scala analog of `mapInPandas` batches), and a typed
@@ -61,6 +62,7 @@ object Multimodal {
             if (isBmp(bytes)) decodeBmp(id, bytes)
             else if (isPpm(bytes)) decodePpm(id, bytes)
             else if (isPng(bytes)) decodePng(id, bytes)
+            else if (isWav(bytes)) decodeWav(id, bytes)
             else stubRecord(id, bytes, fmt)
           } catch {
             case scala.util.control.NonFatal(_) => stubRecord(id, bytes, fmt)
@@ -427,6 +429,83 @@ object Multimodal {
     chunk("IDAT", comp.toByteArray)
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
+  }
+
+  /** WAV sniff: RIFF container whose declared size matches the actual byte
+    * count (a text blob starting "RIFF" would have to embed its own length
+    * to pass) and whose form type is WAVE.
+    */
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length >= 44 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      le32(b, 4) == b.length - 8 &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Uncompressed PCM WAV (RIFF/WAVE, format code 1) — audio is a media
+    * column too, and the container format needs no codec library. The
+    * record maps audio onto the image-shaped schema as width = frames per
+    * channel, height = 1, channels = channel count; the checksum covers the
+    * PCM payload bytes of the `data` chunk only, so re-containering the
+    * same samples (extra LIST/INFO chunks, different chunk order) hashes
+    * identically. Compressed codecs (format != 1) throw — [[decode]]
+    * catches and degrades to the stub.
+    */
+  private def decodeWav(id: Long, b: Array[Byte]): DecodedMedia = {
+    var i = 12
+    var channels = -1
+    var bytesPerSample = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (i + 8 <= b.length && (channels < 0 || dataOff < 0)) {
+      val size = le32(b, i + 4)
+      require(size >= 0 && i + 8 + size <= b.length, s"WAV $id: corrupt chunk at $i")
+      val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
+      val isData = b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a'
+      if (isFmt) {
+        require(size >= 16, s"WAV $id: fmt chunk too short")
+        val fmtCode = le16(b, i + 8)
+        require(fmtCode == 1, s"WAV $id: only PCM (1) supported, got $fmtCode")
+        channels = le16(b, i + 10)
+        val bits = le16(b, i + 22)
+        require(channels > 0, s"WAV $id: bad channel count $channels")
+        require(Set(8, 16, 24, 32).contains(bits), s"WAV $id: unsupported bit depth $bits")
+        bytesPerSample = bits / 8
+      }
+      if (isData) { dataOff = i + 8; dataLen = size }
+      i += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    require(channels > 0 && dataOff >= 0, s"WAV $id: missing fmt or data chunk")
+    val frames = dataLen / (channels * bytesPerSample)
+    DecodedMedia(id, "audio/wav", b.length.toLong, frames, 1, channels,
+      fnv(b, dataOff, dataOff + dataLen, FnvSeed))
+  }
+
+  /** Canonical 44-byte-header PCM WAV encoder — fixture counterpart of
+    * [[decodeWav]]. `pcm` is the raw interleaved sample bytes.
+    */
+  def encodeWav(channels: Int, bitsPerSample: Int, sampleRate: Int,
+      pcm: Array[Byte]): Array[Byte] = {
+    require(Set(8, 16, 24, 32).contains(bitsPerSample), "bits must be 8/16/24/32")
+    val out = new Array[Byte](44 + pcm.length)
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def putLe16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putAscii(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach { case (c, j) => out(off + j) = c }
+    val blockAlign = channels * bitsPerSample / 8
+    putAscii(0, "RIFF"); putLe32(4, 36 + pcm.length); putAscii(8, "WAVE")
+    putAscii(12, "fmt "); putLe32(16, 16)
+    putLe16(20, 1) // PCM
+    putLe16(22, channels); putLe32(24, sampleRate)
+    putLe32(28, sampleRate * blockAlign); putLe16(32, blockAlign)
+    putLe16(34, bitsPerSample)
+    putAscii(36, "data"); putLe32(40, pcm.length)
+    System.arraycopy(pcm, 0, out, 44, pcm.length)
+    out
   }
 
   /** Binary PPM (P6) encoder — fixture counterpart of [[decodePpm]]. */

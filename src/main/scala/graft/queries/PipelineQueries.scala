@@ -191,6 +191,42 @@ object PipelineQueries {
              |WHERE i * 1.0 / ((sa.sz + sb.sz - i) * 1.0) >= 0.05
              |ORDER BY a, b""".stripMargin)),
 
+    // The df-capped (scale) configuration of d9, hash-verified: candidate
+    // pairs must share at least one DISCRIMINATIVE shingle (document
+    // frequency <= 5 here); intersections are still verified over ALL
+    // shingles, so surviving pairs carry the true jaccard. The oracle
+    // encodes exactly those cap semantics — this is the configuration a
+    // 100-TB caller runs (stop-phrase shingles otherwise make quadratic
+    // buckets), and with this entry it is oracle-gated, not just
+    // property-tested (ScaleOpsSpec planted-hot-shingle cases).
+    QDef("d9b_jaccard_dfcap",
+      (s, dir) => Dedup.ngramJaccardPairs(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 60),
+        "text", "doc_id", n = 2, tau = 0.05, dfMax = 5L)
+        .select(col("a"), col("b"), dec4(col("jaccard")).as("jac"))
+        .orderBy("a", "b"),
+      Some("""WITH sh AS (
+             |  SELECT DISTINCT doc_id AS doc, g FROM (
+             |    SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))),
+             |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS g
+             |    FROM documents WHERE doc_id < 60) t),
+             |disc AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 5),
+             |capped AS (SELECT * FROM sh WHERE g IN (SELECT g FROM disc)),
+             |cand AS (SELECT DISTINCT a.doc AS a, b.doc AS b
+             |         FROM capped a JOIN capped b ON a.g = b.g AND a.doc < b.doc),
+             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT c.a, c.b, count(*) AS i
+             |          FROM cand c
+             |          JOIN sh x ON x.doc = c.a
+             |          JOIN sh y ON y.doc = c.b AND y.g = x.g
+             |          GROUP BY 1, 2)
+             |SELECT a, b, CAST(i * 1.0 / ((sa.sz + sb.sz - i) * 1.0) AS DECIMAL(38,4)) AS jac
+             |FROM inter
+             |JOIN sizes sa ON sa.doc = a
+             |JOIN sizes sb ON sb.doc = b
+             |WHERE i * 1.0 / ((sa.sz + sb.sz - i) * 1.0) >= 0.05
+             |ORDER BY a, b""".stripMargin)),
+
     // Winnowing-style fingerprint (min-md5 over char 8-grams).
     QDef("d10_fingerprint",
       (s, dir) => Tables.parallel(Tables.load(s, dir, "documents"))

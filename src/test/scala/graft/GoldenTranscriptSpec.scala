@@ -103,6 +103,25 @@ class GoldenTranscriptSpec extends SparkSpec {
     assert(sql("INSERT INTO test_drop VALUES (1,'zzz')").head().getLong(2) === 0L)
     assert(sql("SELECT count(*) FROM test_drop").head().getLong(0) === 3L)
 
+    // the two Hive verbs a reference user reaches for next (delegated to
+    // hive-exec in the reference, pom.xml:28-31): derive a summary table
+    // with CTAS, then refresh it with INSERT OVERWRITE
+    val ctas = sql("""CREATE TABLE name_counts
+          |STORED BY 'org.kududb.hive.KuduStorageHandler'
+          |TBLPROPERTIES('kudu.key_columns' = 'name')
+          |AS SELECT name, count(*) AS n FROM test_drop GROUP BY name""".stripMargin)
+    assert(ctas.head().getLong(2) === 2L)
+    assert(sql("SELECT name, n FROM name_counts ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("a", 2L), ("b", 1L)))
+    assert(sql("""INSERT OVERWRITE TABLE name_counts
+          |SELECT name, count(*) FROM test_drop WHERE id > 1 GROUP BY name"""
+      .stripMargin).head().getLong(2) === 2L)
+    assert(sql("SELECT name, n FROM name_counts ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("a", 1L), ("b", 1L)))
+    sql("DROP TABLE name_counts")
+
     sql("DROP TABLE test_drop")
     assert(!cat.exists("test_drop"))
     // IF EXISTS on a gone table is a no-op, not an error

@@ -118,6 +118,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out.find(_.id == 11L).get.checksum === fnvOf(gray))
   }
 
+  test("decode really parses PCM WAV — frames, channels, payload-only checksum") {
+    // 2-channel 16-bit PCM, 100 frames: width = frames per channel, height
+    // = 1. The checksum covers the data-chunk bytes only.
+    val pcm = Array.tabulate(100 * 2 * 2)(i => (i * 31 % 255).toByte)
+    val wav = Multimodal.encodeWav(2, 16, 8000, pcm)
+    // a non-PCM format code (3 = IEEE float) must degrade to the stub
+    val nonPcm = wav.clone(); nonPcm(20) = 3
+    // text shaped like RIFF must not be believed (declared size mismatch)
+    val fakeRiff = ("RIFF.WAVEfmt this text is long enough to clear the " +
+      "44-byte header minimum easily, padded padded").getBytes("US-ASCII")
+    val out = Multimodal.decode(spark, asMedia(Seq(
+      (1L, wav, "audio/wav"), (2L, nonPcm, "audio/wav"), (3L, fakeRiff, "text"))))
+      .collect().sortBy(_.id)
+    val Array(ok, stubbed, text) = out
+    assert(ok.format === "audio/wav")
+    assert((ok.width, ok.height, ok.channels) === ((100, 1, 2)))
+    assert(ok.checksum === fnvOf(pcm))
+    assert(stubbed.width >= 64 && stubbed.height >= 64) // stub-shaped
+    assert(text.format === "text")
+  }
+
   test("corrupt or unsupported payloads degrade to the stub, never fail the task") {
     // Each payload passes (or nearly passes) a sniff, then fails its parser.
     val (w, h) = (5, 3)

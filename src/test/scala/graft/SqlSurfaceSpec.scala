@@ -108,6 +108,67 @@ class SqlSurfaceSpec extends SparkSpec {
     intercept[Exception] { sql("ALTER TABLE no_such_t ADD COLUMN x INT") }
   }
 
+  test("CTAS: CREATE TABLE … STORED BY … TBLPROPERTIES … AS SELECT loads through the catalog") {
+    val (cat, sql) = fresh()
+    Tables.registerAll(spark, sf)
+    val st = sql("""CREATE TABLE nat_ctas
+      |STORED BY 'handler'
+      |TBLPROPERTIES('kudu.key_columns'='n_nationkey', 'graft.hash_buckets'='2')
+      |AS SELECT n_nationkey, n_name FROM nation""".stripMargin)
+    assert(st.head().getString(0) === "CREATE TABLE AS SELECT")
+    assert(st.head().getLong(2) === 25L)
+    // layout from the properties, schema from the SELECT
+    assert(cat.keyColsOf("nat_ctas") === Seq("n_nationkey"))
+    assert(cat.bucketsOf("nat_ctas") === 2)
+    assert(cat.schemaOf("nat_ctas").fieldNames.toSeq === Seq("n_nationkey", "n_name"))
+    assert(sql("SELECT count(*) FROM nat_ctas").head().getLong(0) === 25L)
+    // IF NOT EXISTS: second CTAS is a no-op, not a reload
+    assert(sql("""CREATE TABLE IF NOT EXISTS nat_ctas STORED BY 'h'
+      |TBLPROPERTIES('kudu.key_columns'='n_nationkey')
+      |AS SELECT n_nationkey, n_name FROM nation""".stripMargin).head().getLong(2) === 0L)
+    // key column missing from the SELECT output → loud error, no half table
+    intercept[CatalogException] {
+      sql("""CREATE TABLE bad_ctas STORED BY 'h'
+        |TBLPROPERTIES('kudu.key_columns'='nope') AS SELECT n_name FROM nation""".stripMargin)
+    }
+    assert(!cat.exists("bad_ctas"))
+    // the batch goes through the same dup-ignore key discipline as INSERT
+    val st2 = sql("""CREATE TABLE dup_ctas STORED BY 'h'
+      |TBLPROPERTIES('kudu.key_columns'='k')
+      |AS SELECT * FROM VALUES (1,'a'),(1,'b'),(2,'c') AS t(k, v)""".stripMargin)
+    assert(st2.head().getLong(2) === 2L)
+    // parenthesized query form
+    sql("""CREATE TABLE paren_ctas STORED BY 'h'
+      |TBLPROPERTIES('kudu.key_columns'='k') AS (SELECT 1 AS k, 'x' AS v)""".stripMargin)
+    assert(sql("SELECT count(*) FROM paren_ctas").head().getLong(0) === 1L)
+  }
+
+  test("INSERT OVERWRITE TABLE truncates and loads with the key discipline") {
+    val (cat, sql) = fresh()
+    sql("CREATE TABLE t (id INT, v STRING) TBLPROPERTIES('kudu.key_columns'='id')")
+    sql("INSERT INTO t VALUES (1,'a'),(2,'b'),(3,'c')")
+    // pending delta layers from an upsert — OVERWRITE must replace them too
+    sql("UPSERT INTO t VALUES (3,'C!')")
+    val e0 = cat.baseEpoch("t")
+    val st = sql("INSERT OVERWRITE TABLE t VALUES (7,'x'),(8,'y'),(8,'y2')")
+    assert(st.head().getString(0) === "INSERT OVERWRITE")
+    assert(st.head().getLong(2) === 2L) // in-batch dup-ignore on id=8
+    assert(sql("SELECT id FROM t").collect().map(_.getInt(0)).sorted.toSeq === Seq(7, 8))
+    // deterministic survivor for the duplicated key: first by non-key order
+    assert(sql("SELECT v FROM t WHERE id = 8").head().getString(0) === "y")
+    // replacing contents invalidates changelog consumers: epoch must move
+    assert(cat.baseEpoch("t") > e0)
+    // SELECT form with positional cast (r_regionkey BIGINT → id INT)
+    Tables.registerAll(spark, sf)
+    assert(sql("INSERT OVERWRITE t SELECT r_regionkey, r_name FROM region")
+      .head().getLong(2) === 5L)
+    assert(sql("SELECT count(*) FROM t").head().getLong(0) === 5L)
+    // a second overwrite fully replaces the first (no leftover rows)
+    assert(sql("INSERT OVERWRITE TABLE t VALUES (42,'only')").head().getLong(2) === 1L)
+    assert(sql("SELECT id, v FROM t").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      === Seq((42, "only")))
+  }
+
   test("CLI statement split respects quoted semicolons") {
     assert(Sql.splitStatements("SELECT 1; SELECT 'a;b' ;; SELECT 2")
       === Seq("SELECT 1", "SELECT 'a;b'", "SELECT 2"))

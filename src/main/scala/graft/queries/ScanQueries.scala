@@ -79,6 +79,51 @@ object ScanQueries {
              |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // CTAS through the SQL router (Hive dialect the reference delegates to
+    // hive-exec, reference pom.xml:28-31): schema from the SELECT, key from
+    // the properties, rows through the strict dup-ignore insert. The oracle
+    // is the underlying SELECT itself — the round trip through catalog
+    // storage (partitioned parquet + declared schema) must be lossless.
+    QDef("s12_ctas",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s12_").toString
+        val cat = new KuduLikeCatalog(s, tmp)
+        Tables.registerAll(s, dir)
+        graft.GraftSql.execute(s, cat,
+          """CREATE TABLE cust_by_seg STORED BY 'handler'
+            |TBLPROPERTIES('kudu.key_columns'='c_mktsegment')
+            |AS SELECT c_mktsegment, count(*) AS n_cust,
+            |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+            |FROM customer WHERE c_mktsegment IS NOT NULL
+            |GROUP BY c_mktsegment""".stripMargin)
+        cat.table("cust_by_seg").orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_cust,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+             |FROM customer WHERE c_mktsegment IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // INSERT OVERWRITE through the SQL router: truncate-and-load fully
+    // replaces earlier contents (the first INSERT must leave no residue).
+    QDef("s13_insert_overwrite",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s13_").toString
+        val cat = new KuduLikeCatalog(s, tmp)
+        Tables.registerAll(s, dir)
+        def sql(t: String) = graft.GraftSql.execute(s, cat, t)
+        sql("""CREATE TABLE top_parts (p_partkey BIGINT, p_retailprice DOUBLE)
+              |TBLPROPERTIES('kudu.key_columns'='p_partkey')""".stripMargin)
+        sql("""INSERT INTO top_parts
+              |SELECT p_partkey, CAST(p_retailprice AS DOUBLE)
+              |FROM part WHERE p_partkey <= 100""".stripMargin)
+        sql("""INSERT OVERWRITE TABLE top_parts
+              |SELECT p_partkey, CAST(p_retailprice AS DOUBLE)
+              |FROM part WHERE p_partkey % 7 = 0""".stripMargin)
+        cat.table("top_parts").orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice
+             |FROM part WHERE p_partkey % 7 = 0 ORDER BY p_partkey""".stripMargin)),
+
     // Inline VALUES source — the reference's own demo insert
     // (reference: README.md:35 `insert into test_drop values (1,'a'),...`).
     QDef("s10_values_inline",

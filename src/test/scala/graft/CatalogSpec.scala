@@ -449,6 +449,16 @@ class CatalogSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("base epoch"))
 
+    // INSERT OVERWRITE replaces contents outside the changelog entirely —
+    // the epoch guard must invalidate a pre-overwrite bootstrap the same way
+    val e1 = cat2.baseEpoch("src2")
+    cat2.overwrite("src2", Seq((9, "z", 9.0)).toDF("id", "grp", "v"))
+    assert(cat2.baseEpoch("src2") > e1)
+    val eOw = intercept[IllegalArgumentException] {
+      IncrementalAgg.delta(cat2, "src2", 0, 0, e1, Seq("grp"), "v")
+    }
+    assert(eOw.getMessage.contains("base epoch"))
+
     // null-group merge is null-safe: retraction on a null key must land
     val prevN = Seq(("x", 2L, 30.0), (null.asInstanceOf[String], 2L, 30.0))
       .toDF("grp", "n", "total")

@@ -27,6 +27,6 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the survey ledger claim") {
-    assert(SparkEntry.all.size === 123, s"ledger says 123, found ${SparkEntry.all.size}")
+    assert(SparkEntry.all.size === 125, s"ledger says 125, found ${SparkEntry.all.size}")
   }
 }

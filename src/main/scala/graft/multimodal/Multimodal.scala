@@ -16,11 +16,13 @@ final case class DecodedMedia(
   * non-interlaced 8-bit PNG (gray/RGB/RGBA; zlib inflate ships in
   * `java.util.zip`), and PCM WAV (RIFF, format code 1) — yielding true
   * dimensions/channels and a checksum over the payload bytes only (row
-  * padding / filter bytes / container chunks excluded). Formats whose
-  * codecs genuinely are not in this container (JPEG, compressed audio)
-  * fall back to the clearly-marked deterministic STUB ([[decodeStub]]), as
-  * does any payload whose sniff passes but whose parse fails — one corrupt
-  * record degrades, never kills the job. Everything
+  * padding / filter bytes / container chunks excluded). JPEG gets a real
+  * HEADER parse (true geometry from SOF, checksum over the entropy-coded
+  * scan) — only its pixel decode needs the DCT codec this container lacks.
+  * Formats with no pure-JVM parse at all (compressed audio) fall back to
+  * the clearly-marked deterministic STUB ([[decodeStub]]), as does any
+  * payload whose sniff passes but whose parse fails — one corrupt record
+  * degrades, never kills the job. Everything
   * around the codec is the real 100-TB-shaped plumbing: binary column +
   * metadata struct schema, partition-parallel `mapPartitions` batch
   * iteration (the Scala analog of `mapInPandas` batches), and a typed
@@ -63,6 +65,7 @@ object Multimodal {
             else if (isPpm(bytes)) decodePpm(id, bytes)
             else if (isPng(bytes)) decodePng(id, bytes)
             else if (isWav(bytes)) decodeWav(id, bytes)
+            else if (isJpeg(bytes)) decodeJpegHeader(id, bytes)
             else stubRecord(id, bytes, fmt)
           } catch {
             case scala.util.control.NonFatal(_) => stubRecord(id, bytes, fmt)
@@ -128,9 +131,13 @@ object Multimodal {
     val compression = le32(b, 30)
     require(compression == 0, s"BMP $id: only BI_RGB (0) supported, got $compression")
     require(bpp == 24 || bpp == 32, s"BMP $id: only 24/32-bit supported, got $bpp")
+    require(width > 0 && height > 0, s"BMP $id: bad dimensions ${width}x$height")
     val channels = bpp / 8
     val rowBytes = width * channels
     val stride = (rowBytes + 3) & ~3 // rows pad to 4-byte boundaries
+    // a lying header must throw here (→ stub), not index past the array
+    require(pixelOff >= 54 && pixelOff.toLong + height.toLong * stride <= b.length,
+      s"BMP $id: declared pixel data exceeds payload")
     var cs = FnvSeed
     var row = 0
     while (row < height) {
@@ -506,6 +513,108 @@ object Multimodal {
     putAscii(36, "data"); putLe32(40, pcm.length)
     System.arraycopy(pcm, 0, out, 44, pcm.length)
     out
+  }
+
+  /** JPEG sniff: SOI marker followed by a structurally valid marker chain
+    * (every segment's big-endian length must land on another `FF`-led
+    * marker inside the buffer) reaching a start-of-frame before the scan.
+    * Random bytes shaped like `FF D8 FF` fail the chain walk immediately.
+    */
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff &&
+      (try { jpegSof(b); true } catch { case _: Exception => false })
+
+  /** Walk the marker chain to the first start-of-frame (SOF0–SOF15 except
+    * DHT/JPG/DAC) and return (height, width, components, sosPayloadOffset).
+    * The offset is the first entropy-coded byte after the SOS header, -1 if
+    * no scan is present.
+    */
+  private def jpegSof(b: Array[Byte]): (Int, Int, Int, Int) = {
+    var i = 2 // past SOI
+    var sof: (Int, Int, Int) = null
+    while (i + 4 <= b.length) {
+      require((b(i) & 0xff) == 0xff, s"JPEG: marker expected at $i")
+      var m = b(i + 1) & 0xff
+      while (m == 0xff && i + 2 < b.length) { i += 1; m = b(i + 1) & 0xff } // fill bytes
+      require(i + 4 <= b.length, "JPEG: truncated segment header")
+      require(m != 0xd8 && !(m >= 0xd0 && m <= 0xd7) && m != 0x01 && m != 0x00,
+        s"JPEG: standalone marker $m before scan")
+      if (m == 0xd9) throw new IllegalArgumentException("JPEG: EOI before SOF/SOS")
+      val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      require(len >= 2 && i + 2 + len <= b.length, s"JPEG: segment overruns buffer at $i")
+      val isSofMarker = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+      if (isSofMarker) {
+        require(len >= 8, "JPEG: SOF too short")
+        val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+        val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+        val nc = b(i + 9) & 0xff
+        require(h > 0 && w > 0 && nc > 0, "JPEG: bad SOF dimensions")
+        sof = (h, w, nc)
+      }
+      if (m == 0xda) { // SOS — entropy-coded data follows its header
+        require(sof != null, "JPEG: SOS before SOF")
+        return (sof._1, sof._2, sof._3, i + 2 + len)
+      }
+      i += 2 + len
+    }
+    require(sof != null, "JPEG: no SOF marker found")
+    (sof._1, sof._2, sof._3, -1)
+  }
+
+  /** JPEG header parse — pure JVM, no codec. A full pixel decode needs a
+    * DCT/Huffman codec this container lacks (the one honestly-stubbed
+    * surface), but the frame header is plain marker structure: TRUE
+    * width/height/channels from SOF, checksum over the entropy-coded scan
+    * bytes (container metadata — APPn/EXIF/comment segments — excluded, so
+    * re-tagging the same image hashes identically; unlike the lossless
+    * formats the hash is over compressed bits, not pixels).
+    */
+  private def decodeJpegHeader(id: Long, b: Array[Byte]): DecodedMedia = {
+    val (h, w, nc, scanOff) = jpegSof(b)
+    // scan runs to EOI (FF D9) if present, else to end-of-buffer
+    val end =
+      if (b.length >= 2 && (b(b.length - 2) & 0xff) == 0xff &&
+        (b(b.length - 1) & 0xff) == 0xd9) b.length - 2
+      else b.length
+    val cs = if (scanOff >= 0) fnv(b, scanOff, math.max(scanOff, end), FnvSeed) else FnvSeed
+    DecodedMedia(id, "image/jpeg", b.length.toLong, w, h, nc, cs)
+  }
+
+  /** Minimal structurally-valid JPEG writer — fixture counterpart of
+    * [[decodeJpegHeader]] (SOI, JFIF APP0, SOF0 with the given geometry,
+    * SOS, `scan` as the entropy payload, EOI). The scan bytes are opaque to
+    * the header parser, so any `FF`-free payload works.
+    */
+  def encodeJpegShell(width: Int, height: Int, channels: Int,
+      scan: Array[Byte]): Array[Byte] = {
+    require(scan.forall(s => (s & 0xff) != 0xff), "fixture scan must be FF-free")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int, payload: Array[Byte]): Unit = {
+      out.write(0xff); out.write(m)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(payload, 0, payload.length)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    marker(0xe0, "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    val sof = new Array[Byte](6 + 3 * channels)
+    sof(0) = 8 // precision
+    sof(1) = ((height >> 8) & 0xff).toByte; sof(2) = (height & 0xff).toByte
+    sof(3) = ((width >> 8) & 0xff).toByte; sof(4) = (width & 0xff).toByte
+    sof(5) = channels.toByte
+    for (c <- 0 until channels) {
+      sof(6 + 3 * c) = (c + 1).toByte; sof(7 + 3 * c) = 0x11; sof(8 + 3 * c) = 0
+    }
+    marker(0xc0, sof)
+    val sos = new Array[Byte](1 + 2 * channels + 3)
+    sos(0) = channels.toByte
+    for (c <- 0 until channels) { sos(1 + 2 * c) = (c + 1).toByte; sos(2 + 2 * c) = 0 }
+    sos(1 + 2 * channels + 1) = 63
+    marker(0xda, sos)
+    out.write(scan, 0, scan.length)
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
   }
 
   /** Binary PPM (P6) encoder — fixture counterpart of [[decodePpm]]. */

@@ -139,6 +139,31 @@ class MultimodalSpec extends SparkSpec {
     assert(text.format === "text")
   }
 
+  test("decode parses JPEG headers — true geometry, scan-only checksum, pixel decode honestly absent") {
+    val scan = Array.tabulate(300)(i => (i % 200).toByte) // FF-free entropy payload
+    val jpg = Multimodal.encodeJpegShell(640, 480, 3, scan)
+    // the same frame re-tagged (an extra APP1/EXIF segment before SOF) must
+    // hash identically — container metadata is excluded from the checksum
+    val exif = Array[Byte](0xff.toByte, 0xe1.toByte, 0, 8, 'E', 'x', 'i', 'f', 0, 0)
+    val tagged = jpg.take(2) ++ exif ++ jpg.drop(2)
+    // text shaped like the SOI magic must fail the marker-chain walk
+    val fake = (Array(0xff, 0xd8, 0xff).map(_.toByte) ++
+      "not actually a jpeg, just bytes".getBytes("US-ASCII"))
+    // truncated mid-SOF degrades to the stub
+    val cut = jpg.take(12)
+    val out = Multimodal.decode(spark, asMedia(Seq(
+      (1L, jpg, "image/jpeg"), (2L, tagged, "image/jpeg"),
+      (3L, fake, "text"), (4L, cut, "image/jpeg"))))
+      .collect().sortBy(_.id)
+    val Array(ok, retagged, text, stubbed) = out
+    assert((ok.format, ok.width, ok.height, ok.channels) === (("image/jpeg", 640, 480, 3)))
+    assert(ok.checksum === fnvOf(scan))
+    assert(retagged.checksum === ok.checksum, "re-tagging must not change the scan hash")
+    assert((retagged.width, retagged.height) === ((640, 480)))
+    assert(text.format === "text")
+    assert(stubbed.width >= 64 && stubbed.height >= 64) // stub-shaped
+  }
+
   test("corrupt or unsupported payloads degrade to the stub, never fail the task") {
     // Each payload passes (or nearly passes) a sniff, then fails its parser.
     val (w, h) = (5, 3)
@@ -148,6 +173,12 @@ class MultimodalSpec extends SparkSpec {
     val rle = bmp.clone(); rle(30) = 1
     // lying BMP header: pixel offset way past the end of the buffer
     val oob = bmp.clone(); oob(10) = 0x7f.toByte; oob(11) = 0x7f.toByte
+    // lying BMP header: negative width (would yield a garbage record, not a
+    // crash, if the decoder skipped dimension validation)
+    val negw = bmp.clone(); negw(18) = 0xfb.toByte; negw(19) = 0xff.toByte
+    negw(20) = 0xff.toByte; negw(21) = 0xff.toByte
+    // lying BMP header: height far beyond what the payload holds
+    val tallh = bmp.clone(); tallh(22) = 0xff.toByte; tallh(23) = 0x7f.toByte
     // truncated PNG: valid signature+IHDR, IDAT cut short
     val png = Multimodal.encodePng(w, h, rgb)
     val cut = png.take(png.length - 20)
@@ -155,9 +186,10 @@ class MultimodalSpec extends SparkSpec {
     val adam7 = png.clone(); adam7(28) = 1
     val out = Multimodal.decode(spark, asMedia(Seq(
       (1L, rle, "image/bmp"), (2L, oob, "image/bmp"),
-      (3L, cut, "image/png"), (4L, adam7, "image/png"))))
+      (3L, cut, "image/png"), (4L, adam7, "image/png"),
+      (5L, negw, "image/bmp"), (6L, tallh, "image/bmp"))))
       .collect().sortBy(_.id)
-    assert(out.length === 4, "no record may be dropped or fail the job")
+    assert(out.length === 6, "no record may be dropped or fail the job")
     // all four fell back to the stub: format preserved from metadata,
     // stub-shaped dimensions
     assert(out.forall(d => d.format == "image/bmp" || d.format == "image/png"))

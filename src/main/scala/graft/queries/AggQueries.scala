@@ -136,11 +136,25 @@ object AggQueries {
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     QDef("a9_median",
-      (s, dir) => Tables.load(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(dec4(expr("median(l_quantity)")).as("med_qty"),
-          dec4(expr("median(l_extendedprice)")).as("med_price"))
-        .orderBy("l_returnflag"),
+      // EXACT median via graft.operators.ExactMedian (value-histogram +
+      // cumulative counts), not Spark's median() aggregate — the built-in
+      // buffers every group's values in one executor's heap; see the
+      // operator's scaladoc for the 100-TB rationale. The two measure
+      // columns melt by union (stays inside whole-stage codegen; an
+      // explode(map(...)) melt allocates a map object per input row).
+      (s, dir) => {
+        val t = Tables.load(s, dir, "lineitem")
+        val melted =
+          t.select(col("l_returnflag"), lit("q").as("m"),
+            col("l_quantity").cast("double").as("v"))
+            .unionAll(t.select(col("l_returnflag"), lit("p").as("m"),
+              col("l_extendedprice").cast("double").as("v")))
+        graft.operators.ExactMedian.groupedMedian(melted, Seq("l_returnflag", "m"), "v")
+          .groupBy("l_returnflag")
+          .agg(dec4(max(when(col("m") === "q", col("med")))).as("med_qty"),
+            dec4(max(when(col("m") === "p", col("med")))).as("med_price"))
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag,
              |  CAST(median(l_quantity) AS DECIMAL(38,4)) AS med_qty,
              |  CAST(median(l_extendedprice) AS DECIMAL(38,4)) AS med_price

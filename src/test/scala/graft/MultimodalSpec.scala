@@ -200,6 +200,33 @@ class MultimodalSpec extends SparkSpec {
     assert((okOut.width, okOut.height, okOut.checksum) === ((w, h, fnvOf(rgb))))
   }
 
+  test("PNG round-trip property: random geometry x channels x filter reconstructs exact pixels") {
+    // encoder and decoder are independent implementations of the PNG spec
+    // (filter inverse vs reconstruction); agreeing on random content across
+    // the full filter x channel grid is strong evidence both are right.
+    val rnd = new scala.util.Random(20260812L)
+    val cases = for {
+      filter <- 0 to 4
+      channels <- Seq(1, 3, 4)
+    } yield {
+      val w = 1 + rnd.nextInt(12)
+      val h = 1 + rnd.nextInt(9)
+      val px = Array.fill(w * h * channels)(rnd.nextInt(256).toByte)
+      (filter.toLong * 10 + channels, w, h, channels, px)
+    }
+    val payloads = cases.map { case (id, w, h, c, px) =>
+      (id, Multimodal.encodePng(w, h, px, c, (id / 10).toInt), "image/png")
+    }
+    val out = Multimodal.decode(spark, asMedia(payloads)).collect()
+      .map(d => d.id -> d).toMap
+    cases.foreach { case (id, w, h, c, px) =>
+      val d = out(id)
+      assert((d.format, d.width, d.height, d.channels) === (("image/png", w, h, c)),
+        s"case $id geometry")
+      assert(d.checksum === fnvOf(px), s"case $id pixel reconstruction")
+    }
+  }
+
   test("sampleEvery keeps every stride-th id") {
     val d = Multimodal.decodeStub(spark, media())
     val sampled = Multimodal.sampleEvery(d, 5).collect().map(_.id).sorted

@@ -160,4 +160,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(p.contains("min_by"), p)
   }
+
+  test("Q11: the global total rides back as a ONE-row broadcast, never a collect or wide cartesian") {
+    val p = planOf("tpch_q11")
+    // value > total * 0.001 compares every aggregated row against a scalar;
+    // the scalar is a 1-row frame broadcast into a nested-loop join (the
+    // no-collect pattern) — a real CartesianProduct here would be quadratic
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // and the nation-restricted supplier set reaches lineitem as a
+    // broadcast semi join, not a shuffle
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("Q21: EXISTS/NOT EXISTS compile to semi/anti joins — no subquery re-scan per row") {
+    val p = planOf("tpch_q21")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    // supplier+nation fold into one broadcast; the wide side shuffles only
+    // (orderkey, suppkey)-shaped keys, never payloads
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("A9 exact median: full data meets only a hash aggregate, never a value-buffering agg") {
+    val p = planOf("a9_median")
+    // the builtin median()/percentile() plans an ObjectHashAggregate whose
+    // partials are whole value arrays — one executor's heap per group; the
+    // histogram formulation's only full-data operator is a codegen
+    // HashAggregate, and the windows run over distinct values per group
+    assert(!p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Window"), p)
+  }
 }

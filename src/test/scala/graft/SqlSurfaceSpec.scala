@@ -137,6 +137,15 @@ class SqlSurfaceSpec extends SparkSpec {
       |TBLPROPERTIES('kudu.key_columns'='k')
       |AS SELECT * FROM VALUES (1,'a'),(1,'b'),(2,'c') AS t(k, v)""".stripMargin)
     assert(st2.head().getLong(2) === 2L)
+    // LOAD failure after the create (NULL in a key column violates the PK
+    // discipline inside insert) must drop the half-created table — CTAS is
+    // create+load or nothing
+    intercept[Exception] {
+      sql("""CREATE TABLE nullkey_ctas STORED BY 'h'
+        |TBLPROPERTIES('kudu.key_columns'='k')
+        |AS SELECT * FROM VALUES (CAST(NULL AS INT),'a'),(2,'b') AS t(k, v)""".stripMargin)
+    }
+    assert(!cat.exists("nullkey_ctas"), "half-created table must be rolled back")
     // parenthesized query form
     sql("""CREATE TABLE paren_ctas STORED BY 'h'
       |TBLPROPERTIES('kudu.key_columns'='k') AS (SELECT 1 AS k, 'x' AS v)""".stripMargin)

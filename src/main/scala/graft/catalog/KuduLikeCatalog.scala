@@ -73,7 +73,47 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     FloatType, DoubleType, TimestampType, TimestampNTZType, BooleanType, BinaryType)
 
   private def tableDir(name: String): Path = Paths.get(root, name)
-  private def dataDir(name: String): String = tableDir(name).resolve("data").toString
+
+  /** Base-data directory, resolved through the meta manifest. Defaults to
+    * `data`; [[overwrite]] repoints it (`"dataDir"` field) in the same
+    * atomic meta swap that raises the delta floor, which is what makes
+    * truncate-and-load crash-consistent: one rename flips both the base
+    * and the validity of every pre-overwrite delta layer together.
+    */
+  private def dataDir(name: String): String =
+    tableDir(name).resolve(dataDirNameOf(name)).toString
+
+  private def dataDirNameOf(name: String): String =
+    if (!Files.exists(metaFile(name))) "data"
+    else """"dataDir":"([^"]+)"""".r
+      .findFirstMatchIn(Files.readString(metaFile(name)))
+      .map(_.group(1)).getOrElse("data")
+
+  /** Delta layers with sequence ≤ the floor are logically dead (folded or
+    * overwritten away); readers ignore them even if their files linger
+    * after a crash between the meta swap and the cleanup.
+    */
+  private def deltaFloorOf(name: String): Int =
+    if (!Files.exists(metaFile(name))) 0
+    else """"deltaFloor":(\d+)""".r
+      .findFirstMatchIn(Files.readString(metaFile(name)))
+      .map(_.group(1).toInt).getOrElse(0)
+
+  /** Atomically patch the meta manifest (tmp + ATOMIC_MOVE, same discipline
+    * as [[stampZone]]) with a new base-dir pointer and delta floor. This
+    * write IS the overwrite commit point.
+    */
+  private def patchMeta(name: String, dataDirName: String, deltaFloor: Int): Unit = {
+    val stripped = Files.readString(metaFile(name))
+      .replaceFirst("""^\{"dataDir":"[^"]+","deltaFloor":\d+,""", "{")
+    val patched =
+      s"""{"dataDir":"$dataDirName","deltaFloor":$deltaFloor,""" + stripped.drop(1)
+    val tmp = tableDir(name).resolve(".meta_tmp")
+    Files.writeString(tmp, patched)
+    Files.move(tmp, metaFile(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
   private def metaFile(name: String): Path = tableDir(name).resolve("_meta.json")
 
   def exists(name: String): Boolean = Files.exists(metaFile(name))
@@ -525,7 +565,20 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val d = TableDef(name,
       fields.foldLeft(schema)((s, f) => s.add(f.copy(nullable = true))),
       keyColsOf(name), bucketsOf(name), rangeColOf(name))
-    Files.writeString(metaFile(name), metaJson(d, d.schema, zoneOf(name)))
+    // rebuilding the meta must carry the manifest fields forward — dropping
+    // them would silently repoint the base to `data` and resurrect floored
+    // delta layers — in ONE atomic write (a rebuild-then-patch pair would
+    // leave a crash window with the pointer gone)
+    val (dd, fl) = (dataDirNameOf(name), deltaFloorOf(name))
+    val base = metaJson(d, d.schema, zoneOf(name))
+    val full =
+      if (dd == "data" && fl == 0) base
+      else s"""{"dataDir":"$dd","deltaFloor":$fl,""" + base.drop(1)
+    val tmp = tableDir(name).resolve(".meta_tmp")
+    Files.writeString(tmp, full)
+    Files.move(tmp, metaFile(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** UPSERT (Kudu's native upsert op — the reference only wires INSERT with
@@ -573,11 +626,29 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
           s"table schema ${schema.fieldNames.mkString(",")}")
     rejectNullKeys(df, keys)
     val deduped = firstPerKey(df, schema.fieldNames.toSeq, keys)
-    bumpBaseEpoch(name)
-    deleteRecursively(deltasDir(name))
+    // Truncate-and-load must be crash-CONSISTENT: at no instant may a
+    // reader see the old base without its deltas (lost mutations) or the
+    // new base with stale deltas overlaid (phantom mutations). So the new
+    // base is staged invisibly, and the COMMIT POINT is one atomic meta
+    // swap that simultaneously repoints the base directory and raises the
+    // delta floor past every existing layer. Before the swap readers see
+    // the complete old state, after it the complete new state; the cleanup
+    // below is mere litter collection (dead dirs are invisible via the
+    // manifest, and the next overwrite re-deletes whatever a crash left).
+    bumpBaseEpoch(name) // early: changelog consumers re-bootstrap loudly
+    val oldDataName = dataDirNameOf(name)
+    val newDataName = s"data_${baseEpoch(name)}"
+    val staged = tableDir(name).resolve(newDataName)
+    deleteRecursively(staged) // litter from a crashed previous attempt
     val obs = org.apache.spark.sql.Observation()
-    rewrite(name, deduped.observe(obs, count(lit(1)).as("n")))
-    obs.get("n").asInstanceOf[Long]
+    writePartitioned(deduped.observe(obs, count(lit(1)).as("n")),
+      keys, bucketsOf(name), rangeColOf(name), staged.toString, SaveMode.Overwrite)
+    val n = obs.get("n").asInstanceOf[Long]
+    val floor = rawDeltaSeqs(name).lastOption.getOrElse(0).max(deltaFloorOf(name))
+    patchMeta(name, newDataName, floor) // COMMIT
+    deleteRecursively(tableDir(name).resolve(oldDataName))
+    deleteRecursively(deltasDir(name))
+    n
   }
 
   /** In-batch dedup: the survivor per key is the first row when ordered by
@@ -674,7 +745,16 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * other stray entry are invisible to readers (they'd otherwise either
     * merge a torn batch or crash the `toInt`).
     */
+  /** Live delta layers: on-disk sequence dirs above the delta floor. A
+    * layer at or below the floor is logically dead (overwritten away) and
+    * stays invisible even if its files linger after a crash.
+    */
   private def deltaSeqs(name: String): Seq[Int] = {
+    val floor = deltaFloorOf(name)
+    rawDeltaSeqs(name).filter(_ > floor)
+  }
+
+  private def rawDeltaSeqs(name: String): Seq[Int] = {
     val d = deltasDir(name)
     if (!Files.exists(d)) Seq.empty
     else d.toFile.listFiles()
@@ -702,7 +782,10 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * merge into every read. Empty batches commit nothing.
     */
   private def writeDelta(name: String, rows: DataFrame): Long = {
-    val seq = deltaSeqs(name).lastOption.getOrElse(0) + 1
+    // number above BOTH the raw on-disk layers and the floor: a new layer
+    // must never collide with (or hide under) a dead pre-overwrite sequence
+    val seq = rawDeltaSeqs(name).lastOption.getOrElse(0)
+      .max(deltaFloorOf(name)) + 1
     Files.createDirectories(deltasDir(name))
     val tmp = deltasDir(name).resolve(s".tmp_$seq")
     deleteRecursively(tmp) // litter from a crashed previous attempt

@@ -584,4 +584,46 @@ class CatalogSpec extends SparkSpec {
         StructType(Seq(StructField("id", LongType), StructField("name", StringType))))
     }
   }
+
+  test("overwrite is crash-consistent: stale deltas and staged bases stay invisible") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, Path}
+    def copyRec(from: Path, to: Path): Unit = {
+      Files.walk(from).forEach { p =>
+        val t = to.resolve(from.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t) else Files.copy(p, t)
+      }
+    }
+    val cat = freshCat()
+    cat.createTable(TableDef("t", schema2, Seq("id")))
+    cat.insert("t", Seq((1, "a"), (2, "b")).toDF("id", "name"))
+    cat.upsert("t", Seq((2, "b2"), (3, "c")).toDF("id", "name"))
+    def rows() = cat.table("t").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows() === Seq((1, "a"), (2, "b2"), (3, "c")))
+    val tdir = Paths.get(cat.location("t"))
+    val delta1 = tdir.resolve("deltas").resolve("1")
+    val saved = tdir.resolve(".saved_delta") // stash a copy, as a crash would leave one
+    copyRec(delta1, saved)
+    assert(cat.overwrite("t", Seq((7, "x")).toDF("id", "name")) === 1L)
+    assert(rows() === Seq((7, "x")))
+    // CRASH SIMULATION 1: cleanup died before removing the pre-overwrite
+    // delta layer — it resurfaces on disk but sits at the delta floor, so
+    // readers must NOT overlay it on the new base (phantom mutations)
+    copyRec(saved, delta1)
+    assert(rows() === Seq((7, "x")), "floored delta layer must stay invisible")
+    // CRASH SIMULATION 2: a later overwrite died after staging its base but
+    // before the meta commit — the staged dir is litter, not the table
+    Files.createDirectories(tdir.resolve("data_999"))
+    assert(rows() === Seq((7, "x")))
+    // new mutations number ABOVE the floor: they apply, the stale layer stays dead
+    cat.upsert("t", Seq((8, "y")).toDF("id", "name"))
+    assert(rows() === Seq((7, "x"), (8, "y")))
+    // schema evolution rebuilds the meta — it must carry the manifest
+    // (base pointer + delta floor) forward, or the old base resurrects
+    cat.addColumn("t", StructField("extra", StringType))
+    val wide = cat.table("t").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(wide === Seq((7, "x", null), (8, "y", null)))
+  }
 }

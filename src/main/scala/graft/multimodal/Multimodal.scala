@@ -8,6 +8,23 @@ final case class DecodedMedia(
     id: Long, format: String, nBytes: Long,
     width: Int, height: Int, channels: Int, checksum: Long)
 
+/** Per-record image features over real pixels ([[Multimodal.features]]):
+  * per-channel mean/std plus an 8-bin luminance histogram. `decoded=false`
+  * rows carry deterministic stub features (no pure-JVM pixel decode for
+  * that format).
+  */
+final case class MediaFeatures(
+    id: Long, format: String, decoded: Boolean,
+    width: Int, height: Int, channels: Int,
+    chanMean: Array[Double], chanStd: Array[Double], lumaHist: Array[Double])
+
+/** Box-average-resized image re-encoded as PNG ([[Multimodal.resize]]);
+  * undecodable payloads pass through unchanged with `decoded=false`.
+  */
+final case class ResizedMedia(
+    id: Long, decoded: Boolean, width: Int, height: Int, channels: Int,
+    payload: Array[Byte])
+
 /** Multimodal-column plumbing (SURVEY.md §2.8 north-star "multimodal
   * columns"): media as opaque `binary` columns with typed metadata.
   *
@@ -268,20 +285,29 @@ object Multimodal {
     * throw — [[decode]] catches and degrades to the stub.
     */
   private def decodePng(id: Long, b: Array[Byte]): DecodedMedia = {
+    val (width, height, channels, pix) = decodePngPixels(b)
+    DecodedMedia(id, "image/png", b.length.toLong, width, height, channels,
+      fnv(pix, 0, pix.length, FnvSeed))
+  }
+
+  /** Reconstructed PNG pixels (top-down interleaved); throws on unsupported
+    * shapes — callers catch and degrade.
+    */
+  private def decodePngPixels(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
     val width = be32(b, 16)
     val height = be32(b, 20)
     val bitDepth = b(24)
     val colorType = b(25)
     val interlace = b(28)
-    require(width > 0 && height > 0, s"PNG $id: bad dimensions ${width}x$height")
-    require(bitDepth == 8, s"PNG $id: only 8-bit depth supported, got $bitDepth")
-    require(interlace == 0, s"PNG $id: interlaced (Adam7) not supported")
+    require(width > 0 && height > 0, s"PNG: bad dimensions ${width}x$height")
+    require(bitDepth == 8, s"PNG: only 8-bit depth supported, got $bitDepth")
+    require(interlace == 0, s"PNG: interlaced (Adam7) not supported")
     val channels = colorType match {
       case 0 => 1 // grayscale
       case 2 => 3 // RGB
       case 6 => 4 // RGBA
       case t => throw new IllegalArgumentException(
-        s"PNG $id: color type $t not supported")
+        s"PNG: color type $t not supported")
     }
     // Walk the chunk list, concatenating IDAT payloads.
     val idat = new java.io.ByteArrayOutputStream()
@@ -289,7 +315,7 @@ object Multimodal {
     var done = false
     while (!done && i + 8 <= b.length) {
       val len = be32(b, i)
-      require(len >= 0 && i + 12 + len <= b.length, s"PNG $id: corrupt chunk at $i")
+      require(len >= 0 && i + 12 + len <= b.length, s"PNG: corrupt chunk at $i")
       val isIdat = b(i + 4) == 'I' && b(i + 5) == 'D' && b(i + 6) == 'A' && b(i + 7) == 'T'
       val isIend = b(i + 4) == 'I' && b(i + 5) == 'E' && b(i + 6) == 'N' && b(i + 7) == 'D'
       if (isIdat) idat.write(b, i + 8, len)
@@ -304,11 +330,11 @@ object Multimodal {
     try {
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
-        require(n > 0 || !inf.needsInput(), s"PNG $id: truncated IDAT stream")
+        require(n > 0 || !inf.needsInput(), s"PNG: truncated IDAT stream")
         off += n
       }
     } finally inf.end()
-    require(off == raw.length, s"PNG $id: pixel data does not match dimensions")
+    require(off == raw.length, s"PNG: pixel data does not match dimensions")
     val pix = new Array[Byte](stride * height)
     var row = 0
     while (row < height) {
@@ -350,12 +376,11 @@ object Multimodal {
             x += 1
           }
         case other =>
-          throw new IllegalArgumentException(s"PNG $id: unknown filter $other")
+          throw new IllegalArgumentException(s"PNG: unknown filter $other")
       }
       row += 1
     }
-    DecodedMedia(id, "image/png", b.length.toLong, width, height, channels,
-      fnv(pix, 0, pix.length, FnvSeed))
+    (width, height, channels, pix)
   }
 
   /** PNG encoder — fixture counterpart of [[decodePng]]. `filter` selects
@@ -629,6 +654,162 @@ object Multimodal {
     */
   def sampleEvery(decoded: Dataset[DecodedMedia], stride: Int): Dataset[DecodedMedia] =
     decoded.filter(d => d.id % stride == 0)
+
+  /** Canonical pixel decode for the image formats parseable in pure JVM:
+    * row-major TOP-DOWN, interleaved channels, RGB(A) order — BMP's
+    * bottom-up BGR(A) rows are reordered, PPM/PNG already match. None for
+    * container-only parses (WAV, JPEG header) and undecodable payloads.
+    */
+  private def pixelsOf(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+    try {
+      if (isBmp(b)) {
+        val pixelOff = le32(b, 10)
+        val rawH = le32(b, 22)
+        val width = le32(b, 18)
+        val height = math.abs(rawH)
+        val bpp = le16(b, 28)
+        if (le32(b, 30) != 0 || (bpp != 24 && bpp != 32) || width <= 0 || height <= 0)
+          return None
+        val ch = bpp / 8
+        val stride = (width * ch + 3) & ~3
+        if (pixelOff < 54 || pixelOff.toLong + height.toLong * stride > b.length) return None
+        val out = new Array[Byte](width * height * ch)
+        var y = 0
+        while (y < height) {
+          // positive height = bottom-up storage; negative = top-down
+          val srcRow = if (rawH > 0) height - 1 - y else y
+          var x = 0
+          while (x < width) {
+            val s = pixelOff + srcRow * stride + x * ch
+            val d = (y * width + x) * ch
+            out(d) = b(s + 2); out(d + 1) = b(s + 1); out(d + 2) = b(s) // BGR→RGB
+            if (ch == 4) out(d + 3) = b(s + 3)
+            x += 1
+          }
+          y += 1
+        }
+        Some((width, height, ch, out))
+      } else if (isPpm(b)) {
+        val (w, h, _, off) = ppmHeader(b)
+        if (w <= 0 || h <= 0 || b.length < off + w * h * 3) None
+        else Some((w, h, 3, java.util.Arrays.copyOfRange(b, off, off + w * h * 3)))
+      } else if (isPng(b)) {
+        val d = decodePngPixels(b)
+        Some(d)
+      } else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-record image features over REAL pixels (per-channel mean/std and
+    * an 8-bin luminance histogram) — the feature-extraction stage of a
+    * multimodal pipeline, feeding the embedding/similarity operators.
+    * Undecodable payloads yield `decoded=false` with deterministic
+    * stub-derived features (pipeline shape holds; no record is dropped).
+    * Same 100-TB shape as [[decode]]: partition-parallel mapPartitions,
+    * media bytes never shuffle, only the small feature vectors do.
+    */
+  def features(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("id"), col("payload"), col("meta.format").as("format"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map { case (id, bytes, fmt) =>
+          pixelsOf(bytes) match {
+            case Some((w, h, ch, px)) =>
+              val n = w * h
+              val mean = new Array[Double](ch)
+              val m2 = new Array[Double](ch)
+              var i = 0
+              while (i < px.length) {
+                val c = i % ch
+                mean(c) += px(i) & 0xff
+                m2(c) += (px(i) & 0xff).toDouble * (px(i) & 0xff)
+                i += 1
+              }
+              val std = new Array[Double](ch)
+              var c = 0
+              while (c < ch) {
+                mean(c) /= n
+                std(c) = math.sqrt(math.max(0.0, m2(c) / n - mean(c) * mean(c)))
+                c += 1
+              }
+              val hist = new Array[Double](8)
+              var p = 0
+              while (p < n) {
+                val base = p * ch
+                val luma =
+                  if (ch == 1) (px(base) & 0xff).toDouble
+                  else 0.299 * (px(base) & 0xff) + 0.587 * (px(base + 1) & 0xff) +
+                    0.114 * (px(base + 2) & 0xff)
+                hist(math.min(7, (luma / 32).toInt)) += 1.0
+                p += 1
+              }
+              var k = 0
+              while (k < 8) { hist(k) /= n; k += 1 }
+              MediaFeatures(id, fmt, decoded = true, w, h, ch, mean, std, hist)
+            case None =>
+              // deterministic stub features from the byte checksum — the
+              // downstream pipeline shape is exercised even where no pure-JVM
+              // pixel decode exists (JPEG pixels, audio)
+              val s = stubRecord(id, bytes, fmt)
+              val seed = s.checksum
+              val mk = (off: Int) => Array.tabulate(3)(i =>
+                math.abs((seed >> (8 * (i + off))) % 256).toDouble)
+              MediaFeatures(id, fmt, decoded = false, s.width, s.height, 3,
+                mk(0), mk(3), Array.fill(8)(0.125))
+          }
+        }
+      }
+  }
+
+  /** Box-average resize to `tw`×`th` over REAL pixels, re-encoded as PNG
+    * (a binary→binary transform, the shape a 100-TB media pipeline runs).
+    * Each target pixel averages its source box — downsampling never
+    * aliases away thin features the way nearest-neighbor does.
+    * Undecodable payloads pass through unchanged with `decoded=false`.
+    */
+  def resize(spark: SparkSession, media: DataFrame, tw: Int, th: Int): Dataset[ResizedMedia] = {
+    require(tw > 0 && th > 0, "target dimensions must be positive")
+    import spark.implicits._
+    media.select(col("id"), col("payload"), col("meta.format").as("format"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map { case (id, bytes, fmt) =>
+          pixelsOf(bytes) match {
+            case Some((w, h, ch, px)) =>
+              val out = new Array[Byte](tw * th * ch)
+              var ty = 0
+              while (ty < th) {
+                val y0 = ty * h / th
+                val y1 = math.max(y0 + 1, (ty + 1) * h / th)
+                var tx = 0
+                while (tx < tw) {
+                  val x0 = tx * w / tw
+                  val x1 = math.max(x0 + 1, (tx + 1) * w / tw)
+                  val cnt = (y1 - y0) * (x1 - x0)
+                  var c = 0
+                  while (c < ch) {
+                    var acc = 0L
+                    var y = y0
+                    while (y < y1) {
+                      var x = x0
+                      while (x < x1) { acc += px((y * w + x) * ch + c) & 0xff; x += 1 }
+                      y += 1
+                    }
+                    // round-half-up box average
+                    out((ty * tw + tx) * ch + c) = ((acc + cnt / 2) / cnt).toByte
+                    c += 1
+                  }
+                  tx += 1
+                }
+                ty += 1
+              }
+              ResizedMedia(id, decoded = true, tw, th, ch, encodePng(tw, th, out, ch))
+            case None =>
+              ResizedMedia(id, decoded = false, 0, 0, 0, bytes)
+          }
+        }
+      }
+  }
 
   /** Byte-statistics projection used by the declared multimodal query —
     * pure relational ops over the binary column (no decode).

@@ -227,6 +227,55 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("features extracts real per-channel stats and luminance histogram from pixels") {
+    // 2x2 image: two pure-red, two pure-blue pixels → mean (127.5, 0, 127.5)
+    val px = Array[Byte](
+      255.toByte, 0, 0, /**/ 255.toByte, 0, 0,
+      0, 0, 255.toByte, /**/ 0, 0, 255.toByte)
+    val png = Multimodal.encodePng(2, 2, px)
+    val bmp = Multimodal.encodeBmp24(2, 2, px)
+    // constant gray image → std 0, hist concentrated in one bin
+    val gray = Multimodal.encodePng(3, 3, Array.fill(9)(100.toByte), channels = 1)
+    val out = Multimodal.features(spark, asMedia(Seq(
+      (1L, png, "image/png"), (2L, bmp, "image/bmp"),
+      (3L, gray, "image/png"), (4L, "just text".getBytes, "text"))))
+      .collect().map(d => d.id -> d).toMap
+    Seq(out(1L), out(2L)).foreach { f =>
+      assert(f.decoded && f.channels === 3)
+      assert(f.chanMean.map(math.round) === Array(128L, 0L, 128L)) // 127.5 each
+      assert(f.chanStd(1) === 0.0 && f.chanStd(0) > 100.0)
+    }
+    // png and bmp routes must agree exactly — same pixels, same features
+    assert(out(1L).chanMean === out(2L).chanMean)
+    assert(out(1L).lumaHist === out(2L).lumaHist)
+    val g = out(3L)
+    assert(g.decoded && g.channels === 1 && g.chanMean === Array(100.0) &&
+      g.chanStd === Array(0.0))
+    assert(g.lumaHist(3) === 1.0 && g.lumaHist.sum === 1.0) // 100/32 = bin 3
+    assert(!out(4L).decoded && out(4L).lumaHist.sum === 1.0) // stub shape holds
+  }
+
+  test("resize box-averages real pixels and re-encodes PNG; undecodable passes through") {
+    // 4x2 checker of (200,0,0) and (0,0,200) halves → 2x1: each target
+    // pixel averages a uniform 2x2 box, so values stay exact
+    val left = Array[Byte](200.toByte, 0, 0)
+    val right = Array[Byte](0, 0, 200.toByte)
+    val row = left ++ left ++ right ++ right
+    val src = Multimodal.encodePng(4, 2, row ++ row)
+    val out = Multimodal.resize(spark, asMedia(Seq(
+      (1L, src, "image/png"), (2L, "not an image".getBytes, "text"))), 2, 1)
+      .collect().map(d => d.id -> d).toMap
+    val r = out(1L)
+    assert(r.decoded && (r.width, r.height, r.channels) === ((2, 1, 3)))
+    // the resized payload is itself a valid PNG that decodes to the averages
+    val dec = Multimodal.decode(spark, asMedia(Seq((9L, r.payload, "image/png"))))
+      .collect().head
+    assert((dec.width, dec.height) === ((2, 1)))
+    assert(dec.checksum === fnvOf(left ++ right), "uniform boxes must average exactly")
+    val pass = out(2L)
+    assert(!pass.decoded && (pass.payload sameElements "not an image".getBytes))
+  }
+
   test("sampleEvery keeps every stride-th id") {
     val d = Multimodal.decodeStub(spark, media())
     val sampled = Multimodal.sampleEvery(d, 5).collect().map(_.id).sorted

@@ -276,6 +276,33 @@ class MultimodalSpec extends SparkSpec {
     assert(!pass.decoded && (pass.payload sameElements "not an image".getBytes))
   }
 
+  test("composition: image features feed the ANN stack — near-identical images pair up") {
+    import org.apache.spark.sql.functions.concat
+    // three color families, two near-identical variants each (one pixel
+    // nudged on the dominant channel) — feature vectors of a pair must be
+    // each other's cosine top-1 against the full set
+    def img(r: Int, g: Int, b: Int, nudge: Boolean): Array[Byte] = {
+      val px = Array.tabulate(4 * 4 * 3) { i =>
+        (i % 3 match { case 0 => r; case 1 => g; case 2 => b }).toByte
+      }
+      if (nudge) px(0) = math.min(255, (px(0) & 0xff) + 10).toByte
+      Multimodal.encodeBmp24(4, 4, px)
+    }
+    val media = asMedia(Seq(
+      (1L, img(200, 10, 10, nudge = false), "image/bmp"),
+      (2L, img(200, 10, 10, nudge = true), "image/bmp"),
+      (3L, img(10, 200, 10, nudge = false), "image/bmp"),
+      (4L, img(10, 200, 10, nudge = true), "image/bmp"),
+      (5L, img(10, 10, 200, nudge = false), "image/bmp"),
+      (6L, img(10, 10, 200, nudge = true), "image/bmp")))
+    val emb = Multimodal.features(spark, media).toDF()
+      .select(col("id"),
+        concat(col("chanMean"), col("chanStd"), col("lumaHist")).as("embedding"))
+    val top1 = graft.operators.Similarity.bruteForceTopK(emb, emb, 1, "id", "embedding")
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("id")).toMap
+    assert(top1 === Map(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L, 5L -> 6L, 6L -> 5L))
+  }
+
   test("sampleEvery keeps every stride-th id") {
     val d = Multimodal.decodeStub(spark, media())
     val sampled = Multimodal.sampleEvery(d, 5).collect().map(_.id).sorted

@@ -100,8 +100,14 @@ object Bench {
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fullMed = queries.map { q => "\"" + q.name + "\":" + med(samples(q.name)) }
-      .mkString("{", ",", "}")
+    // same failed/empty guard as the min: a query that failed partway
+    // through the timed loop must not report a real-looking median computed
+    // from its pre-failure samples (the artifact would be internally
+    // inconsistent with the -1.0 in `queries`)
+    val fullMed = queries.map { q =>
+      val v = if (failed(q.name)) -1.0 else med(samples(q.name))
+      "\"" + q.name + "\":" + v
+    }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_OUT", "bench.json")),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,""" +

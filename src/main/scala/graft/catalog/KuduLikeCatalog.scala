@@ -614,6 +614,15 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * (the replace itself is the same pair-rename swap as [[compact]] — see
     * [[rewrite]] for the crash-recovery story).
     *
+    * Reader semantics: DataFrames planned through [[table]] BEFORE an
+    * overwrite keep reading their snapshot across ONE overwrite — the
+    * displaced base and its floored delta layers stay on disk, invisible
+    * through the manifest, until the NEXT overwrite's [[sweepDeadLitter]]
+    * collects them (the same deferred-invalidation discipline dead delta
+    * layers already follow). Only the second overwrite invalidates a
+    * captured plan. [[compact]]'s rename-swap gives the same one-cycle
+    * stability via `data_old`.
+    *
     * @return number of rows the table holds after the overwrite
     */
   def overwrite(name: String, df: DataFrame): Long = {
@@ -632,23 +641,55 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     // base is staged invisibly, and the COMMIT POINT is one atomic meta
     // swap that simultaneously repoints the base directory and raises the
     // delta floor past every existing layer. Before the swap readers see
-    // the complete old state, after it the complete new state; the cleanup
-    // below is mere litter collection (dead dirs are invisible via the
-    // manifest, and the next overwrite re-deletes whatever a crash left).
+    // the complete old state, after it the complete new state. Cleanup is
+    // DEFERRED: everything the commit makes dead (the displaced base, the
+    // floored deltas) is already invisible via the manifest, so it is left
+    // on disk for pre-overwrite snapshot readers and collected by the NEXT
+    // overwrite's sweep — which also collects bases staged by attempts
+    // that crashed before their commit (each attempt bumps the epoch, so a
+    // dead data_N never matches a later attempt's staged name and would
+    // otherwise leak forever).
     bumpBaseEpoch(name) // early: changelog consumers re-bootstrap loudly
     val oldDataName = dataDirNameOf(name)
     val newDataName = s"data_${baseEpoch(name)}"
+    sweepDeadLitter(name, keep = Set(oldDataName, newDataName))
     val staged = tableDir(name).resolve(newDataName)
-    deleteRecursively(staged) // litter from a crashed previous attempt
     val obs = org.apache.spark.sql.Observation()
     writePartitioned(deduped.observe(obs, count(lit(1)).as("n")),
       keys, bucketsOf(name), rangeColOf(name), staged.toString, SaveMode.Overwrite)
     val n = obs.get("n").asInstanceOf[Long]
     val floor = rawDeltaSeqs(name).lastOption.getOrElse(0).max(deltaFloorOf(name))
     patchMeta(name, newDataName, floor) // COMMIT
-    deleteRecursively(tableDir(name).resolve(oldDataName))
-    deleteRecursively(deltasDir(name))
     n
+  }
+
+  /** Collect litter that is PHYSICALLY present but LOGICALLY dead through
+    * the manifest: epoch-staged base dirs (`data_<epoch>`) that are neither
+    * the live manifest-referenced base nor a name in `keep`, and delta
+    * layers at or below the current floor. Safe at any point — nothing
+    * deleted here is reachable through the catalog, and in particular a
+    * crash right after the sweep loses no committed state. Running it at
+    * the START of the next overwrite (instead of right after the previous
+    * commit) is what gives captured reader plans their one-cycle snapshot
+    * stability, and bounds on-disk litter to one dead generation.
+    */
+  private def sweepDeadLitter(name: String, keep: Set[String]): Unit = {
+    val live = dataDirNameOf(name)
+    // base-dir names: the initial "data" plus epoch-staged "data_<epoch>";
+    // data_old / data_rewrite belong to [[rewrite]]'s own recovery protocol
+    val baseDir = "data(_\\d+)?".r
+    val entries = tableDir(name).toFile.listFiles()
+    if (entries != null) entries.foreach { f =>
+      if (f.isDirectory && baseDir.matches(f.getName) &&
+          f.getName != live && !keep(f.getName))
+        deleteRecursively(f.toPath)
+    }
+    val floor = deltaFloorOf(name)
+    val dd = deltasDir(name).toFile.listFiles()
+    if (dd != null) dd.foreach { f =>
+      if (f.isDirectory && f.getName.forall(_.isDigit) && f.getName.toInt <= floor)
+        deleteRecursively(f.toPath)
+    }
   }
 
   /** In-batch dedup: the survivor per key is the first row when ordered by

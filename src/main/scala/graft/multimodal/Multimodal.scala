@@ -19,7 +19,9 @@ final case class MediaFeatures(
     chanMean: Array[Double], chanStd: Array[Double], lumaHist: Array[Double])
 
 /** Box-average-resized image re-encoded as PNG ([[Multimodal.resize]]);
-  * undecodable payloads pass through unchanged with `decoded=false`.
+  * undecodable payloads pass through unchanged with `decoded=false` —
+  * carrying the payload's true header geometry where one parses (JPEG SOF,
+  * WAV), 0×0×0 otherwise.
   */
 final case class ResizedMedia(
     id: Long, decoded: Boolean, width: Int, height: Int, channels: Int,
@@ -699,11 +701,27 @@ object Multimodal {
       } else None
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** True geometry from a container/header parse where a full pixel decode
+    * is impossible in pure JVM (JPEG SOF frame header; WAV fmt/data chunks).
+    * This keeps [[features]] and [[resize]] in agreement with [[decode]] on
+    * the same payload's dimensions even for formats whose PIXELS stay
+    * stubbed — two APIs must never report different geometry for one record.
+    */
+  private def headerGeometry(b: Array[Byte]): Option[(Int, Int, Int)] =
+    try {
+      if (isJpeg(b)) { val (h, w, nc, _) = jpegSof(b); Some((w, h, nc)) }
+      else if (isWav(b)) { val d = decodeWav(0L, b); Some((d.width, d.height, d.channels)) }
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Per-record image features over REAL pixels (per-channel mean/std and
     * an 8-bin luminance histogram) — the feature-extraction stage of a
     * multimodal pipeline, feeding the embedding/similarity operators.
     * Undecodable payloads yield `decoded=false` with deterministic
-    * stub-derived features (pipeline shape holds; no record is dropped).
+    * stub-derived features (pipeline shape holds; no record is dropped);
+    * their width/height/channels still come from the real header parse
+    * where one exists (JPEG SOF, WAV fmt) so the record's geometry matches
+    * what [[decode]] reports for the same payload.
     * Same 100-TB shape as [[decode]]: partition-parallel mapPartitions,
     * media bytes never shuffle, only the small feature vectors do.
     */
@@ -749,12 +767,15 @@ object Multimodal {
             case None =>
               // deterministic stub features from the byte checksum — the
               // downstream pipeline shape is exercised even where no pure-JVM
-              // pixel decode exists (JPEG pixels, audio)
+              // pixel decode exists (JPEG pixels, audio); geometry is the
+              // REAL header parse when available so decode()/features()
+              // agree on the same payload's dimensions
               val s = stubRecord(id, bytes, fmt)
+              val (w, h, ch) = headerGeometry(bytes).getOrElse((s.width, s.height, 3))
               val seed = s.checksum
-              val mk = (off: Int) => Array.tabulate(3)(i =>
-                math.abs((seed >> (8 * (i + off))) % 256).toDouble)
-              MediaFeatures(id, fmt, decoded = false, s.width, s.height, 3,
+              val mk = (off: Int) => Array.tabulate(ch)(i =>
+                math.abs((seed >> (8 * ((i % 8) + off))) % 256).toDouble)
+              MediaFeatures(id, fmt, decoded = false, w, h, ch,
                 mk(0), mk(3), Array.fill(8)(0.125))
           }
         }
@@ -805,7 +826,10 @@ object Multimodal {
               }
               ResizedMedia(id, decoded = true, tw, th, ch, encodePng(tw, th, out, ch))
             case None =>
-              ResizedMedia(id, decoded = false, 0, 0, 0, bytes)
+              // passthrough — but still report the payload's TRUE geometry
+              // when a header parse exists (JPEG SOF, WAV), matching decode()
+              val (w, h, ch) = headerGeometry(bytes).getOrElse((0, 0, 0))
+              ResizedMedia(id, decoded = false, w, h, ch, bytes)
           }
         }
       }

@@ -25,27 +25,36 @@ import org.apache.spark.sql.functions._
 object ExactMedian {
 
   /** Median of `valueCol` (numeric, cast to double) for every distinct
-    * combination of `keys`. Output: keys columns + `med` (double). Rows
-    * with NULL in the value column are excluded (Spark's `median()` and
-    * ANSI `median` skip NULLs the same way).
+    * combination of `keys`. Output: keys columns + `med` (double). NULL
+    * values are skipped, and — matching Spark's `median()` and ANSI
+    * `median` exactly — a group whose values are ALL NULL still appears in
+    * the output, with a NULL median. (NULL values ride the same histogram
+    * with a zero count rather than being pre-filtered, so keeping those
+    * groups costs no extra scan or join.)
     */
   def groupedMedian(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
     val v = col(valueCol).cast("double")
     val part = keys.map(col)
     val wcum = Window.partitionBy(part: _*).orderBy(col("__mv_v"))
     val wall = Window.partitionBy(part: _*)
-    df.filter(v.isNotNull)
-      .groupBy(part :+ v.as("__mv_v"): _*).agg(count(lit(1)).as("__mv_cnt"))
+    df.groupBy(part :+ v.as("__mv_v"): _*).agg(count(lit(1)).as("__mv_rows"))
+      // NULL values carry count 0: they never shift a cumulative rank and
+      // never cover one, but their row keeps an all-NULL group visible
+      .withColumn("__mv_cnt",
+        when(col("__mv_v").isNotNull, col("__mv_rows")).otherwise(lit(0L)))
       .withColumn("__mv_cum", sum("__mv_cnt").over(wcum))
       .withColumn("__mv_n", sum("__mv_cnt").over(wall))
       // `div` (integer division) — Spark's `/` on integers yields DOUBLE,
       // and a rank filter against 2.5 would silently drop the lower middle
       .withColumn("__mv_lo", expr("(__mv_n + 1) div 2"))
       .withColumn("__mv_hi", expr("__mv_n div 2 + 1"))
-      .filter(expr("(__mv_cum - __mv_cnt < __mv_lo AND __mv_lo <= __mv_cum) OR (__mv_cum - __mv_cnt < __mv_hi AND __mv_hi <= __mv_cum)"))
+      // keep rank-covering rows; additionally keep the (single) NULL-value
+      // row of a group with zero non-NULL values, which emits a NULL median
+      .filter(expr("(__mv_cum - __mv_cnt < __mv_lo AND __mv_lo <= __mv_cum) OR (__mv_cum - __mv_cnt < __mv_hi AND __mv_hi <= __mv_cum) OR __mv_n = 0"))
       .withColumn("__mv_mid",
-        (when(expr("__mv_cum - __mv_cnt < __mv_lo AND __mv_lo <= __mv_cum"), col("__mv_v")).otherwise(lit(0.0)) +
-          when(expr("__mv_cum - __mv_cnt < __mv_hi AND __mv_hi <= __mv_cum"), col("__mv_v")).otherwise(lit(0.0))) / 2)
+        when(expr("__mv_n = 0"), lit(null).cast("double")).otherwise(
+          (when(expr("__mv_cum - __mv_cnt < __mv_lo AND __mv_lo <= __mv_cum"), col("__mv_v")).otherwise(lit(0.0)) +
+            when(expr("__mv_cum - __mv_cnt < __mv_hi AND __mv_hi <= __mv_cum"), col("__mv_v")).otherwise(lit(0.0))) / 2))
       .groupBy(part: _*).agg(sum("__mv_mid").as("med"))
   }
 }

@@ -276,6 +276,38 @@ class MultimodalSpec extends SparkSpec {
     assert(!pass.decoded && (pass.payload sameElements "not an image".getBytes))
   }
 
+  test("features/resize report decode()'s geometry for header-only formats (JPEG, WAV)") {
+    // decode() extracts true JPEG geometry from SOF even though pixels stay
+    // stubbed — features() and resize() must report the SAME dimensions for
+    // the same payload, not stubRecord's pseudo-geometry
+    val scan = Array.tabulate(120)(i => (i % 200).toByte)
+    val jpg = Multimodal.encodeJpegShell(320, 240, 3, scan)
+    val pcm = Array.tabulate(50 * 2 * 2)(i => (i * 17 % 255).toByte)
+    val wav = Multimodal.encodeWav(2, 16, 8000, pcm)
+    val media = asMedia(Seq(
+      (1L, jpg, "image/jpeg"), (2L, wav, "audio/wav"),
+      (3L, "no header here".getBytes, "text")))
+    val dec = Multimodal.decode(spark, media).collect().map(d => d.id -> d).toMap
+    val feat = Multimodal.features(spark, media).collect().map(d => d.id -> d).toMap
+    val rez = Multimodal.resize(spark, media, 8, 8).collect().map(d => d.id -> d).toMap
+    Seq(1L, 2L).foreach { id =>
+      val d = dec(id)
+      assert(!feat(id).decoded && !rez(id).decoded)
+      assert((feat(id).width, feat(id).height, feat(id).channels) ===
+        ((d.width, d.height, d.channels)), s"features/decode geometry for $id")
+      assert((rez(id).width, rez(id).height, rez(id).channels) ===
+        ((d.width, d.height, d.channels)), s"resize/decode geometry for $id")
+      // stub stats arrays track the channel count they claim
+      assert(feat(id).chanMean.length === d.channels)
+      assert(feat(id).chanStd.length === d.channels)
+    }
+    assert((dec(1L).width, dec(1L).height, dec(1L).channels) === ((320, 240, 3)))
+    assert((dec(2L).width, dec(2L).height, dec(2L).channels) === ((50, 1, 2)))
+    // no header at all → pseudo stub geometry, same in both APIs
+    assert(feat(3L).width === dec(3L).width && feat(3L).height === dec(3L).height)
+    assert((rez(3L).width, rez(3L).height, rez(3L).channels) === ((0, 0, 0)))
+  }
+
   test("composition: image features feed the ANN stack — near-identical images pair up") {
     import org.apache.spark.sql.functions.concat
     // three color families, two near-identical variants each (one pixel

@@ -176,19 +176,23 @@ class OperatorSpec extends SparkSpec {
   test("ExactMedian matches Spark's median() on every group-size parity") {
     import spark.implicits._
     // odd n, even n (two distinct middles), even n (tied middles), single
-    // row, duplicate-heavy, and a NULL to be skipped
+    // row, duplicate-heavy, a NULL to be skipped, and an all-NULL group
+    // (median() keeps the group with a NULL median — so must we)
     val rows = Seq(
       ("odd", Some(1.0)), ("odd", Some(2.0)), ("odd", Some(100.0)),
       ("even", Some(1.0)), ("even", Some(2.0)), ("even", Some(3.0)), ("even", Some(100.0)),
       ("tied", Some(1.0)), ("tied", Some(2.0)), ("tied", Some(2.0)), ("tied", Some(9.0)),
       ("one", Some(7.0)),
       ("dups", Some(5.0)), ("dups", Some(5.0)), ("dups", Some(5.0)), ("dups", Some(5.0)),
-      ("nulls", Some(1.0)), ("nulls", None), ("nulls", Some(3.0))
+      ("nulls", Some(1.0)), ("nulls", None), ("nulls", Some(3.0)),
+      ("allnull", None), ("allnull", None)
     ).toDF("g", "v")
     val got = graft.operators.ExactMedian.groupedMedian(rows, Seq("g"), "v")
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(got === Map("odd" -> 2.0, "even" -> 2.5, "tied" -> 2.0,
-      "one" -> 7.0, "dups" -> 5.0, "nulls" -> 2.0))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got === Map("odd" -> Some(2.0), "even" -> Some(2.5),
+      "tied" -> Some(2.0), "one" -> Some(7.0), "dups" -> Some(5.0),
+      "nulls" -> Some(2.0), "allnull" -> None))
     // and against the built-in on arbitrary data (500 rows, 7 skewed groups)
     val rand = spark.range(500)
       .select((col("id") % 7).cast("string").as("g"),

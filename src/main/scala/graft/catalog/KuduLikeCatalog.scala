@@ -121,6 +121,12 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   /** Physical location of a table's directory (DESCRIBE FORMATTED surface). */
   def location(name: String): String = tableDir(name).toAbsolutePath.toString
 
+  /** Physical location of the LIVE base-data directory, resolved through
+    * the manifest — [[overwrite]] and [[compact]] repoint it, so callers
+    * inspecting on-disk layout must resolve it per call, never cache it.
+    */
+  def dataLocation(name: String): String = dataDir(name)
+
   /** All tables in this catalog root (directories carrying `_meta.json`). */
   def tableNames: Seq[String] = {
     val r = Paths.get(root)
@@ -337,30 +343,38 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
 
   /** Maintenance: rewrite the table into defaultParallelism-sized files
     * (the analog of Kudu's background compaction — many small per-batch
-    * files degrade scan planning over time). Atomic swap via directory
-    * rename; readers opened before compact keep their snapshot.
+    * files degrade scan planning over time), folding pending delta layers
+    * into the new base. Same commit protocol as [[overwrite]]: the folded
+    * base is staged under a fresh epoch dir, and ONE atomic meta swap
+    * repoints the base and raises the delta floor past every folded layer
+    * — a crash on either side of the swap leaves a complete old or
+    * complete new state, never a base without its deltas. Readers opened
+    * before compact keep their snapshot for one maintenance cycle: the
+    * displaced base and the folded layers stay on disk, invisible through
+    * the manifest, until the next overwrite/compact's [[sweepDeadLitter]].
+    *
+    * Folding resets [[currentVersion]] to 0 — a consumer that bootstrapped
+    * before the fold would otherwise read an empty (but "valid") delta
+    * window, silently missing the folded mutations, so the base epoch is
+    * bumped FIRST (early bump on crash is harmless: one extra loud
+    * re-bootstrap over identical state). The bump also names the staged
+    * dir, so it happens even on a delta-free compact.
     */
   def compact(name: String): Unit = {
     if (!exists(name)) throw new CatalogException(s"table $name does not exist")
     assertZone(name)
-    val hadDeltas = deltaSeqs(name).nonEmpty
     val keys = keyColsOf(name)
     val folded = table(name) // materializes the delta overlay into the write
       .repartition(spark.sparkContext.defaultParallelism, keys.map(col): _*)
-    rewrite(name, folded)
-    // folding layers RESETS changelog numbering to 0 — a consumer that
-    // bootstrapped at version 0 before the fold would otherwise see
-    // currentVersion()==0 again and read an empty (but "valid") delta
-    // window, silently missing the folded mutations. Bumping the base
-    // epoch forces the same loud re-bootstrap path as a base append.
-    // The bump happens BEFORE the delta delete: an early bump on crash is
-    // harmless (one extra loud re-bootstrap over identical state), whereas
-    // a crash after the delete but before a late bump would leave changelog
-    // numbering reset under an unchanged epoch — a silent miss.
-    if (hadDeltas) bumpBaseEpoch(name)
-    // deltas now folded into the base; a crash before this delete merely
-    // re-applies identical versions over an identical merge (idempotent)
-    deleteRecursively(deltasDir(name))
+    bumpBaseEpoch(name)
+    val oldDataName = dataDirNameOf(name)
+    val newDataName = s"data_${baseEpoch(name)}"
+    sweepDeadLitter(name, keep = Set(oldDataName, newDataName))
+    val staged = tableDir(name).resolve(newDataName)
+    writePartitioned(folded, keys, bucketsOf(name), rangeColOf(name),
+      staged.toString, SaveMode.Overwrite)
+    val floor = rawDeltaSeqs(name).lastOption.getOrElse(0).max(deltaFloorOf(name))
+    patchMeta(name, newDataName, floor) // COMMIT: repoint base + retire folded layers
   }
 
   def rangeColOf(name: String): Option[String] = {
@@ -619,9 +633,9 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * displaced base and its floored delta layers stay on disk, invisible
     * through the manifest, until the NEXT overwrite's [[sweepDeadLitter]]
     * collects them (the same deferred-invalidation discipline dead delta
-    * layers already follow). Only the second overwrite invalidates a
-    * captured plan. [[compact]]'s rename-swap gives the same one-cycle
-    * stability via `data_old`.
+    * layers already follow). Only the second maintenance op (overwrite or
+    * compact) invalidates a captured plan; [[compact]] commits through
+    * this same staged-base + manifest-repoint protocol.
     *
     * @return number of rows the table holds after the overwrite
     */
@@ -675,8 +689,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     */
   private def sweepDeadLitter(name: String, keep: Set[String]): Unit = {
     val live = dataDirNameOf(name)
-    // base-dir names: the initial "data" plus epoch-staged "data_<epoch>";
-    // data_old / data_rewrite belong to [[rewrite]]'s own recovery protocol
+    // base-dir names: the initial "data" plus epoch-staged "data_<epoch>"
+    // from overwrite/compact commits
     val baseDir = "data(_\\d+)?".r
     val entries = tableDir(name).toFile.listFiles()
     if (entries != null) entries.foreach { f =>
@@ -731,38 +745,6 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val anyNull = keys.map(col(_).isNull).reduce(_ || _)
     if (df.filter(anyNull).limit(1).count() > 0)
       throw new CatalogException(s"NULL in key column (keys: ${keys.mkString(",")})")
-  }
-
-  /** Copy-on-write rewrite via directory renames (shared by upsert / delete /
-    * compact). Each rename is atomic on a POSIX filesystem but the PAIR is
-    * not: a crash between the two moves leaves `data_old` holding the data.
-    * [[recoverRewrite]] heals that state (and clears completed-swap litter)
-    * before every rewrite — callers never see a missing data dir across a
-    * restart. On an object store this whole path would be a manifest commit.
-    */
-  private def rewrite(name: String, rows: DataFrame): Unit = {
-    recoverRewrite(name)
-    val keys = keyColsOf(name)
-    val target = tableDir(name).resolve("data_rewrite").toString
-    writePartitioned(rows, keys, bucketsOf(name), rangeColOf(name), target, SaveMode.Overwrite)
-    val dataPath = Paths.get(dataDir(name))
-    val old = tableDir(name).resolve("data_old")
-    Files.move(dataPath, old)
-    Files.move(Paths.get(target), dataPath)
-    deleteRecursively(old)
-  }
-
-  /** Heal a half-completed [[rewrite]]: restore data from data_old if the
-    * swap crashed mid-way; drop stale rewrite/old dirs from completed or
-    * abandoned attempts.
-    */
-  private def recoverRewrite(name: String): Unit = {
-    val dataPath = Paths.get(dataDir(name))
-    val old = tableDir(name).resolve("data_old")
-    val target = tableDir(name).resolve("data_rewrite")
-    if (!Files.exists(dataPath) && Files.exists(old)) Files.move(old, dataPath)
-    if (Files.exists(old)) deleteRecursively(old)
-    if (Files.exists(target)) deleteRecursively(target)
   }
 
   /** External-table attach (SURVEY.md S11 — a reference design goal,

@@ -181,7 +181,8 @@ class CatalogSpec extends SparkSpec {
     (1 to 4).foreach { b =>
       cat.insert("ev", (0 until 20).map(i => (1000L * b + i, ts(1, 1), 1.0)).toDF("id", "ts", "v"))
     }
-    def nFiles = Files.walk(Paths.get(s"$root/ev/data"))
+    // the live base dir moves on compact (manifest repoint) — resolve per call
+    def nFiles = Files.walk(Paths.get(cat.dataLocation("ev")))
       .filter(p => p.toString.endsWith(".parquet")).count()
     val before = nFiles
     val rowsBefore = cat.table("ev").orderBy("id").collect().toSeq
@@ -300,10 +301,16 @@ class CatalogSpec extends SparkSpec {
     // pruned point lookup sees pending mutations
     assert(cat.lookup("t", 2).head().getString(1) === "B2")
 
-    // compact folds layers into the base and clears them; data unchanged
+    // compact folds layers into the base; data unchanged. A reader planned
+    // BEFORE the compact keeps its snapshot for one maintenance cycle (the
+    // displaced base and folded layers stay on disk, manifest-invisible)
+    val preCompact = cat.table("t")
     cat.compact("t")
-    assert(!new java.io.File(s"$root/t/deltas").exists())
+    assert(cat.currentVersion("t") === 0, "folded layers retire from the changelog")
     assert(snapshot === Seq((1, "a"), (2, "B2"), (3, "back"), (4, "d")))
+    assert(preCompact.orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      === Seq((1, "a"), (2, "B2"), (3, "back"), (4, "d")),
+      "pre-compact plan keeps its snapshot across the fold")
     assert(cat.lookup("t", 2).head().getString(1) === "B2")
   }
 

@@ -625,8 +625,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * deterministic first row per key. Pending mutation layers are discarded
     * (OVERWRITE replaces them too), and the base epoch is bumped FIRST so
     * CDC consumers re-bootstrap loudly even if the process dies mid-replace
-    * (the replace itself is the same pair-rename swap as [[compact]] — see
-    * [[rewrite]] for the crash-recovery story).
+    * (the replace is a staged-base write followed by one atomic manifest
+    * repoint — the commit protocol [[compact]] shares).
     *
     * Reader semantics: DataFrames planned through [[table]] BEFORE an
     * overwrite keep reading their snapshot across ONE overwrite — the
@@ -701,7 +701,11 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val floor = deltaFloorOf(name)
     val dd = deltasDir(name).toFile.listFiles()
     if (dd != null) dd.foreach { f =>
-      if (f.isDirectory && f.getName.forall(_.isDigit) && f.getName.toInt <= floor)
+      // same name discipline as rawDeltaSeqs (≤9 digits): epoch-millis
+      // litter stays ignored — it must not crash the toInt and brick every
+      // subsequent maintenance op on the table
+      if (f.isDirectory && f.getName.nonEmpty && f.getName.length <= 9 &&
+          f.getName.forall(_.isDigit) && f.getName.toInt <= floor)
         deleteRecursively(f.toPath)
     }
   }

@@ -709,10 +709,44 @@ object Multimodal {
     */
   private def headerGeometry(b: Array[Byte]): Option[(Int, Int, Int)] =
     try {
-      if (isJpeg(b)) { val (h, w, nc, _) = jpegSof(b); Some((w, h, nc)) }
-      else if (isWav(b)) { val d = decodeWav(0L, b); Some((d.width, d.height, d.channels)) }
+      // geometry only — no checksum pass over the payload (features/resize
+      // call this per record on the hot path; hashing megabytes of audio to
+      // then discard the hash would double the byte traffic), and one
+      // marker-chain walk, not the isJpeg-sniff-then-parse double walk
+      if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+          (b(2) & 0xff) == 0xff) {
+        val (h, w, nc, _) = jpegSof(b)
+        Some((w, h, nc))
+      } else if (isWav(b)) Some(wavGeometry(b))
       else None
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** WAV frame/channel geometry from the fmt and data chunks — the header
+    * walk of [[decodeWav]] without its checksum loop over the PCM payload.
+    */
+  private def wavGeometry(b: Array[Byte]): (Int, Int, Int) = {
+    var i = 12
+    var channels = -1
+    var bytesPerSample = -1
+    var dataLen = -1
+    while (i + 8 <= b.length && (channels < 0 || dataLen < 0)) {
+      val size = le32(b, i + 4)
+      require(size >= 0 && i + 8 + size <= b.length, s"WAV: corrupt chunk at $i")
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        require(size >= 16, "WAV: fmt chunk too short")
+        require(le16(b, i + 8) == 1, "WAV: only PCM supported")
+        channels = le16(b, i + 10)
+        val bits = le16(b, i + 22)
+        require(channels > 0 && Set(8, 16, 24, 32).contains(bits), "WAV: bad fmt")
+        bytesPerSample = bits / 8
+      }
+      if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a')
+        dataLen = size
+      i += 8 + size + (size & 1)
+    }
+    require(channels > 0 && dataLen >= 0, "WAV: missing fmt or data chunk")
+    (dataLen / (channels * bytesPerSample), 1, channels)
+  }
 
   /** Per-record image features over REAL pixels (per-channel mean/std and
     * an 8-bin luminance histogram) — the feature-extraction stage of a
@@ -772,11 +806,17 @@ object Multimodal {
               // agree on the same payload's dimensions
               val s = stubRecord(id, bytes, fmt)
               val (w, h, ch) = headerGeometry(bytes).getOrElse((s.width, s.height, 3))
+              // one independent seed per stat array (a single 64-bit seed
+              // holds only 8 bytes — offsetting into it would alias std
+              // entries onto mean bytes once channels + offset exceed 8,
+              // and the JVM masking Long shifts mod 64 would hide the bug);
+              // shifts stay under 64 via i % 8
               val seed = s.checksum
-              val mk = (off: Int) => Array.tabulate(ch)(i =>
-                math.abs((seed >> (8 * ((i % 8) + off))) % 256).toDouble)
+              val seed2 = seed * 0x9E3779B97F4A7C15L + 0xD1B54A32D192ED03L
+              val mk = (sd: Long) => Array.tabulate(ch)(i =>
+                math.abs((sd >> (8 * (i % 8))) % 256).toDouble)
               MediaFeatures(id, fmt, decoded = false, w, h, ch,
-                mk(0), mk(3), Array.fill(8)(0.125))
+                mk(seed), mk(seed2), Array.fill(8)(0.125))
           }
         }
       }

@@ -659,7 +659,14 @@ class CatalogSpec extends SparkSpec {
     val afterSecond = baseDirs()
     assert(!afterSecond.contains("data"), "first-generation base collected on next overwrite")
     assert(afterSecond.size === 2, s"live base + one deferred generation, got $afterSecond")
+    // epoch-millis litter in deltas/ (name too long for a layer) follows
+    // the rawDeltaSeqs discipline: ignored by the sweep — it must neither
+    // crash the toInt (which would brick every later maintenance op on the
+    // table) nor be deleted as if it were a floored layer
+    val millis = tdir.resolve("deltas").resolve("1755000000000")
+    Files.createDirectories(millis)
     cat.overwrite("t", Seq((11, "z")).toDF("id", "name"))
+    assert(Files.exists(millis), "non-layer litter is ignored, not swept")
     assert(baseDirs().size === 2, "litter stays bounded across repeated overwrites")
     assert(cat.table("t").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
       === Seq((11, "z")))

@@ -306,6 +306,15 @@ class MultimodalSpec extends SparkSpec {
     // no header at all → pseudo stub geometry, same in both APIs
     assert(feat(3L).width === dec(3L).width && feat(3L).height === dec(3L).height)
     assert((rez(3L).width, rez(3L).height, rez(3L).channels) === ((0, 0, 0)))
+    // >4-channel audio: stat arrays track the channel count, and std is not
+    // an aliased copy of mean bytes (independent seeds per array)
+    val pcm6 = Array.tabulate(30 * 6 * 2)(i => (i * 13 % 251).toByte)
+    val wav6 = Multimodal.encodeWav(6, 16, 8000, pcm6)
+    val f6 = Multimodal.features(spark, asMedia(Seq((7L, wav6, "audio/wav"))))
+      .collect().head
+    assert(!f6.decoded && f6.channels === 6)
+    assert(f6.chanMean.length === 6 && f6.chanStd.length === 6)
+    assert(!(f6.chanStd sameElements f6.chanMean), "std must not alias mean bytes")
   }
 
   test("composition: image features feed the ANN stack — near-identical images pair up") {

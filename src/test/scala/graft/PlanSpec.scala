@@ -192,4 +192,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
     assert(p.contains("Window"), p)
   }
+
+  test("scale-killer sweep: non-equi join operators appear ONLY where documented") {
+    // The automated version of the per-round plan audit. A CartesianProduct
+    // or BroadcastNestedLoopJoin is the physical shape of a join with no
+    // equi-key — O(n*m) work — and is a 100-TB scale killer anywhere except
+    // two documented categories:
+    //  - bounded brute-force baselines: the exact-answer companions of the
+    //    bucketed LSH/IVF scale paths, always over an explicitly bounded
+    //    slice (d3/d12/d21/j10 filter vec_id first; j6 IS the J6 cross+theta
+    //    operator);
+    //  - one-row scalar broadcasts: a global aggregate riding back as a
+    //    1-row broadcast instead of a driver collect (tpch_q11/q22 global
+    //    thresholds, d27's corpus count for idf) — the no-collect pattern
+    //    the dedicated pins above assert.
+    // SET EQUALITY (not subset) keeps the list honest in both directions: a
+    // new accidental cross join fails loudly, and an entry whose plan stops
+    // being non-equi must be removed.
+    val documented = Set(
+      "j6_cross_theta_join", "d12_knn_bruteforce", "d21_embedding_neardup",
+      "d3_cosine_topk", "j10_similarity_self_join", // bounded brute-force
+      "tpch_q11", "tpch_q22", "d27_tfidf_topk" // 1-row scalar broadcasts
+    )
+    val offenders = SparkEntry.all.map { q =>
+      q.name -> q.fn(spark, sf).queryExecution.explainString(FormattedMode)
+    }.collect { case (n, p)
+      if p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin") => n }.toSet
+    assert(offenders === documented,
+      s"unexpected non-equi join in: ${(offenders -- documented).toSeq.sorted.mkString(", ")}; " +
+        s"stale allowlist entries: ${(documented -- offenders).toSeq.sorted.mkString(", ")}")
+  }
 }

@@ -29,4 +29,28 @@ class ContractSpec extends AnyFunSuite {
   test("inventory size matches the survey ledger claim") {
     assert(SparkEntry.all.size === 125, s"ledger says 125, found ${SparkEntry.all.size}")
   }
+
+  test("driver-side collect() stays confined to the documented bounded sites") {
+    // A collect() in an operator is a 100-TB scale killer unless the frame
+    // is provably bounded — the per-round anti-pattern audit as a lint.
+    // Allowlist (each with its size bound):
+    //  - AsOfJoin.scala: the documented broadcast variant collects the
+    //    (small, caller-bounded) right side
+    //  - IncrementalAgg.scala: emptied-GROUP-KEYS only (≤ touched groups)
+    //  - StreamingIngest.scala: eval-set shingles for a broadcast literal,
+    //    size-guarded at the call site
+    //  - Smoke/Explain/Bench/Verify mains: driver tools, not operators
+    val allowed = Set("AsOfJoin.scala", "IncrementalAgg.scala",
+      "StreamingIngest.scala", "Smoke.scala", "Explain.scala", "Bench.scala",
+      "Verify.scala")
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .filter(p => java.nio.file.Files.readString(p).contains(".collect()"))
+      .map(_.getFileName.toString).toSet
+    assert((offenders -- allowed).isEmpty,
+      s"undocumented collect() in: ${(offenders -- allowed).toSeq.sorted.mkString(", ")} — " +
+        "either make the operator distributed or document the bound and extend the allowlist")
+  }
 }

@@ -60,7 +60,7 @@ class PropertySpec extends SparkSpec {
       val snapshots = scala.collection.mutable.ArrayBuffer[(Int, Map[Int, String])]()
 
       (1 to 10).foreach { step =>
-        rnd.nextInt(4) match {
+        rnd.nextInt(5) match {
           case 0 => // INSERT: only keys not live land; in-batch survivor = min v
             val b = batch()
             val newRows = b.groupBy(_._1).collect {
@@ -86,6 +86,13 @@ class PropertySpec extends SparkSpec {
             cat.compact("t")
             deltasExist = false
             snapshots.clear()
+          case 4 => // OVERWRITE: truncate-and-load, in-batch survivor = min v
+            val b = batch()
+            val n = cat.overwrite("t", b.toDF("id", "v"))
+            model = b.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).min) }
+            assert(n === model.size, s"iter $iter step $step overwrite count")
+            deltasExist = false // layers discarded with the old contents
+            snapshots.clear() // version numbering re-baselines
         }
         if (deltasExist) snapshots += ((cat.currentVersion("t"), model))
         val got = cat.table("t").collect().map(x => (x.getInt(0), x.getString(1))).toSet

@@ -84,7 +84,7 @@ object Multimodal {
             else if (isPpm(bytes)) decodePpm(id, bytes)
             else if (isPng(bytes)) decodePng(id, bytes)
             else if (isWav(bytes)) decodeWav(id, bytes)
-            else if (isJpeg(bytes)) decodeJpegHeader(id, bytes)
+            else if (isJpeg(bytes)) decodeJpeg(id, bytes)
             else stubRecord(id, bytes, fmt)
           } catch {
             case scala.util.control.NonFatal(_) => stubRecord(id, bytes, fmt)
@@ -589,13 +589,26 @@ object Multimodal {
     (sof._1, sof._2, sof._3, -1)
   }
 
-  /** JPEG header parse — pure JVM, no codec. A full pixel decode needs a
-    * DCT/Huffman codec this container lacks (the one honestly-stubbed
-    * surface), but the frame header is plain marker structure: TRUE
-    * width/height/channels from SOF, checksum over the entropy-coded scan
-    * bytes (container metadata — APPn/EXIF/comment segments — excluded, so
-    * re-tagging the same image hashes identically; unlike the lossless
-    * formats the hash is over compressed bits, not pixels).
+  /** JPEG: REAL pure-JVM pixel decode for the baseline/extended-sequential
+    * Huffman envelope ([[Jpeg.decode]] — DQT/DHT parse, entropy decode,
+    * dequant, IDCT, chroma upsample, YCbCr→RGB; checksum over reconstructed
+    * pixels like the other image codecs). Payloads outside that envelope
+    * (progressive SOF2, arithmetic coding, 12-bit) degrade to the header
+    * parse below — true geometry, scan-bytes checksum — never to a failure.
+    */
+  private def decodeJpeg(id: Long, b: Array[Byte]): DecodedMedia =
+    try {
+      val (w, h, ch, pix) = Jpeg.decode(b)
+      DecodedMedia(id, "image/jpeg", b.length.toLong, w, h, ch,
+        fnv(pix, 0, pix.length, FnvSeed))
+    } catch { case scala.util.control.NonFatal(_) => decodeJpegHeader(id, b) }
+
+  /** JPEG header parse — the fallback when the payload uses a coding mode
+    * [[Jpeg.decode]] does not cover: TRUE width/height/channels from SOF,
+    * checksum over the entropy-coded scan bytes (container metadata —
+    * APPn/EXIF/comment segments — excluded, so re-tagging the same image
+    * hashes identically; unlike the pixel decodes the hash is over
+    * compressed bits, not pixels).
     */
   private def decodeJpegHeader(id: Long, b: Array[Byte]): DecodedMedia = {
     val (h, w, nc, scanOff) = jpegSof(b)
@@ -698,6 +711,8 @@ object Multimodal {
       } else if (isPng(b)) {
         val d = decodePngPixels(b)
         Some(d)
+      } else if (isJpeg(b)) {
+        Some(Jpeg.decode(b)) // baseline envelope; outside it → catch → None
       } else None
     } catch { case scala.util.control.NonFatal(_) => None }
 

@@ -317,6 +317,131 @@ class MultimodalSpec extends SparkSpec {
     assert(!(f6.chanStd sameElements f6.chanMean), "std must not alias mean bytes")
   }
 
+  test("JPEG round-trip: real baseline decode reconstructs pixels within lossy tolerance") {
+    // encoder and decoder are independent T.81 implementations (FDCT +
+    // Huffman encode vs Huffman decode + IDCT); agreeing on smooth content
+    // within a small tolerance across gray / 4:4:4 / 4:2:0 / odd geometry
+    // is strong evidence both are right. JPEG is lossy — assertions are
+    // tolerance-based, never bit-exact.
+    def gradient(w: Int, h: Int, ch: Int): Array[Byte] =
+      Array.tabulate(w * h * ch) { i =>
+        val p = i / ch; val x = p % w; val y = p / w
+        (((x * 255) / math.max(1, w - 1) + (y * 200) / math.max(1, h - 1)) / 2).toByte
+      }
+    def maxErr(a: Array[Byte], b: Array[Byte]): Int =
+      a.zip(b).map { case (p, q) => math.abs((p & 0xff) - (q & 0xff)) }.max
+    val cases = Seq(
+      ("gray 16x16", 16, 16, 1, false),
+      ("rgb444 32x24", 32, 24, 3, false),
+      ("rgb420 32x24", 32, 24, 3, true),
+      ("odd 13x9 4:2:0", 13, 9, 3, true))
+    cases.foreach { case (label, w, h, ch, sub) =>
+      val src = gradient(w, h, ch)
+      val jpg = graft.multimodal.Jpeg.encode(w, h, ch, src, quality = 95, subsample = sub)
+      val (dw, dh, dch, pix) = graft.multimodal.Jpeg.decode(jpg)
+      assert((dw, dh, dch) === ((w, h, ch)), s"$label geometry")
+      assert(pix.length === src.length, s"$label size")
+      assert(maxErr(src, pix) <= 12, s"$label max pixel error ${maxErr(src, pix)}")
+    }
+  }
+
+  test("JPEG codec cross-validates against ImageIO (independent third implementation)") {
+    // The JDK's ImageIO is an independent JPEG implementation — perfect as
+    // a TEST oracle, deliberately NOT used in the engine path: its IDCT and
+    // color conversion are vendor-dependent, and the engine's pixel
+    // checksums must be bit-identical across heterogeneous executors, which
+    // only our own deterministic codec guarantees.
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    val (w, h) = (32, 24)
+    val src = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; val x = p % w; val y = p / w
+      (i % 3 match {
+        case 0 => (x * 255) / (w - 1)
+        case 1 => (y * 255) / (h - 1)
+        case _ => 128
+      }).toByte
+    }
+    // our encoder -> both decoders on the same stream. On 4:4:4 the only
+    // divergence is IDCT/color rounding → tight bound; on 4:2:0 the two
+    // decoders legitimately differ in chroma upsampling (ours: nearest
+    // replicate; ImageIO: filtered) → looser bound.
+    def crossDiff(subsample: Boolean): Int = {
+      val jpg = graft.multimodal.Jpeg.encode(w, h, 3, src, quality = 95, subsample = subsample)
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(jpg))
+      assert(img.getWidth === w && img.getHeight === h)
+      val (_, _, _, ours) = graft.multimodal.Jpeg.decode(jpg)
+      var worst = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val d = (y * w + x) * 3
+        worst = math.max(worst, math.abs(((rgb >> 16) & 0xff) - (ours(d) & 0xff)))
+        worst = math.max(worst, math.abs(((rgb >> 8) & 0xff) - (ours(d + 1) & 0xff)))
+        worst = math.max(worst, math.abs((rgb & 0xff) - (ours(d + 2) & 0xff)))
+      }
+      worst
+    }
+    val d444 = crossDiff(subsample = false)
+    assert(d444 <= 3, s"4:4:4 decoder-vs-decoder: max diff $d444 (IDCT rounding only)")
+    val d420 = crossDiff(subsample = true)
+    assert(d420 <= 12, s"4:2:0 decoder-vs-decoder: max diff $d420 (upsampling differs)")
+    // ImageIO encoder -> our decoder: a FOREIGN entropy stream (different
+    // Huffman/quant/sampling choices) must decode close to the source
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = (y * w + x) * 3
+      bi.setRGB(x, y, ((src(d) & 0xff) << 16) | ((src(d + 1) & 0xff) << 8) | (src(d + 2) & 0xff))
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.95f)
+    val bos = new ByteArrayOutputStream()
+    writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    writer.dispose()
+    val foreign = bos.toByteArray
+    val (fw, fh, fch, fpix) = graft.multimodal.Jpeg.decode(foreign)
+    assert((fw, fh, fch) === ((w, h, 3)), "foreign stream geometry")
+    val ferr = src.zip(fpix).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }
+    assert(ferr.max <= 16, s"foreign stream max pixel error ${ferr.max}")
+  }
+
+  test("decode/features use real JPEG pixels; non-baseline degrades to the header parse") {
+    val (w, h) = (24, 16)
+    // constant color block: chroma subsampling is exact, features must
+    // recover the color almost perfectly
+    val src = Array.tabulate(w * h * 3)(i => (i % 3 match {
+      case 0 => 200; case 1 => 60; case _ => 120
+    }).toByte)
+    val jpg = graft.multimodal.Jpeg.encode(w, h, 3, src, quality = 95, subsample = true)
+    val media = asMedia(Seq((1L, jpg, "image/jpeg")))
+    val d = Multimodal.decode(spark, media).collect().head
+    assert((d.format, d.width, d.height, d.channels) === (("image/jpeg", w, h, 3)))
+    // pixel checksum (not the scan-bytes checksum the header fallback uses):
+    // must equal the checksum of the decoder's own reconstruction
+    val (_, _, _, pix) = graft.multimodal.Jpeg.decode(jpg)
+    assert(d.checksum === fnvOf(pix), "decode() must hash reconstructed pixels")
+    val f = Multimodal.features(spark, media).collect().head
+    assert(f.decoded, "features must run on real JPEG pixels now")
+    assert(math.abs(f.chanMean(0) - 200) <= 3 && math.abs(f.chanMean(1) - 60) <= 3 &&
+      math.abs(f.chanMean(2) - 120) <= 3, f.chanMean.toSeq.toString)
+    // resize: a real binary->binary transform over the decoded pixels
+    val r = Multimodal.resize(spark, media, 8, 8).collect().head
+    assert(r.decoded && (r.width, r.height, r.channels) === ((8, 8, 3)))
+    // progressive (SOF2) is outside the envelope: flip the SOF marker and
+    // verify graceful degrade to the header parse — true geometry kept,
+    // record survives, features fall back to stub-with-real-geometry
+    val prog = jpg.clone()
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    val dp = Multimodal.decode(spark, asMedia(Seq((2L, prog, "image/jpeg")))).collect().head
+    assert((dp.width, dp.height, dp.channels) === ((w, h, 3)), "header geometry survives")
+    assert(dp.checksum !== d.checksum, "degraded record hashes scan bytes, not pixels")
+    val fp = Multimodal.features(spark, asMedia(Seq((2L, prog, "image/jpeg")))).collect().head
+    assert(!fp.decoded && (fp.width, fp.height) === ((w, h)))
+  }
+
   test("composition: image features feed the ANN stack — near-identical images pair up") {
     import org.apache.spark.sql.functions.concat
     // three color families, two near-identical variants each (one pixel

@@ -516,6 +516,11 @@ private[graft] object Jpeg {
       }
     }
     def flush(): Unit = if (cnt > 0) { put(0x7f, 8 - cnt) } // pad with 1s
+    /** Byte-align and emit a restart marker (unstuffed, outside entropy). */
+    def restartMarker(n: Int): Unit = {
+      flush()
+      out.write(0xff); out.write(0xd0 + (n % 8))
+    }
   }
 
   private def qualityScale(base: Array[Int], quality: Int): Array[Int] = {
@@ -529,10 +534,14 @@ private[graft] object Jpeg {
 
   /** Encode top-down interleaved pixels (1 = gray or 3 = RGB channels) as a
     * baseline JFIF JPEG. `subsample` selects 4:2:0 (true) or 4:4:4 (false)
-    * chroma layout for 3-channel input.
+    * chroma layout for 3-channel input. `restartInterval` > 0 emits a DRI
+    * segment and an RSTn marker every that-many MCUs (the error-resilience
+    * feature real camera streams carry — lets tests drive the decoder's
+    * restart path with an in-repo fixture).
     */
   def encode(width: Int, height: Int, channels: Int, pixels: Array[Byte],
-      quality: Int = 90, subsample: Boolean = false): Array[Byte] = {
+      quality: Int = 90, subsample: Boolean = false,
+      restartInterval: Int = 0): Array[Byte] = {
     require(channels == 1 || channels == 3, "channels must be 1 or 3")
     require(pixels.length == width * height * channels, "pixel buffer size mismatch")
     val qLum = qualityScale(QLumBase, quality)
@@ -626,6 +635,9 @@ private[graft] object Jpeg {
     marker(0xc4, dht(0, 0, DcLumBits, DcLumVals) ++ dht(1, 0, AcLumBits, AcLumVals) ++
       (if (channels == 3) dht(0, 1, DcChromBits, DcChromVals) ++ dht(1, 1, AcChromBits, AcChromVals)
        else Array.emptyByteArray))
+    if (restartInterval > 0)
+      marker(0xdd, Array(((restartInterval >> 8) & 0xff).toByte,
+        (restartInterval & 0xff).toByte))
     // SOS
     val sos = new Array[Byte](1 + 2 * channels + 3)
     sos(0) = channels.toByte
@@ -687,9 +699,16 @@ private[graft] object Jpeg {
     }
 
     var my = 0
+    var mcu = 0
+    var rst = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          w.restartMarker(rst)
+          rst += 1
+          java.util.Arrays.fill(dcPred, 0) // DC predictors reset at restart
+        }
         var by = 0
         while (by < v0) {
           var bx = 0
@@ -703,6 +722,7 @@ private[graft] object Jpeg {
           encodeBlock(cbP, cW, mx * 8, my * 8, qChrom, dcChrom, acChrom, 1)
           encodeBlock(crP, cW, mx * 8, my * 8, qChrom, dcChrom, acChrom, 2)
         }
+        mcu += 1
         mx += 1
       }
       my += 1

@@ -343,6 +343,19 @@ class MultimodalSpec extends SparkSpec {
       assert(pix.length === src.length, s"$label size")
       assert(maxErr(src, pix) <= 12, s"$label max pixel error ${maxErr(src, pix)}")
     }
+    // restart markers (DRI + RSTn every 2 MCUs): real camera streams carry
+    // these; the decoder's restart path must reproduce the same pixels
+    val (rw, rh) = (48, 32)
+    val rsrc = gradient(rw, rh, 3)
+    val rjpg = graft.multimodal.Jpeg.encode(rw, rh, 3, rsrc, quality = 95,
+      subsample = true, restartInterval = 2)
+    // the fixture must actually contain an RST0 marker (FF D0) in the scan
+    assert((0 until rjpg.length - 1).exists(i =>
+      (rjpg(i) & 0xff) == 0xff && (rjpg(i + 1) & 0xff) == 0xd0),
+      "restart fixture must contain an RST0 marker")
+    val (rdw, rdh, _, rpix) = graft.multimodal.Jpeg.decode(rjpg)
+    assert((rdw, rdh) === ((rw, rh)), "restart geometry")
+    assert(maxErr(rsrc, rpix) <= 12, s"restart max pixel error ${maxErr(rsrc, rpix)}")
   }
 
   test("JPEG codec cross-validates against ImageIO (independent third implementation)") {

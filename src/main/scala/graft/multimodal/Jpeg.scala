@@ -276,6 +276,15 @@ private[graft] object Jpeg {
   private final case class Component(
       id: Int, h: Int, v: Int, qId: Int, var dcTab: Int = 0, var acTab: Int = 0)
 
+  /** Decompression-bomb guard: a crafted SOF header can declare up to
+    * 65535×65535×3 (~12 GB) while the payload is a few hundred bytes — the
+    * allocation would OOM the executor BEFORE the entropy decode fails, and
+    * OutOfMemoryError is not a NonFatal the degrade path catches. 64 MB of
+    * decoded pixels per record is far above any legitimate inline media
+    * payload and far below executor headroom at 32 concurrent tasks.
+    */
+  private[multimodal] val MaxDecodedBytes: Long = 64L << 20
+
   /** Decode a baseline/extended-sequential JPEG to (width, height,
     * channels, top-down interleaved pixels). Throws on anything outside the
     * supported envelope — the caller degrades.
@@ -337,6 +346,8 @@ private[graft] object Jpeg {
           val nc = b(seg + 5) & 0xff
           require(width > 0 && height > 0, "JPEG: bad dimensions")
           require(nc == 1 || nc == 3, s"JPEG: $nc components not supported")
+          require(width.toLong * height * math.max(nc, 3) <= MaxDecodedBytes,
+            s"JPEG: declared ${width}x$height too large to decode inline")
           comps = Array.tabulate(nc) { c =>
             val o = seg + 6 + 3 * c
             val cid = b(o) & 0xff

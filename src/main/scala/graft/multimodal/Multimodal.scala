@@ -302,6 +302,11 @@ object Multimodal {
     val colorType = b(25)
     val interlace = b(28)
     require(width > 0 && height > 0, s"PNG: bad dimensions ${width}x$height")
+    // decompression-bomb guard (same rationale as Jpeg.MaxDecodedBytes): a
+    // crafted IHDR can declare gigabytes while the IDAT is tiny, and the
+    // allocation would OOM the task before the inflate-length check fires
+    require(width.toLong * height * 4 <= Jpeg.MaxDecodedBytes,
+      s"PNG: declared ${width}x$height too large to decode inline")
     require(bitDepth == 8, s"PNG: only 8-bit depth supported, got $bitDepth")
     require(interlace == 0, s"PNG: interlaced (Adam7) not supported")
     val channels = colorType match {

@@ -358,6 +358,39 @@ class MultimodalSpec extends SparkSpec {
     assert(maxErr(rsrc, rpix) <= 12, s"restart max pixel error ${maxErr(rsrc, rpix)}")
   }
 
+  test("decompression bombs degrade, never OOM: huge declared dims refuse to allocate") {
+    // a few-hundred-byte payload declaring gigabytes of pixels must be
+    // rejected BEFORE the pixel allocation (OutOfMemoryError is not a
+    // NonFatal the degrade path could catch)
+    val png = Multimodal.encodePng(4, 4, Array.fill(48)(7.toByte))
+    val pngBomb = png.clone()
+    // IHDR width/height at offsets 16/20 (big-endian): declare 40000x40000
+    def putBe32(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = ((v >> 24) & 0xff).toByte; a(off + 1) = ((v >> 16) & 0xff).toByte
+      a(off + 2) = ((v >> 8) & 0xff).toByte; a(off + 3) = (v & 0xff).toByte
+    }
+    putBe32(pngBomb, 16, 40000); putBe32(pngBomb, 20, 40000)
+    val jpg = graft.multimodal.Jpeg.encode(8, 8, 3, Array.fill(192)(9.toByte))
+    val jpgBomb = jpg.clone()
+    val sofAt = (0 until jpgBomb.length - 1).find(i =>
+      (jpgBomb(i) & 0xff) == 0xff && (jpgBomb(i + 1) & 0xff) == 0xc0).get
+    // SOF height/width at sofAt+5..8: declare 40000x40000
+    jpgBomb(sofAt + 5) = (40000 >> 8).toByte; jpgBomb(sofAt + 6) = (40000 & 0xff).toByte
+    jpgBomb(sofAt + 7) = (40000 >> 8).toByte; jpgBomb(sofAt + 8) = (40000 & 0xff).toByte
+    val out = Multimodal.decode(spark, asMedia(Seq(
+      (1L, pngBomb, "image/png"), (2L, jpgBomb, "image/jpeg"))))
+      .collect().sortBy(_.id)
+    assert(out.length === 2, "both records survive")
+    // PNG bomb → stub; JPEG bomb → header-only record (true declared
+    // geometry, no pixel allocation) — either way the task lives
+    assert(out(0).width < 40000)
+    assert((out(1).width, out(1).height) === ((40000, 40000)))
+    val f = Multimodal.features(spark, asMedia(Seq(
+      (1L, pngBomb, "image/png"), (2L, jpgBomb, "image/jpeg"))))
+      .collect()
+    assert(f.length === 2 && f.forall(!_.decoded))
+  }
+
   test("JPEG codec cross-validates against ImageIO (independent third implementation)") {
     // The JDK's ImageIO is an independent JPEG implementation — perfect as
     // a TEST oracle, deliberately NOT used in the engine path: its IDCT and

@@ -488,6 +488,48 @@ class MultimodalSpec extends SparkSpec {
     assert(!fp.decoded && (fp.width, fp.height) === ((w, h)))
   }
 
+  test("fuzz: random mutations of valid payloads never drop a record or kill the task") {
+    // the per-record degrade contract under adversarial bytes: seeded
+    // random byte flips and truncations of every supported container,
+    // decoded in one job — every record must come back as SOMETHING
+    // (real decode, header parse, or stub), deterministically
+    val rnd = new scala.util.Random(20260813L)
+    val px = Array.tabulate(8 * 8 * 3)(i => (i * 31 % 251).toByte)
+    val seeds: Seq[Array[Byte]] = Seq(
+      Multimodal.encodeBmp24(8, 8, px),
+      Multimodal.encodePpm(8, 8, px),
+      Multimodal.encodePng(8, 8, px),
+      graft.multimodal.Jpeg.encode(8, 8, 3, px, quality = 90),
+      Multimodal.encodeWav(2, 16, 8000, px))
+    val mutated: Seq[(Long, Array[Byte], String)] = (0 until 200).map { i =>
+      val base = seeds(i % seeds.length)
+      val b = base.clone()
+      rnd.nextInt(3) match {
+        case 0 => // flip 1-4 random bytes
+          (0 to rnd.nextInt(4)).foreach { _ =>
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          }
+          (i.toLong, b, "fuzz/flip")
+        case 1 => // truncate at a random point
+          (i.toLong, b.take(1 + rnd.nextInt(b.length)), "fuzz/cut")
+        case _ => // splice two formats together
+          val other = seeds(rnd.nextInt(seeds.length))
+          (i.toLong, b.take(rnd.nextInt(b.length)) ++ other.drop(rnd.nextInt(other.length)),
+            "fuzz/splice")
+      }
+    }
+    val decoded = Multimodal.decode(spark, asMedia(mutated)).collect()
+    assert(decoded.length === 200, "every fuzzed record must survive decode")
+    val feats = Multimodal.features(spark, asMedia(mutated)).collect()
+    assert(feats.length === 200, "every fuzzed record must survive features")
+    val rez = Multimodal.resize(spark, asMedia(mutated), 4, 4).collect()
+    assert(rez.length === 200, "every fuzzed record must survive resize")
+    // determinism: the same bytes decode to the same record on a second run
+    val again = Multimodal.decode(spark, asMedia(mutated)).collect()
+    assert(decoded.sortBy(_.id).toSeq === again.sortBy(_.id).toSeq,
+      "degrade decisions must be deterministic")
+  }
+
   test("composition: image features feed the ANN stack — near-identical images pair up") {
     import org.apache.spark.sql.functions.concat
     // three color families, two near-identical variants each (one pixel

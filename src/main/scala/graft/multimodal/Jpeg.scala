@@ -126,15 +126,21 @@ private[graft] object Jpeg {
 
   // ------------------------------------------------------------------ DCT
 
-  /** Separable double-precision 2-D IDCT on one 8×8 block (in place). Not
-    * the fastest IDCT known, but exact to the definition and branch-free —
-    * per-record decode cost, not a shuffle, is the scale story here.
+  /** Static scaled cosine basis, computed ONCE: Cos(u)(x) =
+    * c(u)·cos((2x+1)uπ/16). The transforms run per 8×8 block on the
+    * per-record decode hot path — a 4096×4096 image has 262k luma blocks,
+    * so recomputing 1024 transcendental cos calls per block would dominate
+    * the decode; a 64-entry table gives identical (still deterministic)
+    * results.
     */
-  private def idct8x8(blk: Array[Double]): Unit = {
-    val tmp = new Array[Double](64)
-    val c = new Array[Double](8)
-    var i = 0
-    while (i < 8) { c(i) = if (i == 0) math.sqrt(0.125) else 0.5; i += 1 }
+  private val CosBasis: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    (if (u == 0) math.sqrt(0.125) else 0.5) * math.cos((2 * x + 1) * u * math.Pi / 16)
+  }
+
+  /** Separable double-precision 2-D IDCT on one 8×8 block (in place,
+    * `tmp` caller-provided scratch — no allocation per block).
+    */
+  private def idct8x8(blk: Array[Double], tmp: Array[Double]): Unit = {
     // rows
     var y = 0
     while (y < 8) {
@@ -142,10 +148,7 @@ private[graft] object Jpeg {
       while (x < 8) {
         var acc = 0.0
         var u = 0
-        while (u < 8) {
-          acc += c(u) * blk(y * 8 + u) * math.cos((2 * x + 1) * u * math.Pi / 16)
-          u += 1
-        }
+        while (u < 8) { acc += blk(y * 8 + u) * CosBasis(u)(x); u += 1 }
         tmp(y * 8 + x) = acc
         x += 1
       }
@@ -158,10 +161,7 @@ private[graft] object Jpeg {
       while (yy < 8) {
         var acc = 0.0
         var v = 0
-        while (v < 8) {
-          acc += c(v) * tmp(v * 8 + x) * math.cos((2 * yy + 1) * v * math.Pi / 16)
-          v += 1
-        }
+        while (v < 8) { acc += tmp(v * 8 + x) * CosBasis(v)(yy); v += 1 }
         blk(yy * 8 + x) = acc
         yy += 1
       }
@@ -169,23 +169,18 @@ private[graft] object Jpeg {
     }
   }
 
-  /** Forward DCT (encoder side), same separable definition. */
-  private def fdct8x8(blk: Array[Double]): Unit = {
-    val tmp = new Array[Double](64)
-    val c = new Array[Double](8)
-    var i = 0
-    while (i < 8) { c(i) = if (i == 0) math.sqrt(0.125) else 0.5; i += 1 }
+  /** Forward DCT (encoder side), same separable definition and scratch
+    * discipline.
+    */
+  private def fdct8x8(blk: Array[Double], tmp: Array[Double]): Unit = {
     var u = 0
     while (u < 8) {
       var y = 0
       while (y < 8) {
         var acc = 0.0
         var x = 0
-        while (x < 8) {
-          acc += blk(y * 8 + x) * math.cos((2 * x + 1) * u * math.Pi / 16)
-          x += 1
-        }
-        tmp(y * 8 + u) = c(u) * acc
+        while (x < 8) { acc += blk(y * 8 + x) * CosBasis(u)(x); x += 1 }
+        tmp(y * 8 + u) = acc
         y += 1
       }
       u += 1
@@ -196,11 +191,8 @@ private[graft] object Jpeg {
       while (uu < 8) {
         var acc = 0.0
         var yy = 0
-        while (yy < 8) {
-          acc += tmp(yy * 8 + uu) * math.cos((2 * yy + 1) * v * math.Pi / 16)
-          yy += 1
-        }
-        blk(v * 8 + uu) = c(v) * acc
+        while (yy < 8) { acc += tmp(yy * 8 + uu) * CosBasis(v)(yy); yy += 1 }
+        blk(v * 8 + uu) = acc
         uu += 1
       }
       v += 1
@@ -225,7 +217,8 @@ private[graft] object Jpeg {
           require(pos < b.length, "JPEG: entropy stream truncated at FF")
           val m = b(pos) & 0xff
           if (m == 0x00) pos += 1 // stuffed FF
-          else { require(false, s"JPEG: marker $m inside entropy segment"); v = 0 }
+          else throw new IllegalArgumentException(
+            s"JPEG: marker $m inside entropy segment")
         }
         bitBuf = v
         bitCnt = 8
@@ -241,11 +234,15 @@ private[graft] object Jpeg {
       v
     }
 
-    /** Skip to the RSTn marker that must come next and reset bit state. */
+    /** Skip to the RSTn marker that must come next and reset bit state.
+      * T.81 B.1.1.2 allows any number of 0xFF fill bytes before the marker
+      * code, so the scan must stop at an FF whose follower is a real code —
+      * neither a stuffed 0x00 nor another fill FF.
+      */
     def restart(expected: Int): Unit = {
       bitCnt = 0
-      // markers may be preceded by fill FFs
-      while (pos + 1 < b.length && !((b(pos) & 0xff) == 0xff && (b(pos + 1) & 0xff) != 0x00))
+      while (pos + 1 < b.length && !((b(pos) & 0xff) == 0xff &&
+          (b(pos + 1) & 0xff) != 0x00 && (b(pos + 1) & 0xff) != 0xff))
         pos += 1
       require(pos + 1 < b.length, "JPEG: missing restart marker")
       val m = b(pos + 1) & 0xff
@@ -346,7 +343,10 @@ private[graft] object Jpeg {
           val nc = b(seg + 5) & 0xff
           require(width > 0 && height > 0, "JPEG: bad dimensions")
           require(nc == 1 || nc == 3, s"JPEG: $nc components not supported")
-          require(width.toLong * height * math.max(nc, 3) <= MaxDecodedBytes,
+          // actual allocation ≈ component planes (≤ nc·(w·h + block pad))
+          // + the output buffer (w·h·nc) — count 2·nc bytes per pixel so a
+          // legitimate large GRAYSCALE image is not over-rejected
+          require(width.toLong * height * 2 * nc <= MaxDecodedBytes,
             s"JPEG: declared ${width}x$height too large to decode inline")
           comps = Array.tabulate(nc) { c =>
             val o = seg + 6 + 3 * c
@@ -396,6 +396,7 @@ private[graft] object Jpeg {
     val r = new BitReader(b, sosAt)
     val dcPred = new Array[Int](comps.length)
     val blk = new Array[Double](64)
+    val scratch = new Array[Double](64)
     var mcu = 0
     var rstCount = 0
     var my = 0
@@ -441,7 +442,7 @@ private[graft] object Jpeg {
                   k += 1
                 }
               }
-              idct8x8(blk)
+              idct8x8(blk, scratch)
               // place into the component plane
               val px0 = (mx * comp.h + bx) * 8
               val py0 = (my * comp.v + by) * 8
@@ -469,26 +470,34 @@ private[graft] object Jpeg {
       my += 1
     }
 
-    // compose: upsample chroma to full resolution, color-convert
+    // compose: upsample every component to full resolution, color-convert.
+    // Y is NOT assumed max-sampled: a legal (if unusual) stream may sample
+    // luma 1x1 against 2x2 chroma, so each component gets its own divisor.
     val nc = comps.length
     val out = new Array[Byte](width * height * (if (nc == 1) 1 else 3))
     if (nc == 1) {
       val pw = planeW(0)
+      val sx = hMax / comps(0).h; val sy = vMax / comps(0).v
       var y = 0
       while (y < height) {
-        System.arraycopy(planes(0), y * pw, out, y * width, width)
+        var x = 0
+        while (x < width) {
+          out(y * width + x) = planes(0)((y / sy) * pw + (x / sx))
+          x += 1
+        }
         y += 1
       }
       (width, height, 1, out)
     } else {
       val pwY = planeW(0); val pwCb = planeW(1); val pwCr = planeW(2)
+      val sxY = hMax / comps(0).h; val syY = vMax / comps(0).v
       val sxCb = hMax / comps(1).h; val syCb = vMax / comps(1).v
       val sxCr = hMax / comps(2).h; val syCr = vMax / comps(2).v
       var y = 0
       while (y < height) {
         var x = 0
         while (x < width) {
-          val yy = planes(0)(y * pwY + x) & 0xff
+          val yy = planes(0)((y / syY) * pwY + (x / sxY)) & 0xff
           val cb = (planes(1)((y / syCb) * pwCb + (x / sxCb)) & 0xff) - 128
           val cr = (planes(2)((y / syCr) * pwCr + (x / sxCr)) & 0xff) - 128
           val d = (y * width + x) * 3
@@ -663,6 +672,7 @@ private[graft] object Jpeg {
     val acChrom = encTable(AcChromBits, AcChromVals)
     val w = new BitWriter(out)
     val blk = new Array[Double](64)
+    val scratch = new Array[Double](64)
     val dcPred = new Array[Int](3)
 
     def magnitude(v: Int): Int = {
@@ -679,7 +689,7 @@ private[graft] object Jpeg {
         q: Array[Int], dcTab: Array[Int], acTab: Array[Int], ci: Int): Unit = {
       var k = 0
       while (k < 64) { blk(k) = plane((py0 + k / 8) * pw + (px0 + k % 8)); k += 1 }
-      fdct8x8(blk)
+      fdct8x8(blk, scratch)
       val coef = new Array[Int](64)
       k = 0
       while (k < 64) {

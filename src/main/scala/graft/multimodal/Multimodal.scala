@@ -302,11 +302,6 @@ object Multimodal {
     val colorType = b(25)
     val interlace = b(28)
     require(width > 0 && height > 0, s"PNG: bad dimensions ${width}x$height")
-    // decompression-bomb guard (same rationale as Jpeg.MaxDecodedBytes): a
-    // crafted IHDR can declare gigabytes while the IDAT is tiny, and the
-    // allocation would OOM the task before the inflate-length check fires
-    require(width.toLong * height * 4 <= Jpeg.MaxDecodedBytes,
-      s"PNG: declared ${width}x$height too large to decode inline")
     require(bitDepth == 8, s"PNG: only 8-bit depth supported, got $bitDepth")
     require(interlace == 0, s"PNG: interlaced (Adam7) not supported")
     val channels = colorType match {
@@ -316,6 +311,13 @@ object Multimodal {
       case t => throw new IllegalArgumentException(
         s"PNG: color type $t not supported")
     }
+    // decompression-bomb guard (same rationale as Jpeg.MaxDecodedBytes): a
+    // crafted IHDR can declare gigabytes while the IDAT is tiny, and the
+    // allocation would OOM the task before the inflate-length check fires.
+    // Allocation = filtered rows (raw) + reconstructed pixels ≈ 2·w·h·ch,
+    // counted with the REAL channel count so grayscale is not over-rejected
+    require(width.toLong * height * 2 * channels <= Jpeg.MaxDecodedBytes,
+      s"PNG: declared ${width}x$height too large to decode inline")
     // Walk the chunk list, concatenating IDAT payloads.
     val idat = new java.io.ByteArrayOutputStream()
     var i = 8

@@ -45,10 +45,12 @@ class ContractSpec extends AnyFunSuite {
       "Verify.scala")
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala/graft")
-    val offenders = java.nio.file.Files.walk(root).iterator().asScala
-      .filter(_.toString.endsWith(".scala"))
-      .filter(p => java.nio.file.Files.readString(p).contains(".collect()"))
-      .map(_.getFileName.toString).toSet
+    val offenders = scala.util.Using.resource(java.nio.file.Files.walk(root)) { stream =>
+      stream.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .filter(p => java.nio.file.Files.readString(p).contains(".collect()"))
+        .map(_.getFileName.toString).toSet
+    }
     assert((offenders -- allowed).isEmpty,
       s"undocumented collect() in: ${(offenders -- allowed).toSeq.sorted.mkString(", ")} — " +
         "either make the operator distributed or document the bound and extend the allowlist")

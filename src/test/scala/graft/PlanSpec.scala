@@ -214,7 +214,14 @@ class PlanSpec extends SparkSpec {
       "d3_cosine_topk", "j10_similarity_self_join", // bounded brute-force
       "tpch_q11", "tpch_q22", "d27_tfidf_topk" // 1-row scalar broadcasts
     )
-    val offenders = SparkEntry.all.map { q =>
+    // the three write-path queries EXECUTE real ingest work inside q.fn
+    // (catalog inserts / CTAS / overwrite) before returning the readback
+    // frame — running them here just to read a plan string would do three
+    // full write workloads per sweep. Their plans are pinned by the
+    // dedicated S6/write-path tests; the readback SELECTs cannot introduce
+    // a join at all.
+    val writePath = Set("s6_insert_dup_ignore", "s12_ctas", "s13_insert_overwrite")
+    val offenders = SparkEntry.all.filterNot(q => writePath(q.name)).map { q =>
       q.name -> q.fn(spark, sf).queryExecution.explainString(FormattedMode)
     }.collect { case (n, p)
       if p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin") => n }.toSet

@@ -3,14 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: print the formatted physical plan and/or wall time for named
-  * declared queries. `tools/run_explain.sh <sfDir> [-t] <query>...`
-  * (`-t` also executes and times through the noop sink).
+  * declared queries. `tools/run_explain.sh <sfDir> [-t] [-nK] <query>...`
+  * (`-t` also executes and times through the noop sink; `-nK` runs K hot
+  * iterations after the cold run and reports the min — the same estimator
+  * Bench uses, so solo numbers are comparable to bench.json).
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val time = args.contains("-t")
-    val names = args.drop(1).filterNot(_ == "-t")
+    val reps = args.find(_.startsWith("-n")).map(_.drop(2).toInt).getOrElse(1)
+    val names = args.drop(1).filterNot(a => a == "-t" || a.startsWith("-n"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,13 +31,17 @@ object Explain {
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
       if (time) {
-        // cold + warm (bench methodology: one warmup, then the measured run)
+        // cold + reps hot runs (bench methodology: warmup, then min-of-N)
         val t0 = System.nanoTime()
         df.write.mode("overwrite").format("noop").save()
         val cold = (System.nanoTime() - t0) / 1e9
-        val t1 = System.nanoTime()
-        q.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        println(f"[time] ${q.name}: cold $cold%.2f s, warm ${(System.nanoTime() - t1) / 1e9}%.2f s")
+        val hot = (1 to reps).map { _ =>
+          val t1 = System.nanoTime()
+          q.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t1) / 1e9
+        }
+        println(f"[time] ${q.name}: cold $cold%.2f s, min ${hot.min}%.2f s " +
+          s"(samples ${hot.map(v => f"$v%.2f").mkString(",")})")
       }
     }
     spark.stop()

@@ -1,23 +1,35 @@
 package graft.multimodal
 
-/** Pure-JVM baseline JPEG codec — no codec libraries, written against the
-  * public ITU-T T.81 spec (the same no-dependency discipline as the BMP/PPM/
+/** Pure-JVM JPEG codec — no codec libraries, written against the public
+  * ITU-T T.81 spec (the same no-dependency discipline as the BMP/PPM/
   * PNG/WAV codecs in [[Multimodal]]; the reference repo contains no codec,
   * this is engine capability for the multimodal column family).
   *
-  * Decoder ([[decode]]): baseline + extended-sequential Huffman JPEG (SOF0/
-  * SOF1), 8-bit samples, 1 or 3 components, sampling factors 1–2 in each
-  * axis (4:4:4, 4:2:2, 4:2:0), restart markers, FF00 byte-stuffing. Output
-  * is row-major top-down interleaved gray or RGB (JFIF YCbCr full-range).
-  * Anything outside that envelope (progressive SOF2, arithmetic coding,
-  * 12-bit, 4-component CMYK) throws — callers degrade to the header-only
-  * parse, exactly like the other codecs degrade to the stub.
+  * Decoder ([[decode]]): Huffman JPEG, 8-bit samples, 1 or 3 components,
+  * sampling factors 1–2 in each axis (4:4:4, 4:2:2, 4:2:0), restart
+  * markers, FF00 byte-stuffing — in BOTH process families:
+  *  - baseline + extended-sequential (SOF0/SOF1): single interleaved scan,
+  *    decoded MCU-at-a-time straight to pixels;
+  *  - progressive (SOF2): multi-scan spectral selection + successive
+  *    approximation (T.81 G.2) — DC first/refine, AC first/refine with
+  *    EOB-run accumulation — into per-component coefficient planes,
+  *    dequantized + IDCT'd once after the last scan. Progressive is the
+  *    majority format of real web crawls, so this path is first-class.
+  * Output is row-major top-down interleaved gray or RGB (JFIF YCbCr
+  * full-range). Anything outside that envelope (arithmetic coding, 12-bit,
+  * 4-component CMYK, hierarchical/lossless SOFs) throws — callers degrade
+  * to the header-only parse, exactly like the other codecs degrade to the
+  * stub.
   *
   * Encoder ([[encode]], fixture-grade): baseline JFIF, 4:4:4 or 4:2:0,
   * Annex K quantization tables scaled by a quality factor, Annex K.3
   * Huffman tables. The encoder exists so tests can round-trip real entropy
   * data through the decoder — JPEG is lossy, so round-trip assertions are
-  * tolerance-based, not bit-exact.
+  * tolerance-based, not bit-exact. (Progressive fixtures come from the
+  * JDK's ImageIO writer in tests, which emits the standard 10-scan
+  * progression script — both spectral selection and successive
+  * approximation — so the decoder's progressive paths are driven by an
+  * independent encoder.)
   *
   * Everything here is per-record CPU work running inside mapPartitions —
   * no Spark coupling, no shared mutable state, safe on 32 concurrent tasks.
@@ -250,6 +262,11 @@ private[graft] object Jpeg {
       pos += 2
     }
 
+    /** Byte-align after a scan's entropy data: drop buffered bits so `pos`
+      * is the next unconsumed stream byte (used between progressive scans).
+      */
+    def align(): Unit = bitCnt = 0
+
     def decodeHuff(t: HuffTable): Int = {
       var code = bit()
       var l = 1
@@ -279,12 +296,15 @@ private[graft] object Jpeg {
     * OutOfMemoryError is not a NonFatal the degrade path catches. 64 MB of
     * decoded pixels per record is far above any legitimate inline media
     * payload and far below executor headroom at 32 concurrent tasks.
+    * (Sequential decode allocates ≈2·nc bytes/pixel — planes + output;
+    * progressive holds int coefficient planes, ≈4–6·nc bytes/pixel, so its
+    * guard multiplier is higher and its size ceiling correspondingly lower.)
     */
   private[multimodal] val MaxDecodedBytes: Long = 64L << 20
 
-  /** Decode a baseline/extended-sequential JPEG to (width, height,
-    * channels, top-down interleaved pixels). Throws on anything outside the
-    * supported envelope — the caller degrades.
+  /** Decode a Huffman JPEG (baseline, extended-sequential, or progressive)
+    * to (width, height, channels, top-down interleaved pixels). Throws on
+    * anything outside the supported envelope — the caller degrades.
     */
   def decode(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
     require(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8, "JPEG: no SOI")
@@ -295,179 +315,453 @@ private[graft] object Jpeg {
     var width = 0
     var height = 0
     var restartInterval = 0
-    var i = 2
-    var sosAt = -1
-    while (sosAt < 0) {
-      require(i + 4 <= b.length, "JPEG: truncated segment header")
-      require((b(i) & 0xff) == 0xff, s"JPEG: marker expected at $i")
-      var m = b(i + 1) & 0xff
-      while (m == 0xff && i + 2 < b.length) { i += 1; m = b(i + 1) & 0xff }
-      require(m != 0xd9, "JPEG: EOI before SOS")
-      val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
-      require(len >= 2 && i + 2 + len <= b.length, s"JPEG: segment overruns buffer at $i")
-      val seg = i + 4
-      val segEnd = i + 2 + len
-      m match {
-        case 0xdb => // DQT — one or more tables
-          var p = seg
-          while (p < segEnd) {
-            val pq = (b(p) & 0xff) >> 4
-            val tq = b(p) & 0x0f
-            require(pq == 0, "JPEG: 16-bit quant tables not supported")
-            require(p + 65 <= segEnd, "JPEG: truncated DQT")
-            val t = new Array[Int](64)
-            var k = 0
-            while (k < 64) { t(Zigzag(k)) = b(p + 1 + k) & 0xff; k += 1 }
-            quant(tq) = t
-            p += 65
-          }
-        case 0xc4 => // DHT — one or more tables
-          var p = seg
-          while (p < segEnd) {
-            val tc = (b(p) & 0xff) >> 4
-            val th = b(p) & 0x0f
-            val bits = new Array[Int](17)
-            var total = 0
-            var l = 1
-            while (l <= 16) { bits(l) = b(p + l) & 0xff; total += bits(l); l += 1 }
-            require(p + 17 + total <= segEnd, "JPEG: truncated DHT")
-            val vals = java.util.Arrays.copyOfRange(b, p + 17, p + 17 + total)
-            val tab = new HuffTable(bits, vals)
-            if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
-            p += 17 + total
-          }
-        case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
-          require(b(seg) == 8, "JPEG: only 8-bit precision supported")
-          height = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
-          width = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
-          val nc = b(seg + 5) & 0xff
-          require(width > 0 && height > 0, "JPEG: bad dimensions")
-          require(nc == 1 || nc == 3, s"JPEG: $nc components not supported")
-          // actual allocation ≈ component planes (≤ nc·(w·h + block pad))
-          // + the output buffer (w·h·nc) — count 2·nc bytes per pixel so a
-          // legitimate large GRAYSCALE image is not over-rejected
-          require(width.toLong * height * 2 * nc <= MaxDecodedBytes,
-            s"JPEG: declared ${width}x$height too large to decode inline")
-          comps = Array.tabulate(nc) { c =>
-            val o = seg + 6 + 3 * c
-            val cid = b(o) & 0xff
-            val hv = b(o + 1) & 0xff
-            val comp = Component(cid, hv >> 4, hv & 0x0f, b(o + 2) & 0xff)
-            require(comp.h >= 1 && comp.h <= 2 && comp.v >= 1 && comp.v <= 2,
-              s"JPEG: sampling ${comp.h}x${comp.v} not supported")
-            comp
-          }
-        case 0xc2 => throw new IllegalArgumentException("JPEG: progressive not supported")
-        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          throw new IllegalArgumentException("JPEG: non-sequential SOF not supported")
-        case 0xdd => // DRI
-          restartInterval = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
-        case 0xda => // SOS
-          require(comps != null, "JPEG: SOS before SOF")
-          val ns = b(seg) & 0xff
-          require(ns == comps.length, "JPEG: partial scans not supported")
-          var c = 0
-          while (c < ns) {
-            val cid = b(seg + 1 + 2 * c) & 0xff
-            val tabs = b(seg + 2 + 2 * c) & 0xff
-            val comp = comps.find(_.id == cid).getOrElse(
-              throw new IllegalArgumentException("JPEG: SOS names unknown component"))
-            comp.dcTab = tabs >> 4
-            comp.acTab = tabs & 0x0f
-            c += 1
-          }
-          sosAt = segEnd
-        case _ => () // APPn / COM / others: skip
-      }
-      i = segEnd
+    var progressive = false
+    var hMax = 0; var vMax = 0
+    var mcusX = 0; var mcusY = 0
+    var planeW: Array[Int] = null
+    var planeH: Array[Int] = null
+    var planes: Array[Array[Byte]] = null // sequential result
+    var coefs: Array[Array[Int]] = null   // progressive accumulation
+    var scans = 0
+
+    /** First position ≥ `from` holding a marker FF (not entropy FF00; a
+      * FF-FF fill run is left for the main loop's fill-byte skip).
+      */
+    def nextMarkerPos(from: Int): Int = {
+      var j = from
+      while (j + 1 < b.length &&
+          !((b(j) & 0xff) == 0xff && (b(j + 1) & 0xff) != 0x00)) j += 1
+      require(j + 1 < b.length, "JPEG: truncated after scan data")
+      j
     }
 
-    val hMax = comps.map(_.h).max
-    val vMax = comps.map(_.v).max
-    val mcuW = 8 * hMax
-    val mcuH = 8 * vMax
-    val mcusX = (width + mcuW - 1) / mcuW
-    val mcusY = (height + mcuH - 1) / mcuH
-    // per-component plane at its own resolution (padded to whole blocks)
-    val planeW = comps.map(c => mcusX * c.h * 8)
-    val planeH = comps.map(c => mcusY * c.v * 8)
-    val planes = comps.indices.map(ci => new Array[Byte](planeW(ci) * planeH(ci))).toArray
+    // ---- sequential scan: single interleaved pass, straight to pixels
+    def sequentialScan(r: BitReader): Unit = {
+      planes = comps.indices.map(ci => new Array[Byte](planeW(ci) * planeH(ci))).toArray
+      val dcPred = new Array[Int](comps.length)
+      val blk = new Array[Double](64)
+      val scratch = new Array[Double](64)
+      var mcu = 0
+      var rstCount = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            r.restart(rstCount % 8)
+            rstCount += 1
+            java.util.Arrays.fill(dcPred, 0)
+          }
+          var ci = 0
+          while (ci < comps.length) {
+            val comp = comps(ci)
+            val q = quant(comp.qId)
+            require(q != null, "JPEG: SOS before its quant table")
+            val dcT = dcTabs(comp.dcTab)
+            val acT = acTabs(comp.acTab)
+            require(dcT != null && acT != null, "JPEG: SOS before its Huffman tables")
+            var by = 0
+            while (by < comp.v) {
+              var bx = 0
+              while (bx < comp.h) {
+                // --- one 8x8 block
+                java.util.Arrays.fill(blk, 0.0)
+                val dcSize = r.decodeHuff(dcT)
+                require(dcSize <= 11, "JPEG: DC size out of range")
+                dcPred(ci) += extend(r.bits(dcSize), dcSize)
+                blk(0) = dcPred(ci).toDouble * q(0)
+                var k = 1
+                while (k < 64) {
+                  val rs = r.decodeHuff(acT)
+                  val run = rs >> 4
+                  val size = rs & 0x0f
+                  if (size == 0) {
+                    if (run == 15) k += 16 // ZRL
+                    else k = 64 // EOB
+                  } else {
+                    k += run
+                    require(k < 64, "JPEG: AC index overrun")
+                    val nat = Zigzag(k)
+                    blk(nat) = extend(r.bits(size), size).toDouble * q(nat)
+                    k += 1
+                  }
+                }
+                idct8x8(blk, scratch)
+                // place into the component plane
+                val px0 = (mx * comp.h + bx) * 8
+                val py0 = (my * comp.v + by) * 8
+                val pw = planeW(ci)
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  while (xx < 8) {
+                    val s = math.round(blk(yy * 8 + xx) + 128.0).toInt
+                    planes(ci)((py0 + yy) * pw + (px0 + xx)) =
+                      (if (s < 0) 0 else if (s > 255) 255 else s).toByte
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                bx += 1
+              }
+              by += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+    }
 
-    val r = new BitReader(b, sosAt)
-    val dcPred = new Array[Int](comps.length)
-    val blk = new Array[Double](64)
-    val scratch = new Array[Double](64)
-    var mcu = 0
-    var rstCount = 0
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
+    // ---- progressive scan: accumulate coefficients (T.81 G.2)
+    def progressiveScan(r: BitReader, scanCis: Array[Int],
+        ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      require(ss >= 0 && se <= 63 && ss <= se, "JPEG: bad spectral range")
+      require(al <= 13 && (ah == 0 || ah == al + 1),
+        "JPEG: bad successive-approximation bits")
+      val dcPred = new Array[Int](comps.length)
+      var eobrun = 0
+      var mcu = 0
+      var rstCount = 0
+      def maybeRestart(): Unit =
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           r.restart(rstCount % 8)
           rstCount += 1
           java.util.Arrays.fill(dcPred, 0)
+          eobrun = 0
         }
-        var ci = 0
-        while (ci < comps.length) {
-          val comp = comps(ci)
-          val q = quant(comp.qId)
-          require(q != null, "JPEG: SOS before its quant table")
-          val dcT = dcTabs(comp.dcTab)
-          val acT = acTabs(comp.acTab)
-          require(dcT != null && acT != null, "JPEG: SOS before its Huffman tables")
+      def refineNonzero(coef: Array[Int], idx: Int, p1: Int): Unit =
+        if (r.bit() == 1 && (coef(idx) & p1) == 0)
+          coef(idx) += (if (coef(idx) >= 0) p1 else -p1)
+
+      if (ss == 0) { // ---- DC scan (interleaved if ns > 1)
+        require(se == 0, "JPEG: DC scan with AC coefficients")
+        def dcBlock(ci: Int, off: Int): Unit = {
+          val coef = coefs(ci)
+          if (ah == 0) {
+            val dcT = dcTabs(comps(ci).dcTab)
+            require(dcT != null, "JPEG: DC scan before its Huffman table")
+            val dcSize = r.decodeHuff(dcT)
+            require(dcSize <= 11, "JPEG: DC size out of range")
+            dcPred(ci) += extend(r.bits(dcSize), dcSize)
+            coef(off) = dcPred(ci) << al
+          } else if (r.bit() == 1) coef(off) |= 1 << al
+        }
+        if (scanCis.length > 1) { // interleaved MCU order
+          var my = 0
+          while (my < mcusY) {
+            var mx = 0
+            while (mx < mcusX) {
+              maybeRestart()
+              var s = 0
+              while (s < scanCis.length) {
+                val ci = scanCis(s)
+                val c = comps(ci)
+                val colsB = planeW(ci) / 8
+                var by = 0
+                while (by < c.v) {
+                  var bx = 0
+                  while (bx < c.h) {
+                    dcBlock(ci, ((my * c.v + by) * colsB + (mx * c.h + bx)) * 64)
+                    bx += 1
+                  }
+                  by += 1
+                }
+                s += 1
+              }
+              mcu += 1
+              mx += 1
+            }
+            my += 1
+          }
+        } else { // single-component: the component's own block grid
+          val ci = scanCis(0)
+          val c = comps(ci)
+          val colsB = planeW(ci) / 8
+          val wB = ((width * c.h + hMax - 1) / hMax + 7) / 8
+          val hB = ((height * c.v + vMax - 1) / vMax + 7) / 8
           var by = 0
-          while (by < comp.v) {
+          while (by < hB) {
             var bx = 0
-            while (bx < comp.h) {
-              // --- one 8x8 block
-              java.util.Arrays.fill(blk, 0.0)
-              val dcSize = r.decodeHuff(dcT)
-              require(dcSize <= 11, "JPEG: DC size out of range")
-              dcPred(ci) += extend(r.bits(dcSize), dcSize)
-              blk(0) = dcPred(ci).toDouble * q(0)
-              var k = 1
-              while (k < 64) {
-                val rs = r.decodeHuff(acT)
-                val run = rs >> 4
-                val size = rs & 0x0f
-                if (size == 0) {
-                  if (run == 15) k += 16 // ZRL
-                  else k = 64 // EOB
-                } else {
-                  k += run
-                  require(k < 64, "JPEG: AC index overrun")
-                  val nat = Zigzag(k)
-                  blk(nat) = extend(r.bits(size), size).toDouble * q(nat)
-                  k += 1
-                }
-              }
-              idct8x8(blk, scratch)
-              // place into the component plane
-              val px0 = (mx * comp.h + bx) * 8
-              val py0 = (my * comp.v + by) * 8
-              val pw = planeW(ci)
-              var yy = 0
-              while (yy < 8) {
-                var xx = 0
-                while (xx < 8) {
-                  val s = math.round(blk(yy * 8 + xx) + 128.0).toInt
-                  planes(ci)((py0 + yy) * pw + (px0 + xx)) =
-                    (if (s < 0) 0 else if (s > 255) 255 else s).toByte
-                  xx += 1
-                }
-                yy += 1
-              }
+            while (bx < wB) {
+              maybeRestart()
+              dcBlock(ci, (by * colsB + bx) * 64)
+              mcu += 1
               bx += 1
             }
             by += 1
           }
-          ci += 1
         }
-        mcu += 1
-        mx += 1
+      } else { // ---- AC scan: always single-component (T.81 G.1.1.1.1)
+        require(scanCis.length == 1, "JPEG: interleaved AC scan")
+        val ci = scanCis(0)
+        val c = comps(ci)
+        val acT = acTabs(c.acTab)
+        require(acT != null, "JPEG: AC scan before its Huffman table")
+        val coef = coefs(ci)
+        val colsB = planeW(ci) / 8
+        val wB = ((width * c.h + hMax - 1) / hMax + 7) / 8
+        val hB = ((height * c.v + vMax - 1) / vMax + 7) / 8
+        val p1 = 1 << al
+
+        def acFirstBlock(off: Int): Unit =
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            while (k <= se) {
+              val rs = r.decodeHuff(acT)
+              val run = rs >> 4
+              val size = rs & 0x0f
+              if (size != 0) {
+                k += run
+                require(k <= se, "JPEG: AC index overrun")
+                coef(off + Zigzag(k)) = extend(r.bits(size), size) << al
+                k += 1
+              } else if (run == 15) k += 16 // ZRL
+              else { // EOBn: this block is the first member of the run
+                eobrun = (1 << run) - 1
+                if (run > 0) eobrun += r.bits(run)
+                k = se + 1
+              }
+            }
+          }
+
+        /** AC refinement (T.81 G.2 / the standard correction-bit walk):
+          * every nonzero-history coefficient passed over consumes one
+          * correction bit; newly nonzero coefficients are placed with value
+          * ±2^Al; EOBn covers the rest of the block with correction bits
+          * only.
+          */
+        def acRefineBlock(off: Int): Unit = {
+          var k = ss
+          if (eobrun == 0) {
+            var atEob = false
+            while (k <= se && !atEob) {
+              val rs = r.decodeHuff(acT)
+              var run = rs >> 4
+              val size = rs & 0x0f
+              var newVal = 0
+              if (size != 0) {
+                require(size == 1, "JPEG: AC refinement size must be 1")
+                newVal = if (r.bit() == 1) p1 else -p1
+              } else if (run != 15) {
+                eobrun = 1 << run
+                if (run > 0) eobrun += r.bits(run)
+                atEob = true
+              }
+              if (!atEob) {
+                // advance over `run` zero-history coefficients, emitting a
+                // correction bit at every nonzero-history one on the way
+                var placed = false
+                while (k <= se && !placed) {
+                  val idx = off + Zigzag(k)
+                  if (coef(idx) != 0) { refineNonzero(coef, idx, p1); k += 1 }
+                  else if (run == 0) {
+                    if (newVal != 0) coef(idx) = newVal
+                    placed = true
+                    k += 1
+                  } else { run -= 1; k += 1 }
+                }
+              }
+            }
+          }
+          if (eobrun > 0) {
+            while (k <= se) {
+              val idx = off + Zigzag(k)
+              if (coef(idx) != 0) refineNonzero(coef, idx, p1)
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+
+        var by = 0
+        while (by < hB) {
+          var bx = 0
+          while (bx < wB) {
+            maybeRestart()
+            val off = (by * colsB + bx) * 64
+            if (ah == 0) acFirstBlock(off) else acRefineBlock(off)
+            mcu += 1
+            bx += 1
+          }
+          by += 1
+        }
       }
-      my += 1
+      r.align()
+      scans += 1
+    }
+
+    // ---- marker walk. Bounds discipline: every length/offset read is
+    // re-validated AFTER the fill-FF skip (a truncated stream must surface
+    // as IllegalArgumentException, never ArrayIndexOutOfBoundsException).
+    var i = 2
+    var done = false
+    while (!done) {
+      require(i + 1 < b.length, "JPEG: truncated stream")
+      require((b(i) & 0xff) == 0xff, s"JPEG: marker expected at $i")
+      while (i + 1 < b.length && (b(i + 1) & 0xff) == 0xff) i += 1 // fill FFs
+      require(i + 1 < b.length, "JPEG: truncated stream")
+      val m = b(i + 1) & 0xff
+      if (m == 0xd9) done = true // EOI
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // TEM / stray RST
+      else {
+        require(i + 4 <= b.length, "JPEG: truncated segment header")
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        require(len >= 2 && i + 2 + len <= b.length, s"JPEG: segment overruns buffer at $i")
+        val seg = i + 4
+        val segEnd = i + 2 + len
+        var nextI = segEnd
+        m match {
+          case 0xdb => // DQT — one or more tables
+            var p = seg
+            while (p < segEnd) {
+              val pq = (b(p) & 0xff) >> 4
+              val tq = b(p) & 0x0f
+              require(pq == 0, "JPEG: 16-bit quant tables not supported")
+              require(p + 65 <= segEnd, "JPEG: truncated DQT")
+              val t = new Array[Int](64)
+              var k = 0
+              while (k < 64) { t(Zigzag(k)) = b(p + 1 + k) & 0xff; k += 1 }
+              quant(tq) = t
+              p += 65
+            }
+          case 0xc4 => // DHT — one or more tables
+            var p = seg
+            while (p < segEnd) {
+              require(p + 17 <= segEnd, "JPEG: truncated DHT")
+              val tc = (b(p) & 0xff) >> 4
+              val th = b(p) & 0x0f
+              val bits = new Array[Int](17)
+              var total = 0
+              var l = 1
+              while (l <= 16) { bits(l) = b(p + l) & 0xff; total += bits(l); l += 1 }
+              require(p + 17 + total <= segEnd, "JPEG: truncated DHT")
+              val vals = java.util.Arrays.copyOfRange(b, p + 17, p + 17 + total)
+              val tab = new HuffTable(bits, vals)
+              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+              p += 17 + total
+            }
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0 / SOF1 / SOF2 progressive
+            require(comps == null, "JPEG: multiple frames not supported")
+            progressive = m == 0xc2
+            require(seg + 6 <= segEnd, "JPEG: truncated SOF")
+            require(b(seg) == 8, "JPEG: only 8-bit precision supported")
+            height = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
+            width = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
+            val nc = b(seg + 5) & 0xff
+            require(width > 0 && height > 0, "JPEG: bad dimensions")
+            require(nc == 1 || nc == 3, s"JPEG: $nc components not supported")
+            require(seg + 6 + 3 * nc <= segEnd, "JPEG: truncated SOF")
+            // actual allocation ≈ component planes + output buffer for
+            // sequential (≈2·nc bytes/px); progressive holds 4-byte int
+            // coefficient planes instead (≈4–6·nc bytes/px) — size the
+            // guard to what THIS decode will really allocate
+            val perPx = (if (progressive) 6L else 2L) * nc
+            require(width.toLong * height * perPx <= MaxDecodedBytes,
+              s"JPEG: declared ${width}x$height too large to decode inline")
+            comps = Array.tabulate(nc) { c =>
+              val o = seg + 6 + 3 * c
+              val cid = b(o) & 0xff
+              val hv = b(o + 1) & 0xff
+              val comp = Component(cid, hv >> 4, hv & 0x0f, b(o + 2) & 0xff)
+              require(comp.h >= 1 && comp.h <= 2 && comp.v >= 1 && comp.v <= 2,
+                s"JPEG: sampling ${comp.h}x${comp.v} not supported")
+              comp
+            }
+            hMax = comps.map(_.h).max
+            vMax = comps.map(_.v).max
+            mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            planeW = comps.map(c => mcusX * c.h * 8)
+            planeH = comps.map(c => mcusY * c.v * 8)
+            if (progressive)
+              coefs = comps.indices.map(ci => new Array[Int](planeW(ci) * planeH(ci))).toArray
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            throw new IllegalArgumentException(
+              "JPEG: lossless/hierarchical/arithmetic SOF not supported")
+          case 0xdd => // DRI
+            require(seg + 2 <= segEnd, "JPEG: truncated DRI")
+            restartInterval = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
+          case 0xda => // SOS
+            require(comps != null, "JPEG: SOS before SOF")
+            require(seg < segEnd, "JPEG: truncated SOS")
+            val ns = b(seg) & 0xff
+            require(ns >= 1 && ns <= comps.length, "JPEG: bad scan component count")
+            require(seg + 1 + 2 * ns + 3 <= segEnd, "JPEG: truncated SOS")
+            val scanCis = Array.tabulate(ns) { c =>
+              val cid = b(seg + 1 + 2 * c) & 0xff
+              val tabs = b(seg + 2 + 2 * c) & 0xff
+              val ci = comps.indexWhere(_.id == cid)
+              require(ci >= 0, "JPEG: SOS names unknown component")
+              comps(ci).dcTab = tabs >> 4
+              comps(ci).acTab = tabs & 0x0f
+              ci
+            }
+            val ss = b(seg + 1 + 2 * ns) & 0xff
+            val se = b(seg + 2 + 2 * ns) & 0xff
+            val ahal = b(seg + 3 + 2 * ns) & 0xff
+            val r = new BitReader(b, segEnd)
+            if (!progressive) {
+              require(ns == comps.length, "JPEG: sequential partial scans not supported")
+              require(ss == 0 && se == 63 && ahal == 0, "JPEG: bad sequential scan header")
+              sequentialScan(r)
+              scans += 1
+              done = true // single scan carries the whole frame
+            } else {
+              progressiveScan(r, scanCis, ss, se, ahal >> 4, ahal & 0x0f)
+              nextI = nextMarkerPos(r.pos)
+            }
+          case _ => () // APPn / COM / DNL / others: skip
+        }
+        if (!done) i = nextI
+      }
+    }
+    require(comps != null, "JPEG: no SOF before EOI")
+    require(scans > 0, "JPEG: no scan data before EOI")
+
+    if (progressive) {
+      // final pass: dequantize + IDCT every block of every component plane
+      planes = comps.indices.map(ci => new Array[Byte](planeW(ci) * planeH(ci))).toArray
+      val blk = new Array[Double](64)
+      val scratch = new Array[Double](64)
+      var ci = 0
+      while (ci < comps.length) {
+        val q = quant(comps(ci).qId)
+        require(q != null, "JPEG: missing quant table at end of frame")
+        val coef = coefs(ci)
+        val pw = planeW(ci)
+        val colsB = pw / 8
+        val rowsB = planeH(ci) / 8
+        var by = 0
+        while (by < rowsB) {
+          var bx = 0
+          while (bx < colsB) {
+            val off = (by * colsB + bx) * 64
+            var k = 0
+            while (k < 64) { blk(k) = coef(off + k).toDouble * q(k); k += 1 }
+            idct8x8(blk, scratch)
+            val px0 = bx * 8
+            val py0 = by * 8
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                val s = math.round(blk(yy * 8 + xx) + 128.0).toInt
+                planes(ci)((py0 + yy) * pw + (px0 + xx)) =
+                  (if (s < 0) 0 else if (s > 255) 255 else s).toByte
+                xx += 1
+              }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
     }
 
     // compose: upsample every component to full resolution, color-convert.

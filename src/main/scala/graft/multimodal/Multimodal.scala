@@ -33,11 +33,13 @@ final case class ResizedMedia(
   * [[decode]] REALLY decodes the formats parseable in pure JVM with no
   * codec libraries — BMP (BI_RGB, 24/32-bit), binary PPM (P6),
   * non-interlaced 8-bit PNG (gray/RGB/RGBA; zlib inflate ships in
-  * `java.util.zip`), and PCM WAV (RIFF, format code 1) — yielding true
-  * dimensions/channels and a checksum over the payload bytes only (row
-  * padding / filter bytes / container chunks excluded). JPEG gets a real
-  * HEADER parse (true geometry from SOF, checksum over the entropy-coded
-  * scan) — only its pixel decode needs the DCT codec this container lacks.
+  * `java.util.zip`), PCM WAV (RIFF, format code 1), and Huffman JPEG —
+  * baseline, extended-sequential, AND progressive SOF2 — via the in-repo
+  * T.81 codec ([[Jpeg]]) — yielding true dimensions/channels and a
+  * checksum over the decoded samples (row padding / filter bytes /
+  * container chunks excluded). JPEGs outside the Huffman envelope
+  * (arithmetic, 12-bit, CMYK) get a real HEADER parse: true geometry from
+  * SOF, checksum over the entropy-coded scan.
   * Formats with no pure-JVM parse at all (compressed audio) fall back to
   * the clearly-marked deterministic STUB ([[decodeStub]]), as does any
   * payload whose sniff passes but whose parse fails — one corrupt record
@@ -596,12 +598,14 @@ object Multimodal {
     (sof._1, sof._2, sof._3, -1)
   }
 
-  /** JPEG: REAL pure-JVM pixel decode for the baseline/extended-sequential
-    * Huffman envelope ([[Jpeg.decode]] — DQT/DHT parse, entropy decode,
-    * dequant, IDCT, chroma upsample, YCbCr→RGB; checksum over reconstructed
-    * pixels like the other image codecs). Payloads outside that envelope
-    * (progressive SOF2, arithmetic coding, 12-bit) degrade to the header
-    * parse below — true geometry, scan-bytes checksum — never to a failure.
+  /** JPEG: REAL pure-JVM pixel decode for the Huffman envelope —
+    * baseline/extended-sequential AND progressive SOF2 ([[Jpeg.decode]] —
+    * DQT/DHT parse, entropy decode incl. spectral-selection/successive-
+    * approximation scan accumulation, dequant, IDCT, chroma upsample,
+    * YCbCr→RGB; checksum over reconstructed pixels like the other image
+    * codecs). Payloads outside that envelope (arithmetic coding, 12-bit,
+    * CMYK) degrade to the header parse below — true geometry, scan-bytes
+    * checksum — never to a failure.
     */
   private def decodeJpeg(id: Long, b: Array[Byte]): DecodedMedia =
     try {
@@ -719,7 +723,7 @@ object Multimodal {
         val d = decodePngPixels(b)
         Some(d)
       } else if (isJpeg(b)) {
-        Some(Jpeg.decode(b)) // baseline envelope; outside it → catch → None
+        Some(Jpeg.decode(b)) // Huffman envelope (incl. progressive); outside it → catch → None
       } else None
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -828,15 +832,20 @@ object Multimodal {
               // agree on the same payload's dimensions
               val s = stubRecord(id, bytes, fmt)
               val (w, h, ch) = headerGeometry(bytes).getOrElse((s.width, s.height, 3))
-              // one independent seed per stat array (a single 64-bit seed
-              // holds only 8 bytes — offsetting into it would alias std
-              // entries onto mean bytes once channels + offset exceed 8,
-              // and the JVM masking Long shifts mod 64 would hide the bug);
-              // shifts stay under 64 via i % 8
+              // one independent value per (array, index): splitmix64 of
+              // seed + index. Byte-offsetting into a single 64-bit seed
+              // aliased channel 8 onto channel 0 within the same array
+              // (a 64-bit seed holds only 8 bytes), so high-channel audio
+              // got period-8 repeating stats; mixing the index through a
+              // full-avalanche permutation makes every entry independent
               val seed = s.checksum
               val seed2 = seed * 0x9E3779B97F4A7C15L + 0xD1B54A32D192ED03L
-              val mk = (sd: Long) => Array.tabulate(ch)(i =>
-                math.abs((sd >> (8 * (i % 8))) % 256).toDouble)
+              val mk = (sd: Long) => Array.tabulate(ch) { i =>
+                var z = sd + (i + 1) * 0x9E3779B97F4A7C15L
+                z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+                z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+                ((z ^ (z >>> 31)) & 0xffL).toDouble
+              }
               MediaFeatures(id, fmt, decoded = false, w, h, ch,
                 mk(seed), mk(seed2), Array.fill(8)(0.125))
           }

@@ -22,13 +22,27 @@ object Dedup {
     * frame for its slot — at most one cached copy per slot per session.
     * `unpersist(blocking = false)` is safe against a concurrent reader of
     * the old frame: missing blocks are recomputed, never wrong.
+    *
+    * Same-plan reuse (round-6 fix): when the new frame's analyzed plan is
+    * the same as the slot's current one (re-running the same query — every
+    * bench loop), the OLD frame is returned instead of persist-then-
+    * unpersist. Spark's CacheManager keys cache entries by plan, so the old
+    * sequence re-registered the same entry and then dropped it via the old
+    * frame's unpersist — the staged frame was never actually cached on
+    * repeat runs (the "Asked to cache already cached data" warning was this
+    * bug talking) and every consumer re-computed the shingle explode.
     */
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def stage(slot: String, df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Option(staged.put(slot, p)).filter(_ ne p).foreach(_.unpersist(false))
-    p
+    val prev = staged.get(slot)
+    if (prev != null &&
+        prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)) prev
+    else {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Option(staged.put(slot, p)).filter(_ ne p).foreach(_.unpersist(false))
+      p
+    }
   }
 
   /** D1 — exact dedup by content hash: deterministic survivor = lowest id
@@ -202,7 +216,8 @@ object Dedup {
     *
     * The cap is OPT-IN (default ∞): unfiltered results on the same inputs are
     * the round-1 contract, and a silent default cap would change external
-    * callers' results. At corpus scale, pass an explicit dfMax.
+    * callers' results. 100-TB callers should use [[ngramJaccardPairsAtScale]],
+    * which REQUIRES a finite cap and cannot silently run uncapped.
     */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
@@ -235,6 +250,24 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sza") + col("szb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= tau)
+  }
+
+  /** The corpus-scale entry point for [[ngramJaccardPairs]]: identical
+    * semantics, but the document-frequency cap is a REQUIRED, finite
+    * parameter — the legacy signature's ∞ default is a documented sharp
+    * edge at 100 TB (one corpus-wide stop-phrase shingle creates a
+    * quadratic candidate bucket), and an entry point that cannot compile
+    * without a cap is the guard rail. Recall loss is bounded exactly as
+    * documented on the base operator: only pairs similar PURELY by
+    * ubiquitous shingles are dropped; surviving pairs carry exact jaccard.
+    */
+  def ngramJaccardPairsAtScale(
+      df: DataFrame, textCol: String, idCol: String, dfMax: Long,
+      n: Int = 3, tau: Double = 0.05): DataFrame = {
+    require(dfMax > 0 && dfMax < Long.MaxValue,
+      s"ngramJaccardPairsAtScale requires a finite positive dfMax (got $dfMax); " +
+        "use ngramJaccardPairs explicitly if you really want the uncapped join")
+    ngramJaccardPairs(df, textCol, idCol, n, tau, dfMax)
   }
 
   /** Benchmark decontamination report — for every training document, the
@@ -288,7 +321,9 @@ object Dedup {
     * (document frequency measured on the reference side — the standing
     * corpus is where stop-phrases accumulate at scale), and verification
     * recomputes exact intersections over ALL shingles of candidate pairs.
-    * As in [[ngramJaccardPairs]], the cap is OPT-IN (default ∞).
+    * As in [[ngramJaccardPairs]], the cap is OPT-IN (default ∞); 100-TB
+    * callers should use [[ngramJaccardPairsCrossAtScale]], which requires a
+    * finite cap.
     */
   def ngramJaccardPairsCross(
       newDf: DataFrame, refDf: DataFrame, textCol: String, idCol: String,
@@ -318,5 +353,19 @@ object Dedup {
         col("inter").cast("double") / (col("sza") + col("szb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select("a", "b", "inter", "jaccard")
+  }
+
+  /** The corpus-scale entry point for [[ngramJaccardPairsCross]]: identical
+    * semantics, REQUIRED finite `dfMax` — same guard-rail rationale as
+    * [[ngramJaccardPairsAtScale]] (the reference-side stop-phrase bucket is
+    * the quadratic failure mode of incremental-crawl dedup at 100 TB).
+    */
+  def ngramJaccardPairsCrossAtScale(
+      newDf: DataFrame, refDf: DataFrame, textCol: String, idCol: String,
+      dfMax: Long, n: Int = 3, tau: Double = 0.05): DataFrame = {
+    require(dfMax > 0 && dfMax < Long.MaxValue,
+      s"ngramJaccardPairsCrossAtScale requires a finite positive dfMax (got $dfMax); " +
+        "use ngramJaccardPairsCross explicitly if you really want the uncapped join")
+    ngramJaccardPairsCross(newDf, refDf, textCol, idCol, n, tau, dfMax)
   }
 }

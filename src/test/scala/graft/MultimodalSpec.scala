@@ -315,6 +315,17 @@ class MultimodalSpec extends SparkSpec {
     assert(!f6.decoded && f6.channels === 6)
     assert(f6.chanMean.length === 6 && f6.chanStd.length === 6)
     assert(!(f6.chanStd sameElements f6.chanMean), "std must not alias mean bytes")
+    // >8 channels: per-index splitmix mixing means entry 8 must NOT alias
+    // entry 0 with period 8 (the old byte-offset scheme repeated after 8)
+    val pcm12 = Array.tabulate(30 * 12 * 2)(i => (i * 17 % 251).toByte)
+    val wav12 = Multimodal.encodeWav(12, 16, 8000, pcm12)
+    val f12 = Multimodal.features(spark, asMedia(Seq((8L, wav12, "audio/wav"))))
+      .collect().head
+    assert(f12.chanMean.length === 12 && f12.chanStd.length === 12)
+    assert(!(0 until 4).forall(i => f12.chanMean(i) == f12.chanMean(i + 8)),
+      "stub chanMean must not repeat with period 8 above 8 channels")
+    assert(!(0 until 4).forall(i => f12.chanStd(i) == f12.chanStd(i + 8)),
+      "stub chanStd must not repeat with period 8 above 8 channels")
   }
 
   test("JPEG round-trip: real baseline decode reconstructs pixels within lossy tolerance") {
@@ -452,6 +463,88 @@ class MultimodalSpec extends SparkSpec {
     assert(ferr.max <= 16, s"foreign stream max pixel error ${ferr.max}")
   }
 
+  test("progressive JPEG (SOF2): real pixel decode, cross-validated against ImageIO") {
+    // Fixture from the JDK writer's standard progression script (spectral
+    // selection AND successive approximation: DC first/refine, AC
+    // first/refine with EOB runs) — an independent encoder driving every
+    // progressive decode path. The same bytes are then decoded by BOTH
+    // implementations and compared pixel-wise.
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    def writeProgressive(bi: java.awt.image.BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(0.95f)
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new ByteArrayOutputStream()
+      writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+      writer.dispose()
+      bos.toByteArray
+    }
+    def hasMarker(b: Array[Byte], m: Int): Boolean =
+      (0 until b.length - 1).exists(i =>
+        (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == m)
+
+    // odd geometry → partial MCUs at both edges
+    val (w, h) = (37, 23)
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.setRGB(x, y, ((x * 255 / (w - 1)) << 16) | ((y * 255 / (h - 1)) << 8) | 128)
+    val prog = writeProgressive(bi)
+    assert(hasMarker(prog, 0xc2), "fixture must really be progressive (SOF2)")
+    assert(!hasMarker(prog, 0xc0), "fixture must not carry a baseline SOF")
+    val (dw, dh, dch, ours) = graft.multimodal.Jpeg.decode(prog)
+    assert((dw, dh, dch) === ((w, h, 3)), "progressive geometry")
+    // same stream through ImageIO's decoder: divergence is IDCT rounding +
+    // chroma-upsampling choice (the writer subsamples by default) → the
+    // same bound as the sequential 4:2:0 cross-validation
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(prog))
+    var worst = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val d = (y * w + x) * 3
+      worst = math.max(worst, math.abs(((rgb >> 16) & 0xff) - (ours(d) & 0xff)))
+      worst = math.max(worst, math.abs(((rgb >> 8) & 0xff) - (ours(d + 1) & 0xff)))
+      worst = math.max(worst, math.abs((rgb & 0xff) - (ours(d + 2) & 0xff)))
+    }
+    assert(worst <= 12, s"progressive decoder-vs-decoder: max diff $worst")
+
+    // grayscale progressive (single-component scans end-to-end)
+    val gbi = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16)
+      gbi.getRaster.setSample(x, y, 0, (x * 16 + y) % 256)
+    val gprog = writeProgressive(gbi)
+    assert(hasMarker(gprog, 0xc2), "gray fixture must be progressive")
+    val (gw, gh, gch, gpix) = graft.multimodal.Jpeg.decode(gprog)
+    assert((gw, gh, gch) === ((16, 16, 1)), "gray progressive geometry")
+    val gimg = javax.imageio.ImageIO.read(new ByteArrayInputStream(gprog))
+    var gworst = 0
+    for (y <- 0 until 16; x <- 0 until 16)
+      gworst = math.max(gworst,
+        math.abs(gimg.getRaster.getSample(x, y, 0) - (gpix(y * 16 + x) & 0xff)))
+    assert(gworst <= 3, s"gray progressive max diff $gworst")
+
+    // engine path: decode()/features() report REAL pixels for SOF2 now
+    val d = Multimodal.decode(spark, asMedia(Seq((9L, prog, "image/jpeg")))).collect().head
+    assert((d.width, d.height, d.channels) === ((w, h, 3)))
+    assert(d.checksum === fnvOf(ours), "decode() must hash reconstructed SOF2 pixels")
+    val f = Multimodal.features(spark, asMedia(Seq((9L, prog, "image/jpeg")))).collect().head
+    assert(f.decoded, "features must run on real progressive pixels")
+
+    // bomb guard still enforced on the progressive path: huge declared SOF2
+    // dims refuse to allocate coefficient planes and degrade to the header
+    val bomb = prog.clone()
+    val sofAt = (0 until bomb.length - 1).find(i =>
+      (bomb(i) & 0xff) == 0xff && (bomb(i + 1) & 0xff) == 0xc2).get
+    bomb(sofAt + 5) = (40000 >> 8).toByte; bomb(sofAt + 6) = (40000 & 0xff).toByte
+    bomb(sofAt + 7) = (40000 >> 8).toByte; bomb(sofAt + 8) = (40000 & 0xff).toByte
+    val db = Multimodal.decode(spark, asMedia(Seq((10L, bomb, "image/jpeg")))).collect().head
+    assert((db.width, db.height) === ((40000, 40000)), "header geometry survives the bomb")
+    val fb = Multimodal.features(spark, asMedia(Seq((10L, bomb, "image/jpeg")))).collect().head
+    assert(!fb.decoded, "bomb must not pixel-decode")
+  }
+
   test("decode/features use real JPEG pixels; non-baseline degrades to the header parse") {
     val (w, h) = (24, 16)
     // constant color block: chroma subsampling is exact, features must
@@ -474,9 +567,12 @@ class MultimodalSpec extends SparkSpec {
     // resize: a real binary->binary transform over the decoded pixels
     val r = Multimodal.resize(spark, media, 8, 8).collect().head
     assert(r.decoded && (r.width, r.height, r.channels) === ((8, 8, 3)))
-    // progressive (SOF2) is outside the envelope: flip the SOF marker and
-    // verify graceful degrade to the header parse — true geometry kept,
-    // record survives, features fall back to stub-with-real-geometry
+    // CORRUPT progressive: flipping SOF0→SOF2 on a sequential stream makes
+    // the single Ss=0..Se=63 scan illegal for a progressive frame (a DC
+    // scan must have Se=0), so the decoder throws and the engine degrades
+    // to the header parse — true geometry kept, record survives, features
+    // fall back to stub-with-real-geometry. (VALID progressive streams get
+    // a real pixel decode — see the dedicated SOF2 test.)
     val prog = jpg.clone()
     val sofAt = (0 until prog.length - 1).find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get

@@ -134,6 +134,32 @@ class ScaleOpsSpec extends SparkSpec {
     assert(quadratic.forall { case (x, y, _) => y === x + 10000L })
   }
 
+  test("AtScale entry points require a finite dfMax and match the capped legacy signature") {
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      val k = i / 2
+      (i.toLong, s"common stop phrase body$k alpha$k beta$k gamma${if (i % 2 == 0) "x" else "y"}")
+    }.toDF("doc_id", "text")
+    // the guard rail: an uncapped call must not compile-and-run silently
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairsAtScale(docs, "text", "doc_id", dfMax = Long.MaxValue)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairsCrossAtScale(docs, docs, "text", "doc_id", dfMax = 0L)
+    }
+    // identical results to the legacy signature with the same explicit cap
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(
+      pairs(Dedup.ngramJaccardPairsAtScale(docs, "text", "doc_id", dfMax = 20, n = 2, tau = 0.5)) ===
+        pairs(Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 2, tau = 0.5, dfMax = 20)))
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    assert(
+      pairs(Dedup.ngramJaccardPairsCrossAtScale(a, b, "text", "doc_id", dfMax = 20, n = 2, tau = 0.5)) ===
+        pairs(Dedup.ngramJaccardPairsCross(a, b, "text", "doc_id", n = 2, tau = 0.5, dfMax = 20)))
+  }
+
   test("TF-IDF rational idf ranks like log-idf within each tf class (the true invariant)") {
     import org.apache.spark.sql.expressions.Window
     // tf × f(df) rankings agree across idf variants ONLY among terms with

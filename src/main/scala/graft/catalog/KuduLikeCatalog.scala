@@ -767,6 +767,14 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
 
   private def deltasDir(name: String): Path = tableDir(name).resolve("deltas")
 
+  /** Live delta layers as (sequence, directory) pairs — the connector read
+    * seam ([[graft.sources.GraftDataSource]]) plans its per-bucket
+    * merge-on-read from this list plus [[dataLocation]].
+    */
+  private[graft] def deltaLayers(name: String): Seq[(Int, String)] =
+    deltaSeqs(name).map(q =>
+      q -> deltasDir(name).resolve(q.toString).toAbsolutePath.toString)
+
   /** Committed mutation layers, in sequence order. Only all-digit directory
     * names count: in-flight `.tmp_*` layers, `_temporary` litter, or any
     * other stray entry are invisible to readers (they'd otherwise either
@@ -847,10 +855,10 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     DataType.fromJson(m.group(1)).asInstanceOf[StructType]
   }
 
-  private val BucketCol = "__bucket"
-  private val RangeCol = "__range"
-  private val OpCol = "__op"
-  private val SeqCol = "__seq"
+  private val BucketCol = KuduLikeCatalog.BucketCol
+  private val RangeCol = KuduLikeCatalog.RangeCol
+  private val OpCol = KuduLikeCatalog.OpCol
+  private val SeqCol = KuduLikeCatalog.SeqCol
 
   /** @param zone the `__range` formatting zone to record — the session zone
     *   at CREATE, and the table's EXISTING zone on any later meta rewrite
@@ -867,4 +875,15 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+}
+
+/** On-disk format constants shared with the connector read seam
+  * ([[graft.sources.GraftDataSource]]): directory-partition and internal
+  * column names are part of the storage contract.
+  */
+object KuduLikeCatalog {
+  private[graft] val BucketCol = "__bucket"
+  private[graft] val RangeCol = "__range"
+  private[graft] val OpCol = "__op"
+  private[graft] val SeqCol = "__seq"
 }

@@ -1,0 +1,634 @@
+package graft.sources
+
+import graft.catalog.KuduLikeCatalog
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.parquet.schema.{MessageType, Type => PType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Literal, Murmur3Hash}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** DataSourceV2 read seam over [[KuduLikeCatalog]] — the connector-shaped
+  * storage layer the reference reaches through `KuduStorageHandler` +
+  * `HiveKuduTableInputFormat` (reference: KuduStorageHandler.java:54-55,
+  * HiveKuduTableInputFormat.java:148-223: the handler binds a table name,
+  * the input format plans one split per tablet scan token and each record
+  * reader streams that tablet's rows — merge happening server-side in
+  * Kudu). This provider reproduces that shape over the parquet-backed
+  * catalog:
+  *
+  *  - `spark.read.format("graft").option("root", r).load("t")` — the table
+  *    name is the load path, exactly like `kudu.table_name`.
+  *  - One `InputPartition` per hash bucket (the tablet analog): the
+  *    catalog writes base AND delta layers directory-partitioned by the
+  *    same key-hash (`__bucket=N`), so every version of a key lives in one
+  *    bucket and each partition can merge base + deltas with NO shuffle —
+  *    Kudu's DiskRowSet/DeltaFile merge, done where Kudu does it (inside
+  *    the storage read path, not in the query engine).
+  *  - Pushdown survives the connector: required columns become the parquet
+  *    projection (`SupportsPushDownRequiredColumns`), supported filters
+  *    become parquet-mr `FilterPredicate`s applied to base files — row
+  *    groups whose min/max stats exclude the predicate are never read
+  *    (`SupportsPushDownFilters`; all filters are also kept as residuals,
+  *    Spark re-evaluates after the merge, so inexact pushdown can never
+  *    change results). An equality filter on every key column additionally
+  *    routes the scan to its single owning bucket (Kudu's "route to
+  *    tablet"), pruning N-1 of N partitions at planning time.
+  *
+  * Delta layers are read in full (no record filter): a base row may be
+  * superseded by a delta row that the filter would reject, so filtering
+  * deltas before the merge would resurrect the base row. Deltas are the
+  * small side by construction (compact folds them into the base); base
+  * files — the 100-TB side — get the pushdown.
+  *
+  * Scope: batch READ. Writes keep going through the catalog's transactional
+  * API (insert/upsert/delete/overwrite own the dup-ignore and atomic-commit
+  * semantics); a `SupportsWrite` implementation would have to re-own those,
+  * which is the catalog's job. File listing walks the local filesystem —
+  * the sandbox's storage; a production deployment would swap a remote
+  * FileIndex here without touching the scan/merge logic.
+  */
+final class GraftDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (root, name) = GraftDataSource.resolve(options.asCaseSensitiveMap().asScala.toMap)
+    new KuduLikeCatalog(SparkSession.active, root).schemaOf(name)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val (root, name) = GraftDataSource.resolve(properties.asScala.toMap)
+    new GraftTable(root, name, schema)
+  }
+}
+
+object GraftDataSource {
+  /** Session-level default catalog root, so `load("t")` alone works. */
+  val RootConfKey = "spark.graft.catalog.root"
+
+  private def resolve(props: Map[String, String]): (String, String) = {
+    val name = props.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft source needs the table name as the load path: " +
+          """spark.read.format("graft").load("tableName")"""))
+    val root = props.get("root")
+      .orElse(SparkSession.active.conf.getOption(RootConfKey))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft source needs option(\"root\", ...) or spark.conf $RootConfKey"))
+    (root, name)
+  }
+
+  /** Same bucket routing as the catalog's writer (`pmod(hash(keys), n)`,
+    * Spark murmur3 seed 42) evaluated driver-side on filter literals —
+    * byte-identical routing is what makes planning-time tablet pruning
+    * safe.
+    */
+  private[sources] def bucketOf(values: Seq[(Any, DataType)], buckets: Int): Int = {
+    val lits = values.map { case (v, dt) =>
+      Literal.create(CatalystTypeConverters.convertToCatalyst(v), dt)
+    }
+    val h = Murmur3Hash(lits, 42).eval(InternalRow.empty).asInstanceOf[Int]
+    ((h % buckets) + buckets) % buckets
+  }
+}
+
+private[sources] final class GraftTable(root: String, tableName: String,
+    tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"graft.$tableName"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, tableName, tableSchema)
+}
+
+private[sources] final class GraftScanBuilder(root: String, tableName: String,
+    fullSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[sources.Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Everything stays residual (Spark re-evaluates post-merge — inexact
+    * pushdown, the same contract as Spark's own parquet source with
+    * nested-pruning edge cases); the convertible subset is ALSO handed to
+    * parquet-mr for row-group stats pruning and to the planner for bucket
+    * routing.
+    */
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    pushed = filters.filter(GraftFilters.isSupported)
+    filters
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan =
+    new GraftScan(root, tableName, fullSchema, required, pushed)
+}
+
+private[sources] final class GraftScan(root: String, tableName: String,
+    fullSchema: StructType, required: StructType,
+    pushed: Array[sources.Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftScan table=$tableName " +
+      s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val catalog = new KuduLikeCatalog(spark, root)
+    require(catalog.exists(tableName), s"graft table $tableName does not exist under $root")
+    val keys = catalog.keyColsOf(tableName)
+    val buckets = catalog.bucketsOf(tableName)
+    val baseFiles = GraftScan.listParquet(catalog.dataLocation(tableName))
+    val deltaLayers = catalog.deltaLayers(tableName)
+      .map { case (seq, dir) => (seq, GraftScan.listParquet(dir)) }
+      .filter(_._2.nonEmpty)
+
+    // tablet routing: equality on EVERY key column pins the one bucket that
+    // can hold the key (planning-time partition pruning)
+    val routedBucket: Option[Int] =
+      if (buckets <= 0) None
+      else {
+        val eqs = GraftFilters.flattenAnd(pushed).collect {
+          case sources.EqualTo(a, v) if v != null => a -> v
+        }.toMap
+        if (keys.forall(eqs.contains)) {
+          val typed = keys.map(k => (eqs(k), fullSchema(k).dataType))
+          Some(GraftDataSource.bucketOf(typed, buckets))
+        } else None
+      }
+
+    def bucketIdOf(path: String): Int =
+      "__bucket=(\\d+)".r.findFirstMatchIn(path).map(_.group(1).toInt).getOrElse(-1)
+
+    if (buckets > 0) {
+      val baseByBucket = baseFiles.groupBy(bucketIdOf)
+      val deltaByBucket = deltaLayers.flatMap { case (seq, files) =>
+        files.map(f => (bucketIdOf(f), seq, f))
+      }.groupBy(_._1)
+      val ids = (baseByBucket.keySet ++ deltaByBucket.keySet)
+        .filter(b => routedBucket.forall(_ == b))
+      ids.toArray.sorted.map { b =>
+        val deltas = deltaByBucket.getOrElse(b, Seq.empty)
+          .groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (seq, rows) => GraftDeltaSlice(seq, rows.map(_._3)) }
+        GraftInputPartition(b, baseByBucket.getOrElse(b, Seq.empty), deltas)
+          : InputPartition
+      }
+    } else if (deltaLayers.isEmpty) {
+      // unbucketed, no pending mutations: embarrassingly parallel, one
+      // partition per base file
+      baseFiles.map(f => GraftInputPartition(-1, Seq(f), Seq.empty): InputPartition)
+        .toArray
+    } else {
+      // unbucketed WITH deltas: a key may pair any base file with any delta
+      // file, so the merge needs one partition. Bucketed tables are the
+      // scale path (Kudu tables always partition); this keeps small/legacy
+      // tables correct.
+      Array(GraftInputPartition(-1, baseFiles, deltaLayers.map {
+        case (seq, files) => GraftDeltaSlice(seq, files)
+      }))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val catalog = new KuduLikeCatalog(SparkSession.active, root)
+    new GraftReaderFactory(required, fullSchema, catalog.keyColsOf(tableName), pushed)
+  }
+}
+
+private[sources] object GraftScan {
+  def listParquet(dir: String): Seq[String] = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) Seq.empty
+    else {
+      val s = Files.walk(p)
+      try s.iterator().asScala
+        .filter(f => Files.isRegularFile(f))
+        .map(_.toString)
+        .filter(n => n.endsWith(".parquet") &&
+          { val base = n.substring(n.lastIndexOf('/') + 1)
+            !base.startsWith(".") && !base.startsWith("_") })
+        .toVector
+      finally s.close()
+    }
+  }
+}
+
+private[sources] final case class GraftDeltaSlice(seq: Int, files: Seq[String])
+
+private[sources] final case class GraftInputPartition(
+    bucket: Int, baseFiles: Seq[String], deltas: Seq[GraftDeltaSlice])
+  extends InputPartition
+
+private[sources] final class GraftReaderFactory(
+    required: StructType, fullSchema: StructType, keyCols: Seq[String],
+    pushed: Array[sources.Filter]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(
+      partition.asInstanceOf[GraftInputPartition], required, fullSchema, keyCols, pushed)
+}
+
+/** Executor-side merge-on-read for one bucket: delta layers are loaded into
+  * an overlay map (ascending sequence, later layers win — bounded by the
+  * pending-mutation volume, the same bound as Kudu's delta memstores), then
+  * base rows stream through, skipping superseded keys; finally the
+  * overlay's surviving upserts are emitted. Memory ∝ deltas, never ∝ base.
+  */
+private[sources] final class GraftPartitionReader(
+    part: GraftInputPartition, required: StructType, fullSchema: StructType,
+    keyCols: Seq[String], pushed: Array[sources.Filter])
+  extends PartitionReader[InternalRow] {
+
+  private val hasDeltas = part.deltas.nonEmpty
+  // physical read set: requested columns, plus key columns when a merge
+  // must identify rows across layers
+  private val readFields: Array[StructField] = {
+    val extraKeys =
+      if (hasDeltas) keyCols.filterNot(k => required.fieldNames.contains(k))
+      else Seq.empty
+    (required.fields.toSeq ++ extraKeys.map(fullSchema(_))).toArray
+  }
+  private val keyIdx: Array[Int] =
+    keyCols.map(k => readFields.indexWhere(_.name == k)).toArray
+  private val outIdx: Array[Int] = required.fields.indices.toArray // prefix
+
+  // ---- overlay from delta layers (ascending seq; map put = last wins)
+  private val overlay = new java.util.HashMap[Seq[Any], (String, Array[Any])]()
+  if (hasDeltas) {
+    val opField = StructField(KuduLikeCatalog.OpCol, StringType)
+    val deltaFields = readFields :+ opField
+    part.deltas.sortBy(_.seq).foreach { slice =>
+      slice.files.foreach { f =>
+        // deltas are never record-filtered: the merge must SEE a
+        // superseding row even when the filter would drop it
+        val it = new GroupFileIterator(f, deltaFields, Array.empty)
+        try while (it.hasNext) {
+          val row = it.next()
+          val op = row(deltaFields.length - 1) match {
+            case s: UTF8String => s.toString
+            case other => String.valueOf(other)
+          }
+          overlay.put(keyOf(row), (op, row))
+        } finally it.close()
+      }
+    }
+  }
+
+  private def keyOf(row: Array[Any]): Seq[Any] =
+    keyIdx.toSeq.map { i =>
+      row(i) match {
+        case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+        case v => v
+      }
+    }
+
+  // ---- base stream (parquet-filtered) then overlay winners
+  private val baseIter: Iterator[Array[Any]] =
+    part.baseFiles.iterator.flatMap { f =>
+      new GroupFileIterator(f, readFields, pushed) // closes itself at EOF
+    }.filter(row => !hasDeltas || !overlay.containsKey(keyOf(row)))
+  private val overlayIter: Iterator[Array[Any]] =
+    if (!hasDeltas) Iterator.empty
+    else overlay.values().iterator().asScala.collect {
+      case (op, row) if op == "upsert" => row
+    }
+  private val all = baseIter ++ overlayIter
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (all.hasNext) {
+      val row = all.next()
+      val out = new Array[Any](outIdx.length)
+      var i = 0
+      while (i < outIdx.length) { out(i) = row(outIdx(i)); i += 1 }
+      current = new GenericInternalRow(out)
+      true
+    } else false
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** Streaming parquet-mr reader for one file: projects `fields` (null-filling
+  * columns the file predates — schema evolution via addColumn), converts
+  * each Group to catalyst values, applies the convertible subset of
+  * `filters` as a parquet FilterPredicate (row-group stats pruning + record
+  * filter). Filters referencing columns the file lacks are dropped per file
+  * (missing column = all-null; the residual Spark filter keeps semantics).
+  */
+private[sources] final class GroupFileIterator(
+    file: String, fields: Array[StructField], filters: Array[sources.Filter])
+  extends Iterator[Array[Any]] with AutoCloseable {
+
+  private val conf = new Configuration()
+  private val hPath = new org.apache.hadoop.fs.Path(file)
+  private val fileSchema: MessageType = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+  private val present: Array[Boolean] =
+    fields.map(f => fileSchema.containsField(f.name))
+  private val projection: MessageType = {
+    val cols: Seq[PType] = fields.zipWithIndex.collect {
+      case (f, i) if present(i) =>
+        fileSchema.getFields.get(fileSchema.getFieldIndex(f.name))
+    }.toSeq
+    new MessageType(fileSchema.getName, cols.asJava)
+  }
+  private val filePred: Option[FilterPredicate] = GraftFilters.toParquet(
+    filters, fields.zipWithIndex.collect { case (f, i) if present(i) => f }.toSeq)
+
+  private val reader = {
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+    val b = ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf)
+    filePred.fold(b)(p => b.withFilter(FilterCompat.get(p))).build()
+  }
+
+  // converter per projected field: Group index → catalyst value
+  private val converters: Array[Group => Any] = {
+    var gi = -1
+    fields.zipWithIndex.map { case (f, i) =>
+      if (!present(i)) { (_: Group) => null }
+      else {
+        gi += 1
+        val g = gi
+        val pt = projection.getType(g).asPrimitiveType()
+        GraftConverters.forField(f.dataType, pt, g)
+      }
+    }
+  }
+
+  private var nextRow: Array[Any] = _
+  private var eof = false
+  advance()
+
+  private def advance(): Unit = {
+    if (eof) return
+    val g = reader.read()
+    if (g == null) { nextRow = null; eof = true; close() }
+    else {
+      val out = new Array[Any](fields.length)
+      var i = 0
+      while (i < fields.length) {
+        out(i) = converters(i)(g)
+        i += 1
+      }
+      nextRow = out
+    }
+  }
+
+  override def hasNext: Boolean = nextRow != null
+  override def next(): Array[Any] = {
+    val r = nextRow
+    advance()
+    r
+  }
+  override def close(): Unit = try reader.close() catch { case _: Exception => () }
+}
+
+private[sources] object GraftConverters {
+  private val JulianEpochDay = 2440588L // 1970-01-01 as a julian day number
+
+  /** Catalyst-value converter for one projected primitive column. Nulls are
+    * repetition-count-zero in the Group API.
+    */
+  def forField(dt: DataType, pt: org.apache.parquet.schema.PrimitiveType,
+      gi: Int): Group => Any = {
+    def nullable(f: Group => Any): Group => Any =
+      g => if (g.getFieldRepetitionCount(gi) == 0) null else f(g)
+    dt match {
+      case BooleanType => nullable(_.getBoolean(gi, 0))
+      case ByteType => nullable(_.getInteger(gi, 0).toByte)
+      case ShortType => nullable(_.getInteger(gi, 0).toShort)
+      case IntegerType => nullable(_.getInteger(gi, 0))
+      case LongType => nullable(_.getLong(gi, 0))
+      case FloatType => nullable(_.getFloat(gi, 0))
+      case DoubleType => nullable(_.getDouble(gi, 0))
+      case StringType => nullable(g => UTF8String.fromBytes(g.getBinary(gi, 0).getBytes))
+      case BinaryType => nullable(_.getBinary(gi, 0).getBytes)
+      case TimestampType | TimestampNTZType =>
+        pt.getPrimitiveTypeName match {
+          case PrimitiveTypeName.INT96 =>
+            nullable(g => int96ToMicros(g.getInt96(gi, 0)))
+          case PrimitiveTypeName.INT64 =>
+            import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+            val unitScale = pt.getLogicalTypeAnnotation match {
+              case t: TimestampLogicalTypeAnnotation =>
+                if (t.getUnit == TimeUnit.MILLIS) 1000L
+                else if (t.getUnit == TimeUnit.NANOS) -1L // divide
+                else 1L // MICROS
+              case _ => 1L
+            }
+            nullable { g =>
+              val v = g.getLong(gi, 0)
+              if (unitScale == -1L) v / 1000L else v * unitScale
+            }
+          case other =>
+            throw new IllegalArgumentException(
+              s"unsupported parquet timestamp storage $other")
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft connector does not support type ${other.simpleString} " +
+            "(outside the catalog's closed 10-type set)")
+    }
+  }
+
+  /** Spark's INT96 layout: 8 bytes little-endian nanos-of-day + 4 bytes
+    * little-endian julian day.
+    */
+  def int96ToMicros(b: Binary): Long = {
+    val buf = b.toByteBuffer.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanosOfDay = buf.getLong
+    val julianDay = buf.getInt
+    (julianDay - JulianEpochDay) * 86400L * 1000000L + nanosOfDay / 1000L
+  }
+}
+
+private[sources] object GraftFilters {
+
+  /** Filters this connector can express in parquet-mr (and use for bucket
+    * routing): flat-column comparisons over the non-timestamp primitive
+    * types, plus conjunctions of those. Everything else stays
+    * residual-only.
+    */
+  def isSupported(f: sources.Filter): Boolean = f match {
+    case sources.And(l, r) => isSupported(l) && isSupported(r)
+    case sources.EqualTo(_, v) => supportedValue(v)
+    case sources.GreaterThan(_, v) => supportedValue(v)
+    case sources.GreaterThanOrEqual(_, v) => supportedValue(v)
+    case sources.LessThan(_, v) => supportedValue(v)
+    case sources.LessThanOrEqual(_, v) => supportedValue(v)
+    case sources.In(_, vs) => vs != null && vs.length <= 20 && vs.forall(supportedValue)
+    case sources.IsNull(_) | sources.IsNotNull(_) => true
+    case _ => false
+  }
+
+  private def supportedValue(v: Any): Boolean = v match {
+    case null => false
+    case _: java.lang.Boolean | _: java.lang.Byte | _: java.lang.Short |
+         _: java.lang.Integer | _: java.lang.Long | _: java.lang.Float |
+         _: java.lang.Double | _: String => true
+    case _ => false
+  }
+
+  def flattenAnd(fs: Array[sources.Filter]): Array[sources.Filter] =
+    fs.flatMap {
+      case sources.And(l, r) => flattenAnd(Array(l, r))
+      case f => Array(f)
+    }
+
+  /** AND-combine the convertible conjuncts over `fields`; None when nothing
+    * converts. Dropping a conjunct only widens the scan — residual filters
+    * restore exactness.
+    */
+  def toParquet(filters: Array[sources.Filter],
+      fields: Seq[StructField]): Option[FilterPredicate] = {
+    val byName = fields.map(f => f.name -> f.dataType).toMap
+    val preds = flattenAnd(filters).flatMap(one(_, byName))
+    preds.reduceOption(FilterApi.and)
+  }
+
+  private def one(f: sources.Filter,
+      types: Map[String, DataType]): Option[FilterPredicate] = f match {
+    case sources.EqualTo(a, v) => cmp(a, v, types, Cmp.Eq)
+    case sources.GreaterThan(a, v) => cmp(a, v, types, Cmp.Gt)
+    case sources.GreaterThanOrEqual(a, v) => cmp(a, v, types, Cmp.GtEq)
+    case sources.LessThan(a, v) => cmp(a, v, types, Cmp.Lt)
+    case sources.LessThanOrEqual(a, v) => cmp(a, v, types, Cmp.LtEq)
+    case sources.In(a, vs) =>
+      val parts = vs.toSeq.flatMap(v => cmp(a, v, types, Cmp.Eq))
+      if (parts.length == vs.length) parts.reduceOption(FilterApi.or) else None
+    case sources.IsNull(a) => nullCmp(a, types, eq = true)
+    case sources.IsNotNull(a) => nullCmp(a, types, eq = false)
+    case _ => None
+  }
+
+  private object Cmp extends Enumeration { val Eq, Gt, GtEq, Lt, LtEq = Value }
+
+  private def nullCmp(a: String, types: Map[String, DataType],
+      eq: Boolean): Option[FilterPredicate] =
+    types.get(a).flatMap {
+      case IntegerType | ByteType | ShortType =>
+        Some(if (eq) FilterApi.eq(FilterApi.intColumn(a), null.asInstanceOf[java.lang.Integer])
+        else FilterApi.notEq(FilterApi.intColumn(a), null.asInstanceOf[java.lang.Integer]))
+      case LongType =>
+        Some(if (eq) FilterApi.eq(FilterApi.longColumn(a), null.asInstanceOf[java.lang.Long])
+        else FilterApi.notEq(FilterApi.longColumn(a), null.asInstanceOf[java.lang.Long]))
+      case FloatType =>
+        Some(if (eq) FilterApi.eq(FilterApi.floatColumn(a), null.asInstanceOf[java.lang.Float])
+        else FilterApi.notEq(FilterApi.floatColumn(a), null.asInstanceOf[java.lang.Float]))
+      case DoubleType =>
+        Some(if (eq) FilterApi.eq(FilterApi.doubleColumn(a), null.asInstanceOf[java.lang.Double])
+        else FilterApi.notEq(FilterApi.doubleColumn(a), null.asInstanceOf[java.lang.Double]))
+      case BooleanType =>
+        Some(if (eq) FilterApi.eq(FilterApi.booleanColumn(a), null.asInstanceOf[java.lang.Boolean])
+        else FilterApi.notEq(FilterApi.booleanColumn(a), null.asInstanceOf[java.lang.Boolean]))
+      case StringType =>
+        Some(if (eq) FilterApi.eq(FilterApi.binaryColumn(a), null.asInstanceOf[Binary])
+        else FilterApi.notEq(FilterApi.binaryColumn(a), null.asInstanceOf[Binary]))
+      case _ => None
+    }
+
+  private def cmp(a: String, v: Any, types: Map[String, DataType],
+      op: Cmp.Value): Option[FilterPredicate] = {
+    import Cmp._
+    types.get(a).flatMap {
+      case IntegerType | ByteType | ShortType =>
+        val c = FilterApi.intColumn(a)
+        val i: java.lang.Integer = v match {
+          case b: java.lang.Byte => b.intValue()
+          case s: java.lang.Short => s.intValue()
+          case x: java.lang.Integer => x
+          case _ => return None
+        }
+        Some(op match {
+          case Eq => FilterApi.eq(c, i); case Gt => FilterApi.gt(c, i)
+          case GtEq => FilterApi.gtEq(c, i); case Lt => FilterApi.lt(c, i)
+          case LtEq => FilterApi.ltEq(c, i)
+        })
+      case LongType => v match {
+        case l: java.lang.Long =>
+          val c = FilterApi.longColumn(a)
+          Some(op match {
+            case Eq => FilterApi.eq(c, l); case Gt => FilterApi.gt(c, l)
+            case GtEq => FilterApi.gtEq(c, l); case Lt => FilterApi.lt(c, l)
+            case LtEq => FilterApi.ltEq(c, l)
+          })
+        case _ => None
+      }
+      case FloatType => v match {
+        case x: java.lang.Float =>
+          val c = FilterApi.floatColumn(a)
+          Some(op match {
+            case Eq => FilterApi.eq(c, x); case Gt => FilterApi.gt(c, x)
+            case GtEq => FilterApi.gtEq(c, x); case Lt => FilterApi.lt(c, x)
+            case LtEq => FilterApi.ltEq(c, x)
+          })
+        case _ => None
+      }
+      case DoubleType => v match {
+        case x: java.lang.Double =>
+          val c = FilterApi.doubleColumn(a)
+          Some(op match {
+            case Eq => FilterApi.eq(c, x); case Gt => FilterApi.gt(c, x)
+            case GtEq => FilterApi.gtEq(c, x); case Lt => FilterApi.lt(c, x)
+            case LtEq => FilterApi.ltEq(c, x)
+          })
+        case _ => None
+      }
+      case BooleanType => v match {
+        case b: java.lang.Boolean if op == Eq =>
+          Some(FilterApi.eq(FilterApi.booleanColumn(a), b))
+        case _ => None
+      }
+      case StringType => v match {
+        case s: String =>
+          val c = FilterApi.binaryColumn(a)
+          val b = Binary.fromString(s)
+          Some(op match {
+            case Eq => FilterApi.eq(c, b); case Gt => FilterApi.gt(c, b)
+            case GtEq => FilterApi.gtEq(c, b); case Lt => FilterApi.lt(c, b)
+            case LtEq => FilterApi.ltEq(c, b)
+          })
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+}

@@ -229,4 +229,26 @@ class PlanSpec extends SparkSpec {
       s"unexpected non-equi join in: ${(offenders -- documented).toSeq.sorted.mkString(", ")}; " +
         s"stale allowlist entries: ${(documented -- offenders).toSeq.sorted.mkString(", ")}")
   }
+
+  test("DSv2 seam: pushdown survives the connector path (filters + pruned schema in the scan)") {
+    // the connector-shaped storage read (graft.sources.GraftDataSource) must
+    // keep the same plan properties the path-wired reads are pinned to above
+    import org.apache.spark.sql.types._
+    val root = tmpDir("graft_plan_dsv2_")
+    val cat = new graft.catalog.KuduLikeCatalog(spark, root)
+    cat.createTable(graft.catalog.TableDef("t",
+      StructType(Seq(StructField("id", LongType), StructField("grp", StringType),
+        StructField("v", DoubleType))), Seq("id"), buckets = 4))
+    import spark.implicits._
+    cat.insert("t", (0 until 100).map(i => (i.toLong, s"g${i % 3}", i * 2.0))
+      .toDF("id", "grp", "v"))
+    val q = spark.read.format("graft").option("root", root).load("t")
+      .filter(col("v") > 50.0).select("id", "v")
+    val p = q.queryExecution.explainString(FormattedMode)
+    assert(p.contains("GraftScan"), p)
+    assert(p.contains("GreaterThan(v,50.0)"), p)
+    val read = p.split("ReadSchema: ")(1)
+    assert(read.contains("id") && read.contains("v") && !read.contains("grp"), p)
+    assert(q.count() === 74)
+  }
 }

@@ -32,7 +32,8 @@ final case class ResizedMedia(
   *
   * [[decode]] REALLY decodes the formats parseable in pure JVM with no
   * codec libraries — BMP (BI_RGB, 24/32-bit), binary PPM (P6),
-  * non-interlaced 8-bit PNG (gray/RGB/RGBA; zlib inflate ships in
+  * PNG of every color type and layout (gray 1-16 bit, RGB/RGBA,
+  * palette+tRNS, gray+alpha, Adam7 interlaced; zlib inflate ships in
   * `java.util.zip`), PCM WAV (RIFF, format code 1), and Huffman JPEG —
   * baseline, extended-sequential, AND progressive SOF2 — via the in-repo
   * T.81 codec ([[Jpeg]]) — yielding true dimensions/channels and a
@@ -279,14 +280,18 @@ object Multimodal {
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
 
-  /** Pure-JVM PNG decode — non-interlaced 8-bit grayscale/RGB/RGBA
-    * (color types 0/2/6). IDAT chunks are concatenated, inflated with the
-    * JDK's `Inflater` (zlib is in `java.util.zip`, no codec library needed),
-    * and each scanline is un-filtered (None/Sub/Up/Average/Paeth). The
-    * checksum covers the reconstructed pixel bytes, so the same image
-    * re-encoded with different per-row filter choices or deflate levels
-    * hashes identically. Unsupported shapes (16-bit, palette, interlaced)
-    * throw — [[decode]] catches and degrades to the stub.
+  /** Pure-JVM PNG decode — every color type and layout: gray (depths
+    * 1/2/4/8/16, sub-byte scaled to 0-255, 16-bit reduced to the high
+    * byte), RGB/RGBA (8/16-bit), palette (PLTE, depths 1/2/4/8, expanded
+    * to RGB — RGBA when a tRNS alpha table is present), gray+alpha
+    * (expanded to RGBA), progressive-rendering Adam7 interlacing (the 7
+    * sub-images are unfiltered independently and gathered into one sample
+    * grid). IDAT chunks are concatenated, inflated with the JDK's
+    * `Inflater` (zlib is in `java.util.zip`, no codec library needed),
+    * and each scanline is un-filtered (None/Sub/Up/Average/Paeth) at the
+    * file's own byte layout. The checksum covers the reconstructed pixel
+    * bytes, so the same image re-encoded with different per-row filter
+    * choices, interlacing, or deflate levels hashes identically.
     */
   private def decodePng(id: Long, b: Array[Byte]): DecodedMedia = {
     val (width, height, channels, pix) = decodePngPixels(b)
@@ -300,41 +305,88 @@ object Multimodal {
   private def decodePngPixels(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
     val width = be32(b, 16)
     val height = be32(b, 20)
-    val bitDepth = b(24)
-    val colorType = b(25)
-    val interlace = b(28)
+    val bitDepth = b(24) & 0xff
+    val colorType = b(25) & 0xff
+    val interlace = b(28) & 0xff
     require(width > 0 && height > 0, s"PNG: bad dimensions ${width}x$height")
-    require(bitDepth == 8, s"PNG: only 8-bit depth supported, got $bitDepth")
-    require(interlace == 0, s"PNG: interlaced (Adam7) not supported")
-    val channels = colorType match {
+    require(interlace == 0 || interlace == 1, s"PNG: bad interlace method $interlace")
+    // file-side samples per pixel + the legal depths per color type
+    // (PNG spec §11.2.2); depth 16 is decoded by taking the high byte
+    // (the spec-recommended 16→8 reduction), sub-byte gray scales to 0-255
+    val fileCh = colorType match {
       case 0 => 1 // grayscale
       case 2 => 3 // RGB
+      case 3 => 1 // palette indices
+      case 4 => 2 // gray + alpha
       case 6 => 4 // RGBA
       case t => throw new IllegalArgumentException(
         s"PNG: color type $t not supported")
     }
+    val depthLegal = colorType match {
+      case 0 => Set(1, 2, 4, 8, 16)
+      case 3 => Set(1, 2, 4, 8)
+      case _ => Set(8, 16)
+    }
+    require(depthLegal(bitDepth),
+      s"PNG: depth $bitDepth illegal for color type $colorType")
+    // output channels: palette expands to RGB (RGBA with tRNS), gray+alpha
+    // to RGBA; worst case for the bomb guard below
+    val outChMax = colorType match {
+      case 0 => 1; case 2 => 3; case _ => 4
+    }
     // decompression-bomb guard (same rationale as Jpeg.MaxDecodedBytes): a
     // crafted IHDR can declare gigabytes while the IDAT is tiny, and the
     // allocation would OOM the task before the inflate-length check fires.
-    // Allocation = filtered rows (raw) + reconstructed pixels ≈ 2·w·h·ch,
-    // counted with the REAL channel count so grayscale is not over-rejected
-    require(width.toLong * height * 2 * channels <= Jpeg.MaxDecodedBytes,
+    // Allocation = filtered rows (raw) + reconstructed pixels, counted with
+    // the REAL channel count so grayscale is not over-rejected; layouts
+    // that go through the int sample grid (interlaced / sub-byte / 16-bit /
+    // palette) add 4 bytes per file sample on top
+    val fastLayout = interlace == 0 && bitDepth == 8 &&
+      (colorType == 0 || colorType == 2 || colorType == 6)
+    val perPx = 2L * outChMax + (if (fastLayout) 0L else 4L * fileCh)
+    require(width.toLong * height * perPx <= Jpeg.MaxDecodedBytes,
       s"PNG: declared ${width}x$height too large to decode inline")
-    // Walk the chunk list, concatenating IDAT payloads.
+    // Walk the chunk list: concatenate IDAT payloads, pick up PLTE/tRNS.
     val idat = new java.io.ByteArrayOutputStream()
+    var palette: Array[Byte] = null
+    var trns: Array[Byte] = null
     var i = 8
     var done = false
     while (!done && i + 8 <= b.length) {
       val len = be32(b, i)
       require(len >= 0 && i + 12 + len <= b.length, s"PNG: corrupt chunk at $i")
-      val isIdat = b(i + 4) == 'I' && b(i + 5) == 'D' && b(i + 6) == 'A' && b(i + 7) == 'T'
-      val isIend = b(i + 4) == 'I' && b(i + 5) == 'E' && b(i + 6) == 'N' && b(i + 7) == 'D'
-      if (isIdat) idat.write(b, i + 8, len)
-      if (isIend) done = true
+      val typ = new String(b, i + 4, 4, "US-ASCII")
+      typ match {
+        case "IDAT" => idat.write(b, i + 8, len)
+        case "PLTE" =>
+          require(len % 3 == 0 && len > 0 && len <= 3 * 256, "PNG: bad PLTE length")
+          palette = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
+        case "tRNS" if colorType == 3 =>
+          trns = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
+        case "IEND" => done = true
+        case _ => ()
+      }
       i += 12 + len
     }
-    val stride = width * channels
-    val raw = new Array[Byte]((stride + 1) * height) // +1 filter byte per row
+    // un-filter at the FILE's layout: filters operate on scanline bytes
+    // with a bpp step of whole bytes (spec §9.2), whatever the depth.
+    // Interlaced images are 7 independent Adam7 sub-images (each with its
+    // own scanlines and filtering) concatenated in the IDAT stream; a
+    // non-interlaced image is the single full pass.
+    val bpp = math.max(1, (fileCh * bitDepth) / 8)
+    val passes: Seq[(Int, Int, Int, Int)] = // (xStart, yStart, xStep, yStep)
+      if (interlace == 0) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = (
+      if (width > p._1) (width - p._1 + p._3 - 1) / p._3 else 0,
+      if (height > p._2) (height - p._2 + p._4 - 1) / p._4 else 0)
+    def rowBytesOf(w: Int): Int = (w * fileCh * bitDepth + 7) / 8
+    val rawLen = passes.map { p =>
+      val (w, h) = passDims(p)
+      if (w == 0 || h == 0) 0 else (rowBytesOf(w) + 1) * h
+    }.sum
+    val raw = new Array[Byte](rawLen) // +1 filter byte per scanline
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var off = 0
@@ -346,52 +398,137 @@ object Multimodal {
       }
     } finally inf.end()
     require(off == raw.length, s"PNG: pixel data does not match dimensions")
-    val pix = new Array[Byte](stride * height)
-    var row = 0
-    while (row < height) {
-      val f = raw(row * (stride + 1)) & 0xff
-      val rs = row * (stride + 1) + 1
-      val ps = row * stride
-      val pp = ps - stride // prior row start (valid when row > 0)
-      var x = 0
-      f match {
-        case 0 => System.arraycopy(raw, rs, pix, ps, stride)
-        case 1 => // Sub: left neighbor
-          while (x < stride) {
-            val left = if (x >= channels) pix(ps + x - channels) & 0xff else 0
-            pix(ps + x) = ((raw(rs + x) & 0xff) + left).toByte
-            x += 1
-          }
-        case 2 => // Up: prior-row neighbor
-          while (x < stride) {
-            val up = if (row > 0) pix(pp + x) & 0xff else 0
-            pix(ps + x) = ((raw(rs + x) & 0xff) + up).toByte
-            x += 1
-          }
-        case 3 => // Average of left and up (floor)
-          while (x < stride) {
-            val left = if (x >= channels) pix(ps + x - channels) & 0xff else 0
-            val up = if (row > 0) pix(pp + x) & 0xff else 0
-            pix(ps + x) = ((raw(rs + x) & 0xff) + ((left + up) >> 1)).toByte
-            x += 1
-          }
-        case 4 => // Paeth predictor
-          while (x < stride) {
-            val left = if (x >= channels) pix(ps + x - channels) & 0xff else 0
-            val up = if (row > 0) pix(pp + x) & 0xff else 0
-            val ul = if (row > 0 && x >= channels) pix(pp + x - channels) & 0xff else 0
-            val p = left + up - ul
-            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
-            val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
-            pix(ps + x) = ((raw(rs + x) & 0xff) + pred).toByte
-            x += 1
-          }
-        case other =>
-          throw new IllegalArgumentException(s"PNG: unknown filter $other")
+
+    def unfilter(srcOff: Int, rowBytes: Int, rows: Int): Array[Byte] = {
+      val unf = new Array[Byte](rowBytes * rows)
+      var row = 0
+      while (row < rows) {
+        val f = raw(srcOff + row * (rowBytes + 1)) & 0xff
+        val rs = srcOff + row * (rowBytes + 1) + 1
+        val ps = row * rowBytes
+        val pp = ps - rowBytes // prior row start (valid when row > 0)
+        var x = 0
+        f match {
+          case 0 => System.arraycopy(raw, rs, unf, ps, rowBytes)
+          case 1 => // Sub: left neighbor
+            while (x < rowBytes) {
+              val left = if (x >= bpp) unf(ps + x - bpp) & 0xff else 0
+              unf(ps + x) = ((raw(rs + x) & 0xff) + left).toByte
+              x += 1
+            }
+          case 2 => // Up: prior-row neighbor
+            while (x < rowBytes) {
+              val up = if (row > 0) unf(pp + x) & 0xff else 0
+              unf(ps + x) = ((raw(rs + x) & 0xff) + up).toByte
+              x += 1
+            }
+          case 3 => // Average of left and up (floor)
+            while (x < rowBytes) {
+              val left = if (x >= bpp) unf(ps + x - bpp) & 0xff else 0
+              val up = if (row > 0) unf(pp + x) & 0xff else 0
+              unf(ps + x) = ((raw(rs + x) & 0xff) + ((left + up) >> 1)).toByte
+              x += 1
+            }
+          case 4 => // Paeth predictor
+            while (x < rowBytes) {
+              val left = if (x >= bpp) unf(ps + x - bpp) & 0xff else 0
+              val up = if (row > 0) unf(pp + x) & 0xff else 0
+              val ul = if (row > 0 && x >= bpp) unf(pp + x - bpp) & 0xff else 0
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+              unf(ps + x) = ((raw(rs + x) & 0xff) + pred).toByte
+              x += 1
+            }
+          case other =>
+            throw new IllegalArgumentException(s"PNG: unknown filter $other")
+        }
+        row += 1
       }
-      row += 1
+      unf
     }
-    (width, height, channels, pix)
+
+    // fast path: the layout that IS the output (non-interlaced 8-bit
+    // gray/RGB/RGBA) skips the sample-grid indirection
+    if (fastLayout)
+      return (width, height, fileCh, unfilter(0, rowBytesOf(width), height))
+
+    // gather every pass into one full-resolution sample grid (sub-byte
+    // samples raw 0..2^d-1; 8-bit as-is; 16-bit reduced to the high byte —
+    // the spec-recommended 16→8 reduction)
+    val samples = new Array[Int](width * height * fileCh)
+    def sampleOf(unf: Array[Byte], rowStart: Int, x: Int, c: Int): Int = bitDepth match {
+      case 8 => unf(rowStart + x * fileCh + c) & 0xff
+      case 16 => unf(rowStart + (x * fileCh + c) * 2) & 0xff
+      case d => // packed MSB-first (spec §7.2); only fileCh == 1 has d < 8
+        val bit = (x * fileCh + c) * d
+        ((unf(rowStart + (bit >> 3)) & 0xff) >> (8 - d - (bit & 7))) & ((1 << d) - 1)
+    }
+    var rawOff = 0
+    passes.foreach { p =>
+      val (wP, hP) = passDims(p)
+      if (wP > 0 && hP > 0) {
+        val rb = rowBytesOf(wP)
+        val unf = unfilter(rawOff, rb, hP)
+        rawOff += (rb + 1) * hP
+        var py = 0
+        while (py < hP) {
+          val y = p._2 + py * p._4
+          var px = 0
+          while (px < wP) {
+            val x = p._1 + px * p._3
+            var c = 0
+            while (c < fileCh) {
+              samples((y * width + x) * fileCh + c) = sampleOf(unf, py * rb, px, c)
+              c += 1
+            }
+            px += 1
+          }
+          py += 1
+        }
+      }
+    }
+
+    // expand the sample grid to 8-bit interleaved output
+    val outCh = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 3 => if (trns != null) 4 else 3
+      case _ => 4 // gray+alpha and RGBA
+    }
+    if (colorType == 3) require(palette != null, "PNG: palette image without PLTE")
+    val maxSub = (1 << bitDepth) - 1
+    val out = new Array[Byte](width * height * outCh)
+    var pxi = 0
+    while (pxi < width * height) {
+      val s0 = pxi * fileCh
+      val d = pxi * outCh
+      colorType match {
+        case 0 =>
+          out(d) =
+            if (bitDepth >= 8) samples(s0).toByte
+            else (samples(s0) * 255 / maxSub).toByte
+        case 2 =>
+          out(d) = samples(s0).toByte; out(d + 1) = samples(s0 + 1).toByte
+          out(d + 2) = samples(s0 + 2).toByte
+        case 6 =>
+          out(d) = samples(s0).toByte; out(d + 1) = samples(s0 + 1).toByte
+          out(d + 2) = samples(s0 + 2).toByte; out(d + 3) = samples(s0 + 3).toByte
+        case 4 => // gray+alpha → RGBA (r = g = b = gray)
+          val g = samples(s0).toByte
+          out(d) = g; out(d + 1) = g; out(d + 2) = g
+          out(d + 3) = samples(s0 + 1).toByte
+        case 3 =>
+          val idx = samples(s0)
+          require(idx * 3 + 2 < palette.length, s"PNG: palette index $idx out of range")
+          out(d) = palette(idx * 3); out(d + 1) = palette(idx * 3 + 1)
+          out(d + 2) = palette(idx * 3 + 2)
+          if (outCh == 4)
+            out(d + 3) = if (idx < trns.length) trns(idx) else 0xff.toByte
+      }
+      pxi += 1
+    }
+    (width, height, outCh, out)
   }
 
   /** PNG encoder — fixture counterpart of [[decodePng]]. `filter` selects
@@ -469,6 +606,127 @@ object Multimodal {
     ihdr(9) = colorType.toByte
     // ihdr(10..12): compression 0, filter method 0, interlace 0
     chunk("IHDR", ihdr)
+    chunk("IDAT", comp.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Fixture-grade PNG writer for the layouts [[encodePng]] cannot emit:
+    * any legal (bitDepth, colorType) with caller-packed scanlines (no
+    * filtering — filter byte 0 per row), optional PLTE/tRNS, optional
+    * Adam7 interlacing. `rows` is the UNFILTERED full-resolution scanline
+    * data, exactly `ceil(width·samples·depth/8) × height` bytes; with
+    * `interlace` the encoder scatters it into the 7 passes itself — the
+    * independent inverse of the decoder's pass gather. Tests use this to
+    * drive the palette / sub-byte / 16-bit / gray+alpha / interlaced
+    * decode paths with independent fixtures.
+    */
+  def encodePngRaw(width: Int, height: Int, bitDepth: Int, colorType: Int,
+      rows: Array[Byte], palette: Array[Byte] = Array.emptyByteArray,
+      trns: Array[Byte] = Array.emptyByteArray,
+      interlace: Boolean = false): Array[Byte] = {
+    val fileCh = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case t => throw new IllegalArgumentException(s"bad color type $t")
+    }
+    val rowBytes = (width * fileCh * bitDepth + 7) / 8
+    require(rows.length == rowBytes * height,
+      s"rows must be $rowBytes x $height bytes, got ${rows.length}")
+    // full-res sample accessor + per-pass bit packer (MSB-first)
+    def sampleAt(x: Int, y: Int, c: Int): Int = {
+      val rs = y * rowBytes
+      bitDepth match {
+        case 8 => rows(rs + x * fileCh + c) & 0xff
+        case 16 => // full 16 bits, big-endian pair
+          ((rows(rs + (x * fileCh + c) * 2) & 0xff) << 8) |
+            (rows(rs + (x * fileCh + c) * 2 + 1) & 0xff)
+        case d =>
+          val bit = (x * fileCh + c) * d
+          ((rows(rs + (bit >> 3)) & 0xff) >> (8 - d - (bit & 7))) & ((1 << d) - 1)
+      }
+    }
+    val raw: Array[Byte] =
+      if (!interlace) {
+        val a = new Array[Byte]((rowBytes + 1) * height)
+        var r = 0
+        while (r < height) {
+          // a(r * (rowBytes + 1)) stays 0: filter None
+          System.arraycopy(rows, r * rowBytes, a, r * (rowBytes + 1) + 1, rowBytes)
+          r += 1
+        }
+        a
+      } else {
+        val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        val buf = new java.io.ByteArrayOutputStream()
+        passes.foreach { case (x0, y0, dx, dy) =>
+          val wP = if (width > x0) (width - x0 + dx - 1) / dx else 0
+          val hP = if (height > y0) (height - y0 + dy - 1) / dy else 0
+          if (wP > 0 && hP > 0) {
+            val rbP = (wP * fileCh * bitDepth + 7) / 8
+            var py = 0
+            while (py < hP) {
+              buf.write(0) // filter None
+              val line = new Array[Byte](rbP)
+              var px = 0
+              while (px < wP) {
+                var c = 0
+                while (c < fileCh) {
+                  val v = sampleAt(x0 + px * dx, y0 + py * dy, c)
+                  bitDepth match {
+                    case 8 => line(px * fileCh + c) = v.toByte
+                    case 16 =>
+                      line((px * fileCh + c) * 2) = ((v >> 8) & 0xff).toByte
+                      line((px * fileCh + c) * 2 + 1) = (v & 0xff).toByte
+                    case d =>
+                      val bit = (px * fileCh + c) * d
+                      val sh = 8 - d - (bit & 7)
+                      line(bit >> 3) = (line(bit >> 3) | (v << sh)).toByte
+                  }
+                  c += 1
+                }
+                px += 1
+              }
+              buf.write(line, 0, rbP)
+              py += 1
+            }
+          }
+        }
+        buf.toByteArray
+      }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) comp.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig, 0, PngSig.length)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be(v: Int): Array[Byte] = Array(
+        ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      val t = typ.getBytes("US-ASCII")
+      out.write(be(data.length), 0, 4)
+      out.write(t, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      out.write(be(crc.getValue.toInt), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    def putBe32(off: Int, v: Int): Unit = {
+      ihdr(off) = ((v >> 24) & 0xff).toByte; ihdr(off + 1) = ((v >> 16) & 0xff).toByte
+      ihdr(off + 2) = ((v >> 8) & 0xff).toByte; ihdr(off + 3) = (v & 0xff).toByte
+    }
+    putBe32(0, width); putBe32(4, height)
+    ihdr(8) = bitDepth.toByte
+    ihdr(9) = colorType.toByte
+    ihdr(12) = if (interlace) 1 else 0 // compression/filter stay 0
+    chunk("IHDR", ihdr)
+    if (palette.nonEmpty) chunk("PLTE", palette)
+    if (trns.nonEmpty) chunk("tRNS", trns)
     chunk("IDAT", comp.toByteArray)
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray

@@ -227,6 +227,123 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PNG extended layouts: palette/tRNS, sub-byte gray, 16-bit, gray+alpha — vs ImageIO") {
+    import java.io.ByteArrayInputStream
+    def imageIo(b: Array[Byte]) = javax.imageio.ImageIO.read(new ByteArrayInputStream(b))
+    def decode(b: Array[Byte]) = {
+      val d = Multimodal.decode(spark, asMedia(Seq((1L, b, "image/png")))).collect().head
+      assert(d.format === "image/png")
+      d
+    }
+    // --- palette 8-bit, no alpha: 4-color 4x2, expanded to RGB
+    val pal = Array[Byte](
+      255.toByte, 0, 0, /**/ 0, 255.toByte, 0, /**/ 0, 0, 255.toByte, /**/
+      10, 20, 30)
+    val idx8 = Array[Byte](0, 1, 2, 3, 3, 2, 1, 0)
+    val palPng = Multimodal.encodePngRaw(4, 2, 8, 3, idx8, palette = pal)
+    val d1 = decode(palPng)
+    assert((d1.width, d1.height, d1.channels) === ((4, 2, 3)))
+    val expectedRgb = idx8.flatMap(i => pal.slice(i * 3, i * 3 + 3))
+    assert(d1.checksum === fnvOf(expectedRgb), "palette expands through PLTE")
+    val img1 = imageIo(palPng)
+    assert((img1.getRGB(0, 0) & 0xffffff) === 0xff0000 &&
+      (img1.getRGB(3, 0) & 0xffffff) === ((10 << 16) | (20 << 8) | 30),
+      "ImageIO agrees on the palette colors")
+    // --- palette 4-bit packed + tRNS alpha → RGBA
+    val idx4 = Array[Byte](0x01, 0x23.toByte, 0x32, 0x10) // 2 rows of 0,1,2,3 / 3,2,1,0
+    val trns = Array[Byte](0, 100, 200.toByte, 255.toByte)
+    val pal4Png = Multimodal.encodePngRaw(4, 2, 4, 3, idx4, palette = pal, trns = trns)
+    val d2 = decode(pal4Png)
+    assert((d2.width, d2.height, d2.channels) === ((4, 2, 4)))
+    val expectedRgba = Array[Byte](0, 1, 2, 3, 3, 2, 1, 0).flatMap(i =>
+      pal.slice(i * 3, i * 3 + 3) :+ trns(i))
+    assert(d2.checksum === fnvOf(expectedRgba), "4-bit indices unpack, tRNS rides as alpha")
+    val img2 = imageIo(pal4Png)
+    assert(((img2.getRGB(0, 0) >>> 24) === 0) && ((img2.getRGB(3, 0) >>> 24) === 255),
+      "ImageIO agrees on tRNS alpha")
+    // --- 1-bit grayscale scales to 0/255
+    val g1 = Multimodal.encodePngRaw(8, 2, 1, 0, Array[Byte](0xAA.toByte, 0x55))
+    val d3 = decode(g1)
+    assert((d3.width, d3.height, d3.channels) === ((8, 2, 1)))
+    val expectedG1 = "1010101001010101".map(c => if (c == '1') 255.toByte else 0.toByte).toArray
+    assert(d3.checksum === fnvOf(expectedG1))
+    val img3 = imageIo(g1)
+    assert((img3.getRGB(0, 0) & 0xff) === 255 && (img3.getRGB(1, 0) & 0xff) === 0)
+    // --- 16-bit RGB reduces to the high byte
+    val px16 = Array.tabulate(2 * 1 * 3 * 2) { i =>
+      (if (i % 2 == 0) (i * 17 + 3) & 0xff else 0x7f).toByte // (hi, lo) pairs
+    }
+    val rgb16 = Multimodal.encodePngRaw(2, 1, 16, 2, px16)
+    val d4 = decode(rgb16)
+    assert((d4.width, d4.height, d4.channels) === ((2, 1, 3)))
+    val expected16 = Array.tabulate(6)(i => px16(i * 2))
+    assert(d4.checksum === fnvOf(expected16), "16-bit samples reduce to high byte")
+    val img4 = imageIo(rgb16)
+    // ImageIO converts 16→8 by /257 (vs our >>8): both equal the high byte ±1
+    assert(math.abs(((img4.getRGB(0, 0) >> 16) & 0xff) - (expected16(0) & 0xff)) <= 1)
+    // --- gray+alpha expands to RGBA
+    val ga = Multimodal.encodePngRaw(2, 1, 8, 4, Array[Byte](100, 200.toByte, 50, 0))
+    val d5 = decode(ga)
+    assert((d5.width, d5.height, d5.channels) === ((2, 1, 4)))
+    assert(d5.checksum === fnvOf(Array[Byte](
+      100, 100, 100, 200.toByte, 50, 50, 50, 0)))
+    val img5 = imageIo(ga)
+    assert((img5.getRGB(0, 0) >>> 24) === 200 && (img5.getRGB(1, 0) >>> 24) === 0)
+    // --- palette index out of range degrades (stub), never kills the task
+    val bad = Multimodal.encodePngRaw(4, 2, 8, 3,
+      Array[Byte](0, 1, 2, 9, 9, 2, 1, 0), palette = pal)
+    val db = Multimodal.decode(spark, asMedia(Seq((9L, bad, "image/png")))).collect().head
+    assert(db.id === 9L, "record survives a corrupt palette reference")
+  }
+
+  test("Adam7 interlaced PNG: pass gather reconstructs the same pixels as sequential") {
+    import java.io.ByteArrayInputStream
+    // 13x11 RGB (odd size → every pass partially filled, some pass rows
+    // ragged); the interlaced and sequential encodings of the SAME pixels
+    // must hash identically — interlacing is transport, not content
+    val (w, h) = (13, 11)
+    val px = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 251).toByte)
+    val seq = Multimodal.encodePngRaw(w, h, 8, 2, px)
+    val adam = Multimodal.encodePngRaw(w, h, 8, 2, px, interlace = true)
+    assert(adam(28) === 1.toByte, "fixture must really be interlaced (IHDR)")
+    // ImageIO referee FIRST: proves the scatter-side fixture is a valid
+    // interlaced PNG of exactly `px` before blaming the decoder
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(adam))
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = (y * w + x) * 3
+      assert((img.getRGB(x, y) & 0xffffff) ===
+        (((px(d) & 0xff) << 16) | ((px(d + 1) & 0xff) << 8) | (px(d + 2) & 0xff)),
+        s"ImageIO disagrees at ($x,$y)")
+    }
+    val out = Multimodal.decode(spark, asMedia(Seq(
+      (1L, seq, "image/png"), (2L, adam, "image/png")))).collect()
+      .map(d => d.id -> d).toMap
+    assert((out(1L).width, out(1L).height, out(1L).channels) === ((w, h, 3)))
+    assert(out(1L).checksum === fnvOf(px), "sequential baseline")
+    assert(out(2L).checksum === out(1L).checksum,
+      "interlaced must reconstruct the identical pixels")
+    // interlaced + sub-byte palette (bit-packed ragged pass rows)
+    val pal = Array[Byte](255.toByte, 0, 0, 0, 255.toByte, 0, 0, 0, 255.toByte, 9, 9, 9)
+    val wp = 9; val hp = 5
+    val idx = Array.tabulate(wp * hp)(i => (i % 4).toByte)
+    // pack 2-bit indices MSB-first into ceil(9*2/8)=3 bytes per row
+    val rowBytes = (wp * 2 + 7) / 8
+    val packed = new Array[Byte](rowBytes * hp)
+    for (y <- 0 until hp; x <- 0 until wp) {
+      val bit = x * 2
+      val sh = 8 - 2 - (bit & 7)
+      packed(y * rowBytes + (bit >> 3)) =
+        (packed(y * rowBytes + (bit >> 3)) | (idx(y * wp + x) << sh)).toByte
+    }
+    val adamPal = Multimodal.encodePngRaw(wp, hp, 2, 3, packed, palette = pal,
+      interlace = true)
+    val dp = Multimodal.decode(spark, asMedia(Seq((3L, adamPal, "image/png"))))
+      .collect().head
+    assert((dp.width, dp.height, dp.channels) === ((wp, hp, 3)))
+    val expected = idx.flatMap(i => pal.slice(i * 3, i * 3 + 3))
+    assert(dp.checksum === fnvOf(expected), "interlaced 2-bit palette gathers correctly")
+  }
+
   test("features extracts real per-channel stats and luminance histogram from pixels") {
     // 2x2 image: two pure-red, two pure-blue pixels → mean (127.5, 0, 127.5)
     val px = Array[Byte](

@@ -88,6 +88,7 @@ object Multimodal {
             else if (isPng(bytes)) decodePng(id, bytes)
             else if (isWav(bytes)) decodeWav(id, bytes)
             else if (isJpeg(bytes)) decodeJpeg(id, bytes)
+            else if (isMp3(bytes)) decodeMp3(id, bytes)
             else stubRecord(id, bytes, fmt)
           } catch {
             case scala.util.control.NonFatal(_) => stubRecord(id, bytes, fmt)
@@ -742,51 +743,126 @@ object Multimodal {
       le32(b, 4) == b.length - 8 &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
-  /** Uncompressed PCM WAV (RIFF/WAVE, format code 1) — audio is a media
-    * column too, and the container format needs no codec library. The
-    * record maps audio onto the image-shaped schema as width = frames per
-    * channel, height = 1, channels = channel count; the checksum covers the
-    * PCM payload bytes of the `data` chunk only, so re-containering the
-    * same samples (extra LIST/INFO chunks, different chunk order) hashes
-    * identically. Compressed codecs (format != 1) throw — [[decode]]
-    * catches and degrades to the stub.
+  /** Parsed WAV layout: fmt fields + data-chunk position. `fmtCode` 1 = PCM
+    * (bits 8/16/24/32), 6 = G.711 A-law, 7 = G.711 µ-law; anything else is
+    * a compressed codec this container can't decode (geometry still parses
+    * — see [[wavGeometry]]).
     */
-  private def decodeWav(id: Long, b: Array[Byte]): DecodedMedia = {
+  private final case class WavLayout(
+      fmtCode: Int, channels: Int, bits: Int, blockAlign: Int,
+      dataOff: Int, dataLen: Int)
+
+  private def wavLayout(b: Array[Byte]): WavLayout = {
     var i = 12
+    var fmtCode = -1
     var channels = -1
-    var bytesPerSample = -1
+    var bits = -1
+    var blockAlign = -1
     var dataOff = -1
     var dataLen = -1
-    while (i + 8 <= b.length && (channels < 0 || dataOff < 0)) {
+    while (i + 8 <= b.length && (fmtCode < 0 || dataOff < 0)) {
       val size = le32(b, i + 4)
-      require(size >= 0 && i + 8 + size <= b.length, s"WAV $id: corrupt chunk at $i")
+      require(size >= 0 && i + 8 + size <= b.length, s"WAV: corrupt chunk at $i")
       val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
       val isData = b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a'
       if (isFmt) {
-        require(size >= 16, s"WAV $id: fmt chunk too short")
-        val fmtCode = le16(b, i + 8)
-        require(fmtCode == 1, s"WAV $id: only PCM (1) supported, got $fmtCode")
+        require(size >= 16, "WAV: fmt chunk too short")
+        fmtCode = le16(b, i + 8)
         channels = le16(b, i + 10)
-        val bits = le16(b, i + 22)
-        require(channels > 0, s"WAV $id: bad channel count $channels")
-        require(Set(8, 16, 24, 32).contains(bits), s"WAV $id: unsupported bit depth $bits")
-        bytesPerSample = bits / 8
+        blockAlign = le16(b, i + 20)
+        bits = le16(b, i + 22)
+        require(channels > 0, s"WAV: bad channel count $channels")
       }
       if (isData) { dataOff = i + 8; dataLen = size }
       i += 8 + size + (size & 1) // RIFF chunks are word-aligned
     }
-    require(channels > 0 && dataOff >= 0, s"WAV $id: missing fmt or data chunk")
-    val frames = dataLen / (channels * bytesPerSample)
-    DecodedMedia(id, "audio/wav", b.length.toLong, frames, 1, channels,
-      fnv(b, dataOff, dataOff + dataLen, FnvSeed))
+    require(fmtCode >= 0 && dataOff >= 0, "WAV: missing fmt or data chunk")
+    WavLayout(fmtCode, channels, bits, blockAlign, dataOff, dataLen)
   }
 
-  /** Canonical 44-byte-header PCM WAV encoder — fixture counterpart of
-    * [[decodeWav]]. `pcm` is the raw interleaved sample bytes.
+  /** G.711 µ-law/A-law byte → 16-bit linear sample, the standard CCITT
+    * expansion formulas (public ITU-T G.711 tables; same curves the JDK's
+    * sound codecs implement, which the tests use as referee).
+    */
+  private val UlawTable: Array[Short] = Array.tabulate(256) { u0 =>
+    val u = ~u0 & 0xff
+    var t = ((u & 0x0f) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+  }
+  private val AlawTable: Array[Short] = Array.tabulate(256) { a0 =>
+    val a = a0 ^ 0x55
+    var t = (a & 0x0f) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else if (seg == 1) t += 0x108
+    else { t += 0x108; t <<= seg - 1 }
+    (if ((a & 0x80) != 0) t else -t).toShort
+  }
+
+  /** WAV audio decode — PCM (format 1, 8/16/24/32-bit) and G.711 µ-law /
+    * A-law (formats 7/6; telephony audio, expanded through the standard
+    * tables to 16-bit linear). The record maps audio onto the image-shaped
+    * schema as width = frames per channel, height = 1, channels = channel
+    * count. The checksum covers the SAMPLES: raw `data` payload bytes for
+    * PCM (re-containering the same samples — extra LIST/INFO chunks,
+    * different chunk order — hashes identically), and the EXPANDED 16-bit
+    * stream for G.711 (consistent with the image codecs hashing
+    * reconstructed pixels, not compressed bits). Compressed codecs
+    * (MP3-in-WAV etc.) degrade to [[decodeWavHeader]] — true geometry from
+    * the fmt chunk, payload-bytes checksum — never to a failure.
+    */
+  private def decodeWav(id: Long, b: Array[Byte]): DecodedMedia =
+    try {
+      val l = wavLayout(b)
+      l.fmtCode match {
+        case 1 =>
+          require(Set(8, 16, 24, 32).contains(l.bits), s"WAV: unsupported bit depth ${l.bits}")
+          val bytesPerSample = l.bits / 8
+          val frames = l.dataLen / (l.channels * bytesPerSample)
+          DecodedMedia(id, "audio/wav", b.length.toLong, frames, 1, l.channels,
+            fnv(b, l.dataOff, l.dataOff + l.dataLen, FnvSeed))
+        case 6 | 7 =>
+          require(l.bits == 8, s"WAV: G.711 must be 8-bit, got ${l.bits}")
+          val table = if (l.fmtCode == 7) UlawTable else AlawTable
+          val frames = l.dataLen / l.channels
+          // hash the expanded 16-bit little-endian stream without
+          // materializing it
+          var cs = FnvSeed
+          var i = l.dataOff
+          while (i < l.dataOff + l.dataLen) {
+            val s = table(b(i) & 0xff)
+            cs = (cs ^ (s & 0xff)) * 0x100000001b3L
+            cs = (cs ^ ((s >> 8) & 0xff)) * 0x100000001b3L
+            i += 1
+          }
+          DecodedMedia(id, "audio/wav", b.length.toLong, frames, 1, l.channels, cs)
+        case _ => decodeWavHeader(id, b)
+      }
+    } catch { case scala.util.control.NonFatal(_) => decodeWavHeader(id, b) }
+
+  /** WAV header fallback for compressed codecs: TRUE geometry from the fmt
+    * chunk (frames estimated via blockAlign — exact for any constant-block
+    * codec), checksum over the compressed `data` payload (container
+    * metadata excluded, like the JPEG header parse hashes scan bytes).
+    */
+  private def decodeWavHeader(id: Long, b: Array[Byte]): DecodedMedia = {
+    val l = wavLayout(b)
+    val frames = if (l.blockAlign > 0) l.dataLen / l.blockAlign else 0
+    DecodedMedia(id, "audio/wav", b.length.toLong, frames, 1, l.channels,
+      fnv(b, l.dataOff, l.dataOff + l.dataLen, FnvSeed))
+  }
+
+  /** Canonical 44-byte-header WAV encoder — fixture counterpart of
+    * [[decodeWav]]. `pcm` is the raw interleaved sample bytes (for G.711
+    * format codes 6/7, the compressed 8-bit log-PCM bytes; for any other
+    * non-PCM `formatCode`, opaque codec bytes — used to exercise the
+    * header-fallback path).
     */
   def encodeWav(channels: Int, bitsPerSample: Int, sampleRate: Int,
-      pcm: Array[Byte]): Array[Byte] = {
-    require(Set(8, 16, 24, 32).contains(bitsPerSample), "bits must be 8/16/24/32")
+      pcm: Array[Byte], formatCode: Int = 1): Array[Byte] = {
+    require(formatCode != 1 || Set(8, 16, 24, 32).contains(bitsPerSample),
+      "PCM bits must be 8/16/24/32")
     val out = new Array[Byte](44 + pcm.length)
     def putLe32(off: Int, v: Int): Unit = {
       out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
@@ -797,16 +873,145 @@ object Multimodal {
     }
     def putAscii(off: Int, s: String): Unit =
       s.getBytes("US-ASCII").zipWithIndex.foreach { case (c, j) => out(off + j) = c }
-    val blockAlign = channels * bitsPerSample / 8
+    val blockAlign = math.max(1, channels * bitsPerSample / 8)
     putAscii(0, "RIFF"); putLe32(4, 36 + pcm.length); putAscii(8, "WAVE")
     putAscii(12, "fmt "); putLe32(16, 16)
-    putLe16(20, 1) // PCM
+    putLe16(20, formatCode)
     putLe16(22, channels); putLe32(24, sampleRate)
     putLe32(28, sampleRate * blockAlign); putLe16(32, blockAlign)
     putLe16(34, bitsPerSample)
     putAscii(36, "data"); putLe32(40, pcm.length)
     System.arraycopy(pcm, 0, out, 44, pcm.length)
     out
+  }
+
+  /** Normalized interleaved samples for the decodable audio envelope —
+    * PCM 8 (unsigned) / 16 / 24 / 32 (signed LE) and G.711 µ-law/A-law —
+    * in [-1, 1]. Returns (framesPerChannel, channels, samples); None
+    * outside the envelope. The features() audio branch runs on these.
+    */
+  private def audioSamplesOf(b: Array[Byte]): Option[(Int, Int, Array[Double])] =
+    try {
+      if (!isWav(b)) None
+      else {
+        val l = wavLayout(b)
+        l.fmtCode match {
+          case 1 if Set(8, 16, 24, 32).contains(l.bits) =>
+            val bps = l.bits / 8
+            val n = l.dataLen / bps
+            val out = new Array[Double](n)
+            var i = 0
+            while (i < n) {
+              val o = l.dataOff + i * bps
+              out(i) = l.bits match {
+                case 8 => ((b(o) & 0xff) - 128) / 128.0 // 8-bit WAV is unsigned
+                case 16 => le16(b, o).toShort / 32768.0
+                case 24 =>
+                  val v = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | (b(o + 2) << 16)
+                  v / 8388608.0
+                case _ => le32(b, o) / 2147483648.0
+              }
+              i += 1
+            }
+            Some((n / l.channels, l.channels, out))
+          case 6 | 7 if l.bits == 8 =>
+            val table = if (l.fmtCode == 7) UlawTable else AlawTable
+            val out = new Array[Double](l.dataLen)
+            var i = 0
+            while (i < l.dataLen) {
+              out(i) = table(b(l.dataOff + i) & 0xff) / 32768.0
+              i += 1
+            }
+            Some((l.dataLen / l.channels, l.channels, out))
+          case _ => None
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ---- MPEG audio (MP3): frame-header chain parse. A psychoacoustic
+  // decode (hybrid filterbank + Huffman) is a poor pure-JVM trade, but the
+  // frame-header chain yields TRUE geometry — channels, total samples per
+  // channel — exactly like the JPEG header parse yields true dimensions for
+  // non-Huffman codecs. Sniffing demands >= 2 CHAINED valid Layer-III
+  // frames (each header's length lands exactly on the next sync), so
+  // arbitrary bytes containing a stray 0xFFEx word don't sniff as audio.
+
+  private val Mp3BitrateV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateV2L3 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val Mp3SampleRateV1 = Array(44100, 48000, 32000)
+
+  /** One MPEG-1/2/2.5 Layer III frame header at `off` →
+    * (frameBytes, samplesPerFrameAndChannel, channels); None if invalid.
+    */
+  private def mp3Frame(b: Array[Byte], off: Int): Option[(Int, Int, Int)] = {
+    if (off + 4 > b.length) return None
+    val h1 = b(off + 1) & 0xff
+    val h2 = b(off + 2) & 0xff
+    if ((b(off) & 0xff) != 0xff || (h1 & 0xe0) != 0xe0) return None
+    val version = (h1 >> 3) & 3 // 0 = MPEG2.5, 2 = MPEG2, 3 = MPEG1
+    val layer = (h1 >> 1) & 3 // 1 = Layer III
+    if (version == 1 || layer != 1) return None
+    val brIdx = (h2 >> 4) & 15
+    val srIdx = (h2 >> 2) & 3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None // free-format out
+    val v1 = version == 3
+    val bitrate = (if (v1) Mp3BitrateV1L3 else Mp3BitrateV2L3)(brIdx) * 1000
+    val sampleRate = Mp3SampleRateV1(srIdx) / (if (v1) 1 else if (version == 2) 2 else 4)
+    val samplesPerFrame = if (v1) 1152 else 576
+    val frameLen = samplesPerFrame / 8 * bitrate / sampleRate + ((h2 >> 1) & 1)
+    val channels = if (((b(off + 3) & 0xff) >> 6) == 3) 1 else 2
+    if (frameLen < 24) None else Some((frameLen, samplesPerFrame, channels))
+  }
+
+  /** (audioStart, totalSamplesPerChannel, channels): skips an ID3v2 tag,
+    * finds the first sync that chains (bounded 64 KB search — real encoders
+    * put junk/padding before frame 1), then walks header-to-header.
+    * Trailing bytes that aren't a frame (ID3v1 tag, truncated last frame)
+    * end the walk; >= 2 chained frames required.
+    */
+  private def mp3Geometry(b: Array[Byte]): (Int, Int, Int) = {
+    var start = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      start = 10 + sz
+    }
+    def chains(j: Int): Boolean = mp3Frame(b, j) match {
+      case Some((len, _, _)) => j + len + 4 <= b.length && mp3Frame(b, j + len).isDefined
+      case None => false
+    }
+    var first = start
+    val bound = math.min(b.length - 4, start + 65536)
+    while (first < bound && !chains(first)) first += 1
+    require(first < bound, "MP3: no chained frame sync found")
+    var frames = 0
+    var samples = 0L
+    var ch = 1
+    var i = first
+    var more = true
+    while (more) {
+      mp3Frame(b, i) match {
+        case Some((len, spf, c)) if i + len <= b.length =>
+          frames += 1; samples += spf; ch = c; i += len
+        case _ => more = false
+      }
+    }
+    require(frames >= 2, "MP3: fewer than 2 chained frames")
+    (first, math.min(samples, Int.MaxValue.toLong).toInt, ch)
+  }
+
+  private def isMp3(b: Array[Byte]): Boolean =
+    try { mp3Geometry(b); true } catch { case _: Exception => false }
+
+  /** MP3 record: width = total samples per channel (from the frame walk),
+    * height = 1, channels from the frame header; checksum over the frame
+    * chain region (the leading ID3v2 tag — container metadata — excluded,
+    * so re-tagging the same audio hashes identically).
+    */
+  private def decodeMp3(id: Long, b: Array[Byte]): DecodedMedia = {
+    val (audioOff, samples, ch) = mp3Geometry(b)
+    DecodedMedia(id, "audio/mpeg", b.length.toLong, samples, 1, ch,
+      fnv(b, audioOff, b.length, FnvSeed))
   }
 
   /** JPEG sniff: SOI marker followed by a structurally valid marker chain
@@ -1002,44 +1207,42 @@ object Multimodal {
         val (h, w, nc, _) = jpegSof(b)
         Some((w, h, nc))
       } else if (isWav(b)) Some(wavGeometry(b))
-      else None
+      else if (isMp3(b)) {
+        val (_, samples, ch) = mp3Geometry(b)
+        Some((samples, 1, ch))
+      } else None
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** WAV frame/channel geometry from the fmt and data chunks — the header
-    * walk of [[decodeWav]] without its checksum loop over the PCM payload.
+    * walk of [[decodeWav]] without its checksum loop over the payload. Works
+    * for ANY format code: compressed codecs estimate frames via blockAlign
+    * (exact for constant-block codecs), so even undecodable audio carries
+    * true geometry through features/resize, matching [[decodeWavHeader]].
     */
   private def wavGeometry(b: Array[Byte]): (Int, Int, Int) = {
-    var i = 12
-    var channels = -1
-    var bytesPerSample = -1
-    var dataLen = -1
-    while (i + 8 <= b.length && (channels < 0 || dataLen < 0)) {
-      val size = le32(b, i + 4)
-      require(size >= 0 && i + 8 + size <= b.length, s"WAV: corrupt chunk at $i")
-      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
-        require(size >= 16, "WAV: fmt chunk too short")
-        require(le16(b, i + 8) == 1, "WAV: only PCM supported")
-        channels = le16(b, i + 10)
-        val bits = le16(b, i + 22)
-        require(channels > 0 && Set(8, 16, 24, 32).contains(bits), "WAV: bad fmt")
-        bytesPerSample = bits / 8
-      }
-      if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a')
-        dataLen = size
-      i += 8 + size + (size & 1)
+    val l = wavLayout(b)
+    val frames = l.fmtCode match {
+      case 1 if Set(8, 16, 24, 32).contains(l.bits) =>
+        l.dataLen / (l.channels * (l.bits / 8))
+      case 6 | 7 if l.bits == 8 => l.dataLen / l.channels
+      case _ => if (l.blockAlign > 0) l.dataLen / l.blockAlign else 0
     }
-    require(channels > 0 && dataLen >= 0, "WAV: missing fmt or data chunk")
-    (dataLen / (channels * bytesPerSample), 1, channels)
+    (frames, 1, l.channels)
   }
 
-  /** Per-record image features over REAL pixels (per-channel mean/std and
-    * an 8-bin luminance histogram) — the feature-extraction stage of a
-    * multimodal pipeline, feeding the embedding/similarity operators.
+  /** Per-record media features over REAL samples — the feature-extraction
+    * stage of a multimodal pipeline, feeding the embedding/similarity
+    * operators. Images: per-channel mean/std (0-255 units) and an 8-bin
+    * luminance histogram over decoded pixels. Audio (PCM + G.711 WAV):
+    * per-channel sample mean/std in normalized [-1,1] units and an 8-bin
+    * histogram of |amplitude| (bin k = [k/8, (k+1)/8)) — the same record
+    * shape, so downstream operators are modality-agnostic.
     * Undecodable payloads yield `decoded=false` with deterministic
     * stub-derived features (pipeline shape holds; no record is dropped);
     * their width/height/channels still come from the real header parse
-    * where one exists (JPEG SOF, WAV fmt) so the record's geometry matches
-    * what [[decode]] reports for the same payload.
+    * where one exists (JPEG SOF, WAV fmt incl. compressed codecs, MP3
+    * frame header) so the record's geometry matches what [[decode]]
+    * reports for the same payload.
     * Same 100-TB shape as [[decode]]: partition-parallel mapPartitions,
     * media bytes never shuffle, only the small feature vectors do.
     */
@@ -1049,66 +1252,95 @@ object Multimodal {
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
         it.map { case (id, bytes, fmt) =>
-          pixelsOf(bytes) match {
-            case Some((w, h, ch, px)) =>
-              val n = w * h
+          audioSamplesOf(bytes) match {
+            case Some((frames, ch, smp)) =>
               val mean = new Array[Double](ch)
               val m2 = new Array[Double](ch)
+              val hist = new Array[Double](8)
               var i = 0
-              while (i < px.length) {
+              while (i < smp.length) {
                 val c = i % ch
-                mean(c) += px(i) & 0xff
-                m2(c) += (px(i) & 0xff).toDouble * (px(i) & 0xff)
+                mean(c) += smp(i)
+                m2(c) += smp(i) * smp(i)
+                hist(math.min(7, (math.abs(smp(i)) * 8).toInt)) += 1.0
                 i += 1
               }
               val std = new Array[Double](ch)
               var c = 0
               while (c < ch) {
-                mean(c) /= n
-                std(c) = math.sqrt(math.max(0.0, m2(c) / n - mean(c) * mean(c)))
+                mean(c) /= frames
+                std(c) = math.sqrt(math.max(0.0, m2(c) / frames - mean(c) * mean(c)))
                 c += 1
               }
-              val hist = new Array[Double](8)
-              var p = 0
-              while (p < n) {
-                val base = p * ch
-                val luma =
-                  if (ch == 1) (px(base) & 0xff).toDouble
-                  else 0.299 * (px(base) & 0xff) + 0.587 * (px(base + 1) & 0xff) +
-                    0.114 * (px(base + 2) & 0xff)
-                hist(math.min(7, (luma / 32).toInt)) += 1.0
-                p += 1
-              }
               var k = 0
-              while (k < 8) { hist(k) /= n; k += 1 }
-              MediaFeatures(id, fmt, decoded = true, w, h, ch, mean, std, hist)
-            case None =>
-              // deterministic stub features from the byte checksum — the
-              // downstream pipeline shape is exercised even where no pure-JVM
-              // pixel decode exists (JPEG pixels, audio); geometry is the
-              // REAL header parse when available so decode()/features()
-              // agree on the same payload's dimensions
-              val s = stubRecord(id, bytes, fmt)
-              val (w, h, ch) = headerGeometry(bytes).getOrElse((s.width, s.height, 3))
-              // one independent value per (array, index): splitmix64 of
-              // seed + index. Byte-offsetting into a single 64-bit seed
-              // aliased channel 8 onto channel 0 within the same array
-              // (a 64-bit seed holds only 8 bytes), so high-channel audio
-              // got period-8 repeating stats; mixing the index through a
-              // full-avalanche permutation makes every entry independent
-              val seed = s.checksum
-              val seed2 = seed * 0x9E3779B97F4A7C15L + 0xD1B54A32D192ED03L
-              val mk = (sd: Long) => Array.tabulate(ch) { i =>
-                var z = sd + (i + 1) * 0x9E3779B97F4A7C15L
-                z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-                z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-                ((z ^ (z >>> 31)) & 0xffL).toDouble
-              }
-              MediaFeatures(id, fmt, decoded = false, w, h, ch,
-                mk(seed), mk(seed2), Array.fill(8)(0.125))
+              while (k < 8) { hist(k) /= math.max(1, smp.length); k += 1 }
+              MediaFeatures(id, fmt, decoded = true, frames, 1, ch, mean, std, hist)
+            case None => imageOrStubFeatures(id, bytes, fmt)
           }
         }
       }
+  }
+
+  private def imageOrStubFeatures(id: Long, bytes: Array[Byte],
+      fmt: String): MediaFeatures = {
+    pixelsOf(bytes) match {
+      case Some((w, h, ch, px)) =>
+        val n = w * h
+        val mean = new Array[Double](ch)
+        val m2 = new Array[Double](ch)
+        var i = 0
+        while (i < px.length) {
+          val c = i % ch
+          mean(c) += px(i) & 0xff
+          m2(c) += (px(i) & 0xff).toDouble * (px(i) & 0xff)
+          i += 1
+        }
+        val std = new Array[Double](ch)
+        var c = 0
+        while (c < ch) {
+          mean(c) /= n
+          std(c) = math.sqrt(math.max(0.0, m2(c) / n - mean(c) * mean(c)))
+          c += 1
+        }
+        val hist = new Array[Double](8)
+        var p = 0
+        while (p < n) {
+          val base = p * ch
+          val luma =
+            if (ch == 1) (px(base) & 0xff).toDouble
+            else 0.299 * (px(base) & 0xff) + 0.587 * (px(base + 1) & 0xff) +
+              0.114 * (px(base + 2) & 0xff)
+          hist(math.min(7, (luma / 32).toInt)) += 1.0
+          p += 1
+        }
+        var k = 0
+        while (k < 8) { hist(k) /= n; k += 1 }
+        MediaFeatures(id, fmt, decoded = true, w, h, ch, mean, std, hist)
+      case None =>
+        // deterministic stub features from the byte checksum — the
+        // downstream pipeline shape is exercised even where no pure-JVM
+        // pixel decode exists (JPEG pixels, audio); geometry is the
+        // REAL header parse when available so decode()/features()
+        // agree on the same payload's dimensions
+        val s = stubRecord(id, bytes, fmt)
+        val (w, h, ch) = headerGeometry(bytes).getOrElse((s.width, s.height, 3))
+        // one independent value per (array, index): splitmix64 of
+        // seed + index. Byte-offsetting into a single 64-bit seed
+        // aliased channel 8 onto channel 0 within the same array
+        // (a 64-bit seed holds only 8 bytes), so high-channel audio
+        // got period-8 repeating stats; mixing the index through a
+        // full-avalanche permutation makes every entry independent
+        val seed = s.checksum
+        val seed2 = seed * 0x9E3779B97F4A7C15L + 0xD1B54A32D192ED03L
+        val mk = (sd: Long) => Array.tabulate(ch) { i =>
+          var z = sd + (i + 1) * 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          ((z ^ (z >>> 31)) & 0xffL).toDouble
+        }
+        MediaFeatures(id, fmt, decoded = false, w, h, ch,
+          mk(seed), mk(seed2), Array.fill(8)(0.125))
+    }
   }
 
   /** Box-average resize to `tw`×`th` over REAL pixels, re-encoded as PNG

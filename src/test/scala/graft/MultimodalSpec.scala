@@ -123,7 +123,8 @@ class MultimodalSpec extends SparkSpec {
     // = 1. The checksum covers the data-chunk bytes only.
     val pcm = Array.tabulate(100 * 2 * 2)(i => (i * 31 % 255).toByte)
     val wav = Multimodal.encodeWav(2, 16, 8000, pcm)
-    // a non-PCM format code (3 = IEEE float) must degrade to the stub
+    // an undecodable format code (3 = IEEE float) degrades to the HEADER
+    // parse: true geometry from the fmt chunk, payload-bytes checksum
     val nonPcm = wav.clone(); nonPcm(20) = 3
     // text shaped like RIFF must not be believed (declared size mismatch)
     val fakeRiff = ("RIFF.WAVEfmt this text is long enough to clear the " +
@@ -131,12 +132,109 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.decode(spark, asMedia(Seq(
       (1L, wav, "audio/wav"), (2L, nonPcm, "audio/wav"), (3L, fakeRiff, "text"))))
       .collect().sortBy(_.id)
-    val Array(ok, stubbed, text) = out
+    val Array(ok, headerOnly, text) = out
     assert(ok.format === "audio/wav")
     assert((ok.width, ok.height, ok.channels) === ((100, 1, 2)))
     assert(ok.checksum === fnvOf(pcm))
-    assert(stubbed.width >= 64 && stubbed.height >= 64) // stub-shaped
+    assert((headerOnly.width, headerOnly.height, headerOnly.channels) === ((100, 1, 2)),
+      "compressed WAV keeps true header geometry")
     assert(text.format === "text")
+  }
+
+  test("G.711 mu-law/A-law WAV: expansion matches the JDK sound codec sample-for-sample") {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    import java.io.ByteArrayInputStream
+    // all 256 code points, mono — every row of both expansion tables
+    val codes = Array.tabulate(256)(_.toByte)
+    def jdkExpand(wav: Array[Byte]): Array[Short] = {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
+      val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        in.getFormat.getSampleRate, 16, in.getFormat.getChannels,
+        2 * in.getFormat.getChannels, in.getFormat.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(pcmFmt, in)
+      val bytes = pcm.readAllBytes()
+      Array.tabulate(bytes.length / 2)(i =>
+        (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort)
+    }
+    def fnvOfShorts(s: Array[Short]): Long = {
+      val b = new Array[Byte](s.length * 2)
+      s.zipWithIndex.foreach { case (v, i) =>
+        b(2 * i) = (v & 0xff).toByte; b(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      fnvOf(b)
+    }
+    for ((fmtCode, name) <- Seq(7 -> "mu-law", 6 -> "A-law")) {
+      val wav = Multimodal.encodeWav(1, 8, 8000, codes, formatCode = fmtCode)
+      val jdk = jdkExpand(wav)
+      assert(jdk.length === 256, s"$name referee length")
+      val d = Multimodal.decode(spark, asMedia(Seq((1L, wav, "audio/wav")))).collect().head
+      assert((d.width, d.height, d.channels) === ((256, 1, 1)), s"$name geometry")
+      assert(d.checksum === fnvOfShorts(jdk),
+        s"$name expansion must match the JDK codec sample-for-sample")
+    }
+  }
+
+  test("audio features: real per-channel stats over PCM and G.711 samples") {
+    // stereo 16-bit: L = constant +8192 (0.25), R = alternating +/-16384
+    // (mean 0, std 0.5) — exact, hand-computable stats
+    val frames = 64
+    val pcm = new Array[Byte](frames * 2 * 2)
+    for (f <- 0 until frames) {
+      val l = 8192; val r = if (f % 2 == 0) 16384 else -16384
+      pcm(f * 4) = (l & 0xff).toByte; pcm(f * 4 + 1) = ((l >> 8) & 0xff).toByte
+      pcm(f * 4 + 2) = (r & 0xff).toByte; pcm(f * 4 + 3) = ((r >> 8) & 0xff).toByte
+    }
+    val f = Multimodal.features(spark,
+      asMedia(Seq((1L, Multimodal.encodeWav(2, 16, 8000, pcm), "audio/wav"))))
+      .collect().head
+    assert(f.decoded, "PCM WAV features must run on real samples now")
+    assert((f.width, f.height, f.channels) === ((frames, 1, 2)))
+    assert(math.abs(f.chanMean(0) - 0.25) < 1e-6 && math.abs(f.chanMean(1)) < 1e-6,
+      f.chanMean.toSeq.toString)
+    assert(math.abs(f.chanStd(0)) < 1e-6 && math.abs(f.chanStd(1) - 0.5) < 1e-6,
+      f.chanStd.toSeq.toString)
+    // amplitude histogram: |0.25| → bin 2, |0.5| → bin 4, half the samples each
+    assert(math.abs(f.lumaHist(2) - 0.5) < 1e-6 && math.abs(f.lumaHist(4) - 0.5) < 1e-6,
+      f.lumaHist.toSeq.toString)
+    // G.711 goes through the same real-feature path
+    val g = Multimodal.features(spark, asMedia(Seq(
+      (2L, Multimodal.encodeWav(1, 8, 8000,
+        Array.tabulate(128)(_.toByte), formatCode = 7), "audio/wav"))))
+      .collect().head
+    assert(g.decoded && g.channels === 1 && g.chanStd(0) > 0.0)
+  }
+
+  test("MP3: frame-walk geometry, re-tag-invariant checksum, no false sniffs") {
+    // synthetic MPEG-1 Layer III frames: 128 kbps, 44100 Hz, stereo →
+    // frame length 417+padding; zeroed payloads are structurally valid
+    def frame(padding: Int): Array[Byte] = {
+      val len = 144 * 128000 / 44100 + padding
+      val f = new Array[Byte](len)
+      f(0) = 0xff.toByte
+      f(1) = 0xfb.toByte // MPEG1, Layer III, no CRC
+      f(2) = ((9 << 4) | (0 << 2) | (padding << 1)).toByte // 128kbps, 44.1k
+      f(3) = 0x00 // stereo
+      f
+    }
+    val audio = frame(0) ++ frame(1) ++ frame(0)
+    val d = Multimodal.decode(spark, asMedia(Seq((1L, audio, "audio/mpeg")))).collect().head
+    assert(d.format === "audio/mpeg")
+    assert((d.width, d.height, d.channels) === ((3 * 1152, 1, 2)),
+      "3 frames x 1152 samples, stereo")
+    // an ID3v2 tag in front (re-tagging) must not change the checksum
+    val id3 = "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, 100) ++ new Array[Byte](100)
+    val tagged = id3 ++ audio
+    val dt = Multimodal.decode(spark, asMedia(Seq((2L, tagged, "audio/mpeg")))).collect().head
+    assert((dt.width, dt.channels) === ((3 * 1152, 2)))
+    assert(dt.checksum === d.checksum, "ID3v2 container metadata excluded from hash")
+    // features agree on the geometry through the header parse
+    val ft = Multimodal.features(spark, asMedia(Seq((2L, tagged, "audio/mpeg")))).collect().head
+    assert(!ft.decoded && (ft.width, ft.channels) === ((3 * 1152, 2)))
+    // a single stray sync word in text must NOT sniff as MP3 (needs a chain)
+    val noise = ("x" * 100).getBytes ++ Array(0xff.toByte, 0xfb.toByte, 0x90.toByte, 0.toByte) ++
+      ("y" * 500).getBytes
+    val dn = Multimodal.decode(spark, asMedia(Seq((3L, noise, "text")))).collect().head
+    assert(dn.format === "text", "unchained sync must stay a stub")
   }
 
   test("decode parses JPEG headers — true geometry, scan-only checksum, pixel decode honestly absent") {
@@ -399,8 +497,9 @@ class MultimodalSpec extends SparkSpec {
     // the same payload, not stubRecord's pseudo-geometry
     val scan = Array.tabulate(120)(i => (i % 200).toByte)
     val jpg = Multimodal.encodeJpegShell(320, 240, 3, scan)
+    // compressed-codec WAV (format 85): undecodable samples, parseable header
     val pcm = Array.tabulate(50 * 2 * 2)(i => (i * 17 % 255).toByte)
-    val wav = Multimodal.encodeWav(2, 16, 8000, pcm)
+    val wav = Multimodal.encodeWav(2, 16, 8000, pcm, formatCode = 85)
     val media = asMedia(Seq(
       (1L, jpg, "image/jpeg"), (2L, wav, "audio/wav"),
       (3L, "no header here".getBytes, "text")))
@@ -423,10 +522,12 @@ class MultimodalSpec extends SparkSpec {
     // no header at all → pseudo stub geometry, same in both APIs
     assert(feat(3L).width === dec(3L).width && feat(3L).height === dec(3L).height)
     assert((rez(3L).width, rez(3L).height, rez(3L).channels) === ((0, 0, 0)))
-    // >4-channel audio: stat arrays track the channel count, and std is not
-    // an aliased copy of mean bytes (independent seeds per array)
-    val pcm6 = Array.tabulate(30 * 6 * 2)(i => (i * 13 % 251).toByte)
-    val wav6 = Multimodal.encodeWav(6, 16, 8000, pcm6)
+    // >4-channel audio in a COMPRESSED codec (format 85 = MP3-in-WAV — no
+    // pure-JVM decode): features degrade to stub stats but carry the TRUE
+    // channel count from the fmt chunk; std is not an aliased copy of mean
+    // bytes (independent seeds per array)
+    val wav6 = Multimodal.encodeWav(6, 16, 8000,
+      Array.tabulate(30 * 6 * 2)(i => (i * 13 % 251).toByte), formatCode = 85)
     val f6 = Multimodal.features(spark, asMedia(Seq((7L, wav6, "audio/wav"))))
       .collect().head
     assert(!f6.decoded && f6.channels === 6)
@@ -434,11 +535,11 @@ class MultimodalSpec extends SparkSpec {
     assert(!(f6.chanStd sameElements f6.chanMean), "std must not alias mean bytes")
     // >8 channels: per-index splitmix mixing means entry 8 must NOT alias
     // entry 0 with period 8 (the old byte-offset scheme repeated after 8)
-    val pcm12 = Array.tabulate(30 * 12 * 2)(i => (i * 17 % 251).toByte)
-    val wav12 = Multimodal.encodeWav(12, 16, 8000, pcm12)
+    val wav12 = Multimodal.encodeWav(12, 16, 8000,
+      Array.tabulate(30 * 12 * 2)(i => (i * 17 % 251).toByte), formatCode = 85)
     val f12 = Multimodal.features(spark, asMedia(Seq((8L, wav12, "audio/wav"))))
       .collect().head
-    assert(f12.chanMean.length === 12 && f12.chanStd.length === 12)
+    assert(!f12.decoded && f12.chanMean.length === 12 && f12.chanStd.length === 12)
     assert(!(0 until 4).forall(i => f12.chanMean(i) == f12.chanMean(i + 8)),
       "stub chanMean must not repeat with period 8 above 8 channels")
     assert(!(0 until 4).forall(i => f12.chanStd(i) == f12.chanStd(i + 8)),

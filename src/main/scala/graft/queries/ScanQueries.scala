@@ -79,6 +79,34 @@ object ScanQueries {
              |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // The DSv2 connector read path end-to-end against the SQL oracle:
+    // ingest documents into a bucketed keyed table, mutate it (upsert +
+    // delete → two pending delta layers), then read back THROUGH
+    // spark.read.format("graft") — per-bucket shuffle-free merge-on-read
+    // with filter + projection pushed into the connector scan. The oracle
+    // reproduces the post-mutation state algebraically over the source
+    // table, so the whole write+merge+connector-read cycle is hash-gated.
+    QDef("s14_dsv2_connector_read",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s14_").toString
+        val cat = new KuduLikeCatalog(s, tmp)
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "lang")
+        cat.createTable(TableDef("docs_k", docs.schema, Seq("doc_id"), buckets = 8))
+        cat.insert("docs_k", docs)
+        cat.upsert("docs_k",
+          docs.filter(col("doc_id") < 20).withColumn("source", lit("upd")))
+        cat.delete("docs_k", col("doc_id") % 7 === 0)
+        s.read.format("graft").option("root", tmp).load("docs_k")
+          .filter(col("doc_id") < 200)
+          .select("doc_id", "source", "lang")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id < 20 THEN 'upd' ELSE source END AS source, lang
+             |FROM documents
+             |WHERE doc_id < 200 AND doc_id % 7 <> 0
+             |ORDER BY doc_id""".stripMargin)),
+
     // CTAS through the SQL router (Hive dialect the reference delegates to
     // hive-exec, reference pom.xml:28-31): schema from the SELECT, key from
     // the properties, rows through the strict dup-ignore insert. The oracle

@@ -1,0 +1,80 @@
+package graft.sources
+
+import graft.catalog.KuduLikeCatalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 catalog plugin: registers the graft table space as a Spark
+  * SQL catalog, so the SQL route reaches the same connector scan as
+  * `spark.read.format("graft")`:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalogPlugin].getName)
+  * spark.conf.set("spark.sql.catalog.graft.root", "/path/to/catalog/root")
+  * spark.sql("SELECT * FROM graft.mytable WHERE id = 5")
+  * }}}
+  *
+  * This is the SQL-facing half of the reference's storage-handler contract:
+  * Hive resolved `STORED BY 'KuduStorageHandler'` tables by name inside SQL
+  * queries (reference README.md:22-44); here the catalog plugin resolves
+  * `graft.<table>` to a [[GraftTable]], and Catalyst plans the same
+  * per-bucket merge-on-read scan with the same pushdown.
+  *
+  * Read-only by the same reasoning as [[GraftDataSource]]: creating/writing
+  * tables goes through [[KuduLikeCatalog]]'s transactional API (or the
+  * `GraftSql` DDL/DML router), which owns dup-ignore and atomic-commit
+  * semantics. The V2 mutation entry points therefore throw
+  * UnsupportedOperationException with a pointer at the right API.
+  */
+final class GraftCatalogPlugin extends TableCatalog {
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = options.get("root")
+    require(root != null,
+      s"catalog $name needs spark.sql.catalog.$name.root pointing at a graft catalog root")
+  }
+
+  override def name(): String = catalogName
+
+  private def cat = new KuduLikeCatalog(SparkSession.active, root)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    require(namespace.isEmpty, "graft catalog has a single flat namespace")
+    cat.tableNames.map(n => Identifier.of(Array.empty, n)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val n = ident.name()
+    if (!cat.exists(n))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName, n))
+    new GraftTable(root, n, cat.schemaOf(n))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = cat.exists(ident.name())
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft tables are created through KuduLikeCatalog.createTable / GraftSql " +
+        "(key columns + dup-ignore semantics live there), not through SQL DDL " +
+        "on the v2 catalog")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "use KuduLikeCatalog.addColumn(s) for online schema evolution")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "use KuduLikeCatalog.dropTable (managed-table delete semantics live there)")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft tables cannot be renamed")
+}

@@ -174,6 +174,38 @@ class DataSourceSpec extends SparkSpec {
     assert(render(readDs(root, "w")) === render(cat.table("w")))
   }
 
+  test("SQL catalog plugin: SELECT ... FROM graft.t reaches the connector scan") {
+    val (cat, root) = mkCat()
+    cat.createTable(TableDef("t", schema, Seq("id"), buckets = 4))
+    cat.insert("t", rows(100))
+    cat.upsert("t", { import spark.implicits._
+      Seq((5L, "UPD", -1.0, true, new Timestamp(1800000000000L)))
+        .toDF("id", "grp", "v", "ok", "ts") })
+    spark.conf.set("spark.sql.catalog.graftsql",
+      classOf[graft.sources.GraftCatalogPlugin].getName)
+    spark.conf.set("spark.sql.catalog.graftsql.root", root)
+    try {
+      // merge-on-read visible through plain SQL
+      assert(spark.sql("SELECT grp FROM graftsql.t WHERE id = 5")
+        .collect().map(_.getString(0)).toSeq === Seq("UPD"))
+      assert(spark.sql("SELECT count(*) FROM graftsql.t").collect().head.getLong(0) === 100)
+      // pushdown survives the SQL route too
+      val q = spark.sql("SELECT id, v FROM graftsql.t WHERE v > 100.0")
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("GraftScan") && p.contains("GreaterThan(v,100.0)"), p)
+      assert(q.count() === rows(100).filter(col("v") > 100.0).count())
+      // DDL stays on the transactional catalog API
+      intercept[UnsupportedOperationException] {
+        spark.sql("DROP TABLE graftsql.t")
+      }
+      assert(spark.sql("SHOW TABLES IN graftsql").collect().map(_.getString(1)).toSeq
+        === Seq("t"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graftsql.root")
+      spark.conf.unset("spark.sql.catalog.graftsql")
+    }
+  }
+
   test("session-default root conf makes load(name) work without options") {
     val (cat, root) = mkCat()
     cat.createTable(TableDef("t", schema, Seq("id"), buckets = 2))

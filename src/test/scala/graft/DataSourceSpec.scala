@@ -174,6 +174,30 @@ class DataSourceSpec extends SparkSpec {
     assert(render(readDs(root, "w")) === render(cat.table("w")))
   }
 
+  test("range+hash partitioned table: connector merges across __range dirs by bucket only") {
+    import spark.implicits._
+    // rows span 3 months; an upsert MOVES a key's timestamp to another
+    // month (its file changes __range dir but not bucket) — the per-bucket
+    // merge must still dedup it, which a per-(range,bucket) grouping would
+    // miss. This pins the grouping contract: buckets are the merge unit,
+    // range dirs only prune.
+    val (cat, root) = mkCat()
+    cat.createTable(TableDef("t", schema, Seq("id"), buckets = 2,
+      rangeCol = Some("ts")))
+    val jan = new Timestamp(1704067200000L) // 2024-01-01
+    val feb = new Timestamp(1706745600000L) // 2024-02-01
+    val mar = new Timestamp(1709251200000L) // 2024-03-01
+    cat.insert("t", (0 until 30).map(i =>
+      (i.toLong, s"g${i % 3}", i * 1.0, true, Seq(jan, feb, mar)(i % 3)))
+      .toDF("id", "grp", "v", "ok", "ts"))
+    cat.upsert("t", Seq((4L, "MOVED", 9.0, false, mar))
+      .toDF("id", "grp", "v", "ok", "ts")) // id 4 was jan (4 % 3 = 1 → feb)
+    val ds = readDs(root, "t")
+    assert(sortedRows(ds) === sortedRows(cat.table("t")))
+    assert(ds.count() === 30, "the moved key must not double-count")
+    assert(ds.filter(col("grp") === "MOVED").collect().map(_.getLong(0)).toSeq === Seq(4L))
+  }
+
   test("SQL catalog plugin: SELECT ... FROM graft.t reaches the connector scan") {
     val (cat, root) = mkCat()
     cat.createTable(TableDef("t", schema, Seq("id"), buckets = 4))

@@ -12,8 +12,12 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val time = args.contains("-t")
-    val reps = args.find(_.startsWith("-n")).map(_.drop(2).toInt).getOrElse(1)
-    val names = args.drop(1).filterNot(a => a == "-t" || a.startsWith("-n"))
+    // only a well-formed -n<digits> is a flag; anything else stays a query
+    // name (and a bare "-n" gets a usage error, not a NumberFormatException)
+    def isRepFlag(a: String) = a.startsWith("-n") && a.length > 2 && a.drop(2).forall(_.isDigit)
+    require(!args.contains("-n"), "usage: -n<count>, e.g. -n6")
+    val reps = args.find(isRepFlag).map(_.drop(2).toInt).getOrElse(1)
+    val names = args.drop(1).filterNot(a => a == "-t" || isRepFlag(a))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -88,8 +88,10 @@ object Multimodal {
             else if (isPng(bytes)) decodePng(id, bytes)
             else if (isWav(bytes)) decodeWav(id, bytes)
             else if (isJpeg(bytes)) decodeJpeg(id, bytes)
-            else if (isMp3(bytes)) decodeMp3(id, bytes)
-            else stubRecord(id, bytes, fmt)
+            else mp3GeometryOpt(bytes) match {
+              case Some(g) => decodeMp3(id, bytes, g)
+              case None => stubRecord(id, bytes, fmt)
+            }
           } catch {
             case scala.util.control.NonFatal(_) => stubRecord(id, bytes, fmt)
           }
@@ -394,7 +396,11 @@ object Multimodal {
     try {
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
-        require(n > 0 || !inf.needsInput(), s"PNG: truncated IDAT stream")
+        // a zero-progress inflate must FAIL, never spin: truncated input
+        // (needsInput), a preset-dictionary stream (needsDictionary — legal
+        // zlib, never produced by PNG encoders), or any other stall would
+        // otherwise hang the task instead of degrading the record
+        require(n > 0, s"PNG: IDAT stream stalled (truncated or FDICT)")
         off += n
       }
     } finally inf.end()
@@ -895,6 +901,9 @@ object Multimodal {
       if (!isWav(b)) None
       else {
         val l = wavLayout(b)
+        // an empty data chunk has no samples to featurize — stub path
+        // (mean/std over zero frames would be NaN with decoded=true)
+        if (l.dataLen <= 0) return None
         l.fmtCode match {
           case 1 if Set(8, 16, 24, 32).contains(l.bits) =>
             val bps = l.bits / 8
@@ -1000,16 +1009,22 @@ object Multimodal {
     (first, math.min(samples, Int.MaxValue.toLong).toInt, ch)
   }
 
-  private def isMp3(b: Array[Byte]): Boolean =
-    try { mp3Geometry(b); true } catch { case _: Exception => false }
+  /** Sniff and parse in ONE walk — the 64 KB sync search + frame chain is
+    * the expensive part, so callers take the parsed result instead of
+    * re-walking (a separate isMp3-then-parse pair would double the
+    * per-record CPU on the media path).
+    */
+  private def mp3GeometryOpt(b: Array[Byte]): Option[(Int, Int, Int)] =
+    try Some(mp3Geometry(b)) catch { case _: Exception => None }
 
   /** MP3 record: width = total samples per channel (from the frame walk),
     * height = 1, channels from the frame header; checksum over the frame
     * chain region (the leading ID3v2 tag — container metadata — excluded,
     * so re-tagging the same audio hashes identically).
     */
-  private def decodeMp3(id: Long, b: Array[Byte]): DecodedMedia = {
-    val (audioOff, samples, ch) = mp3Geometry(b)
+  private def decodeMp3(id: Long, b: Array[Byte],
+      g: (Int, Int, Int)): DecodedMedia = {
+    val (audioOff, samples, ch) = g
     DecodedMedia(id, "audio/mpeg", b.length.toLong, samples, 1, ch,
       fnv(b, audioOff, b.length, FnvSeed))
   }
@@ -1207,10 +1222,7 @@ object Multimodal {
         val (h, w, nc, _) = jpegSof(b)
         Some((w, h, nc))
       } else if (isWav(b)) Some(wavGeometry(b))
-      else if (isMp3(b)) {
-        val (_, samples, ch) = mp3Geometry(b)
-        Some((samples, 1, ch))
-      } else None
+      else mp3GeometryOpt(b).map { case (_, samples, ch) => (samples, 1, ch) }
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** WAV frame/channel geometry from the fmt and data chunks — the header

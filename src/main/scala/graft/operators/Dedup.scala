@@ -23,26 +23,25 @@ object Dedup {
     * `unpersist(blocking = false)` is safe against a concurrent reader of
     * the old frame: missing blocks are recomputed, never wrong.
     *
-    * Same-plan reuse (round-6 fix): when the new frame's analyzed plan is
-    * the same as the slot's current one (re-running the same query — every
-    * bench loop), the OLD frame is returned instead of persist-then-
-    * unpersist. Spark's CacheManager keys cache entries by plan, so the old
-    * sequence re-registered the same entry and then dropped it via the old
-    * frame's unpersist — the staged frame was never actually cached on
-    * repeat runs (the "Asked to cache already cached data" warning was this
-    * bug talking) and every consumer re-computed the shingle explode.
+    * Release order matters (round-6 fix): the previous slot is unpersisted
+    * BEFORE the new frame is persisted. Spark's CacheManager keys cache
+    * entries by plan, so the reverse order (persist-then-unpersist) dropped
+    * the very entry the new persist had just re-registered whenever the two
+    * calls carried the same plan — the staged frame was never actually
+    * cached on repeat runs (the "Asked to cache already cached data"
+    * warning was this bug talking) and every consumer re-computed the
+    * shingle explode. Unpersist-first keeps each call FRESH — an internal
+    * cache must never serve a previous corpus snapshot after the input
+    * files were rewritten — while the call's own consumers (sizes, df cap,
+    * candidates, verification) share one materialization.
     */
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def stage(slot: String, df: DataFrame): DataFrame = {
-    val prev = staged.get(slot)
-    if (prev != null &&
-        prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)) prev
-    else {
-      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Option(staged.put(slot, p)).filter(_ ne p).foreach(_.unpersist(false))
-      p
-    }
+    Option(staged.remove(slot)).foreach(_.unpersist(false))
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    staged.put(slot, p)
+    p
   }
 
   /** D1 — exact dedup by content hash: deterministic survivor = lowest id

@@ -52,13 +52,16 @@ final class GraftCatalogPlugin extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     val n = ident.name()
-    if (!cat.exists(n))
+    // the namespace is part of the identity: graft.bogus.t must NOT
+    // silently resolve to the flat-namespace t
+    if (ident.namespace().nonEmpty || !cat.exists(n))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-        Seq(catalogName, n))
+        (Seq(catalogName) ++ ident.namespace() :+ n).toSeq)
     new GraftTable(root, n, cat.schemaOf(n))
   }
 
-  override def tableExists(ident: Identifier): Boolean = cat.exists(ident.name())
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace().isEmpty && cat.exists(ident.name())
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table =

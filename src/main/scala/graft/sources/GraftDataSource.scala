@@ -309,18 +309,34 @@ private[sources] final class GraftPartitionReader(
     }
   }
 
-  private def keyOf(row: Array[Any]): Seq[Any] =
-    keyIdx.toSeq.map { i =>
-      row(i) match {
+  /** Hash key for the overlay probe: one array + one wrapper per row (the
+    * ArraySeq wraps without copying and carries content equals/hashCode) —
+    * this runs once per base row on delta-bearing scans, so no per-element
+    * collection chains.
+    */
+  private def keyOf(row: Array[Any]): Seq[Any] = {
+    val k = new Array[Any](keyIdx.length)
+    var i = 0
+    while (i < keyIdx.length) {
+      k(i) = row(keyIdx(i)) match {
         case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
         case v => v
       }
+      i += 1
     }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(k)
+  }
 
-  // ---- base stream (parquet-filtered) then overlay winners
+  // ---- base stream (parquet-filtered) then overlay winners. The active
+  // file iterator is tracked so an early-terminated scan (limit/take/task
+  // kill) can release its parquet reader in close() — iterators only close
+  // themselves at EOF.
+  private var activeFile: GroupFileIterator = _
   private val baseIter: Iterator[Array[Any]] =
     part.baseFiles.iterator.flatMap { f =>
-      new GroupFileIterator(f, readFields, pushed) // closes itself at EOF
+      val it = new GroupFileIterator(f, readFields, pushed)
+      activeFile = it
+      it
     }.filter(row => !hasDeltas || !overlay.containsKey(keyOf(row)))
   private val overlayIter: Iterator[Array[Any]] =
     if (!hasDeltas) Iterator.empty
@@ -341,7 +357,7 @@ private[sources] final class GraftPartitionReader(
     } else false
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = if (activeFile != null) activeFile.close()
 }
 
 /** Streaming parquet-mr reader for one file: projects `fields` (null-filling
@@ -357,6 +373,10 @@ private[sources] final class GroupFileIterator(
 
   private val conf = new Configuration()
   private val hPath = new org.apache.hadoop.fs.Path(file)
+  // footer is read twice per file (once here for the schema, once inside
+  // ParquetReader.build()) — the simple-API cost; the production upgrade is
+  // the row-group-level ParquetFileReader API (single open) or Spark's
+  // vectorized reader behind the same partition planning
   private val fileSchema: MessageType = {
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
     try r.getFooter.getFileMetaData.getSchema finally r.close()

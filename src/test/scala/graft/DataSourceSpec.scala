@@ -224,6 +224,10 @@ class DataSourceSpec extends SparkSpec {
       }
       assert(spark.sql("SHOW TABLES IN graftsql").collect().map(_.getString(1)).toSeq
         === Seq("t"))
+      // a namespaced identifier must NOT silently resolve to the flat table
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT * FROM graftsql.bogus.t").collect()
+      }
     } finally {
       spark.conf.unset("spark.sql.catalog.graftsql.root")
       spark.conf.unset("spark.sql.catalog.graftsql")

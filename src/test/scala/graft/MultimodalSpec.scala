@@ -202,6 +202,13 @@ class MultimodalSpec extends SparkSpec {
         Array.tabulate(128)(_.toByte), formatCode = 7), "audio/wav"))))
       .collect().head
     assert(g.decoded && g.channels === 1 && g.chanStd(0) > 0.0)
+    // an empty data chunk has nothing to featurize: stub path, never
+    // decoded=true with NaN stats
+    val empty = Multimodal.features(spark, asMedia(Seq(
+      (3L, Multimodal.encodeWav(2, 16, 8000, Array.emptyByteArray), "audio/wav"))))
+      .collect().head
+    assert(!empty.decoded, "zero-frame WAV must not claim decoded features")
+    assert(empty.chanMean.forall(v => !v.isNaN) && empty.chanStd.forall(v => !v.isNaN))
   }
 
   test("MP3: frame-walk geometry, re-tag-invariant checksum, no false sniffs") {

@@ -154,6 +154,38 @@ object ScanQueries {
 
     // Inline VALUES source — the reference's own demo insert
     // (reference: README.md:35 `insert into test_drop values (1,'a'),...`).
+    // The DSv2 connector WRITE path end-to-end against the SQL oracle:
+    // every mutation goes through df.write.format("graft") — append (the
+    // dup-ignore insert: the second append's overlapping keys are silently
+    // dropped, so its 'xx' lang lands only on genuinely-new rows) and
+    // operation=upsert (last-wins payload replacement) — then reads back
+    // through the connector scan. With s14 (connector read over catalog
+    // mutations) this closes the loop: the storage layer is fully
+    // connector-shaped for BOTH directions, matching the reference's
+    // read/write KuduStorageHandler seam (KuduStorageHandler.java:54-68).
+    QDef("s15_connector_write",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s15_").toString
+        val cat = new KuduLikeCatalog(s, tmp)
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "lang")
+        cat.createTable(TableDef("docs_w", docs.schema, Seq("doc_id"), buckets = 8))
+        docs.filter(col("doc_id") % 3 === 0)
+          .write.format("graft").option("root", tmp).mode("append").save("docs_w")
+        docs.withColumn("lang", lit("xx"))
+          .write.format("graft").option("root", tmp).mode("append").save("docs_w")
+        docs.filter(col("doc_id") < 50).withColumn("source", lit("upd"))
+          .write.format("graft").option("root", tmp)
+          .option("operation", "upsert").mode("append").save("docs_w")
+        s.read.format("graft").option("root", tmp).load("docs_w")
+          .filter(col("doc_id") < 300)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id < 50 THEN 'upd' ELSE source END AS source,
+             |  CASE WHEN doc_id >= 50 AND doc_id % 3 <> 0 THEN 'xx' ELSE lang END AS lang
+             |FROM documents WHERE doc_id < 300
+             |ORDER BY doc_id""".stripMargin)),
+
     QDef("s10_values_inline",
       (s, _) => {
         import s.implicits._

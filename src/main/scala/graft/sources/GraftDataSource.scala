@@ -61,12 +61,23 @@ import scala.jdk.CollectionConverters._
   * small side by construction (compact folds them into the base); base
   * files — the 100-TB side — get the pushdown.
   *
-  * Scope: batch READ. Writes keep going through the catalog's transactional
-  * API (insert/upsert/delete/overwrite own the dup-ignore and atomic-commit
-  * semantics); a `SupportsWrite` implementation would have to re-own those,
-  * which is the catalog's job. File listing walks the local filesystem —
-  * the sandbox's storage; a production deployment would swap a remote
-  * FileIndex here without touching the scan/merge logic.
+  * Writes are connector-shaped too — `df.write.format("graft")
+  * .mode("append").save("t")`, SQL `INSERT INTO graft.t` / `INSERT
+  * OVERWRITE graft.t` — but route through the V1Write seam
+  * ([[GraftWriteBuilder]]): the builder hands Spark an
+  * `InsertableRelation` whose insert() calls the catalog's transactional
+  * API, so dup-ignore, upsert-last-wins, null-key rejection, and the
+  * crash-consistent overwrite commit stay owned in ONE place
+  * (KuduLikeCatalog) instead of being re-implemented per-task here. That
+  * mirrors the reference exactly: `KuduStorageHandler` binds table
+  * metadata while the write semantics live server-side in Kudu
+  * (reference KuduStorageHandler.java:54-68 — the handler never owns
+  * uniqueness; the storage engine does). The `operation` write option
+  * (`insert` = dup-ignore, default; `upsert` = last-wins) is the analog
+  * of the Kudu connector's `kudu.operation`. File listing walks the
+  * local filesystem — the sandbox's storage; a production deployment
+  * would swap a remote FileIndex here without touching the scan/merge
+  * logic.
   */
 final class GraftDataSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -118,13 +129,67 @@ object GraftDataSource {
 }
 
 private[sources] final class GraftTable(root: String, tableName: String,
-    tableSchema: StructType) extends Table with SupportsRead {
+    tableSchema: StructType) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft.$tableName"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    // BATCH_WRITE admits the v2 write plan (DataFrameWriter requires the
+    // literal capability); V1_BATCH_WRITE + the V1Write from build() then
+    // route execution through the batch-relational fallback exec
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, tableName, tableSchema)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(root, tableName, tableSchema, info)
+}
+
+/** Connector write seam. V1Write (the JDBC-connector pattern) rather than a
+  * per-task DataWriter: the catalog's write semantics are BATCH-relational —
+  * dup-ignore needs an anti-join against current table state, upsert needs
+  * a last-wins dedup across the whole incoming batch, overwrite needs the
+  * staged-base manifest-repoint commit — so the correct unit of work is the
+  * incoming DataFrame, not a task-local row stream. The catalog already
+  * distributes the heavy lifting (partitioned parquet writes, key-hash
+  * bucketing); re-owning uniqueness per-task here would either break
+  * batch-level semantics or duplicate the catalog. Spark resolves the
+  * incoming columns against `schema()` (positionally for the writer API,
+  * by-name for SQL INSERT) before the V1 fallback hands over the frame.
+  */
+private[sources] final class GraftWriteBuilder(root: String, tableName: String,
+    tableSchema: StructType,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+  extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var truncateAll = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    truncateAll = true; this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      private val op = Option(info.options.get("operation")).getOrElse("insert")
+      require(op == "insert" || op == "upsert",
+        s"graft write option operation=$op (expected insert or upsert)")
+      override def toInsertableRelation(): org.apache.spark.sql.sources.InsertableRelation =
+        new org.apache.spark.sql.sources.InsertableRelation {
+          override def insert(data: org.apache.spark.sql.DataFrame,
+              overwrite: Boolean): Unit = {
+            val cat = new KuduLikeCatalog(data.sparkSession, root)
+            // columns are already aligned/cast by the analyzer; restore the
+            // table's names (the writer API aligns positionally and may
+            // carry source-side names)
+            val aligned = data.toDF(tableSchema.fieldNames.toIndexedSeq: _*)
+            if (truncateAll || overwrite) cat.overwrite(tableName, aligned)
+            else if (op == "upsert") cat.upsert(tableName, aligned)
+            else cat.insert(tableName, aligned)
+          }
+        }
+    }
 }
 
 private[sources] final class GraftScanBuilder(root: String, tableName: String,

@@ -220,7 +220,8 @@ class PlanSpec extends SparkSpec {
     // full write workloads per sweep. Their plans are pinned by the
     // dedicated S6/write-path tests; the readback SELECTs cannot introduce
     // a join at all.
-    val writePath = Set("s6_insert_dup_ignore", "s12_ctas", "s13_insert_overwrite")
+    val writePath = Set("s6_insert_dup_ignore", "s12_ctas", "s13_insert_overwrite",
+      "s14_dsv2_connector_read", "s15_connector_write")
     val offenders = SparkEntry.all.filterNot(q => writePath(q.name)).map { q =>
       q.name -> q.fn(spark, sf).queryExecution.explainString(FormattedMode)
     }.collect { case (n, p)

@@ -87,6 +87,7 @@ object Multimodal {
             else if (isPpm(bytes)) decodePpm(id, bytes)
             else if (isPng(bytes)) decodePng(id, bytes)
             else if (isWav(bytes)) decodeWav(id, bytes)
+            else if (Flac.isFlac(bytes)) decodeFlac(id, bytes)
             else if (isJpeg(bytes)) decodeJpeg(id, bytes)
             else mp3GeometryOpt(bytes) match {
               case Some(g) => decodeMp3(id, bytes, g)
@@ -891,14 +892,57 @@ object Multimodal {
     out
   }
 
+  /** FLAC: REAL pure-JVM sample decode ([[Flac.decode]] — full subset:
+    * fixed/LPC prediction, Rice partitions, all stereo decorrelations,
+    * CRC-8/16 + MD5 verified). The record maps onto the audio shape like
+    * WAV: width = frames per channel, height = 1. The checksum covers the
+    * DECODED samples as little-endian bytes at native depth — byte-
+    * identical to the `data` chunk of a PCM WAV carrying the same audio,
+    * so one recording hashes to the SAME value through either container
+    * (cross-codec exact dedup; holds for the signed depths 16/24 — WAV
+    * 8-bit is unsigned by format). Streams outside the envelope (unknown
+    * total, bad CRC, >64 MB decoded) degrade to the STREAMINFO header
+    * record — true geometry, frame-bytes checksum — never to a failure.
+    */
+  private def decodeFlac(id: Long, b: Array[Byte]): DecodedMedia =
+    try {
+      val d = Flac.decode(b)
+      val pcm = Flac.samplesToLeBytes(d.samples, d.bitsPerSample)
+      DecodedMedia(id, "audio/flac", b.length.toLong, d.samples.length / d.channels,
+        1, d.channels, fnv(pcm, 0, pcm.length, FnvSeed))
+    } catch { case scala.util.control.NonFatal(_) => decodeFlacHeader(id, b) }
+
+  /** FLAC header fallback: TRUE geometry from STREAMINFO, checksum over
+    * the audio-frame region (metadata blocks — tags, padding — excluded,
+    * so re-tagging the same stream hashes identically, matching the MP3
+    * and JPEG-header conventions).
+    */
+  private def decodeFlacHeader(id: Long, b: Array[Byte]): DecodedMedia = {
+    val si = Flac.streamInfo(b)
+    val off = try Flac.audioStart(b) catch { case scala.util.control.NonFatal(_) => 42 }
+    DecodedMedia(id, "audio/flac", b.length.toLong,
+      math.min(si.totalSamples, Int.MaxValue.toLong).toInt, 1, si.channels,
+      fnv(b, math.min(off, b.length), b.length, FnvSeed))
+  }
+
   /** Normalized interleaved samples for the decodable audio envelope —
-    * PCM 8 (unsigned) / 16 / 24 / 32 (signed LE) and G.711 µ-law/A-law —
-    * in [-1, 1]. Returns (framesPerChannel, channels, samples); None
-    * outside the envelope. The features() audio branch runs on these.
+    * PCM 8 (unsigned) / 16 / 24 / 32 (signed LE), G.711 µ-law/A-law, and
+    * FLAC — in [-1, 1]. Returns (framesPerChannel, channels, samples);
+    * None outside the envelope. The features() audio branch runs on these.
     */
   private def audioSamplesOf(b: Array[Byte]): Option[(Int, Int, Array[Double])] =
     try {
-      if (!isWav(b)) None
+      if (Flac.isFlac(b)) {
+        val d = Flac.decode(b)
+        if (d.samples.length == 0) None
+        else {
+          val scale = (1L << (d.bitsPerSample - 1)).toDouble
+          val out = new Array[Double](d.samples.length)
+          var i = 0
+          while (i < d.samples.length) { out(i) = d.samples(i) / scale; i += 1 }
+          Some((d.samples.length / d.channels, d.channels, out))
+        }
+      } else if (!isWav(b)) None
       else {
         val l = wavLayout(b)
         // an empty data chunk has no samples to featurize — stub path
@@ -1222,7 +1266,10 @@ object Multimodal {
         val (h, w, nc, _) = jpegSof(b)
         Some((w, h, nc))
       } else if (isWav(b)) Some(wavGeometry(b))
-      else mp3GeometryOpt(b).map { case (_, samples, ch) => (samples, 1, ch) }
+      else if (Flac.isFlac(b)) {
+        val si = Flac.streamInfo(b)
+        Some((math.min(si.totalSamples, Int.MaxValue.toLong).toInt, 1, si.channels))
+      } else mp3GeometryOpt(b).map { case (_, samples, ch) => (samples, 1, ch) }
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** WAV frame/channel geometry from the fmt and data chunks — the header

@@ -821,7 +821,10 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.encodePpm(8, 8, px),
       Multimodal.encodePng(8, 8, px),
       graft.multimodal.Jpeg.encode(8, 8, 3, px, quality = 90),
-      Multimodal.encodeWav(2, 16, 8000, px))
+      Multimodal.encodeWav(2, 16, 8000, px),
+      graft.multimodal.Flac.encode(
+        Array.tabulate(96)(i => (math.sin(i * 0.2) * 5000).toInt), 2, 16, 8000,
+        graft.multimodal.Flac.EncodeOptions(blockSize = 32)))
     val mutated: Seq[(Long, Array[Byte], String)] = (0 until 200).map { i =>
       val base = seeds(i % seeds.length)
       val b = base.clone()
@@ -876,6 +879,128 @@ class MultimodalSpec extends SparkSpec {
     val top1 = graft.operators.Similarity.bruteForceTopK(emb, emb, 1, "id", "embedding")
       .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("id")).toMap
     assert(top1 === Map(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L, 5L -> 6L, 6L -> 5L))
+  }
+
+  test("FLAC round-trip: bit-exact across depths, stereo modes, subframe types, partitions") {
+    import graft.multimodal.Flac
+    // deterministic mixed signal: sine carrier + LCG noise + a constant run
+    // (so auto mode exercises CONSTANT, FIXED selection, and wasted bits)
+    def signal(n: Int, ch: Int, bits: Int, seed: Long): Array[Int] = {
+      val amp = (1 << (bits - 2)) - 1
+      var s = seed
+      Array.tabulate(n * ch) { i =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        val noise = ((s >>> 40) % 64).toInt - 32
+        if (i / ch < 32) amp / 2 // leading constant run
+        else (math.sin(i * 0.05) * amp).toInt + noise
+      }
+    }
+    def rt(samples: Array[Int], ch: Int, bits: Int,
+        opts: Flac.EncodeOptions, label: String): Unit = {
+      val enc = Flac.encode(samples, ch, bits, 8000, opts)
+      assert(Flac.isFlac(enc), s"$label: encoder output must sniff as FLAC")
+      val dec = Flac.decode(enc)
+      assert(dec.channels === ch && dec.bitsPerSample === bits, label)
+      assert(dec.samples.toSeq === samples.toSeq,
+        s"$label: lossless round trip must be bit-exact")
+    }
+    // depth x partition sweep (mono) — incl. a partial last block
+    rt(signal(1000, 1, 8, 1L), 1, 8, Flac.EncodeOptions(blockSize = 256), "mono8")
+    rt(signal(1000, 1, 16, 2L), 1, 16,
+      Flac.EncodeOptions(blockSize = 256, partitionOrder = 2), "mono16 part2")
+    rt(signal(777, 1, 24, 3L), 1, 24,
+      Flac.EncodeOptions(blockSize = 512, partitionOrder = 1), "mono24 partial-last")
+    // every stereo decorrelation — the side channel carries the +1 bit
+    for (mode <- Seq("independent", "left_side", "right_side", "mid_side"))
+      rt(signal(600, 2, 16, 4L), 2, 16,
+        Flac.EncodeOptions(blockSize = 128, stereo = mode), s"stereo $mode")
+    // every subframe type, forced
+    rt(signal(300, 1, 16, 5L), 1, 16,
+      Flac.EncodeOptions(blockSize = 128, subframe = "verbatim"), "verbatim")
+    rt(signal(300, 1, 16, 6L), 1, 16,
+      Flac.EncodeOptions(blockSize = 128, subframe = "lpc"), "lpc")
+    for (o <- 0 to 4)
+      rt(signal(300, 1, 16, 7L + o), 1, 16,
+        Flac.EncodeOptions(blockSize = 64, subframe = s"fixed$o"), s"fixed$o")
+    // wasted bits: all samples share 3 trailing zero bits
+    rt(signal(400, 1, 16, 20L).map(v => (v >> 3) << 3), 1, 16,
+      Flac.EncodeOptions(blockSize = 128), "wasted-bits")
+    // raw-escape partition: near-silent block with one huge spike — the
+    // Rice quotient would explode, so the encoder must take the escape
+    val spiky = Array.tabulate(4096)(i => if (i == 2048) 20000 else i % 2)
+    rt(spiky, 1, 16,
+      Flac.EncodeOptions(blockSize = 4096, subframe = "fixed0",
+        detectWastedBits = false), "escape")
+    // all-silence stream (constant-zero subframes, zero predictor)
+    rt(new Array[Int](512), 1, 16, Flac.EncodeOptions(blockSize = 256), "silence")
+  }
+
+  test("FLAC decode: real samples, cross-container checksum parity with WAV") {
+    import graft.multimodal.Flac
+    // one stereo 16-bit recording through BOTH containers: the FLAC record
+    // checksums DECODED samples as LE bytes, which is byte-identical to
+    // the WAV data chunk — same audio, same hash, either container
+    val frames = 500
+    val samples = Array.tabulate(frames * 2) { i =>
+      (math.sin(i * 0.03) * 12000).toInt + (if (i % 2 == 0) 100 else -100)
+    }
+    val flac = Flac.encode(samples, 2, 16, 8000,
+      Flac.EncodeOptions(blockSize = 128, stereo = "mid_side"))
+    val wav = Multimodal.encodeWav(2, 16, 8000, Flac.samplesToLeBytes(samples, 16))
+    val out = Multimodal.decode(spark, asMedia(Seq(
+      (1L, flac, "audio/flac"), (2L, wav, "audio/wav")))).collect().sortBy(_.id)
+    val Array(f, w) = out
+    assert(f.format === "audio/flac" && w.format === "audio/wav")
+    assert((f.width, f.height, f.channels) === ((frames, 1, 2)))
+    assert(f.checksum === w.checksum,
+      "same recording must hash identically through FLAC and WAV")
+    // features run on real samples and agree EXACTLY across containers
+    // (both paths normalize the same integers by the same 2^15)
+    val feats = Multimodal.features(spark, asMedia(Seq(
+      (1L, flac, "audio/flac"), (2L, wav, "audio/wav")))).collect().sortBy(_.id)
+    val Array(ff, wf) = feats
+    assert(ff.decoded && wf.decoded)
+    assert(ff.chanMean.toSeq === wf.chanMean.toSeq)
+    assert(ff.chanStd.toSeq === wf.chanStd.toSeq)
+    assert(ff.lumaHist.toSeq === wf.lumaHist.toSeq)
+  }
+
+  test("FLAC degrade: corruption, declared-size bombs, fake magic — never a drop") {
+    import graft.multimodal.Flac
+    val samples = Array.tabulate(600)(i => (math.sin(i * 0.04) * 9000).toInt)
+    val good = Flac.encode(samples, 1, 16, 8000, Flac.EncodeOptions(blockSize = 256))
+    // corrupt a byte deep in the frame region: CRC catches it, the record
+    // degrades to the STREAMINFO header parse with TRUE geometry
+    val corrupt = good.clone()
+    corrupt(good.length - 40) = (corrupt(good.length - 40) ^ 0x55).toByte
+    // declared-size bomb: patch STREAMINFO total-samples to ~2^35 — decode
+    // must refuse before allocating and degrade to the header record
+    val bomb = good.clone()
+    // byte 21 = (bps-1 low nibble << 4) | total[35:32]: keep bps=16 valid,
+    // declare 2^35 samples
+    bomb(21) = 0xf8.toByte; bomb(22) = 0; bomb(23) = 0; bomb(24) = 0; bomb(25) = 0
+    // text that begins with the magic must not sniff as FLAC
+    val fake = ("fLaC this is not actually a flac stream, just text with " +
+      "the right four leading bytes and enough length").getBytes("US-ASCII")
+    val out = Multimodal.decode(spark, asMedia(Seq(
+      (1L, corrupt, "audio/flac"), (2L, bomb, "audio/flac"), (3L, fake, "text"))))
+      .collect().sortBy(_.id)
+    assert(out.length === 3, "every record survives")
+    val Array(c, bm, fk) = out
+    assert(c.format === "audio/flac" && (c.width, c.channels) === ((600, 1)),
+      "corrupt stream keeps STREAMINFO geometry")
+    assert(c.checksum !== Multimodal.decode(spark,
+      asMedia(Seq((1L, good, "audio/flac")))).collect().head.checksum,
+      "header-fallback hash is over frame bytes, not decoded samples")
+    assert(bm.format === "audio/flac" && bm.height === 1,
+      "bomb degrades to header record, no allocation")
+    assert(fk.format === "text", "structural sniff rejects magic-only text")
+    // features on the corrupt stream: stub features, but geometry still
+    // agrees with decode() (the two-API geometry invariant)
+    val cf = Multimodal.features(spark,
+      asMedia(Seq((1L, corrupt, "audio/flac")))).collect().head
+    assert(!cf.decoded)
+    assert((cf.width, cf.height, cf.channels) === ((c.width, c.height, c.channels)))
   }
 
   test("sampleEvery keeps every stride-th id") {

@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output goes straight to this process's stdout/stderr —
+// the default LoggedOutput prefixes every line with [info]/[error], which
+// corrupts the one-line JSON metric contract Bench prints for the harness
+// (the artifact parser expects a bare `{"metric":...}` line on stdout).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

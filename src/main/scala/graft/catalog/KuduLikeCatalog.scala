@@ -320,6 +320,19 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * hash buckets inner — Kudu's combined range+hash partitioning. Rows are
     * sorted by key within each output partition so parquet row-group
     * min/max statistics prune key lookups inside a partition too.
+    *
+    * Partitioned writes REPARTITION on the directory-partition columns
+    * first (the standard repartition-before-partitionBy discipline):
+    * without it every shuffle task holds rows of every (range, bucket)
+    * combination and writes a file into every directory — a batch into a
+    * 12-month × 32-bucket table under 32-way parallelism would shatter
+    * into ~12k tiny files, and scan planning degrades with file count
+    * (exactly the small-files decay [[compact]] exists to repair). With
+    * it, each directory's rows coalesce into the task(s) owning that
+    * directory: one right-sized file per partition dir per batch — the
+    * Kudu shape, where exactly one tablet owns a (range, hash) partition's
+    * writes. One extra hash shuffle per write batch is the price, paid on
+    * the batch (the small side), never the standing table.
     */
   private def writePartitioned(
       df: DataFrame, keys: Seq[String], buckets: Int, rangeCol: Option[String],
@@ -334,11 +347,12 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       out = out.withColumn(BucketCol, bucketExpr(keys, buckets))
       parts += BucketCol
     }
-    val sorted = out.sortWithinPartitions(keys.map(col): _*)
-    if (parts.nonEmpty)
-      sorted.write.partitionBy(parts.toSeq: _*).mode(mode).parquet(dir)
-    else
-      sorted.write.mode(mode).parquet(dir)
+    if (parts.nonEmpty) {
+      val clustered = out.repartition(parts.toSeq.map(col): _*)
+        .sortWithinPartitions(keys.map(col): _*)
+      clustered.write.partitionBy(parts.toSeq: _*).mode(mode).parquet(dir)
+    } else
+      out.sortWithinPartitions(keys.map(col): _*).write.mode(mode).parquet(dir)
   }
 
   /** Maintenance: rewrite the table into defaultParallelism-sized files

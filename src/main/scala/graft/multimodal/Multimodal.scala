@@ -1027,7 +1027,12 @@ object Multimodal {
     if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
       val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
         ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
-      start = 10 + sz
+      // ID3v2.4 footer flag (header flag byte, bit 4): the tag carries a
+      // 10-byte trailing footer NOT counted in the size field — skipping
+      // only 10+sz would leave the footer inside the checksum region and
+      // break re-tagging invariance between footer/no-footer tags
+      val footer = if ((b(5) & 0x10) != 0) 10 else 0
+      start = 10 + sz + footer
     }
     def chains(j: Int): Boolean = mp3Frame(b, j) match {
       case Some((len, _, _)) => j + len + 4 <= b.length && mp3Frame(b, j + len).isDefined

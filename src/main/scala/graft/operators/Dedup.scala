@@ -37,12 +37,14 @@ object Dedup {
     */
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def stage(slot: String, df: DataFrame): DataFrame = {
-    Option(staged.remove(slot)).foreach(_.unpersist(false))
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    staged.put(slot, p)
-    p
-  }
+  private def stage(slot: String, df: DataFrame): DataFrame =
+    // atomic per slot: a remove→persist→put sequence under two concurrent
+    // callers could interleave and leak a persisted frame nobody tracks;
+    // compute() serializes the swap on the slot's bin
+    staged.compute(slot, (_, old) => {
+      if (old != null) old.unpersist(false)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** D1 — exact dedup by content hash: deterministic survivor = lowest id
     * per sha2-256 of the content. One shuffle on the hash.

@@ -107,6 +107,40 @@ object ScanQueries {
              |WHERE doc_id < 200 AND doc_id % 7 <> 0
              |ORDER BY doc_id""".stripMargin)),
 
+    // The connector read path over a RANGE+hash partitioned table with a
+    // time predicate: pushed range filters prune __range= month directories
+    // at planning time (GraftScan.rangePruner — the connector analog of the
+    // reference's scan-range bounds, HiveKuduTableInputFormat.java:466-467)
+    // while the delete's tombstone layer still merges per bucket. The
+    // oracle reproduces the post-mutation state algebraically, so pruning
+    // that over- or under-scans a boundary month is a hash mismatch.
+    QDef("s16_connector_range_read",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s16_").toString
+        val cat = new KuduLikeCatalog(s, tmp)
+        val orders = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        cat.createTable(TableDef("orders_r", orders.schema, Seq("o_orderkey"),
+          buckets = 4, rangeCol = Some("o_orderdate")))
+        cat.insert("orders_r", orders)
+        cat.delete("orders_r", col("o_orderkey") % 5 === 0)
+        s.read.format("graft").option("root", tmp).load("orders_r")
+          // string→timestamp casts parse under the SESSION zone (UTC in the
+          // harness) — a java.sql.Timestamp literal would parse under the
+          // JVM default zone and break oracle parity off-UTC
+          .filter(col("o_orderdate") >= lit("1995-02-15 00:00:00").cast("timestamp")
+            && col("o_orderdate") < lit("1995-04-15 00:00:00").cast("timestamp"))
+          .select(col("o_orderkey"), d182(col("o_totalprice")).as("price"),
+            col("o_orderdate"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_orderdate
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1995-02-15 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1995-04-15 00:00:00'
+             |  AND o_orderkey % 5 <> 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // CTAS through the SQL router (Hive dialect the reference delegates to
     // hive-exec, reference pom.xml:28-31): schema from the SELECT, key from
     // the properties, rows through the strict dup-ignore insert. The oracle

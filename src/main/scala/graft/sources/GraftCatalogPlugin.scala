@@ -24,11 +24,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `graft.<table>` to a [[GraftTable]], and Catalyst plans the same
   * per-bucket merge-on-read scan with the same pushdown.
   *
-  * Read-only by the same reasoning as [[GraftDataSource]]: creating/writing
-  * tables goes through [[KuduLikeCatalog]]'s transactional API (or the
-  * `GraftSql` DDL/DML router), which owns dup-ignore and atomic-commit
-  * semantics. The V2 mutation entry points therefore throw
-  * UnsupportedOperationException with a pointer at the right API.
+  * Row-level DML flows through the table seam: SQL `INSERT INTO` /
+  * `INSERT OVERWRITE` route via [[GraftTable]]'s V1Write and SQL
+  * `DELETE FROM graft.t WHERE …` via its SupportsDelete — all landing in
+  * [[KuduLikeCatalog]]'s one transactional write path, exactly the
+  * reference's single write seam (HiveKuduTableOutputFormat.java:155-312).
+  * Table LIFECYCLE stays on the catalog API: CREATE/DROP/ALTER own
+  * key-column declaration and managed-delete semantics there, so those V2
+  * entry points throw UnsupportedOperationException with a pointer at the
+  * right API.
   */
 final class GraftCatalogPlugin extends TableCatalog {
   private var catalogName: String = _

@@ -4,12 +4,13 @@ import graft.catalog.KuduLikeCatalog
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.filter2.compat.FilterCompat
 import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
-import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
-import org.apache.parquet.hadoop.api.ReadSupport
-import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.filter2.statisticslevel.StatisticsFilter
+import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.{ColumnIOFactory, RecordReader => PqRecordReader}
 import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
@@ -102,6 +103,16 @@ object GraftDataSource {
   /** Session-level default catalog root, so `load("t")` alone works. */
   val RootConfKey = "spark.graft.catalog.root"
 
+  /** Hard ceiling on delta-overlay rows a single scan task will
+    * materialize (merge-on-read loads pending mutations into an in-task
+    * map). Deltas are bounded by pending-mutation volume, not table size —
+    * but long-deferred compaction would otherwise grow the overlay until
+    * the task dies with an uncatchable OOM Error. Exceeding the cap fails
+    * fast with an actionable message instead: compact the table.
+    */
+  val MaxOverlayRowsKey = "spark.graft.connector.maxOverlayRows"
+  val MaxOverlayRowsDefault = 4000000L
+
   private def resolve(props: Map[String, String]): (String, String) = {
     val name = props.getOrElse("path",
       throw new IllegalArgumentException(
@@ -130,7 +141,8 @@ object GraftDataSource {
 
 private[sources] final class GraftTable(root: String, tableName: String,
     tableSchema: StructType) extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft.$tableName"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -145,6 +157,21 @@ private[sources] final class GraftTable(root: String, tableName: String,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(root, tableName, tableSchema, info)
+
+  /** SQL `DELETE FROM graft.t WHERE …` through the V2 catalog — the write
+    * seam analog of the reference's single DML path (all reference writes
+    * flow one seam, HiveKuduTableOutputFormat.java:155-312). Spark only
+    * routes here when every conjunct translates to a source filter; the
+    * tombstone append itself (three-valued logic, range/bucket layout)
+    * stays owned by [[KuduLikeCatalog.delete]] — one engine, one DELETE
+    * semantics for the SQL router, the Scala API, and the connector.
+    */
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    val cat = new KuduLikeCatalog(SparkSession.active, root)
+    val cond = filters.map(GraftFilters.toColumn).reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    cat.delete(tableName, cond)
+  }
 }
 
 /** Connector write seam. V1Write (the JDBC-connector pattern) rather than a
@@ -238,7 +265,17 @@ private[sources] final class GraftScan(root: String, tableName: String,
     require(catalog.exists(tableName), s"graft table $tableName does not exist under $root")
     val keys = catalog.keyColsOf(tableName)
     val buckets = catalog.bucketsOf(tableName)
+    // Planning-time __range directory pruning (the connector analog of the
+    // reference's scan-range bounds, HiveKuduTableInputFormat.java:466-467,
+    // and of KuduLikeCatalog.lookupRange): pushed range predicates on the
+    // table's range column become month bounds over the __range= partition
+    // dirs, so a time-predicated scan never lists (or reads) out-of-range
+    // BASE files. Deltas are NEVER pruned: an upsert may MOVE a key to
+    // another month — its base row (old month) is only suppressed because
+    // the overlay saw the superseding delta row (new month); pruning deltas
+    // by range would resurrect the old version.
     val baseFiles = GraftScan.listParquet(catalog.dataLocation(tableName))
+      .filter(GraftScan.rangePruner(catalog, tableName, pushed))
     val deltaLayers = catalog.deltaLayers(tableName)
       .map { case (seq, dir) => (seq, GraftScan.listParquet(dir)) }
       .filter(_._2.nonEmpty)
@@ -271,32 +308,107 @@ private[sources] final class GraftScan(root: String, tableName: String,
         val deltas = deltaByBucket.getOrElse(b, Seq.empty)
           .groupBy(_._2).toSeq.sortBy(_._1)
           .map { case (seq, rows) => GraftDeltaSlice(seq, rows.map(_._3)) }
-        GraftInputPartition(b, baseByBucket.getOrElse(b, Seq.empty), deltas)
-          : InputPartition
+        GraftInputPartition(b, baseByBucket.getOrElse(b, Seq.empty), deltas,
+          emitOverlay = true): InputPartition
       }
     } else if (deltaLayers.isEmpty) {
       // unbucketed, no pending mutations: embarrassingly parallel, one
       // partition per base file
-      baseFiles.map(f => GraftInputPartition(-1, Seq(f), Seq.empty): InputPartition)
+      baseFiles.map(f =>
+        GraftInputPartition(-1, Seq(f), Seq.empty, emitOverlay = false): InputPartition)
         .toArray
     } else {
       // unbucketed WITH deltas: a key may pair any base file with any delta
-      // file, so the merge needs one partition. Bucketed tables are the
-      // scale path (Kudu tables always partition); this keeps small/legacy
-      // tables correct.
-      Array(GraftInputPartition(-1, baseFiles, deltaLayers.map {
-        case (seq, files) => GraftDeltaSlice(seq, files)
-      }))
+      // file, so EVERY task needs the full overlay for suppression — but
+      // the base files (the 100-TB side) still split one per task, each
+      // loading its own copy of the (cap-bounded, pending-mutation-sized)
+      // overlay; exactly ONE task additionally emits the overlay's
+      // surviving upserts. Bucketed tables remain the scale path (the
+      // overlay splits with the buckets); this keeps small/legacy tables
+      // correct WITHOUT serializing the base scan into one task.
+      val deltas = deltaLayers.map { case (seq, files) => GraftDeltaSlice(seq, files) }
+      if (baseFiles.isEmpty)
+        Array(GraftInputPartition(-1, Seq.empty, deltas, emitOverlay = true): InputPartition)
+      else
+        baseFiles.zipWithIndex.map { case (f, i) =>
+          GraftInputPartition(-1, Seq(f), deltas, emitOverlay = i == 0): InputPartition
+        }.toArray
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val catalog = new KuduLikeCatalog(SparkSession.active, root)
-    new GraftReaderFactory(required, fullSchema, catalog.keyColsOf(tableName), pushed)
+    val spark = SparkSession.active
+    val catalog = new KuduLikeCatalog(spark, root)
+    // resolved driver-side (executors can't read session conf) and shipped
+    // inside the serialized factory
+    val maxOverlayRows = spark.conf.getOption(GraftDataSource.MaxOverlayRowsKey)
+      .map(_.toLong).getOrElse(GraftDataSource.MaxOverlayRowsDefault)
+    new GraftReaderFactory(tableName, required, fullSchema,
+      catalog.keyColsOf(tableName), pushed, maxOverlayRows)
   }
 }
 
-private[sources] object GraftScan {
+private[graft] object GraftScan {
+
+  private val RangeDirRx = "__range=([0-9]{4}-[0-9]{2})".r
+
+  /** Path predicate for planning-time `__range` pruning: pushed range-column
+    * predicates become an inclusive [lo, hi] month window (lexical compare —
+    * yyyy-MM sorts chronologically), formatted under the ZONE THE TABLE WAS
+    * CREATED WITH (the same one-clock discipline as
+    * KuduLikeCatalog.lookupRange: partition values were written by
+    * date_format under the recorded zone, so bounds must format under that
+    * zone no matter what zone the reading session runs in; pre-zone legacy
+    * tables wrote under UTC). Month granularity keeps the bounds inexact in
+    * the safe direction only — a boundary month may over-scan, never skip —
+    * and Spark's residual filter restores row-level exactness. Files
+    * without a `__range=` path segment are never pruned.
+    */
+  def rangePruner(catalog: KuduLikeCatalog, tableName: String,
+      pushed: Array[sources.Filter]): String => Boolean =
+    catalog.rangeColOf(tableName) match {
+      case None => _ => true
+      case Some(rc) =>
+        val zone = java.time.ZoneId.of(catalog.zoneOf(tableName).getOrElse("UTC"))
+        val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM").withZone(zone)
+        def month(v: Any): Option[String] = v match {
+          case t: java.sql.Timestamp => Some(fmt.format(t.toInstant))
+          case i: java.time.Instant => Some(fmt.format(i))
+          case d: java.sql.Date => Some(fmt.format(
+            d.toLocalDate.atStartOfDay(zone).toInstant))
+          case _ => None
+        }
+        var lo: Option[String] = None
+        var hi: Option[String] = None
+        def tightenLo(m: String): Unit = if (lo.forall(_ < m)) lo = Some(m)
+        def tightenHi(m: String): Unit = if (hi.forall(_ > m)) hi = Some(m)
+        GraftFilters.flattenAnd(pushed).foreach {
+          case sources.EqualTo(a, v) if a == rc =>
+            month(v).foreach { m => tightenLo(m); tightenHi(m) }
+          case sources.GreaterThan(a, v) if a == rc => month(v).foreach(tightenLo)
+          case sources.GreaterThanOrEqual(a, v) if a == rc => month(v).foreach(tightenLo)
+          case sources.LessThan(a, v) if a == rc => month(v).foreach(tightenHi)
+          case sources.LessThanOrEqual(a, v) if a == rc => month(v).foreach(tightenHi)
+          case sources.In(a, vs) if a == rc && vs != null && vs.nonEmpty =>
+            val ms = vs.toSeq.map(month)
+            // only prune when EVERY branch yields a month — a single
+            // unconvertible value makes the disjunction unbounded
+            if (ms.forall(_.isDefined)) {
+              val sorted = ms.flatten.sorted
+              tightenLo(sorted.head); tightenHi(sorted.last)
+            }
+          case _ => ()
+        }
+        if (lo.isEmpty && hi.isEmpty) _ => true
+        else
+          path => RangeDirRx.findFirstMatchIn(path) match {
+            case Some(m) =>
+              val mo = m.group(1)
+              lo.forall(_ <= mo) && hi.forall(_ >= mo)
+            case None => true
+          }
+    }
+
   def listParquet(dir: String): Seq[String] = {
     val p = Paths.get(dir)
     if (!Files.exists(p)) Seq.empty
@@ -314,18 +426,27 @@ private[sources] object GraftScan {
   }
 }
 
-private[sources] final case class GraftDeltaSlice(seq: Int, files: Seq[String])
+private[graft] final case class GraftDeltaSlice(seq: Int, files: Seq[String])
 
-private[sources] final case class GraftInputPartition(
-    bucket: Int, baseFiles: Seq[String], deltas: Seq[GraftDeltaSlice])
+/** @param emitOverlay whether THIS task emits the overlay's surviving
+  *   upserts. Per-bucket scans always do (the bucket owns its keys);
+  *   unbucketed-with-deltas scans share one overlay across all base-file
+  *   tasks for suppression, and exactly one task emits it — the others
+  *   would duplicate every pending upsert.
+  */
+private[graft] final case class GraftInputPartition(
+    bucket: Int, baseFiles: Seq[String], deltas: Seq[GraftDeltaSlice],
+    emitOverlay: Boolean)
   extends InputPartition
 
 private[sources] final class GraftReaderFactory(
-    required: StructType, fullSchema: StructType, keyCols: Seq[String],
-    pushed: Array[sources.Filter]) extends PartitionReaderFactory {
+    tableName: String, required: StructType, fullSchema: StructType,
+    keyCols: Seq[String], pushed: Array[sources.Filter],
+    maxOverlayRows: Long) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(
-      partition.asInstanceOf[GraftInputPartition], required, fullSchema, keyCols, pushed)
+      partition.asInstanceOf[GraftInputPartition], tableName, required,
+      fullSchema, keyCols, pushed, maxOverlayRows)
 }
 
 /** Executor-side merge-on-read for one bucket: delta layers are loaded into
@@ -335,8 +456,9 @@ private[sources] final class GraftReaderFactory(
   * overlay's surviving upserts are emitted. Memory ∝ deltas, never ∝ base.
   */
 private[sources] final class GraftPartitionReader(
-    part: GraftInputPartition, required: StructType, fullSchema: StructType,
-    keyCols: Seq[String], pushed: Array[sources.Filter])
+    part: GraftInputPartition, tableName: String, required: StructType,
+    fullSchema: StructType, keyCols: Seq[String],
+    pushed: Array[sources.Filter], maxOverlayRows: Long)
   extends PartitionReader[InternalRow] {
 
   private val hasDeltas = part.deltas.nonEmpty
@@ -352,11 +474,16 @@ private[sources] final class GraftPartitionReader(
     keyCols.map(k => readFields.indexWhere(_.name == k)).toArray
   private val outIdx: Array[Int] = required.fields.indices.toArray // prefix
 
-  // ---- overlay from delta layers (ascending seq; map put = last wins)
+  // ---- overlay from delta layers (ascending seq; map put = last wins).
+  // Size-capped: the overlay is bounded by pending-mutation volume, but a
+  // table whose compaction was deferred long enough would otherwise grow it
+  // until the task dies with an uncatchable OOM Error mid-merge — fail fast
+  // with the fix in the message instead.
   private val overlay = new java.util.HashMap[Seq[Any], (String, Array[Any])]()
   if (hasDeltas) {
     val opField = StructField(KuduLikeCatalog.OpCol, StringType)
     val deltaFields = readFields :+ opField
+    var loaded = 0L
     part.deltas.sortBy(_.seq).foreach { slice =>
       slice.files.foreach { f =>
         // deltas are never record-filtered: the merge must SEE a
@@ -364,6 +491,14 @@ private[sources] final class GraftPartitionReader(
         val it = new GroupFileIterator(f, deltaFields, Array.empty)
         try while (it.hasNext) {
           val row = it.next()
+          loaded += 1
+          if (loaded > maxOverlayRows)
+            throw new IllegalStateException(
+              s"graft scan of $tableName: delta overlay exceeds " +
+                s"$maxOverlayRows rows in one task — run " +
+                s"KuduLikeCatalog.compact(\"$tableName\") to fold pending " +
+                s"mutation layers into the base (or raise " +
+                s"${GraftDataSource.MaxOverlayRowsKey})")
           val op = row(deltaFields.length - 1) match {
             case s: UTF8String => s.toString
             case other => String.valueOf(other)
@@ -404,7 +539,7 @@ private[sources] final class GraftPartitionReader(
       it
     }.filter(row => !hasDeltas || !overlay.containsKey(keyOf(row)))
   private val overlayIter: Iterator[Array[Any]] =
-    if (!hasDeltas) Iterator.empty
+    if (!hasDeltas || !part.emitOverlay) Iterator.empty
     else overlay.values().iterator().asScala.collect {
       case (op, row) if op == "upsert" => row
     }
@@ -431,6 +566,14 @@ private[sources] final class GraftPartitionReader(
   * `filters` as a parquet FilterPredicate (row-group stats pruning + record
   * filter). Filters referencing columns the file lacks are dropped per file
   * (missing column = all-null; the residual Spark filter keeps semantics).
+  *
+  * One footer read per file: the row-group-level `ParquetFileReader` API is
+  * driven directly (the convenience `ParquetReader.builder` path opened the
+  * footer a second time inside build() — pure per-file metadata overhead,
+  * which dominates on the many-small-files layouts bucketed tables
+  * produce). Row groups whose column-chunk min/max statistics exclude the
+  * predicate are skipped without reading a page; surviving groups stream
+  * through `ColumnIO` record assembly with the record-level filter applied.
   */
 private[sources] final class GroupFileIterator(
     file: String, fields: Array[StructField], filters: Array[sources.Filter])
@@ -438,14 +581,8 @@ private[sources] final class GroupFileIterator(
 
   private val conf = new Configuration()
   private val hPath = new org.apache.hadoop.fs.Path(file)
-  // footer is read twice per file (once here for the schema, once inside
-  // ParquetReader.build()) — the simple-API cost; the production upgrade is
-  // the row-group-level ParquetFileReader API (single open) or Spark's
-  // vectorized reader behind the same partition planning
-  private val fileSchema: MessageType = {
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
-    try r.getFooter.getFileMetaData.getSchema finally r.close()
-  }
+  private val reader = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
+  private val fileSchema: MessageType = reader.getFooter.getFileMetaData.getSchema
   private val present: Array[Boolean] =
     fields.map(f => fileSchema.containsField(f.name))
   private val projection: MessageType = {
@@ -455,14 +592,15 @@ private[sources] final class GroupFileIterator(
     }.toSeq
     new MessageType(fileSchema.getName, cols.asJava)
   }
+  // the predicate only ever references projected-and-present columns, so
+  // both the stats visitor and the record filter see a schema they know
   private val filePred: Option[FilterPredicate] = GraftFilters.toParquet(
     filters, fields.zipWithIndex.collect { case (f, i) if present(i) => f }.toSeq)
+  private val recordFilter: FilterCompat.Filter =
+    filePred.map(FilterCompat.get(_)).getOrElse(FilterCompat.NOOP)
 
-  private val reader = {
-    conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
-    val b = ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf)
-    filePred.fold(b)(p => b.withFilter(FilterCompat.get(p))).build()
-  }
+  reader.setRequestedSchema(projection)
+  private val columnIO = new ColumnIOFactory().getColumnIO(projection)
 
   // converter per projected field: Group index → catalyst value
   private val converters: Array[Group => Any] = {
@@ -478,22 +616,59 @@ private[sources] final class GroupFileIterator(
     }
   }
 
+  private val blocks = reader.getRowGroups
+  private var blockIdx = 0
+  private var recordReader: PqRecordReader[Group] = _
+  private var rowsLeftInGroup = 0L
   private var nextRow: Array[Any] = _
   private var eof = false
   advance()
 
-  private def advance(): Unit = {
-    if (eof) return
-    val g = reader.read()
-    if (g == null) { nextRow = null; eof = true; close() }
-    else {
-      val out = new Array[Any](fields.length)
-      var i = 0
-      while (i < fields.length) {
-        out(i) = converters(i)(g)
-        i += 1
+  /** Position `recordReader` on the next row group surviving the stats
+    * filter; false at file end. Skipped groups cost zero page IO.
+    */
+  private def openNextGroup(): Boolean = {
+    while (blockIdx < blocks.size()) {
+      val block = blocks.get(blockIdx)
+      blockIdx += 1
+      if (filePred.exists(p => StatisticsFilter.canDrop(p, block.getColumns))) {
+        reader.skipNextRowGroup()
+      } else {
+        val pages = reader.readNextRowGroup()
+        if (pages != null) {
+          recordReader = columnIO.getRecordReader(
+            pages, new GroupRecordConverter(projection), recordFilter)
+          rowsLeftInGroup = pages.getRowCount
+          if (rowsLeftInGroup > 0) return true
+        }
       }
-      nextRow = out
+    }
+    false
+  }
+
+  private def advance(): Unit = {
+    nextRow = null
+    while (nextRow == null && !eof) {
+      if (rowsLeftInGroup == 0 && !openNextGroup()) {
+        eof = true
+        close()
+        return
+      }
+      while (rowsLeftInGroup > 0 && nextRow == null) {
+        rowsLeftInGroup -= 1
+        val g = recordReader.read()
+        // a record-filtered row surfaces as shouldSkipCurrentRecord (and
+        // may materialize as null) — consume and keep scanning the group
+        if (g != null && !recordReader.shouldSkipCurrentRecord) {
+          val out = new Array[Any](fields.length)
+          var i = 0
+          while (i < fields.length) {
+            out(i) = converters(i)(g)
+            i += 1
+          }
+          nextRow = out
+        }
+      }
     }
   }
 
@@ -589,7 +764,43 @@ private[sources] object GraftFilters {
     case _: java.lang.Boolean | _: java.lang.Byte | _: java.lang.Short |
          _: java.lang.Integer | _: java.lang.Long | _: java.lang.Float |
          _: java.lang.Double | _: String => true
+    // timestamp/date comparisons never reach parquet-mr (toParquet yields
+    // None for them) but ARE consumed at planning time: __range directory
+    // pruning (GraftScan.rangePruner) and bucket routing on temporal keys
+    case _: java.sql.Timestamp | _: java.time.Instant | _: java.sql.Date => true
     case _ => false
+  }
+
+  /** Source filter → Column, for the V2 DELETE seam (Spark only offers the
+    * v1 `Filter` tree there; the catalog's DELETE takes a Column). Total
+    * over the closed v1 filter algebra — `canDeleteWhere`'s default already
+    * rejected anything that doesn't translate to these nodes.
+    */
+  def toColumn(f: sources.Filter): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    f match {
+      case sources.EqualTo(a, v) => col(a) === lit(v)
+      case sources.EqualNullSafe(a, v) => col(a) <=> lit(v)
+      case sources.GreaterThan(a, v) => col(a) > lit(v)
+      case sources.GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case sources.LessThan(a, v) => col(a) < lit(v)
+      case sources.LessThanOrEqual(a, v) => col(a) <= lit(v)
+      case sources.In(a, vs) => col(a).isInCollection(vs.toSeq)
+      case sources.IsNull(a) => col(a).isNull
+      case sources.IsNotNull(a) => col(a).isNotNull
+      case sources.And(l, r) => toColumn(l) && toColumn(r)
+      case sources.Or(l, r) => toColumn(l) || toColumn(r)
+      case sources.Not(c) => not(toColumn(c))
+      case sources.StringStartsWith(a, v) => col(a).startsWith(v)
+      case sources.StringEndsWith(a, v) => col(a).endsWith(v)
+      case sources.StringContains(a, v) => col(a).contains(v)
+      case sources.AlwaysTrue() => lit(true)
+      case sources.AlwaysFalse() => lit(false)
+      case other => throw new UnsupportedOperationException(
+        s"graft DELETE cannot translate filter $other — use " +
+          "KuduLikeCatalog.delete(table, condition) or the GraftSql router " +
+          "for arbitrary predicates")
+    }
   }
 
   def flattenAnd(fs: Array[sources.Filter]): Array[sources.Filter] =

@@ -198,6 +198,163 @@ class DataSourceSpec extends SparkSpec {
     assert(ds.filter(col("grp") === "MOVED").collect().map(_.getLong(0)).toSeq === Seq(4L))
   }
 
+  private def plannedBaseFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputRDD.partitions.flatMap {
+          case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+            p.inputPartitions.flatMap(_.asInstanceOf[sources.GraftInputPartition].baseFiles)
+        }.toSeq
+    }.get
+
+  test("__range pruning: time-predicated connector scan plans only in-range base dirs") {
+    import spark.implicits._
+    val (cat, root) = mkCat()
+    cat.createTable(TableDef("t", schema, Seq("id"), buckets = 2, rangeCol = Some("ts")))
+    val jan = new Timestamp(1704067200000L) // 2024-01-01 UTC
+    val feb = new Timestamp(1706745600000L) // 2024-02-01 UTC
+    val mar = new Timestamp(1709251200000L) // 2024-03-01 UTC
+    cat.insert("t", (0 until 30).map(i =>
+      (i.toLong, s"g${i % 3}", i * 1.0, true, Seq(jan, feb, mar)(i % 3)))
+      .toDF("id", "grp", "v", "ok", "ts"))
+    def monthsOf(files: Seq[String]): Set[String] =
+      files.flatMap("__range=([0-9-]+)".r.findFirstMatchIn(_).map(_.group(1))).toSet
+    // no predicate: every month is planned
+    assert(monthsOf(plannedBaseFiles(readDs(root, "t")))
+      === Set("2024-01", "2024-02", "2024-03"))
+    // lower bound mid-February: January dirs are pruned at planning time,
+    // February (the boundary month) survives — month bounds are inclusive
+    val febMid = new Timestamp(1707955200000L) // 2024-02-15 UTC
+    val lower = readDs(root, "t").filter(col("ts") >= febMid)
+    assert(monthsOf(plannedBaseFiles(lower)) === Set("2024-02", "2024-03"))
+    assert(lower.count() === 10, "mar rows + feb rows >= 02-15 (none)")
+    // two-sided window across a range boundary
+    val window = readDs(root, "t")
+      .filter(col("ts") >= feb && col("ts") < new Timestamp(1709251200000L + 1000L))
+    assert(monthsOf(plannedBaseFiles(window)) === Set("2024-02", "2024-03"))
+    assert(window.count() === 20)
+    // equality pins one month
+    assert(monthsOf(plannedBaseFiles(readDs(root, "t").filter(col("ts") === feb)))
+      === Set("2024-02"))
+    // results still exact vs the catalog path on the same predicate
+    assert(sortedRows(window) ===
+      sortedRows(cat.table("t").filter(col("ts") >= feb
+        && col("ts") < new Timestamp(1709251200000L + 1000L))))
+  }
+
+  test("__range pruning formats bounds under the table's recorded zone, not the reader's") {
+    import spark.implicits._
+    val (cat, root) = mkCat()
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // table created and written under Los Angeles time: a row at
+      // 2024-02-01T00:30Z is 2024-01-31 16:30 local → lands in __range=2024-01
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      cat.createTable(TableDef("t", schema, Seq("id"), buckets = 1, rangeCol = Some("ts")))
+      val boundaryRow = new Timestamp(1706747400000L) // 2024-02-01 00:30 UTC
+      cat.insert("t", Seq(
+        (1L, "boundary", 1.0, true, boundaryRow),
+        (2L, "early", 2.0, true, new Timestamp(1704067200000L)) // 2024-01-01 UTC
+      ).toDF("id", "grp", "v", "ok", "ts"))
+      // a filter from that instant must NOT prune __range=2024-01 (a
+      // UTC-formatted bound would say "2024-02" and silently lose the row)
+      val q = readDs(root, "t").filter(col("ts") >= boundaryRow)
+      assert(q.collect().map(_.getLong(0)).toSeq === Seq(1L))
+      assert(plannedBaseFiles(q).exists(_.contains("__range=2024-01")))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
+  }
+
+  test("unbucketed table with deltas: base files split across tasks, overlay emitted once") {
+    import spark.implicits._
+    val (cat, root) = mkCat()
+    cat.createTable(TableDef("t", schema, Seq("id"))) // no buckets
+    cat.insert("t", rows(25))
+    cat.insert("t", rows(50).filter(col("id") >= 25)) // second base append
+    cat.upsert("t", Seq(
+      (3L, "UPD", 9.9, true, new Timestamp(1800000000000L)),
+      (100L, "NEW", 1.0, true, new Timestamp(1800000000000L)) // brand-new key
+    ).toDF("id", "grp", "v", "ok", "ts"))
+    cat.delete("t", col("id") === 10L)
+    val ds = readDs(root, "t")
+    // the base scan must NOT serialize into one task anymore
+    val parts = ds.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputRDD.getNumPartitions
+    }.get
+    assert(parts > 1, s"unbucketed-with-deltas scan collapsed to $parts partition(s)")
+    // exactly-once overlay emission: the upserted and new keys appear once
+    assert(sortedRows(ds) === sortedRows(cat.table("t")))
+    assert(ds.count() === 50, "49 surviving base keys + 1 new overlay key")
+    assert(ds.filter(col("grp") === "UPD").count() === 1)
+    assert(ds.filter(col("grp") === "NEW").count() === 1)
+  }
+
+  test("delta overlay cap fails fast with a compact-the-table error") {
+    val (cat, root) = mkCat()
+    cat.createTable(TableDef("t", schema, Seq("id"), buckets = 2))
+    cat.insert("t", rows(100))
+    cat.upsert("t", rows(100)) // 100 pending overlay rows
+    spark.conf.set(graft.sources.GraftDataSource.MaxOverlayRowsKey, "10")
+    try {
+      val e = intercept[Exception] { readDs(root, "t").count() }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: chain(t.getCause)
+      assert(chain(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("compact")), s"unexpected failure: $e")
+    } finally spark.conf.unset(graft.sources.GraftDataSource.MaxOverlayRowsKey)
+    // with the default cap the same read is fine (overlay = 100 rows)
+    assert(readDs(root, "t").count() === 100)
+  }
+
+  test("SQL DELETE FROM graft.t routes through the connector seam") {
+    val (cat, root) = mkCat()
+    cat.createTable(TableDef("t", schema, Seq("id"), buckets = 2))
+    cat.insert("t", rows(30))
+    spark.conf.set("spark.sql.catalog.graftd",
+      classOf[graft.sources.GraftCatalogPlugin].getName)
+    spark.conf.set("spark.sql.catalog.graftd.root", root)
+    try {
+      spark.sql("DELETE FROM graftd.t WHERE id >= 20")
+      assert(spark.sql("SELECT count(*) FROM graftd.t").collect().head.getLong(0) === 20)
+      // one engine: the transactional catalog sees the same state
+      assert(cat.table("t").count() === 20)
+      // compound translatable predicate
+      spark.sql("DELETE FROM graftd.t WHERE grp = 'g1' AND id < 10")
+      val left = spark.sql("SELECT id FROM graftd.t").collect().map(_.getLong(0)).sorted
+      val want = (0L until 20L).filterNot(i => i % 5 == 1 && i < 10)
+      assert(left.toSeq === want)
+      assert(sortedRows(cat.table("t")) === sortedRows(readDs(root, "t")))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graftd.root")
+      spark.conf.unset("spark.sql.catalog.graftd")
+    }
+  }
+
+  test("V2 MERGE boundary is explicit: row-level MERGE fails, upsert routes are documented") {
+    // the upsert surfaces are df.write option("operation","upsert") (connector)
+    // and GraftSql's UPSERT INTO (SQL router) — both landing in
+    // KuduLikeCatalog.upsert. MERGE INTO on the V2 catalog would need
+    // SupportsRowLevelOperations; it must fail loudly, not silently no-op.
+    val (cat, root) = mkCat()
+    cat.createTable(TableDef("t", schema, Seq("id"), buckets = 2))
+    cat.insert("t", rows(10))
+    spark.conf.set("spark.sql.catalog.graftm",
+      classOf[graft.sources.GraftCatalogPlugin].getName)
+    spark.conf.set("spark.sql.catalog.graftm.root", root)
+    try {
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(
+          """MERGE INTO graftm.t AS tgt
+            |USING (SELECT CAST(1 AS BIGINT) AS id) AS src ON tgt.id = src.id
+            |WHEN MATCHED THEN DELETE""".stripMargin)
+      }
+      assert(cat.table("t").count() === 10, "failed MERGE must not mutate")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graftm.root")
+      spark.conf.unset("spark.sql.catalog.graftm")
+    }
+  }
+
   test("SQL catalog plugin: SELECT ... FROM graft.t reaches the connector scan") {
     val (cat, root) = mkCat()
     cat.createTable(TableDef("t", schema, Seq("id"), buckets = 4))

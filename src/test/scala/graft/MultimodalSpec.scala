@@ -234,6 +234,17 @@ class MultimodalSpec extends SparkSpec {
     val dt = Multimodal.decode(spark, asMedia(Seq((2L, tagged, "audio/mpeg")))).collect().head
     assert((dt.width, dt.channels) === ((3 * 1152, 2)))
     assert(dt.checksum === d.checksum, "ID3v2 container metadata excluded from hash")
+    // ID3v2.4 with the footer flag (header flag byte bit 4): total tag is
+    // 10 (header) + size + 10 (trailing footer, NOT counted in the size
+    // field) — the same audio re-tagged with a footer must hash identically
+    val id3Footer = "ID3".getBytes ++ Array[Byte](4, 0, 0x10, 0, 0, 0, 100) ++
+      new Array[Byte](100) ++
+      "3DI".getBytes ++ Array[Byte](4, 0, 0x10, 0, 0, 0, 100)
+    val taggedF = id3Footer ++ audio
+    val dtf = Multimodal.decode(spark, asMedia(Seq((4L, taggedF, "audio/mpeg")))).collect().head
+    assert((dtf.width, dtf.channels) === ((3 * 1152, 2)))
+    assert(dtf.checksum === d.checksum,
+      "ID3v2.4 footer is container metadata too — checksum must not move")
     // features agree on the geometry through the header parse
     val ft = Multimodal.features(spark, asMedia(Seq((2L, tagged, "audio/mpeg")))).collect().head
     assert(!ft.decoded && (ft.width, ft.channels) === ((3 * 1152, 2)))

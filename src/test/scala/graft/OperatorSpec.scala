@@ -74,6 +74,29 @@ class OperatorSpec extends SparkSpec {
     assert(Dedup.exact(deduped, "text", "doc_id").count() === deduped.count())
   }
 
+  test("staged-cache slot swap is atomic under concurrent operator calls") {
+    // Dedup.stage() keys an internal persisted-frame cache by operator slot;
+    // concurrent calls on the same slot must serialize the
+    // unpersist-old/persist-new swap (ConcurrentHashMap.compute) — the old
+    // remove→persist→put sequence could interleave two callers and leak a
+    // persisted frame nobody tracks. Correctness under the race: every call
+    // still returns exact results, no call throws.
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 40).select("doc_id", "text")
+    val expected = Dedup.ngramJaccardPairs(docs, "text", "doc_id", tau = 0.3).count()
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 8).map { _ =>
+        pool.submit(new Callable[Long] {
+          override def call(): Long =
+            Dedup.ngramJaccardPairs(docs, "text", "doc_id", tau = 0.3).count()
+        })
+      }
+      futures.foreach(f => assert(f.get(120, TimeUnit.SECONDS) === expected))
+    } finally { pool.shutdownNow(); () }
+  }
+
   test("D2-LSH: banded candidates find identical and near-identical docs") {
     import spark.implicits._
     val docs = Tables.load(spark, sf, "documents")

@@ -61,8 +61,10 @@ object Bench {
     val groups = scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt).getOrElse(3).max(1)
     val queries = SparkEntry.all
+    // benchFn (when present) is the query minus its one-time setup — table
+    // builds belong outside the timed lambda (QDef.benchFn scaladoc).
     def run(q: QDef): Unit =
-      q.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      q.benchFn.getOrElse(q.fn)(spark, sfDir).write.mode("overwrite").format("noop").save()
     def timed(q: QDef): Double = {
       val t0 = System.nanoTime()
       run(q)

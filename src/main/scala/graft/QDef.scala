@@ -17,7 +17,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, MapType, St
 final case class QDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    /** Bench-only variant: same read semantics as `fn` minus one-time setup
+      * (table builds, fixture ingest) that must not ride inside the timed
+      * lambda. Verify/correctness ALWAYS uses `fn`; Bench prefers this when
+      * present. (Round-8 verdict item 3: s16 spent 14-21 s/sample rebuilding
+      * a 150k-row table around a sub-second pruned read.)
+      */
+    benchFn: Option[(SparkSession, String) => DataFrame] = None)
 
 object QDef {
   /** Round a float aggregate for cross-engine comparison. */

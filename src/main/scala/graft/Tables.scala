@@ -15,14 +15,28 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    // rejects; read it as a nanos long and truncate to micros — exactly what
-    // DuckDB does when it loads the same file (its TIMESTAMP is micros).
+    // Timestamp encodings drift across fixture generations: TIMESTAMP_MICROS
+    // isAdjustedToUTC=1 (Spark TimestampType), isAdjustedToUTC=0 (Spark
+    // TimestampNTZType), and TIMESTAMP(NANOS) (rejected by the vectorized
+    // reader unless read as a long). Normalize ALL of them to TimestampType
+    // here, at the storage seam — the reference does the same in its type
+    // bridge (HiveKuduBridgeUtils.java:134-137,192-196: every timestamp
+    // becomes a long at the boundary). The session zone is pinned to UTC in
+    // every entry point, so the NTZ->TZ cast is a lossless reinterpretation.
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    raw.schema.fields.foldLeft(raw) { (df, f) =>
+      f.dataType match {
+        case TimestampNTZType =>
+          df.withColumn(f.name, col(f.name).cast(TimestampType))
+        case LongType if name == "events" && f.name == "ts" =>
+          // nanos-as-long legacy branch: truncate to micros, like DuckDB.
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => df
+      }
+    }
   }
 
   /** Register every fixture table as a temp view so `spark.sql` queries can

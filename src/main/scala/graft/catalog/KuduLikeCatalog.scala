@@ -498,8 +498,20 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       .observe(obs, count(when(anyNullKey, lit(1))).as("rejected"))
       .filter(!anyNullKey)
     val inserted = insertClean(name, clean)
-    (inserted, obs.get("rejected").asInstanceOf[Long])
+    (inserted, observedCount(obs, "rejected", df.filter(anyNullKey).count()))
   }
+
+  /** Observation metric with a recount fallback. On a long-lived shared
+    * session the query-execution listener can (rarely) deliver an empty
+    * metrics map; a missing metric must degrade to an extra count job, not
+    * fail the write path of every partitioned table.
+    */
+  private def observedCount(
+      obs: org.apache.spark.sql.Observation, key: String, recount: => Long): Long =
+    obs.get.get(key) match {
+      case Some(v) => v.asInstanceOf[Long]
+      case None    => recount
+    }
 
   /** Shared insert path; callers have already handled NULL keys. */
   private def insertClean(name: String, df: DataFrame): Long = {
@@ -525,7 +537,10 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       val obs = org.apache.spark.sql.Observation()
       writePartitioned(toInsert.observe(obs, count(lit(1)).as("n")),
         keys, bucketsOf(name), rangeColOf(name), dataDir(name), SaveMode.Append)
-      val n = obs.get("n").asInstanceOf[Long]
+      // `toInsert`'s anti-join re-evaluates against the file listing captured
+      // at DataFrame creation (before the append), so the fallback recount is
+      // consistent with what was just written.
+      val n = observedCount(obs, "n", toInsert.count())
       // base appends bypass the delta changelog (no version bump) — bump the
       // base epoch so CDC consumers (IncrementalAgg) can detect that their
       // bootstrapped base state went stale and fail loudly

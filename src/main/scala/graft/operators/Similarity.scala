@@ -52,7 +52,17 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
-    val train = corpus.select(array_to_vector(
+    // Fit the coarse quantizer on a bounded SAMPLE, never the full corpus:
+    // KMeans is maxIter full passes over its input, and 16 centroids need
+    // ~1e5 vectors, not 100 TB. Deterministic seed; the exact fraction only
+    // shifts centroid positions, not the operator contract (recall is gated
+    // by the nprobe probe set, ScaleOpsSpec).
+    val maxFit = 100000L
+    val n = corpus.count()
+    val sampled =
+      if (n <= maxFit) corpus
+      else corpus.sample(withReplacement = false, maxFit.toDouble / n, seed = 42L)
+    val train = sampled.select(array_to_vector(
       transform(col(embCol), x => x.cast("double"))).as("features"))
     val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10).fit(train)
     val centroids = spark.createDataFrame(

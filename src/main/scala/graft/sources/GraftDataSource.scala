@@ -113,6 +113,12 @@ object GraftDataSource {
   val MaxOverlayRowsKey = "spark.graft.connector.maxOverlayRows"
   val MaxOverlayRowsDefault = 4000000L
 
+  /** Vectorized `ColumnarBatch` reads for delta-free partitions (default
+    * on); set false to force the row-based reader everywhere — an escape
+    * hatch, and what the row-path tests pin against.
+    */
+  val ColumnarReadKey = "spark.graft.connector.columnarRead"
+
   private def resolve(props: Map[String, String]): (String, String) = {
     val name = props.getOrElse("path",
       throw new IllegalArgumentException(
@@ -259,7 +265,16 @@ private[sources] final class GraftScan(root: String, tableName: String,
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  // memoized so planInputPartitions() and createReaderFactory() see ONE
+  // consistent snapshot of the table's layers: the factory's columnar
+  // decision must agree with the partitions actually planned (Spark
+  // requires supportColumnarReads to be uniform across a scan — "Cannot
+  // mix row-based and columnar input partitions")
+  private lazy val plannedPartitions: Array[InputPartition] = planPartitions()
+
+  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
+
+  private def planPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val catalog = new KuduLikeCatalog(spark, root)
     require(catalog.exists(tableName), s"graft table $tableName does not exist under $root")
@@ -297,6 +312,12 @@ private[sources] final class GraftScan(root: String, tableName: String,
     def bucketIdOf(path: String): Int =
       "__bucket=(\\d+)".r.findFirstMatchIn(path).map(_.group(1).toInt).getOrElse(-1)
 
+    // local-filesystem storage: every file's "block host" is this host
+    // (see GraftInputPartition.locations)
+    val hosts =
+      try Array(java.net.InetAddress.getLocalHost.getHostName)
+      catch { case _: Exception => Array.empty[String] }
+
     if (buckets > 0) {
       val baseByBucket = baseFiles.groupBy(bucketIdOf)
       val deltaByBucket = deltaLayers.flatMap { case (seq, files) =>
@@ -309,13 +330,13 @@ private[sources] final class GraftScan(root: String, tableName: String,
           .groupBy(_._2).toSeq.sortBy(_._1)
           .map { case (seq, rows) => GraftDeltaSlice(seq, rows.map(_._3)) }
         GraftInputPartition(b, baseByBucket.getOrElse(b, Seq.empty), deltas,
-          emitOverlay = true): InputPartition
+          emitOverlay = true, hosts): InputPartition
       }
     } else if (deltaLayers.isEmpty) {
       // unbucketed, no pending mutations: embarrassingly parallel, one
       // partition per base file
       baseFiles.map(f =>
-        GraftInputPartition(-1, Seq(f), Seq.empty, emitOverlay = false): InputPartition)
+        GraftInputPartition(-1, Seq(f), Seq.empty, emitOverlay = false, hosts): InputPartition)
         .toArray
     } else {
       // unbucketed WITH deltas: a key may pair any base file with any delta
@@ -328,10 +349,10 @@ private[sources] final class GraftScan(root: String, tableName: String,
       // correct WITHOUT serializing the base scan into one task.
       val deltas = deltaLayers.map { case (seq, files) => GraftDeltaSlice(seq, files) }
       if (baseFiles.isEmpty)
-        Array(GraftInputPartition(-1, Seq.empty, deltas, emitOverlay = true): InputPartition)
+        Array(GraftInputPartition(-1, Seq.empty, deltas, emitOverlay = true, hosts): InputPartition)
       else
         baseFiles.zipWithIndex.map { case (f, i) =>
-          GraftInputPartition(-1, Seq(f), deltas, emitOverlay = i == 0): InputPartition
+          GraftInputPartition(-1, Seq(f), deltas, emitOverlay = i == 0, hosts): InputPartition
         }.toArray
     }
   }
@@ -343,8 +364,14 @@ private[sources] final class GraftScan(root: String, tableName: String,
     // inside the serialized factory
     val maxOverlayRows = spark.conf.getOption(GraftDataSource.MaxOverlayRowsKey)
       .map(_.toLong).getOrElse(GraftDataSource.MaxOverlayRowsDefault)
+    // scan-level, not per-partition: Spark rejects mixed row/columnar
+    // partitions, so one bucket with pending deltas pins the whole scan to
+    // the row-based merge reader (compaction restores columnar reads)
+    val columnarRead = spark.conf.getOption(GraftDataSource.ColumnarReadKey)
+      .forall(_.toBoolean) &&
+      plannedPartitions.forall(_.asInstanceOf[GraftInputPartition].deltas.isEmpty)
     new GraftReaderFactory(tableName, required, fullSchema,
-      catalog.keyColsOf(tableName), pushed, maxOverlayRows)
+      catalog.keyColsOf(tableName), pushed, maxOverlayRows, columnarRead)
   }
 }
 
@@ -433,16 +460,43 @@ private[graft] final case class GraftDeltaSlice(seq: Int, files: Seq[String])
   *   unbucketed-with-deltas scans share one overlay across all base-file
   *   tasks for suppression, and exactly one task emits it — the others
   *   would duplicate every pending upsert.
+  * @param locations block hosts for the partition's files, surfaced to the
+  *   scheduler as `preferredLocations` — the reference pins each split to
+  *   the tablet leader's host for the same reason
+  *   (HiveKuduTableInputFormat.java:177-210, reverse-DNS :241-262). Local
+  *   filesystem storage = the planning host; a remote FileIndex would
+  *   supply per-file block hosts here without touching the scan logic.
   */
 private[graft] final case class GraftInputPartition(
     bucket: Int, baseFiles: Seq[String], deltas: Seq[GraftDeltaSlice],
-    emitOverlay: Boolean)
-  extends InputPartition
+    emitOverlay: Boolean, locations: Array[String] = Array.empty)
+  extends InputPartition {
+  override def preferredLocations(): Array[String] = locations
+}
 
 private[sources] final class GraftReaderFactory(
     tableName: String, required: StructType, fullSchema: StructType,
     keyCols: Seq[String], pushed: Array[sources.Filter],
-    maxOverlayRows: Long) extends PartitionReaderFactory {
+    maxOverlayRows: Long, columnarRead: Boolean) extends PartitionReaderFactory {
+
+  /** Delta-free partitions — the 100-TB base-scan case — read COLUMNAR:
+    * parquet column chunks decode straight into Spark `ColumnarBatch`
+    * vectors (no per-row `Group` materialization, no per-row
+    * `InternalRow`), the same decode path Spark's native parquet source
+    * uses. Partitions carrying pending mutations keep the row-based
+    * merge-on-read reader: the overlay probe is inherently per-row (each
+    * base row's key is checked against the delta map). Compaction
+    * therefore also restores columnar speed — one more reason it is the
+    * maintenance verb of this storage layout.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnarRead
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftColumnarPartitionReader(
+      partition.asInstanceOf[GraftInputPartition], required, pushed)
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(
       partition.asInstanceOf[GraftInputPartition], tableName, required,
@@ -558,6 +612,100 @@ private[sources] final class GraftPartitionReader(
 
   override def get(): InternalRow = current
   override def close(): Unit = if (activeFile != null) activeFile.close()
+}
+
+/** Columnar reader for one delta-free partition: each base file streams
+  * through Spark's own `VectorizedParquetRecordReader` — the codegen-hot
+  * decode path of the native parquet source — emitting reused
+  * `ColumnarBatch`es of 4096 rows. Per-file setup mirrors what Spark's
+  * `ParquetFileFormat` does: one footer read (reused for both the filter
+  * compatibility check and reader init via the footer-accepting
+  * `initialize` overload — the same single-footer discipline as
+  * [[GroupFileIterator]]), convertible pushed filters handed to parquet-mr
+  * for ROW-GROUP stats pruning only (record-level filtering off; Spark's
+  * residual filters keep exactness, identical contract to the row path),
+  * and the requested Catalyst schema driving schema evolution (columns a
+  * file predates become null vectors).
+  *
+  * Rebase modes are CORRECTED: every base file is written by this
+  * catalog through Spark's modern parquet writer (external attach never
+  * routes through the connector), so no Julian-calendar rebasing applies.
+  */
+private[sources] final class GraftColumnarPartitionReader(
+    part: GraftInputPartition, required: StructType,
+    pushed: Array[sources.Filter])
+  extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.datasources.parquet.{
+    ParquetFooterReader, ParquetReadSupport, VectorizedParquetRecordReader}
+  import org.apache.parquet.format.converter.ParquetMetadataConverter
+  import org.apache.parquet.hadoop.ParquetInputFormat
+
+  private val files = part.baseFiles.iterator
+  private var reader: VectorizedParquetRecordReader = _
+  private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+
+  private def openNext(): Boolean = {
+    if (!files.hasNext) return false
+    val file = files.next()
+    val hPath = new org.apache.hadoop.fs.Path(file)
+    val conf = new Configuration()
+    conf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, required.json)
+    // schema-converter flags the reader reads from the task conf (Spark
+    // sets the same five in ParquetFileFormat.buildReaderWithPartitionValues)
+    conf.setBoolean("spark.sql.caseSensitive", false)
+    conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+    conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    // row-group stats pruning only: record-level and page-level filtering
+    // are redundant under Spark's residual filters and don't compose with
+    // batch-at-a-time decode
+    conf.setBoolean(ParquetInputFormat.RECORD_FILTERING_ENABLED, false)
+    conf.setBoolean(ParquetInputFormat.COLUMN_INDEX_FILTERING_ENABLED, false)
+
+    val footer = ParquetFooterReader.readFooter(
+      HadoopInputFile.fromPath(hPath, conf), ParquetMetadataConverter.NO_FILTER)
+    val fileSchema = footer.getFileMetaData.getSchema
+    // predicate over PRESENT columns only (parquet validates filters
+    // against the file schema; a column the file predates is all-null and
+    // stays residual-filtered) — same per-file clipping as the row path
+    val presentFields = required.fields.filter(f => fileSchema.containsField(f.name))
+    GraftFilters.toParquet(pushed, presentFields.toSeq)
+      .foreach(ParquetInputFormat.setFilterPredicate(conf, _))
+
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      hPath, 0, Files.size(Paths.get(file)), Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    val r = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", /*useOffHeap=*/ false,
+      /*capacity=*/ 4096)
+    try {
+      r.initialize(split, ctx, None, None, Some(footer))
+      r.initBatch(new StructType(), InternalRow.empty)
+      r.enableReturningBatches()
+    } catch {
+      case e: Throwable => r.close(); throw e
+    }
+    reader = r
+    true
+  }
+
+  override def next(): Boolean = {
+    if (reader != null && reader.nextBatch()) {
+      batch = reader.resultBatch()
+      true
+    } else {
+      if (reader != null) { reader.close(); reader = null }
+      if (!openNext()) false else next()
+    }
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+  override def close(): Unit = if (reader != null) reader.close()
 }
 
 /** Streaming parquet-mr reader for one file: projects `fields` (null-filling

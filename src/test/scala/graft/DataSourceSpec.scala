@@ -39,6 +39,59 @@ class DataSourceSpec extends SparkSpec {
   private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  test("columnar read: delta-free scan executes columnar and matches the row path") {
+    val (cat, root) = mkCat()
+    cat.createTable(TableDef("t", schema, Seq("id"), buckets = 4))
+    cat.insert("t", rows(500))
+    // delta-free table → the scan exec must report columnar support
+    val ds = readDs(root, "t").filter(col("v") > 50.0).select("id", "grp", "v")
+    val scanExec = ds.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scanExec.nonEmpty && scanExec.forall(_.supportsColumnar),
+      "delta-free graft scan should read ColumnarBatch")
+    // bit-identical results vs the row-based reader (escape hatch conf)
+    val columnar = sortedRows(ds)
+    spark.conf.set(graft.sources.GraftDataSource.ColumnarReadKey, "false")
+    try {
+      val rowDs = readDs(root, "t").filter(col("v") > 50.0).select("id", "grp", "v")
+      val rowScan = rowDs.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(rowScan.forall(!_.supportsColumnar))
+      assert(sortedRows(rowDs) === columnar)
+    } finally spark.conf.unset(graft.sources.GraftDataSource.ColumnarReadKey)
+    // a pending delta pins the scan back to the row-based merge reader
+    cat.upsert("t", rows(10))
+    val merged = readDs(root, "t")
+    val mergedScan = merged.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(mergedScan.forall(!_.supportsColumnar),
+      "pending deltas require the row-based merge reader")
+    assert(merged.count() === 500)
+    // compaction folds the deltas — columnar comes back
+    cat.compact("t")
+    val compacted = readDs(root, "t")
+    val compactedScan = compacted.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(compactedScan.forall(_.supportsColumnar))
+    assert(sortedRows(compacted) === sortedRows(cat.table("t")))
+  }
+
+  test("connector partitions report preferred locations (tablet-leader locality analog)") {
+    val (cat, root) = mkCat()
+    cat.createTable(TableDef("t", schema, Seq("id"), buckets = 2))
+    cat.insert("t", rows(50))
+    val parts = readDs(root, "t").queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.partitions
+    }.flatten.flatten
+    assert(parts.nonEmpty)
+    assert(parts.forall(_.preferredLocations().nonEmpty),
+      "every graft partition should surface its storage host to the scheduler")
+  }
+
   test("format(\"graft\"): bucketed table reads back identical to catalog.table()") {
     val (cat, root) = mkCat()
     cat.createTable(TableDef("t", schema, Seq("id"), buckets = 4))
@@ -342,12 +395,18 @@ class DataSourceSpec extends SparkSpec {
       classOf[graft.sources.GraftCatalogPlugin].getName)
     spark.conf.set("spark.sql.catalog.graftm.root", root)
     try {
-      intercept[org.apache.spark.sql.AnalysisException] {
+      // Spark <=4.0 raises AnalysisException; 4.1 raises
+      // SparkUnsupportedOperationException — either way it must fail loudly.
+      val e = intercept[Exception] {
         spark.sql(
           """MERGE INTO graftm.t AS tgt
             |USING (SELECT CAST(1 AS BIGINT) AS id) AS src ON tgt.id = src.id
             |WHEN MATCHED THEN DELETE""".stripMargin)
       }
+      assert(
+        e.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
+          e.isInstanceOf[UnsupportedOperationException],
+        s"unexpected MERGE failure type: ${e.getClass.getName}")
       assert(cat.table("t").count() === 10, "failed MERGE must not mutate")
     } finally {
       spark.conf.unset("spark.sql.catalog.graftm.root")

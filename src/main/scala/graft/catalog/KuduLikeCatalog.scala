@@ -99,6 +99,13 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       .findFirstMatchIn(Files.readString(metaFile(name)))
       .map(_.group(1).toInt).getOrElse(0)
 
+  /** Lowest changelog version still readable (layers at or below the floor
+    * were folded into the base by compact/overwrite). The streaming
+    * changelog source uses this to fail loudly when an offset predates the
+    * oldest retained layer instead of silently skipping mutations.
+    */
+  private[graft] def changelogFloor(name: String): Int = deltaFloorOf(name)
+
   /** Atomically patch the meta manifest (tmp + ATOMIC_MOVE, same discipline
     * as [[stampZone]]) with a new base-dir pointer and delta floor. This
     * write IS the overwrite commit point.
@@ -857,7 +864,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     writePartitioned(rows.observe(obs, count(lit(1)).as("n")),
       keyColsOf(name), bucketsOf(name), rangeColOf(name),
       tmp.toString, SaveMode.Overwrite)
-    val n = obs.get("n").asInstanceOf[Long]
+    val n = observedCount(obs, "n", rows.count())
     if (n > 0)
       Files.move(tmp, deltasDir(name).resolve(seq.toString),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)

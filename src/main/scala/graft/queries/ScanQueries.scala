@@ -268,6 +268,36 @@ object ScanQueries {
              |FROM documents WHERE doc_id < 300
              |ORDER BY doc_id""".stripMargin)),
 
+    // The CHANGELOG read face of the connector (option changelog=true):
+    // pending mutation layers stream back as (data…, op, version) — the
+    // batch face of the GraftMicroBatchStream CDC source (StreamingSpec
+    // verifies the streaming face replays to table state). The oracle
+    // reproduces both layers algebraically: layer 1 is the upsert batch,
+    // layer 2 is the delete's tombstones carrying the POST-upsert values
+    // (tombstones snapshot the merged row at delete time).
+    QDef("s17_changelog_read",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s17_").toString
+        val cat = new KuduLikeCatalog(s, tmp)
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "lang")
+        cat.createTable(TableDef("docs_c", docs.schema, Seq("doc_id"), buckets = 4))
+        cat.insert("docs_c", docs) // base append — not a changelog event
+        cat.upsert("docs_c",
+          docs.filter(col("doc_id") < 20).withColumn("source", lit("upd")))
+        cat.delete("docs_c", col("doc_id") % 7 === 0)
+        s.read.format("graft").option("root", tmp).option("changelog", "true")
+          .load("docs_c")
+          .orderBy("version", "doc_id")
+      },
+      Some("""SELECT doc_id, 'upd' AS source, lang, 'upsert' AS op, 1 AS version
+             |FROM documents WHERE doc_id < 20
+             |UNION ALL
+             |SELECT doc_id,
+             |  CASE WHEN doc_id < 20 THEN 'upd' ELSE source END AS source,
+             |  lang, 'delete' AS op, 2 AS version
+             |FROM documents WHERE doc_id % 7 = 0
+             |ORDER BY version, doc_id""".stripMargin)),
+
     QDef("s10_values_inline",
       (s, _) => {
         import s.implicits._

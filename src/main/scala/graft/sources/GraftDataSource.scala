@@ -88,14 +88,18 @@ final class GraftDataSource extends TableProvider
   override def supportsExternalMetadata(): Boolean = false
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val (root, name) = GraftDataSource.resolve(options.asCaseSensitiveMap().asScala.toMap)
-    new KuduLikeCatalog(SparkSession.active, root).schemaOf(name)
+    val props = options.asCaseSensitiveMap().asScala.toMap
+    val (root, name) = GraftDataSource.resolve(props)
+    val base = new KuduLikeCatalog(SparkSession.active, root).schemaOf(name)
+    if (GraftDataSource.isChangelog(props)) GraftDataSource.changelogSchema(base)
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    val (root, name) = GraftDataSource.resolve(properties.asScala.toMap)
-    new GraftTable(root, name, schema)
+    val props = properties.asScala.toMap
+    val (root, name) = GraftDataSource.resolve(props)
+    new GraftTable(root, name, schema, GraftDataSource.isChangelog(props))
   }
 }
 
@@ -118,6 +122,21 @@ object GraftDataSource {
     * hatch, and what the row-path tests pin against.
     */
   val ColumnarReadKey = "spark.graft.connector.columnarRead"
+
+  /** `option("changelog","true")`: the table surfaces its CDC stream —
+    * every pending mutation row as `(data columns…, op, version)` — instead
+    * of the merged table state. Batch read = all retained layers;
+    * `spark.readStream` = a micro-batch source whose offsets are delta
+    * sequence numbers ([[GraftMicroBatchStream]]). The Kudu design intent
+    * (serving fast-changing data) closed as a loop: StreamingIngest writes
+    * mutations IN, this streams them back OUT.
+    */
+  private[sources] def isChangelog(props: Map[String, String]): Boolean =
+    props.get("changelog").exists(_.equalsIgnoreCase("true"))
+
+  private[sources] def changelogSchema(base: StructType): StructType =
+    StructType(base.fields :+ StructField("op", StringType) :+
+      StructField("version", IntegerType))
 
   private def resolve(props: Map[String, String]): (String, String) = {
     val name = props.getOrElse("path",
@@ -146,19 +165,25 @@ object GraftDataSource {
 }
 
 private[sources] final class GraftTable(root: String, tableName: String,
-    tableSchema: StructType) extends Table with SupportsRead
+    tableSchema: StructType, changelog: Boolean = false) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
-  override def name(): String = s"graft.$tableName"
+  override def name(): String =
+    if (changelog) s"graft.$tableName.changelog" else s"graft.$tableName"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     // BATCH_WRITE admits the v2 write plan (DataFrameWriter requires the
     // literal capability); V1_BATCH_WRITE + the V1Write from build() then
-    // route execution through the batch-relational fallback exec
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    // route execution through the batch-relational fallback exec.
+    // changelog mode is read-only: batch (all retained layers) or
+    // micro-batch streaming (offsets = delta sequence numbers).
+    if (changelog)
+      java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    else
+      java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, tableName, tableSchema)
+    new GraftScanBuilder(root, tableName, tableSchema, changelog)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -226,14 +251,17 @@ private[sources] final class GraftWriteBuilder(root: String, tableName: String,
 }
 
 private[sources] final class GraftScanBuilder(root: String, tableName: String,
-    fullSchema: StructType) extends ScanBuilder
+    fullSchema: StructType, changelog: Boolean = false) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fullSchema
   private var pushed: Array[sources.Filter] = Array.empty
 
+  // changelog scans keep the full (data…, op, version) schema and leave all
+  // filters residual: a changelog is small by construction (pending
+  // mutations only) and correctness of the replay outweighs pruning
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    if (!changelog) required = requiredSchema
 
   /** Everything stays residual (Spark re-evaluates post-merge — inexact
     * pushdown, the same contract as Spark's own parquet source with
@@ -242,28 +270,41 @@ private[sources] final class GraftScanBuilder(root: String, tableName: String,
     * routing.
     */
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
-    pushed = filters.filter(GraftFilters.isSupported)
+    if (!changelog) pushed = filters.filter(GraftFilters.isSupported)
     filters
   }
 
   override def pushedFilters(): Array[sources.Filter] = pushed
 
   override def build(): Scan =
-    new GraftScan(root, tableName, fullSchema, required, pushed)
+    new GraftScan(root, tableName, fullSchema, required, pushed, changelog)
 }
 
 private[sources] final class GraftScan(root: String, tableName: String,
     fullSchema: StructType, required: StructType,
-    pushed: Array[sources.Filter]) extends Scan with Batch {
+    pushed: Array[sources.Filter], changelog: Boolean = false)
+  extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"GraftScan table=$tableName " +
+    s"GraftScan table=$tableName${if (changelog) " changelog" else ""} " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
       s"ReadSchema: ${required.catalogString}"
 
   override def toBatch: Batch = this
+
+  /** Streaming face of the changelog (option changelog=true): a micro-batch
+    * source whose offsets are the catalog's delta sequence numbers — the
+    * Kudu fast-changing-data intent closed as a loop with StreamingIngest.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(changelog,
+      "streaming reads need the changelog view: " +
+        """spark.readStream.format("graft").option("changelog","true").load(t)""")
+    new GraftMicroBatchStream(root, tableName)
+  }
 
   // memoized so planInputPartitions() and createReaderFactory() see ONE
   // consistent snapshot of the table's layers: the factory's columnar
@@ -278,6 +319,9 @@ private[sources] final class GraftScan(root: String, tableName: String,
     val spark = SparkSession.active
     val catalog = new KuduLikeCatalog(spark, root)
     require(catalog.exists(tableName), s"graft table $tableName does not exist under $root")
+    if (changelog)
+      // batch changelog read: every retained layer (floor, latest]
+      return GraftChangelog.partitions(catalog, tableName, Int.MinValue, Int.MaxValue)
     val keys = catalog.keyColsOf(tableName)
     val buckets = catalog.bucketsOf(tableName)
     // Planning-time __range directory pruning (the connector analog of the
@@ -360,6 +404,8 @@ private[sources] final class GraftScan(root: String, tableName: String,
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
     val catalog = new KuduLikeCatalog(spark, root)
+    if (changelog)
+      return new GraftChangelogReaderFactory(catalog.schemaOf(tableName))
     // resolved driver-side (executors can't read session conf) and shipped
     // inside the serialized factory
     val maxOverlayRows = spark.conf.getOption(GraftDataSource.MaxOverlayRowsKey)
@@ -472,6 +518,156 @@ private[graft] final case class GraftInputPartition(
     emitOverlay: Boolean, locations: Array[String] = Array.empty)
   extends InputPartition {
   override def preferredLocations(): Array[String] = locations
+}
+
+/** One changelog micro-batch unit: a single delta layer (its files). */
+private[graft] final case class GraftChangelogPartition(
+    seq: Int, files: Seq[String], locations: Array[String] = Array.empty)
+  extends InputPartition {
+  override def preferredLocations(): Array[String] = locations
+}
+
+private[sources] object GraftChangelog {
+  /** Partitions for the retained layers with sequence in (from, to] —
+    * the same window semantics as `KuduLikeCatalog.changesBetween`.
+    */
+  def partitions(catalog: KuduLikeCatalog, tableName: String,
+      from: Int, to: Int): Array[InputPartition] = {
+    val hosts =
+      try Array(java.net.InetAddress.getLocalHost.getHostName)
+      catch { case _: Exception => Array.empty[String] }
+    catalog.deltaLayers(tableName)
+      .filter { case (seq, _) => seq > from && seq <= to }
+      .sortBy(_._1)
+      .map { case (seq, dir) =>
+        GraftChangelogPartition(seq, GraftScan.listParquet(dir), hosts): InputPartition
+      }
+      .toArray
+  }
+}
+
+/** Changelog stream position: the highest delta sequence already consumed,
+  * plus the base epoch it was valid under. Both are monotone counters the
+  * catalog persists, so offsets survive restarts (checkpointed as JSON).
+  */
+private[sources] final case class GraftOffset(version: Int, epoch: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"version":$version,"epoch":$epoch}"""
+}
+
+private[sources] object GraftOffset {
+  def fromJson(s: String): GraftOffset = {
+    def field(k: String): Option[String] =
+      (s""""$k":(\\d+)""").r.findFirstMatchIn(s).map(_.group(1))
+    (field("version"), field("epoch")) match {
+      case (Some(v), Some(e)) => GraftOffset(v.toInt, e.toLong)
+      case _ => throw new IllegalArgumentException(s"malformed graft offset: $s")
+    }
+  }
+}
+
+/** Micro-batch changelog source over a graft table. Offsets are delta
+  * sequence numbers: each trigger reads the layers committed since the last
+  * offset — exactly the rows `changesBetween(last, latest)` returns, as a
+  * stream. Two staleness guards fail loudly instead of silently dropping
+  * mutations (the same honesty contract as the catalog's CDC):
+  *
+  *  - base-epoch advance (an INSERT took the base-append path, which
+  *    bypasses the changelog) → the stream's bootstrap snapshot is stale;
+  *  - compaction past an unread offset (layers folded into the base before
+  *    this stream consumed them) → the mutations are no longer replayable.
+  *
+  * Scale: a micro-batch costs one task per delta layer, reading only that
+  * layer's files — never the base, never the table. State is one integer
+  * per stream (the offset), checkpointed by Spark.
+  */
+private[sources] final class GraftMicroBatchStream(root: String, tableName: String)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
+
+  private def catalog = new KuduLikeCatalog(SparkSession.active, root)
+
+  override def initialOffset(): SOffset = {
+    val cat = catalog
+    GraftOffset(cat.changelogFloor(tableName), cat.baseEpoch(tableName))
+  }
+
+  override def latestOffset(): SOffset = {
+    val cat = catalog
+    val live = cat.deltaLayers(tableName).map(_._1)
+    val v = if (live.isEmpty) cat.changelogFloor(tableName) else live.max
+    GraftOffset(v, cat.baseEpoch(tableName))
+  }
+
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOffset]
+    val e = end.asInstanceOf[GraftOffset]
+    val cat = catalog
+    val epochNow = cat.baseEpoch(tableName)
+    if (s.epoch != epochNow)
+      throw new IllegalStateException(
+        s"graft changelog stream of $tableName: base epoch advanced " +
+          s"${s.epoch} -> $epochNow (an insert took the base-append path, " +
+          "which the changelog never reports) — restart the stream from a " +
+          "fresh table snapshot")
+    val floor = cat.changelogFloor(tableName)
+    if (floor > s.version)
+      throw new IllegalStateException(
+        s"graft changelog stream of $tableName: compaction folded layers " +
+          s"<= $floor into the base but this stream had only consumed up to " +
+          s"${s.version} — the missed mutations are no longer replayable; " +
+          "restart from a fresh snapshot (retain layers until consumers pass them)")
+    GraftChangelog.partitions(cat, tableName, s.version, e.version)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftChangelogReaderFactory(catalog.schemaOf(tableName))
+
+  override def deserializeOffset(json: String): SOffset = GraftOffset.fromJson(json)
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] final class GraftChangelogReaderFactory(dataSchema: StructType)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftChangelogReader(
+      partition.asInstanceOf[GraftChangelogPartition], dataSchema)
+}
+
+/** Streams one delta layer's rows as `(data columns…, op, version)`. The
+  * layer's parquet carries the data columns plus `__op` in-file (bucket and
+  * range live in directory names and are changelog-irrelevant); `version`
+  * is the layer sequence, constant per partition.
+  */
+private[sources] final class GraftChangelogReader(
+    part: GraftChangelogPartition, dataSchema: StructType)
+  extends PartitionReader[InternalRow] {
+
+  private val readFields: Array[StructField] =
+    dataSchema.fields :+ StructField(KuduLikeCatalog.OpCol, StringType)
+  private var activeFile: GroupFileIterator = _
+  private val rows: Iterator[Array[Any]] =
+    part.files.iterator.flatMap { f =>
+      val it = new GroupFileIterator(f, readFields, Array.empty)
+      activeFile = it
+      it
+    }
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (rows.hasNext) {
+      val row = rows.next()
+      val out = new Array[Any](readFields.length + 1)
+      System.arraycopy(row, 0, out, 0, readFields.length)
+      out(readFields.length) = part.seq
+      current = new GenericInternalRow(out)
+      true
+    } else false
+
+  override def get(): InternalRow = current
+  override def close(): Unit = if (activeFile != null) activeFile.close()
 }
 
 private[sources] final class GraftReaderFactory(

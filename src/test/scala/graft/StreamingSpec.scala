@@ -214,4 +214,66 @@ class StreamingSpec extends SparkSpec {
       StreamingIngest.ingestInto(stream2.toDF(), cat, "events_k"))
     assert(cat.table("events_k").count() === 100)
   }
+
+  test("changelog stream: replaying upserts/deletes reconstructs the batch table state") {
+    import spark.implicits._
+    val root = tmpDir("graft_cdc_")
+    val cat = new KuduLikeCatalog(spark, root)
+    def df(rows: Seq[(Long, Double, String)]) = rows.toDF("id", "v", "tag")
+    cat.createTable(TableDef("t",
+      df(Seq((0L, 0.0, "x"))).schema, Seq("id"), buckets = 2))
+
+    // bootstrap: base snapshot (base appends are NOT changelog events)
+    cat.insert("t", df((0L until 50L).map(i => (i, i * 1.0, "base"))))
+    val snapshot = scala.collection.mutable.Map[Long, (Double, String)](
+      cat.table("t").collect().map(r =>
+        r.getLong(0) -> (r.getDouble(1), r.getString(2))).toIndexedSeq: _*)
+
+    // three mutation layers: update, delete, insert-new + re-update (the
+    // re-update of id 3 must win over layer 1 by version order)
+    cat.upsert("t", df((0L until 10L).map(i => (i, i * -1.0, "upd1"))))
+    cat.delete("t", col("id") % 7 === 0)
+    cat.upsert("t", df(Seq((3L, 333.0, "upd2"), (60L, 60.0, "new"))))
+
+    // stream the changelog and replay it onto the bootstrap snapshot
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("changelog", "true").load("t")
+      .writeStream.format("memory").queryName("cdc_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("cdc_out").collect()
+      .map(r => (r.getInt(4), r.getString(3), r.getLong(0), r.getDouble(1), r.getString(2)))
+      .sortBy(_._1) // replay in version order
+    assert(streamed.map(_._1).distinct.length === 3, "three delta layers expected")
+    streamed.foreach {
+      case (_, "upsert", id, v, tag) => snapshot(id) = (v, tag)
+      case (_, "delete", id, _, _)   => snapshot.remove(id): Unit
+      case (_, op, _, _, _)          => fail(s"unexpected changelog op $op")
+    }
+    val batchState = cat.table("t").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(snapshot.toMap === batchState,
+      "changelog replay must reconstruct the table state")
+
+    // the batch face of the changelog sees the same events as the stream
+    val batchCl = spark.read.format("graft")
+      .option("root", root).option("changelog", "true").load("t")
+      .collect()
+      .map(r => (r.getInt(4), r.getString(3), r.getLong(0), r.getDouble(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(batchCl.toSeq === streamed.toSeq)
+
+    // compaction folds the layers: a FRESH stream starts at the new floor
+    // and sees an empty changelog (nothing pending), while the table state
+    // is unchanged
+    cat.compact("t")
+    val q2 = spark.readStream.format("graft")
+      .option("root", root).option("changelog", "true").load("t")
+      .writeStream.format("memory").queryName("cdc_out2")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table("cdc_out2").count() === 0)
+    assert(cat.table("t").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap === batchState)
+  }
 }

@@ -11,8 +11,8 @@ import org.apache.spark.sql.types.StructType
   * STORED BY '…KuduStorageHandler' TBLPROPERTIES('kudu.key_columns'='…')`,
   * `INSERT INTO`, `DROP TABLE` (reference: README.md:22-44) — so the catalog
   * must be drivable from SQL text, not just the Scala API. Statements the
-  * catalog owns (CREATE / DROP / INSERT / UPSERT / DELETE on catalog tables)
-  * are parsed here and routed to [[KuduLikeCatalog]]; every other statement
+  * catalog owns (CREATE / DROP / INSERT / UPSERT / DELETE / MERGE on catalog
+  * tables) are parsed here and routed to [[KuduLikeCatalog]]; every other statement
   * falls through to `spark.sql` with all catalog tables registered as temp
   * views, so SELECTs see catalog tables next to anything else in the session.
   *
@@ -43,6 +43,7 @@ object GraftSql {
     else if (upper.startsWith("INSERT INTO") || upper.startsWith("UPSERT INTO"))
       writeInto(spark, cat, stmt)
     else if (upper.startsWith("DELETE FROM")) delete(spark, cat, stmt)
+    else if (upper.startsWith("MERGE INTO")) merge(spark, cat, stmt)
     else if (upper.startsWith("ALTER TABLE")) alter(spark, cat, stmt)
     else if (upper.startsWith("DESCRIBE ") || upper.startsWith("DESC "))
       describe(spark, cat, stmt)
@@ -256,6 +257,205 @@ object GraftSql {
         status(spark, "DELETE FROM", name, n)
       case _ => spark.sql(stmt)
     }
+
+  private val MergeHead =
+    """(?is)^MERGE\s+INTO\s+`?([\w.]+)`?(?:\s+AS\s+(\w+)|\s+(?!USING\b)(\w+))?\s+USING\s+(.*)$""".r
+  private val SourceAliasOn =
+    """(?is)^\s*(?:(?:AS\s+)?(?!ON\b)(\w+)\s+)?ON\s+(.*)$""".r
+  private val WhenSplit = """(?i)\bWHEN\s+(?:NOT\s+)?MATCHED\b""".r
+  private val UpdateClause =
+    """(?is)^WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+)$""".r
+  private val DeleteClause =
+    """(?is)^WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*$""".r
+  private val InsertClause =
+    """(?is)^WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT\s+(.+)$""".r
+
+  /** `MERGE INTO t USING src ON cond WHEN …` — the one DML verb a Hive/Kudu
+    * user reaches for that the V2 catalog seam rejects (it would need
+    * SupportsRowLevelOperations); here it compiles onto the catalog's OWN
+    * primitives, the same single-write-seam discipline as the reference
+    * (every reference write flows HiveKuduTableOutputFormat.java:155-312):
+    *
+    *  - WHEN MATCHED … UPDATE SET → [[KuduLikeCatalog.upsert]] of the joined
+    *    rows with assignments applied (key columns may not be assigned —
+    *    Kudu cannot update a primary key either);
+    *  - WHEN MATCHED … DELETE → [[KuduLikeCatalog.deleteKeys]] (distributed
+    *    semi-join tombstones, never a collected key list);
+    *  - WHEN NOT MATCHED … INSERT → [[KuduLikeCatalog.insert]] of the
+    *    anti-joined source rows (`INSERT *` by name, or a column list with
+    *    VALUES; unlisted non-key columns land NULL).
+    *
+    * Standard first-matching-clause semantics: a row claimed by an earlier
+    * clause is excluded from later ones (guards are chained with
+    * NOT coalesce(prior, false)). All action row-sets are materialized
+    * against the PRE-merge snapshot before any mutation lands, so a MERGE
+    * whose UPDATE feeds its own DELETE predicate cannot observe itself.
+    * Several source rows hitting one target key resolve last-wins through
+    * the catalog's in-batch dedup (standard SQL raises a cardinality error;
+    * Kudu's upsert — the semantic this catalog mirrors — takes last-wins).
+    * Dialect-router caveat: guard conditions containing `CASE … THEN` are
+    * not supported (the clause splitter anchors on the first THEN).
+    */
+  private def merge(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame = {
+    val m = MergeHead.findFirstMatchIn(stmt).getOrElse(
+      throw new CatalogException(s"cannot parse MERGE INTO: $stmt"))
+    val name = m.group(1)
+    if (!cat.exists(name)) { registerViews(spark, cat); return spark.sql(stmt) }
+    val tAlias = Option(m.group(2)).orElse(Option(m.group(3))).getOrElse(name)
+    val tail = m.group(4).trim
+    val (srcRef, srcName, afterSrc) =
+      if (tail.startsWith("(")) {
+        val (inner, end) = balancedParen(tail, 0)
+        (s"( $inner )", None, tail.substring(end))
+      } else {
+        val mm = """(?is)^`?([\w.]+)`?""".r.findFirstMatchIn(tail).getOrElse(
+          throw new CatalogException(s"MERGE INTO $name: cannot parse USING source"))
+        (s"`${mm.group(1)}`", Some(mm.group(1)), tail.substring(mm.end))
+      }
+    val am = SourceAliasOn.findFirstMatchIn(afterSrc).getOrElse(
+      throw new CatalogException(s"MERGE INTO $name: expected [AS alias] ON <condition>"))
+    val sAlias = Option(am.group(1)).orElse(srcName).getOrElse(
+      throw new CatalogException(s"MERGE INTO $name: a subquery source needs an alias"))
+    val rest = am.group(2)
+    val whenStarts = WhenSplit.findAllMatchIn(rest).map(_.start).toList
+    if (whenStarts.isEmpty)
+      throw new CatalogException(s"MERGE INTO $name: no WHEN clauses")
+    val cond = rest.substring(0, whenStarts.head).trim
+    val clauses = (whenStarts :+ rest.length).sliding(2).map {
+      case List(a, b) => rest.substring(a, b).trim
+    }.toList
+
+    registerViews(spark, cat)
+    val schema = cat.schemaOf(name)
+    val keys = cat.keyColsOf(name)
+    val matchedFrom = s"FROM `$name` AS `$tAlias` JOIN $srcRef AS `$sAlias` ON $cond"
+    val antiFrom = s"FROM $srcRef AS `$sAlias` LEFT ANTI JOIN `$name` AS `$tAlias` ON $cond"
+    def where(cur: Option[String], priors: Seq[String]): String = {
+      val parts = cur.map(g => s"coalesce(($g), false)").toSeq ++
+        priors.map(g => s"NOT coalesce(($g), false)")
+      if (parts.isEmpty) "" else parts.mkString("WHERE ", " AND ", "")
+    }
+
+    var matchedPriors = Vector.empty[String]
+    var notMatchedPriors = Vector.empty[String]
+    val actions: Seq[(String, DataFrame)] = clauses.map {
+      case UpdateClause(guard, sets) =>
+        val assigns = splitTopLevel(sets, ',').map { a =>
+          val eq = """(?is)^\s*(?:`?(\w+)`?\.)?`?(\w+)`?\s*=\s*(.+)$""".r
+          a match {
+            case eq(qual, c, e) =>
+              if (qual != null && qual != tAlias && qual != name)
+                throw new CatalogException(
+                  s"MERGE INTO $name: SET targets must be target columns ($qual.$c)")
+              c.toLowerCase -> e.trim
+            case _ => throw new CatalogException(s"MERGE INTO $name: cannot parse SET $a")
+          }
+        }.toMap
+        assigns.keys.find(k => keys.exists(_.equalsIgnoreCase(k))).foreach { k =>
+          throw new CatalogException(
+            s"MERGE INTO $name: cannot UPDATE key column $k (delete + insert instead)")
+        }
+        assigns.keys.find(k => !schema.fieldNames.exists(_.equalsIgnoreCase(k))).foreach { k =>
+          throw new CatalogException(s"MERGE INTO $name: unknown SET column $k")
+        }
+        val proj = schema.fields.map { f =>
+          assigns.get(f.name.toLowerCase) match {
+            case Some(e) => s"CAST(($e) AS ${f.dataType.sql}) AS `${f.name}`"
+            case None    => s"`$tAlias`.`${f.name}` AS `${f.name}`"
+          }
+        }.mkString(", ")
+        val w = where(Option(guard).map(_.trim), matchedPriors)
+        matchedPriors :+= Option(guard).map(_.trim).getOrElse("true")
+        "update" -> spark.sql(s"SELECT $proj $matchedFrom $w")
+      case DeleteClause(guard) =>
+        val proj = keys.map(k => s"`$tAlias`.`$k` AS `$k`").mkString(", ")
+        val w = where(Option(guard).map(_.trim), matchedPriors)
+        matchedPriors :+= Option(guard).map(_.trim).getOrElse("true")
+        "delete" -> spark.sql(s"SELECT $proj $matchedFrom $w")
+      case InsertClause(guard, insSpec) =>
+        val spec = insSpec.trim
+        val proj =
+          if (spec == "*")
+            schema.fields.map(f =>
+              s"CAST(`$sAlias`.`${f.name}` AS ${f.dataType.sql}) AS `${f.name}`")
+              .mkString(", ")
+          else {
+            if (!spec.startsWith("("))
+              throw new CatalogException(
+                s"MERGE INTO $name: INSERT expects * or (cols) VALUES (exprs)")
+            val (colsTxt, afterCols) = balancedParen(spec, 0)
+            val valsM = """(?is)^\s*VALUES\s*""".r.findFirstMatchIn(spec.substring(afterCols))
+              .getOrElse(throw new CatalogException(
+                s"MERGE INTO $name: INSERT (cols) needs VALUES (exprs)"))
+            val (valsTxt, _) = balancedParen(spec.substring(afterCols), valsM.end)
+            val cols = colsTxt.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+            val exprs = splitTopLevel(valsTxt, ',').map(_.trim)
+            if (cols.length != exprs.length)
+              throw new CatalogException(
+                s"MERGE INTO $name: INSERT has ${cols.length} columns, ${exprs.length} values")
+            val byCol = cols.map(_.toLowerCase).zip(exprs).toMap
+            cols.find(c => !schema.fieldNames.exists(_.equalsIgnoreCase(c))).foreach { c =>
+              throw new CatalogException(s"MERGE INTO $name: unknown INSERT column $c")
+            }
+            schema.fields.map { f =>
+              byCol.get(f.name.toLowerCase) match {
+                case Some(e) => s"CAST(($e) AS ${f.dataType.sql}) AS `${f.name}`"
+                case None    => s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`"
+              }
+            }.mkString(", ")
+          }
+        val w = where(Option(guard).map(_.trim), notMatchedPriors)
+        notMatchedPriors :+= Option(guard).map(_.trim).getOrElse("true")
+        "insert" -> spark.sql(s"SELECT $proj $antiFrom $w")
+      case c =>
+        throw new CatalogException(s"MERGE INTO $name: cannot parse clause: $c")
+    }
+
+    // snapshot isolation: materialize every action row-set against the
+    // pre-merge state before the first mutation lands
+    actions.foreach(_._2.persist())
+    try {
+      actions.foreach(_._2.count(): Unit)
+      var total = 0L
+      actions.foreach {
+        case ("update", df) => total += cat.upsert(name, df)
+        case ("delete", df) => total += cat.deleteKeys(name, df)
+        case (_, df)        => total += cat.insert(name, df)
+      }
+      registerViews(spark, cat)
+      status(spark, "MERGE INTO", name, total)
+    } finally actions.foreach(_._2.unpersist())
+  }
+
+  /** Split on `sep` at paren depth 0 outside string literals. */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0
+    var inQuote = false
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        if (c == '\\') i += 1
+        else if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
+          else inQuote = false
+        }
+      } else c match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case `sep` if depth == 0 =>
+          out += s.substring(start, i)
+          start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
 
   /** ALTER TABLE … ADD COLUMN(S) — online schema evolution (new column must
     * be non-key, in the closed type set; lands nullable).

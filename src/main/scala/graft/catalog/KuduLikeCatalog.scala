@@ -778,6 +778,21 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     writeDelta(name, tombstones)
   }
 
+  /** DELETE the rows whose key appears in `keysDf` — Kudu's delete-by-key
+    * op, and MERGE's DELETE branch. The match is a distributed semi-join on
+    * the key columns (never a collected key list), so the condemned set can
+    * be join-derived and arbitrarily large; tombstones carry the current
+    * payload like [[delete]], keeping partition pruning correct.
+    */
+  def deleteKeys(name: String, keysDf: DataFrame): Long = {
+    assertZone(name)
+    val keys = keyColsOf(name)
+    val sel = keysDf.select(keys.map(col): _*).na.drop(keys).distinct()
+    val tombstones = table(name).join(sel, keys, "left_semi")
+      .withColumn(OpCol, lit("delete"))
+    writeDelta(name, tombstones)
+  }
+
   /** PK-non-null enforcement (reference: KuduStorageHandler.java:251-255) —
     * one combined job, not one scan per key column.
     */

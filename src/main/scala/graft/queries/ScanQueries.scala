@@ -298,6 +298,39 @@ object ScanQueries {
              |FROM documents WHERE doc_id % 7 = 0
              |ORDER BY version, doc_id""".stripMargin)),
 
+    // SQL MERGE INTO through the dialect router (GraftSql.merge): one
+    // statement drives all three branches — guarded DELETE, UPDATE SET,
+    // INSERT * — against a CTAS-loaded keyed table. The oracle reproduces
+    // the post-merge state algebraically over the source table, so clause
+    // precedence, the delete semi-join, and the anti-join insert are all
+    // hash-gated.
+    QDef("s18_merge_into",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s18_").toString
+        val cat = new KuduLikeCatalog(s, tmp)
+        Tables.registerAll(s, dir)
+        def sql(t: String) = graft.GraftSql.execute(s, cat, t)
+        sql("""CREATE TABLE docs_m STORED BY 'handler'
+              |TBLPROPERTIES('kudu.key_columns'='doc_id','graft.hash_buckets'='4')
+              |AS SELECT doc_id, source, lang FROM documents WHERE doc_id < 300""".stripMargin)
+        sql("""MERGE INTO docs_m AS t
+              |USING (SELECT doc_id, source, lang FROM documents
+              |       WHERE doc_id >= 200 AND doc_id < 400) AS s
+              |ON t.doc_id = s.doc_id
+              |WHEN MATCHED AND t.doc_id % 5 = 0 THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET source = 'merged'
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        cat.table("docs_m").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, lang FROM documents WHERE doc_id < 200
+             |UNION ALL
+             |SELECT doc_id, 'merged' AS source, lang FROM documents
+             |WHERE doc_id >= 200 AND doc_id < 300 AND doc_id % 5 <> 0
+             |UNION ALL
+             |SELECT doc_id, source, lang FROM documents
+             |WHERE doc_id >= 300 AND doc_id < 400
+             |ORDER BY doc_id""".stripMargin)),
+
     QDef("s10_values_inline",
       (s, _) => {
         import s.implicits._

@@ -42,6 +42,59 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sql("SELECT id FROM t").collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 3))
   }
 
+  test("MERGE INTO: update + delete + insert branches with standard clause semantics") {
+    val (cat, sql) = fresh()
+    sql("""CREATE TABLE acct (id BIGINT, bal DOUBLE, st STRING)
+          |TBLPROPERTIES('kudu.key_columns'='id', 'graft.hash_buckets'='2')""".stripMargin)
+    sql("INSERT INTO acct VALUES (1, 10.0, 'open'), (2, 20.0, 'open'), (3, 30.0, 'open'), (4, 40.0, 'open')")
+    // source: id 2 closes (delete), id 3 adjusts (update), ids 5,6 are new
+    // (insert); id 4 matches no WHEN guard and must be untouched
+    val st = sql(
+      """MERGE INTO acct AS t
+        |USING (SELECT * FROM VALUES
+        |  (CAST(2 AS BIGINT), 0.0,  'close'),
+        |  (CAST(3 AS BIGINT), 5.5,  'adjust'),
+        |  (CAST(4 AS BIGINT), 99.0, 'noop'),
+        |  (CAST(5 AS BIGINT), 50.0, 'new'),
+        |  (CAST(6 AS BIGINT), 60.0, 'new') AS v(id, amt, action)) AS s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.action = 'close' THEN DELETE
+        |WHEN MATCHED AND s.action = 'adjust' THEN UPDATE SET bal = t.bal + s.amt, st = 'adj'
+        |WHEN NOT MATCHED AND s.action = 'new' THEN INSERT (id, bal, st) VALUES (s.id, s.amt, 'opened')
+        |""".stripMargin)
+    assert(st.head().getLong(2) === 4L) // 1 delete + 1 update + 2 inserts
+    val rows = cat.table("acct").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(rows === Map(
+      1L -> (10.0, "open"),     // untouched (no source match)
+      3L -> (35.5, "adj"),      // updated: 30 + 5.5
+      4L -> (40.0, "open"),     // matched but no guard hit — untouched
+      5L -> (50.0, "opened"),   // inserted
+      6L -> (60.0, "opened")))  // inserted (id 2 deleted)
+  }
+
+  test("MERGE INTO: INSERT *, earlier clause wins, key update rejected") {
+    val (cat, sql) = fresh()
+    sql("""CREATE TABLE t (id INT, v DOUBLE)
+          |TBLPROPERTIES('kudu.key_columns'='id')""".stripMargin)
+    sql("INSERT INTO t VALUES (1, 1.0), (2, 2.0)")
+    // first-matching-clause: the unguarded UPDATE claims what the guarded
+    // DELETE (listed first) leaves behind
+    sql("""MERGE INTO t USING (SELECT * FROM VALUES (1, 100.0), (2, 200.0), (9, 9.0)
+          |  AS v(id, v)) AS s ON t.id = s.id
+          |WHEN MATCHED AND s.v > 150.0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = cat.table("t").collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(rows === Map(1 -> 100.0, 9 -> 9.0)) // 2 deleted, 1 updated, 9 inserted
+    // assigning a key column must fail loudly (Kudu cannot update a PK)
+    val e = intercept[graft.catalog.CatalogException] {
+      sql("""MERGE INTO t USING (SELECT 1 AS id) AS s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET id = 99""".stripMargin)
+    }
+    assert(e.getMessage.contains("key column"))
+  }
+
   test("INSERT INTO … SELECT reads other views, casts positionally") {
     val (_, sql) = fresh()
     sql("""CREATE TABLE regions (rid BIGINT, rname STRING)

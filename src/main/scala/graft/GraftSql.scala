@@ -276,20 +276,25 @@ object GraftSql {
     * primitives, the same single-write-seam discipline as the reference
     * (every reference write flows HiveKuduTableOutputFormat.java:155-312):
     *
-    *  - WHEN MATCHED … UPDATE SET → [[KuduLikeCatalog.upsert]] of the joined
-    *    rows with assignments applied (key columns may not be assigned —
-    *    Kudu cannot update a primary key either);
-    *  - WHEN MATCHED … DELETE → [[KuduLikeCatalog.deleteKeys]] (distributed
-    *    semi-join tombstones, never a collected key list);
-    *  - WHEN NOT MATCHED … INSERT → [[KuduLikeCatalog.insert]] of the
-    *    anti-joined source rows (`INSERT *` by name, or a column list with
-    *    VALUES; unlisted non-key columns land NULL).
+    *  - WHEN MATCHED … UPDATE SET → upsert rows: the joined target rows
+    *    with assignments applied (key columns may not be assigned — Kudu
+    *    cannot update a primary key either);
+    *  - WHEN MATCHED … DELETE → tombstone rows: the full matched target
+    *    row (the join already holds the payload, so no second table scan);
+    *  - WHEN NOT MATCHED … INSERT → upsert rows: the anti-joined source
+    *    rows (`INSERT *` by name, or a column list with VALUES; unlisted
+    *    non-key columns land NULL), dup-ignored against the live key set.
+    *
+    * All branches land in ONE delta layer via
+    * [[KuduLikeCatalog.applyChangeset]] — one evaluation job against the
+    * pre-merge snapshot, one shuffle, one atomic layer commit.
     *
     * Standard first-matching-clause semantics: a row claimed by an earlier
     * clause is excluded from later ones (guards are chained with
-    * NOT coalesce(prior, false)). All action row-sets are materialized
-    * against the PRE-merge snapshot before any mutation lands, so a MERGE
-    * whose UPDATE feeds its own DELETE predicate cannot observe itself.
+    * NOT coalesce(prior, false)), and per-key precedence across branches
+    * resolves by clause index inside the changeset. Nothing mutates until
+    * the single layer's atomic rename, so a MERGE whose UPDATE feeds its
+    * own DELETE predicate cannot observe itself.
     * Several source rows hitting one target key resolve last-wins through
     * the catalog's in-batch dedup (standard SQL raises a cardinality error;
     * Kudu's upsert — the semantic this catalog mirrors — takes last-wins).
@@ -368,7 +373,11 @@ object GraftSql {
         matchedPriors :+= Option(guard).map(_.trim).getOrElse("true")
         "update" -> spark.sql(s"SELECT $proj $matchedFrom $w")
       case DeleteClause(guard) =>
-        val proj = keys.map(k => s"`$tAlias`.`$k` AS `$k`").mkString(", ")
+        // full target row, not just keys: the matched join already holds
+        // the payload the tombstone must carry, so DELETE costs no second
+        // scan + semi-join against the table
+        val proj = schema.fields.map(f =>
+          s"`$tAlias`.`${f.name}` AS `${f.name}`").mkString(", ")
         val w = where(Option(guard).map(_.trim), matchedPriors)
         matchedPriors :+= Option(guard).map(_.trim).getOrElse("true")
         "delete" -> spark.sql(s"SELECT $proj $matchedFrom $w")
@@ -411,20 +420,41 @@ object GraftSql {
         throw new CatalogException(s"MERGE INTO $name: cannot parse clause: $c")
     }
 
-    // snapshot isolation: materialize every action row-set against the
-    // pre-merge state before the first mutation lands
-    actions.foreach(_._2.persist())
-    try {
-      actions.foreach(_._2.count(): Unit)
-      var total = 0L
-      actions.foreach {
-        case ("update", df) => total += cat.upsert(name, df)
-        case ("delete", df) => total += cat.deleteKeys(name, df)
-        case (_, df)        => total += cat.insert(name, df)
+    // Single-changeset application: every branch row-set lands in ONE
+    // delta layer through [[KuduLikeCatalog.applyChangeset]]. One job
+    // evaluates all branches against the pre-merge snapshot — nothing
+    // mutates until the layer's atomic rename, so MERGE keeps snapshot
+    // semantics WITHOUT persisting each branch — and the changeset
+    // shuffles/commits once where the layer-per-verb alternative paid
+    // three cache materializations plus three write jobs. Per-key clause
+    // precedence rides the __prio column (later clause wins, resolved
+    // inside applyChangeset).
+    val opCol = KuduLikeCatalog.OpCol
+    val prioCol = KuduLikeCatalog.PrioCol
+    val deletedKeys = actions.collect {
+      case ("delete", df) => df.select(keys.map(col): _*)
+    }.reduceOption(_ unionByName _)
+    val changeset = actions.zipWithIndex.map { case ((verb, df), i) =>
+      val rows = verb match {
+        case "insert" =>
+          // dup-ignore against the key set as the MATCHED clauses leave
+          // it: pre-merge keys minus DELETE-condemned keys (an INSERT may
+          // resurrect a key this same statement deletes — the sequential
+          // layer-per-verb semantics this single layer replaces)
+          val live = deletedKeys match {
+            case Some(d) => cat.table(name).select(keys.map(col): _*)
+              .join(d, keys.toSeq, "left_anti")
+            case None => cat.table(name).select(keys.map(col): _*)
+          }
+          df.join(live, keys.toSeq, "left_anti")
+        case _ => df
       }
-      registerViews(spark, cat)
-      status(spark, "MERGE INTO", name, total)
-    } finally actions.foreach(_._2.unpersist())
+      rows.withColumn(opCol, lit(if (verb == "delete") "delete" else "upsert"))
+        .withColumn(prioCol, lit(i))
+    }.reduce(_ unionByName _)
+    val total = cat.applyChangeset(name, changeset)
+    registerViews(spark, cat)
+    status(spark, "MERGE INTO", name, total)
   }
 
   /** Split on `sep` at paren depth 0 outside string literals. */

@@ -340,15 +340,28 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * Kudu shape, where exactly one tablet owns a (range, hash) partition's
     * writes. One extra hash shuffle per write batch is the price, paid on
     * the batch (the small side), never the standing table.
+    *
+    * `rangeAsData` (delta layers only): `__range` is computed but written
+    * as an IN-FILE column instead of a directory partition. Readers never
+    * range-prune delta layers (an upsert may move a key across months, so
+    * every month's overlay must be visible to every bucket's merge), which
+    * makes range DIRECTORIES pure overhead there: a tombstone batch
+    * touching M months × B buckets shatters into M×B tiny files whose
+    * per-file footer opens dominate merge-on-read. In-file `__range` keeps
+    * the layer at one file per BUCKET (the actual merge/pruning unit)
+    * while [[readDelta]] still sees the identical column — from file data
+    * on new layers, from directory discovery on layers written before this
+    * layout. Base writes keep range directories: that is where planning
+    * prunes.
     */
   private def writePartitioned(
       df: DataFrame, keys: Seq[String], buckets: Int, rangeCol: Option[String],
-      dir: String, mode: SaveMode): Unit = {
+      dir: String, mode: SaveMode, rangeAsData: Boolean = false): Unit = {
     var out = df
     val parts = scala.collection.mutable.ArrayBuffer[String]()
     rangeCol.foreach { rc =>
       out = out.withColumn(RangeCol, date_format(col(rc), "yyyy-MM"))
-      parts += RangeCol
+      if (!rangeAsData) parts += RangeCol
     }
     if (buckets > 0) {
       out = out.withColumn(BucketCol, bucketExpr(keys, buckets))
@@ -778,6 +791,41 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     writeDelta(name, tombstones)
   }
 
+  /** Apply a mixed upsert/delete changeset as ONE delta layer — MERGE's
+    * single write seam (the reference funnels every verb through one
+    * writer the same way, HiveKuduTableOutputFormat.java:155-312). Rows
+    * carry the table schema plus [[KuduLikeCatalog.OpCol]]
+    * ("upsert"/"delete") and [[KuduLikeCatalog.PrioCol]] (clause index).
+    * Per-key resolution happens HERE, not across layers: the highest
+    * priority wins (later MERGE clause beats earlier), ties resolve by
+    * non-key payload ascending — the same deterministic survivor rule as
+    * the insert path's in-batch dedup. One aggregation, one partitioned
+    * write: the changeset shuffles once, where the layer-per-verb
+    * alternative shuffles and commits three times.
+    *
+    * @return rows in the committed layer (distinct keys touched)
+    */
+  def applyChangeset(name: String, rows: DataFrame): Long = {
+    assertZone(name)
+    val schema = readSchema(name)
+    val keys = keyColsOf(name)
+    val want = schema.fieldNames.toSeq ++ Seq(OpCol, KuduLikeCatalog.PrioCol)
+    if (rows.schema.fieldNames.toSeq != want)
+      throw new CatalogException(
+        s"changeset schema ${rows.schema.fieldNames.mkString(",")} must be " +
+          s"table columns + $OpCol + ${KuduLikeCatalog.PrioCol}")
+    rejectNullKeys(rows, keys)
+    val payload = schema.fieldNames.toSeq :+ OpCol
+    val nonKey = schema.fieldNames.toSeq.filterNot(keys.contains)
+    val ord = struct(
+      (col(KuduLikeCatalog.PrioCol) * -1) +:
+        (if (nonKey.nonEmpty) nonKey else keys).map(col): _*)
+    val resolved = rows.groupBy(keys.map(col): _*)
+      .agg(min_by(struct(payload.map(col): _*), ord).as("__r"))
+      .select(col("__r.*"))
+    writeDelta(name, resolved)
+  }
+
   /** DELETE the rows whose key appears in `keysDf` — Kudu's delete-by-key
     * op, and MERGE's DELETE branch. The match is a distributed semi-join on
     * the key columns (never a collected key list), so the condemned set can
@@ -878,7 +926,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val obs = org.apache.spark.sql.Observation()
     writePartitioned(rows.observe(obs, count(lit(1)).as("n")),
       keyColsOf(name), bucketsOf(name), rangeColOf(name),
-      tmp.toString, SaveMode.Overwrite)
+      tmp.toString, SaveMode.Overwrite, rangeAsData = true)
     val n = observedCount(obs, "n", rows.count())
     if (n > 0)
       Files.move(tmp, deltasDir(name).resolve(seq.toString),
@@ -937,4 +985,5 @@ object KuduLikeCatalog {
   private[graft] val RangeCol = "__range"
   private[graft] val OpCol = "__op"
   private[graft] val SeqCol = "__seq"
+  private[graft] val PrioCol = "__prio"
 }

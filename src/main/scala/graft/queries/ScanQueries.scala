@@ -34,6 +34,24 @@ object ScanQueries {
       tmp
     })
 
+  /** Restore a pristine memoized catalog root into a fresh work dir (plain
+    * file copy, no Spark job) — for bench variants of MUTATING verbs
+    * (s18's MERGE): each sample must hit the same pre-mutation state, or
+    * samples stack delta layers and later ones time a different table.
+    */
+  private def copiedFrom(pristine: String): String = {
+    import java.nio.file.{Files, Path, Paths}
+    val src = Paths.get(pristine)
+    val dst = Files.createTempDirectory("graft_bench_work_")
+    val s = Files.walk(src)
+    try s.forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally s.close()
+    dst.toString
+  }
+
   val defs: Seq[QDef] = Seq(
 
     QDef("s1_full_scan_count",
@@ -296,7 +314,21 @@ object ScanQueries {
              |  CASE WHEN doc_id < 20 THEN 'upd' ELSE source END AS source,
              |  lang, 'delete' AS op, 2 AS version
              |FROM documents WHERE doc_id % 7 = 0
-             |ORDER BY version, doc_id""".stripMargin)),
+             |ORDER BY version, doc_id""".stripMargin),
+      benchFn = Some { (s, dir) =>
+        val tmp = memoized(s"s17:$dir") { t =>
+          val cat = new KuduLikeCatalog(s, t)
+          val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "lang")
+          cat.createTable(TableDef("docs_c", docs.schema, Seq("doc_id"), buckets = 4))
+          cat.insert("docs_c", docs)
+          cat.upsert("docs_c",
+            docs.filter(col("doc_id") < 20).withColumn("source", lit("upd")))
+          cat.delete("docs_c", col("doc_id") % 7 === 0)
+        }
+        s.read.format("graft").option("root", tmp).option("changelog", "true")
+          .load("docs_c")
+          .orderBy("version", "doc_id")
+      }),
 
     // SQL MERGE INTO through the dialect router (GraftSql.merge): one
     // statement drives all three branches — guarded DELETE, UPDATE SET,
@@ -329,7 +361,33 @@ object ScanQueries {
              |UNION ALL
              |SELECT doc_id, source, lang FROM documents
              |WHERE doc_id >= 300 AND doc_id < 400
-             |ORDER BY doc_id""".stripMargin)),
+             |ORDER BY doc_id""".stripMargin),
+      // bench variant: the CTAS target is built once and file-copied back
+      // to pristine per sample (a MERGE mutates its target — re-merging the
+      // merged table would time a different statement, and samples would
+      // stack delta layers), so the timed lambda is the MERGE itself.
+      benchFn = Some { (s, dir) =>
+        val pristine = memoized(s"s18:$dir") { t =>
+          val cat = new KuduLikeCatalog(s, t)
+          Tables.registerAll(s, dir)
+          graft.GraftSql.execute(s, cat,
+            """CREATE TABLE docs_m STORED BY 'handler'
+              |TBLPROPERTIES('kudu.key_columns'='doc_id','graft.hash_buckets'='4')
+              |AS SELECT doc_id, source, lang FROM documents WHERE doc_id < 300""".stripMargin)
+        }
+        val work = copiedFrom(pristine)
+        val cat = new KuduLikeCatalog(s, work)
+        Tables.registerAll(s, dir)
+        graft.GraftSql.execute(s, cat,
+          """MERGE INTO docs_m AS t
+            |USING (SELECT doc_id, source, lang FROM documents
+            |       WHERE doc_id >= 200 AND doc_id < 400) AS s
+            |ON t.doc_id = s.doc_id
+            |WHEN MATCHED AND t.doc_id % 5 = 0 THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET source = 'merged'
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        cat.table("docs_m").orderBy("doc_id")
+      }),
 
     QDef("s10_values_inline",
       (s, _) => {

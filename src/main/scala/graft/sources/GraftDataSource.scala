@@ -777,28 +777,76 @@ private[sources] final class GraftPartitionReader(
     scala.collection.immutable.ArraySeq.unsafeWrapArray(k)
   }
 
-  // ---- base stream (parquet-filtered) then overlay winners. The active
-  // file iterator is tracked so an early-terminated scan (limit/take/task
-  // kill) can release its parquet reader in close() — iterators only close
-  // themselves at EOF.
-  private var activeFile: GroupFileIterator = _
-  private val baseIter: Iterator[Array[Any]] =
+  // ---- base stream: VECTORIZED parquet decode emitting row VIEWS
+  // (GraftVectorized.rowIterator) — column chunks decode batch-at-a-time
+  // into Spark's column vectors even though emission is per-row, because
+  // each base row's key must probe the overlay before it may surface. The
+  // accessors below extract catalyst values from the views; the same
+  // representations GroupFileIterator produces for the delta side
+  // (UTF8String / boxed primitives / micros longs / Decimal), so overlay
+  // keys and base keys hash-compare directly. Values are views into the
+  // reader's reused batch: keys are probed then dropped, and emitted rows
+  // deep-copy in next() before the iterator advances.
+  private val accessors: Array[(org.apache.spark.sql.catalyst.expressions.SpecializedGetters, Int) => Any] =
+    readFields.map(f => InternalRow.getAccessor(f.dataType, nullable = true))
+
+  private def keyOfView(row: InternalRow): Seq[Any] = {
+    val k = new Array[Any](keyIdx.length)
+    var i = 0
+    while (i < keyIdx.length) {
+      val idx = keyIdx(i)
+      k(i) = accessors(idx)(row, idx) match {
+        case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+        case v => v
+      }
+      i += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(k)
+  }
+
+  /** Deep-copy one catalyst value out of a reused column vector (strings/
+    * binaries/nested values are views; primitives and Decimal are safe).
+    */
+  private def copyVal(v: Any): Any = v match {
+    case s: UTF8String => s.clone()
+    case b: Array[Byte] => b.clone()
+    case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+    case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+    case r: InternalRow => r.copy()
+    case x => x
+  }
+
+  // The active reader is tracked so an early-terminated scan (limit/take/
+  // task kill) can release its parquet reader in close() — row iterators
+  // only close themselves at EOF.
+  private var activeReader: AutoCloseable = _
+  private val baseIter: Iterator[InternalRow] =
     part.baseFiles.iterator.flatMap { f =>
-      val it = new GroupFileIterator(f, readFields, pushed)
-      activeFile = it
-      it
-    }.filter(row => !hasDeltas || !overlay.containsKey(keyOf(row)))
+      val r = GraftVectorized.open(f, StructType(readFields), pushed)
+      activeReader = r
+      GraftVectorized.rowIterator(r)
+    }.filter(row => !hasDeltas || !overlay.containsKey(keyOfView(row)))
   private val overlayIter: Iterator[Array[Any]] =
     if (!hasDeltas || !part.emitOverlay) Iterator.empty
     else overlay.values().iterator().asScala.collect {
       case (op, row) if op == "upsert" => row
     }
-  private val all = baseIter ++ overlayIter
   private var current: InternalRow = _
 
   override def next(): Boolean =
-    if (all.hasNext) {
-      val row = all.next()
+    if (baseIter.hasNext) {
+      val row = baseIter.next()
+      val out = new Array[Any](outIdx.length)
+      var i = 0
+      while (i < outIdx.length) {
+        val idx = outIdx(i)
+        out(i) = copyVal(accessors(idx)(row, idx))
+        i += 1
+      }
+      current = new GenericInternalRow(out)
+      true
+    } else if (overlayIter.hasNext) {
+      val row = overlayIter.next()
       val out = new Array[Any](outIdx.length)
       var i = 0
       while (i < outIdx.length) { out(i) = row(outIdx(i)); i += 1 }
@@ -807,7 +855,7 @@ private[sources] final class GraftPartitionReader(
     } else false
 
   override def get(): InternalRow = current
-  override def close(): Unit = if (activeFile != null) activeFile.close()
+  override def close(): Unit = if (activeReader != null) activeReader.close()
 }
 
 /** Columnar reader for one delta-free partition: each base file streams
@@ -832,10 +880,7 @@ private[sources] final class GraftColumnarPartitionReader(
     pushed: Array[sources.Filter])
   extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
-  import org.apache.spark.sql.execution.datasources.parquet.{
-    ParquetFooterReader, ParquetReadSupport, VectorizedParquetRecordReader}
-  import org.apache.parquet.format.converter.ParquetMetadataConverter
-  import org.apache.parquet.hadoop.ParquetInputFormat
+  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 
   private val files = part.baseFiles.iterator
   private var reader: VectorizedParquetRecordReader = _
@@ -843,7 +888,50 @@ private[sources] final class GraftColumnarPartitionReader(
 
   private def openNext(): Boolean = {
     if (!files.hasNext) return false
-    val file = files.next()
+    val r = GraftVectorized.open(files.next(), required, pushed)
+    r.enableReturningBatches()
+    reader = r
+    true
+  }
+
+  override def next(): Boolean = {
+    if (reader != null && reader.nextBatch()) {
+      batch = reader.resultBatch()
+      true
+    } else {
+      if (reader != null) { reader.close(); reader = null }
+      if (!openNext()) false else next()
+    }
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+  override def close(): Unit = if (reader != null) reader.close()
+}
+
+/** Shared per-file setup for Spark's `VectorizedParquetRecordReader` — the
+  * codegen-hot decode path of the native parquet source. One footer read
+  * (reused for the filter compatibility check and reader init), convertible
+  * pushed filters handed to parquet-mr for ROW-GROUP stats pruning only
+  * (record-level filtering off; Spark's residual filters keep exactness),
+  * and the requested Catalyst schema driving schema evolution (columns a
+  * file predates become null vectors). The caller picks the emission shape:
+  * `enableReturningBatches()` for `ColumnarBatch` (delta-free scans), plain
+  * `nextKeyValue()` for row views (the merge-on-read base stream — decode
+  * stays vectorized even when emission must be per-row for overlay probes).
+  *
+  * Rebase modes are CORRECTED: every base file is written by this catalog
+  * through Spark's modern parquet writer (external attach never routes
+  * through the connector), so no Julian-calendar rebasing applies.
+  */
+private[sources] object GraftVectorized {
+
+  import org.apache.spark.sql.execution.datasources.parquet.{
+    ParquetFooterReader, ParquetReadSupport, VectorizedParquetRecordReader}
+  import org.apache.parquet.format.converter.ParquetMetadataConverter
+  import org.apache.parquet.hadoop.ParquetInputFormat
+
+  def open(file: String, required: StructType,
+      pushed: Array[sources.Filter]): VectorizedParquetRecordReader = {
     val hPath = new org.apache.hadoop.fs.Path(file)
     val conf = new Configuration()
     conf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
@@ -882,26 +970,34 @@ private[sources] final class GraftColumnarPartitionReader(
     try {
       r.initialize(split, ctx, None, None, Some(footer))
       r.initBatch(new StructType(), InternalRow.empty)
-      r.enableReturningBatches()
     } catch {
       case e: Throwable => r.close(); throw e
     }
-    reader = r
-    true
+    r
   }
 
-  override def next(): Boolean = {
-    if (reader != null && reader.nextBatch()) {
-      batch = reader.resultBatch()
-      true
-    } else {
-      if (reader != null) { reader.close(); reader = null }
-      if (!openNext()) false else next()
+  /** Row-view iterator over an opened reader (batch mode NOT enabled):
+    * values are views into the reader's reused column vectors — probe or
+    * copy them before the next `hasNext`. Closes the reader at EOF.
+    */
+  def rowIterator(r: VectorizedParquetRecordReader): Iterator[InternalRow] =
+    new Iterator[InternalRow] {
+      private var advanced = false
+      private var has = false
+      override def hasNext: Boolean = {
+        if (!advanced) {
+          has = r.nextKeyValue()
+          if (!has) r.close()
+          advanced = true
+        }
+        has
+      }
+      override def next(): InternalRow = {
+        if (!hasNext) throw new NoSuchElementException
+        advanced = false
+        r.getCurrentValue.asInstanceOf[InternalRow]
+      }
     }
-  }
-
-  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
-  override def close(): Unit = if (reader != null) reader.close()
 }
 
 /** Streaming parquet-mr reader for one file: projects `fields` (null-filling

@@ -398,8 +398,22 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     if (!exists(name)) throw new CatalogException(s"table $name does not exist")
     assertZone(name)
     val keys = keyColsOf(name)
-    val folded = table(name) // materializes the delta overlay into the write
-      .repartition(spark.sparkContext.defaultParallelism, keys.map(col): _*)
+    // Fold through the CONNECTOR scan, not [[table]]: the DSv2 reader
+    // merges base+deltas as a per-bucket hash probe (overlay map sized by
+    // pending mutations, zero shuffle), where [[effective]]'s row_number
+    // window would SORT-SHUFFLE the entire base to fold deltas that are
+    // tiny by construction — the difference between a background
+    // maintenance pass and a full-table job at 100 TB. Column order is
+    // re-asserted because the connector returns the declared schema.
+    val merged = spark.read.format("graft")
+      .option("root", root).load(name)
+      .select(readSchema(name).fieldNames.map(col).toSeq: _*)
+    // partitioned tables reshuffle inside writePartitioned anyway (by
+    // range/bucket dirs) — only unpartitioned tables need the explicit
+    // key-clustered repartition to control file count
+    val folded =
+      if (bucketsOf(name) > 0 || rangeColOf(name).isDefined) merged
+      else merged.repartition(spark.sparkContext.defaultParallelism, keys.map(col): _*)
     bumpBaseEpoch(name)
     val oldDataName = dataDirNameOf(name)
     val newDataName = s"data_${baseEpoch(name)}"

@@ -23,8 +23,17 @@ object SkewJoin {
       spreader: String, salts: Int = 16): DataFrame = {
     require(salts > 0)
     val salted = fat.withColumn("__salt", pmod(hash(col(spreader)), lit(salts)))
+    // SHUFFLE_HASH pin: salting exists for thin sides too big to broadcast
+    // (a broadcastable dim needs no skew handling — broadcast joins don't
+    // shuffle on the key at all). Left unpinned, Catalyst sees the
+    // pre-explode size estimate and BROADCASTS the ×salts blowup: a
+    // single-threaded |thin|×salts hash-table build per query (measured 8 s
+    // on a 2.4M-row exploded dim that shuffle-joins in under 1 s), and at
+    // real scale a driver/executor OOM. The hint keeps the join in the
+    // shuffled path the salt was designed to spread, building the hash
+    // table from the exploded side's per-partition slice.
     val exploded = thin.withColumn("__salt",
-      explode(sequence(lit(0), lit(salts - 1))))
+      explode(sequence(lit(0), lit(salts - 1)))).hint("shuffle_hash")
     salted.join(exploded, keys :+ "__salt").drop("__salt")
   }
 

@@ -39,6 +39,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("J11: salted join shuffles — the ×salts exploded side is never broadcast") {
+    // Salting spreads a SHUFFLE; if Catalyst broadcasts the exploded thin
+    // side instead (its pre-explode size estimate looks broadcastable), the
+    // salt is pure overhead locally and an OOM at scale. The operator pins
+    // SHUFFLE_HASH — assert the pin reaches the physical plan.
+    val p = planOf("j11_salted_join")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
   test("J7: star join broadcasts the small dims, never shuffles them as build sides") {
     val p = planOf("j7_star_join")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -43,6 +43,7 @@ object GraftSql {
     else if (upper.startsWith("INSERT INTO") || upper.startsWith("UPSERT INTO"))
       writeInto(spark, cat, stmt)
     else if (upper.startsWith("DELETE FROM")) delete(spark, cat, stmt)
+    else if (upper.startsWith("UPDATE ")) update(spark, cat, stmt)
     else if (upper.startsWith("MERGE INTO")) merge(spark, cat, stmt)
     else if (upper.startsWith("ALTER TABLE")) alter(spark, cat, stmt)
     else if (upper.startsWith("DESCRIBE ") || upper.startsWith("DESC "))
@@ -258,6 +259,70 @@ object GraftSql {
       case _ => spark.sql(stmt)
     }
 
+  /** Parse `SET c = expr, …` into a full-schema projection: assigned
+    * columns CAST to their declared type, everything else passed through
+    * qualified by `alias`. Key-column and unknown-column assignment reject
+    * (Kudu cannot update a primary key either) — shared by UPDATE and
+    * MERGE's WHEN MATCHED UPDATE clause.
+    */
+  private def setProjection(name: String, schema: StructType, keys: Seq[String],
+      alias: String, sets: String, verb: String): String = {
+    val assigns = splitTopLevel(sets, ',').map { a =>
+      val eq = """(?is)^\s*(?:`?(\w+)`?\.)?`?(\w+)`?\s*=\s*(.+)$""".r
+      a match {
+        case eq(qual, c, e) =>
+          if (qual != null && qual != alias && qual != name)
+            throw new CatalogException(
+              s"$verb $name: SET targets must be target columns ($qual.$c)")
+          c.toLowerCase -> e.trim
+        case _ => throw new CatalogException(s"$verb $name: cannot parse SET $a")
+      }
+    }.toMap
+    assigns.keys.find(k => keys.exists(_.equalsIgnoreCase(k))).foreach { k =>
+      throw new CatalogException(
+        s"$verb $name: cannot UPDATE key column $k (delete + insert instead)")
+    }
+    assigns.keys.find(k => !schema.fieldNames.exists(_.equalsIgnoreCase(k))).foreach { k =>
+      throw new CatalogException(s"$verb $name: unknown SET column $k")
+    }
+    schema.fields.map { f =>
+      assigns.get(f.name.toLowerCase) match {
+        case Some(e) => s"CAST(($e) AS ${f.dataType.sql}) AS `${f.name}`"
+        case None    => s"`$alias`.`${f.name}` AS `${f.name}`"
+      }
+    }.mkString(", ")
+  }
+
+  private val UpdateHead =
+    """(?is)^UPDATE\s+`?([\w.]+)`?\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$""".r
+
+  /** `UPDATE t SET c = expr, … [WHERE cond]` — the remaining row-level DML
+    * verb after DELETE and MERGE. Compiles onto the catalog's upsert: one
+    * scan of the live table selects the affected rows with assignments
+    * applied (CAST to declared types, keys untouchable), and the result
+    * lands as one delta layer through the same single write seam as every
+    * other mutation (reference: all writes flow
+    * HiveKuduTableOutputFormat.java:155-312). Snapshot semantics are free —
+    * the projection evaluates against the pre-update snapshot, nothing
+    * mutates until the layer's atomic rename, so `SET a = b WHERE a < b`
+    * cannot observe itself. Dialect-router caveat (as MERGE): a `WHERE`
+    * keyword inside a SET expression string literal would mis-split.
+    */
+  private def update(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame =
+    stmt match {
+      case UpdateHead(name, sets, cond) if cat.exists(name) =>
+        registerViews(spark, cat)
+        val schema = cat.schemaOf(name)
+        val keys = cat.keyColsOf(name)
+        val proj = setProjection(name, schema, keys, name, sets, "UPDATE")
+        val w = Option(cond).map(c => s" WHERE $c").getOrElse("")
+        val rows = spark.sql(s"SELECT $proj FROM `$name`$w")
+        val n = cat.upsert(name, rows)
+        registerViews(spark, cat)
+        status(spark, "UPDATE", name, n)
+      case _ => { registerViews(spark, cat); spark.sql(stmt) }
+    }
+
   private val MergeHead =
     """(?is)^MERGE\s+INTO\s+`?([\w.]+)`?(?:\s+AS\s+(\w+)|\s+(?!USING\b)(\w+))?\s+USING\s+(.*)$""".r
   private val SourceAliasOn =
@@ -345,30 +410,7 @@ object GraftSql {
     var notMatchedPriors = Vector.empty[String]
     val actions: Seq[(String, DataFrame)] = clauses.map {
       case UpdateClause(guard, sets) =>
-        val assigns = splitTopLevel(sets, ',').map { a =>
-          val eq = """(?is)^\s*(?:`?(\w+)`?\.)?`?(\w+)`?\s*=\s*(.+)$""".r
-          a match {
-            case eq(qual, c, e) =>
-              if (qual != null && qual != tAlias && qual != name)
-                throw new CatalogException(
-                  s"MERGE INTO $name: SET targets must be target columns ($qual.$c)")
-              c.toLowerCase -> e.trim
-            case _ => throw new CatalogException(s"MERGE INTO $name: cannot parse SET $a")
-          }
-        }.toMap
-        assigns.keys.find(k => keys.exists(_.equalsIgnoreCase(k))).foreach { k =>
-          throw new CatalogException(
-            s"MERGE INTO $name: cannot UPDATE key column $k (delete + insert instead)")
-        }
-        assigns.keys.find(k => !schema.fieldNames.exists(_.equalsIgnoreCase(k))).foreach { k =>
-          throw new CatalogException(s"MERGE INTO $name: unknown SET column $k")
-        }
-        val proj = schema.fields.map { f =>
-          assigns.get(f.name.toLowerCase) match {
-            case Some(e) => s"CAST(($e) AS ${f.dataType.sql}) AS `${f.name}`"
-            case None    => s"`$tAlias`.`${f.name}` AS `${f.name}`"
-          }
-        }.mkString(", ")
+        val proj = setProjection(name, schema, keys, tAlias, sets, "MERGE INTO")
         val w = where(Option(guard).map(_.trim), matchedPriors)
         matchedPriors :+= Option(guard).map(_.trim).getOrElse("true")
         "update" -> spark.sql(s"SELECT $proj $matchedFrom $w")

@@ -389,6 +389,49 @@ object ScanQueries {
         cat.table("docs_m").orderBy("doc_id")
       }),
 
+    // SQL UPDATE through the dialect router (GraftSql.update): assignments
+    // evaluate against the pre-update snapshot with declared-type casts and
+    // land as one upsert delta layer. The oracle reproduces the post-update
+    // state algebraically, so the WHERE slice, the expression evaluation,
+    // and the untouched remainder are all hash-gated.
+    QDef("s19_update",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s19_").toString
+        val cat = new KuduLikeCatalog(s, tmp)
+        Tables.registerAll(s, dir)
+        def sql(t: String) = graft.GraftSql.execute(s, cat, t)
+        sql("""CREATE TABLE docs_u STORED BY 'handler'
+              |TBLPROPERTIES('kudu.key_columns'='doc_id','graft.hash_buckets'='4')
+              |AS SELECT doc_id, source, n_chars FROM documents WHERE doc_id < 400""".stripMargin)
+        sql("""UPDATE docs_u SET source = concat(source, '!'), n_chars = n_chars * 2
+              |WHERE doc_id % 3 = 0""".stripMargin)
+        cat.table("docs_u").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 3 = 0 THEN source || '!' ELSE source END AS source,
+             |  CASE WHEN doc_id % 3 = 0 THEN n_chars * 2 ELSE n_chars END AS n_chars
+             |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin),
+      // bench variant: pristine CTAS target restored per sample (same
+      // discipline as s18 — an UPDATE mutates its target), timed lambda is
+      // the UPDATE itself.
+      benchFn = Some { (s, dir) =>
+        val pristine = memoized(s"s19:$dir") { t =>
+          val cat = new KuduLikeCatalog(s, t)
+          Tables.registerAll(s, dir)
+          graft.GraftSql.execute(s, cat,
+            """CREATE TABLE docs_u STORED BY 'handler'
+              |TBLPROPERTIES('kudu.key_columns'='doc_id','graft.hash_buckets'='4')
+              |AS SELECT doc_id, source, n_chars FROM documents WHERE doc_id < 400""".stripMargin)
+        }
+        val work = copiedFrom(pristine)
+        val cat = new KuduLikeCatalog(s, work)
+        Tables.registerAll(s, dir)
+        graft.GraftSql.execute(s, cat,
+          """UPDATE docs_u SET source = concat(source, '!'), n_chars = n_chars * 2
+            |WHERE doc_id % 3 = 0""".stripMargin)
+        cat.table("docs_u").orderBy("doc_id")
+      }),
+
     QDef("s10_values_inline",
       (s, _) => {
         import s.implicits._

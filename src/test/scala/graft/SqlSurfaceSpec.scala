@@ -42,6 +42,36 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sql("SELECT id FROM t").collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 3))
   }
 
+  test("UPDATE … SET … WHERE: assignments cast, snapshot semantics, keys untouchable") {
+    val (_, sql) = fresh()
+    sql("""CREATE TABLE u (id INT, a INT, b INT, tag STRING)
+          |TBLPROPERTIES('kudu.key_columns'='id')""".stripMargin)
+    sql("INSERT INTO u VALUES (1,1,10,'x'),(2,2,20,'y'),(3,3,30,'x')")
+    // WHERE filters; expressions see the pre-update row; result casts to
+    // the declared column type (1.5 * b is DOUBLE, column is INT)
+    val n = sql("UPDATE u SET a = a + b, b = 1.5 * b WHERE tag = 'x'")
+      .head().getLong(2)
+    assert(n === 2L)
+    val rows = sql("SELECT id, a, b FROM u ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(rows === Seq((1, 11, 15), (2, 2, 20), (3, 33, 45)))
+    // self-referential update cannot observe itself: SET a = b swaps
+    // against the snapshot even when b is also assigned
+    sql("UPDATE u SET a = b, b = a WHERE id = 1")
+    val r1 = sql("SELECT a, b FROM u WHERE id = 1").head()
+    assert((r1.getInt(0), r1.getInt(1)) === (15, 11))
+    // no WHERE → whole table; status frame reports the full row count
+    assert(sql("UPDATE u SET tag = 'all'").head().getLong(2) === 3L)
+    assert(sql("SELECT count(*) FROM u WHERE tag = 'all'").head().getLong(0) === 3L)
+    // key assignment and unknown columns reject before anything mutates
+    intercept[CatalogException](sql("UPDATE u SET id = 99"))
+    intercept[CatalogException](sql("UPDATE u SET nope = 1"))
+    // non-catalog UPDATE falls through to spark.sql (which rejects it for
+    // a plain view — the router must not swallow other tables' DML)
+    spark.range(3).createOrReplaceTempView("not_ours")
+    intercept[Exception](sql("UPDATE not_ours SET id = 1"))
+  }
+
   test("MERGE INTO: update + delete + insert branches with standard clause semantics") {
     val (cat, sql) = fresh()
     sql("""CREATE TABLE acct (id BIGINT, bal DOUBLE, st STRING)

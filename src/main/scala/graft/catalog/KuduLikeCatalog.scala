@@ -209,8 +209,49 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * Note [[compact]] folds layers into the base, advancing what version 0
     * means; snapshots are stable between compactions.
     */
-  def tableAsOf(name: String, version: Int): DataFrame =
+  def tableAsOf(name: String, version: Int): DataFrame = {
+    requireVersionReadable(name, version)
     effective(name, Some(version)).drop(BucketCol, RangeCol)
+  }
+
+  /** A snapshot version is readable iff it is not stale on either side:
+    * above the delta floor (compact/overwrite folded older layers into the
+    * base — silently returning the NEWER base for an older version would
+    * be a wrong-snapshot read) and at or below the current version
+    * (Delta-style: a version that never existed is an error, not "latest").
+    * Version 0 stays the documented moving alias for "the current base".
+    */
+  private[graft] def requireVersionReadable(name: String, version: Int): Unit = {
+    val floor = deltaFloorOf(name)
+    if (version != 0 && version < floor)
+      throw new CatalogException(
+        s"$name version $version was compacted into the base (delta floor $floor) — " +
+          "snapshots are stable only between compactions")
+    val current = currentVersion(name).max(floor)
+    if (version > current)
+      throw new CatalogException(
+        s"$name has no version $version (current version $current)")
+  }
+
+  /** Resolve a wall-clock time to the snapshot version live at that time:
+    * the highest retained layer whose commit time (layer-directory mtime —
+    * the atomic rename that IS the commit point) is ≤ `tsMillis`; 0 when
+    * the time predates every retained layer. Fails like
+    * [[requireVersionReadable]] when the resolved history was compacted
+    * away (a time inside the folded range cannot be reconstructed).
+    */
+  def versionAt(name: String, tsMillis: Long): Int = {
+    val layers = deltaLayers(name)
+    val at = layers.reverse.find { case (_, dir) =>
+      Files.getLastModifiedTime(Paths.get(dir)).toMillis <= tsMillis
+    }.map(_._1).getOrElse(0)
+    val floor = deltaFloorOf(name)
+    if (at == 0 && floor > 0)
+      throw new CatalogException(
+        s"$name has no readable snapshot at $tsMillis: history up to version $floor " +
+          "was compacted into the base")
+    at
+  }
 
   /** Highest mutation version currently readable (0 = no pending deltas). */
   def currentVersion(name: String): Int =

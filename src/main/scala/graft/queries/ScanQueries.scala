@@ -432,6 +432,46 @@ object ScanQueries {
         cat.table("docs_u").orderBy("doc_id")
       }),
 
+    // Time travel through the connector (Kudu READ_AT_SNAPSHOT analog):
+    // mutate a keyed table twice, then read option("asOf", 1) — the scan
+    // plans base + layer 1 only, so the later delete is invisible. The
+    // oracle reproduces the version-1 state algebraically; a current-state
+    // read would hash-mismatch (the deleted slice), a version-0 read would
+    // miss the upsert — the snapshot boundary itself is what's gated.
+    QDef("s20_time_travel",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s20_").toString
+        val cat = new KuduLikeCatalog(s, tmp)
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "lang")
+          .filter(col("doc_id") < 300)
+        cat.createTable(TableDef("docs_t", docs.schema, Seq("doc_id"), buckets = 4))
+        cat.insert("docs_t", docs)                                   // version 0
+        cat.upsert("docs_t",
+          docs.filter(col("doc_id") < 100).withColumn("source", lit("v1"))) // v1
+        cat.delete("docs_t", col("doc_id") >= 250)                   // version 2
+        s.read.format("graft").option("root", tmp).option("asOf", 1).load("docs_t")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id < 100 THEN 'v1' ELSE source END AS source, lang
+             |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin),
+      // bench variant: snapshot reads are read-only, so the table builds
+      // once per JVM and the timed lambda is the versioned read itself
+      benchFn = Some { (s, dir) =>
+        val tmp = memoized(s"s20:$dir") { t =>
+          val cat = new KuduLikeCatalog(s, t)
+          val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "lang")
+            .filter(col("doc_id") < 300)
+          cat.createTable(TableDef("docs_t", docs.schema, Seq("doc_id"), buckets = 4))
+          cat.insert("docs_t", docs)
+          cat.upsert("docs_t",
+            docs.filter(col("doc_id") < 100).withColumn("source", lit("v1")))
+          cat.delete("docs_t", col("doc_id") >= 250)
+        }
+        s.read.format("graft").option("root", tmp).option("asOf", 1).load("docs_t")
+          .orderBy("doc_id")
+      }),
+
     QDef("s10_values_inline",
       (s, _) => {
         import s.implicits._

@@ -64,6 +64,45 @@ final class GraftCatalogPlugin extends TableCatalog {
     new GraftTable(root, n, cat.schemaOf(n))
   }
 
+  /** SQL time travel: `SELECT … FROM graft.t VERSION AS OF v` — the Kudu
+    * READ_AT_SNAPSHOT analog through plain SQL. The version string must be
+    * an integer mutation version (the catalog's delta sequence numbers,
+    * same contract as [[KuduLikeCatalog.tableAsOf]]); readability against
+    * the delta floor / current version is validated at scan planning.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v =
+      try version.trim.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft VERSION AS OF expects an integer mutation version, got '$version'")
+      }
+    asOfTable(ident, v)
+  }
+
+  /** SQL `TIMESTAMP AS OF ts` (Spark hands micros since epoch): resolved to
+    * the snapshot version live at that wall-clock time via
+    * [[KuduLikeCatalog.versionAt]] (layer commit times — the atomic rename
+    * that IS the commit point).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val n = requireFlat(ident)
+    asOfTable(ident, cat.versionAt(n, timestamp / 1000L))
+  }
+
+  private def requireFlat(ident: Identifier): String = {
+    val n = ident.name()
+    if (ident.namespace().nonEmpty || !cat.exists(n))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (Seq(catalogName) ++ ident.namespace() :+ n).toSeq)
+    n
+  }
+
+  private def asOfTable(ident: Identifier, v: Int): Table = {
+    val n = requireFlat(ident)
+    new GraftTable(root, n, cat.schemaOf(n), asOf = Some(v))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace().isEmpty && cat.exists(ident.name())
 

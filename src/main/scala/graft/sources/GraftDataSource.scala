@@ -99,7 +99,10 @@ final class GraftDataSource extends TableProvider
       properties: java.util.Map[String, String]): Table = {
     val props = properties.asScala.toMap
     val (root, name) = GraftDataSource.resolve(props)
-    new GraftTable(root, name, schema, GraftDataSource.isChangelog(props))
+    val asOf = GraftDataSource.asOfOf(props)
+    require(asOf.isEmpty || !GraftDataSource.isChangelog(props),
+      "asOf and changelog are mutually exclusive: a changelog IS the version history")
+    new GraftTable(root, name, schema, GraftDataSource.isChangelog(props), asOf)
   }
 }
 
@@ -134,6 +137,21 @@ object GraftDataSource {
   private[sources] def isChangelog(props: Map[String, String]): Boolean =
     props.get("changelog").exists(_.equalsIgnoreCase("true"))
 
+  /** `option("asOf", v)`: snapshot read at mutation version v (Kudu
+    * READ_AT_SNAPSHOT analog; the same contract as
+    * [[graft.catalog.KuduLikeCatalog.tableAsOf]]) — the scan plans only
+    * delta layers ≤ v, validated against the delta floor and current
+    * version at planning time. Time-travel tables are read-only.
+    */
+  private[sources] def asOfOf(props: Map[String, String]): Option[Int] =
+    props.get("asOf").map { v =>
+      try v.trim.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft option asOf expects an integer mutation version, got '$v'")
+      }
+    }
+
   private[sources] def changelogSchema(base: StructType): StructType =
     StructType(base.fields :+ StructField("op", StringType) :+
       StructField("version", IntegerType))
@@ -165,11 +183,13 @@ object GraftDataSource {
 }
 
 private[sources] final class GraftTable(root: String, tableName: String,
-    tableSchema: StructType, changelog: Boolean = false) extends Table with SupportsRead
+    tableSchema: StructType, changelog: Boolean = false,
+    asOf: Option[Int] = None) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String =
-    if (changelog) s"graft.$tableName.changelog" else s"graft.$tableName"
+    if (changelog) s"graft.$tableName.changelog"
+    else asOf.fold(s"graft.$tableName")(v => s"graft.$tableName@v$v")
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     // BATCH_WRITE admits the v2 write plan (DataFrameWriter requires the
@@ -177,17 +197,28 @@ private[sources] final class GraftTable(root: String, tableName: String,
     // route execution through the batch-relational fallback exec.
     // changelog mode is read-only: batch (all retained layers) or
     // micro-batch streaming (offsets = delta sequence numbers).
+    // Time-travel (asOf) tables are read-only: a write cannot target a
+    // historical snapshot.
     if (changelog)
       java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    else if (asOf.isDefined)
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
     else
       java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, tableName, tableSchema, changelog)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // the options on READ calls carry asOf too (`spark.read.option("asOf", …)`
+    // reaches getTable via properties AND the scan via options); a
+    // VERSION AS OF table from the catalog plugin has it only in the field
+    val optAsOf = GraftDataSource.asOfOf(options.asCaseSensitiveMap().asScala.toMap)
+    new GraftScanBuilder(root, tableName, tableSchema, changelog, asOf.orElse(optAsOf))
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(asOf.isEmpty, s"${name()} is a read-only snapshot — writes target the live table")
     new GraftWriteBuilder(root, tableName, tableSchema, info)
+  }
 
   /** SQL `DELETE FROM graft.t WHERE …` through the V2 catalog — the write
     * seam analog of the reference's single DML path (all reference writes
@@ -198,6 +229,7 @@ private[sources] final class GraftTable(root: String, tableName: String,
     * semantics for the SQL router, the Scala API, and the connector.
     */
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    require(asOf.isEmpty, s"${name()} is a read-only snapshot — deletes target the live table")
     val cat = new KuduLikeCatalog(SparkSession.active, root)
     val cond = filters.map(GraftFilters.toColumn).reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
@@ -251,7 +283,8 @@ private[sources] final class GraftWriteBuilder(root: String, tableName: String,
 }
 
 private[sources] final class GraftScanBuilder(root: String, tableName: String,
-    fullSchema: StructType, changelog: Boolean = false) extends ScanBuilder
+    fullSchema: StructType, changelog: Boolean = false,
+    asOf: Option[Int] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fullSchema
@@ -277,18 +310,20 @@ private[sources] final class GraftScanBuilder(root: String, tableName: String,
   override def pushedFilters(): Array[sources.Filter] = pushed
 
   override def build(): Scan =
-    new GraftScan(root, tableName, fullSchema, required, pushed, changelog)
+    new GraftScan(root, tableName, fullSchema, required, pushed, changelog, asOf)
 }
 
 private[sources] final class GraftScan(root: String, tableName: String,
     fullSchema: StructType, required: StructType,
-    pushed: Array[sources.Filter], changelog: Boolean = false)
+    pushed: Array[sources.Filter], changelog: Boolean = false,
+    asOf: Option[Int] = None)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"GraftScan table=$tableName${if (changelog) " changelog" else ""} " +
+    s"GraftScan table=$tableName${if (changelog) " changelog" else ""}" +
+      asOf.fold("")(v => s" asOf=$v") + " " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
       s"ReadSchema: ${required.catalogString}"
 
@@ -335,7 +370,12 @@ private[sources] final class GraftScan(root: String, tableName: String,
     // by range would resurrect the old version.
     val baseFiles = GraftScan.listParquet(catalog.dataLocation(tableName))
       .filter(GraftScan.rangePruner(catalog, tableName, pushed))
+    // snapshot read: plan only layers ≤ asOf — free with merge-on-read,
+    // the overlay just stops at the version. Validated against the delta
+    // floor (compacted-away history fails loudly) and the current version.
+    asOf.foreach(v => catalog.requireVersionReadable(tableName, v))
     val deltaLayers = catalog.deltaLayers(tableName)
+      .filter { case (seq, _) => asOf.forall(seq <= _) }
       .map { case (seq, dir) => (seq, GraftScan.listParquet(dir)) }
       .filter(_._2.nonEmpty)
 

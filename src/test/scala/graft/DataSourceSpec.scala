@@ -450,6 +450,77 @@ class DataSourceSpec extends SparkSpec {
     }
   }
 
+  test("time travel: option asOf and SQL VERSION/TIMESTAMP AS OF read stable snapshots") {
+    import spark.implicits._
+    val (cat, root) = mkCat()
+    cat.createTable(TableDef("t", schema, Seq("id"), buckets = 4))
+    cat.insert("t", rows(50))                                   // version 0 (base)
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(20)
+    cat.upsert("t", Seq((7L, "UPD", -1.0, true, new Timestamp(0L)))
+      .toDF("id", "grp", "v", "ok", "ts"))                      // version 1
+    Thread.sleep(20)
+    val t1 = System.currentTimeMillis()
+    cat.delete("t", col("id") >= 40)                            // version 2
+    def asOf(v: Int) =
+      spark.read.format("graft").option("root", root).option("asOf", v).load("t")
+    // every snapshot equals the catalog's own tableAsOf
+    (0 to 2).foreach { v =>
+      assert(sortedRows(asOf(v)) === sortedRows(cat.tableAsOf("t", v)), s"version $v")
+    }
+    // and the versions genuinely differ where they should
+    assert(asOf(0).filter(col("id") === 7 && col("grp") === "UPD").count() === 0)
+    assert(asOf(1).filter(col("grp") === "UPD").count() === 1)
+    assert(asOf(1).count() === 50 && asOf(2).count() === 40)
+    // nonexistent and non-integer versions fail loudly
+    assert(intercept[Exception](asOf(9).count()).getMessage.contains("no version"))
+    assert(intercept[Exception] {
+      spark.read.format("graft").option("root", root).option("asOf", "nope").load("t").count()
+    }.getMessage.contains("integer mutation version"))
+    // snapshots are read-only through every mutating seam (either our
+    // loud require or Spark's capability check rejects — both acceptable)
+    val wex = intercept[Exception] {
+      rows(1).write.format("graft").option("root", root).option("asOf", 1)
+        .mode("append").save("t")
+    }.getMessage.toLowerCase
+    assert(wex.contains("read-only") || wex.contains("does not support") ||
+      wex.contains("does not allow"), wex)
+    // SQL route: VERSION AS OF and TIMESTAMP AS OF through the catalog plugin
+    spark.conf.set("spark.sql.catalog.gtt",
+      classOf[graft.sources.GraftCatalogPlugin].getName)
+    spark.conf.set("spark.sql.catalog.gtt.root", root)
+    try {
+      assert(spark.sql("SELECT count(*) FROM gtt.t VERSION AS OF 1")
+        .head().getLong(0) === 50)
+      assert(spark.sql("SELECT count(*) FROM gtt.t VERSION AS OF 2")
+        .head().getLong(0) === 40)
+      assert(spark.sql("SELECT grp FROM gtt.t VERSION AS OF 0 WHERE id = 7")
+        .head().getString(0) !== "UPD")
+      // wall-clock resolution: t0 predates the upsert layer → version 0;
+      // t1 sits between upsert and delete → version 1 (session tz is UTC,
+      // so a UTC instant literal means the right wall clock)
+      def tsLit(ms: Long) = java.time.Instant.ofEpochMilli(ms).toString
+        .replace("T", " ").stripSuffix("Z")
+      assert(spark.sql(
+        s"SELECT count(*) FROM gtt.t TIMESTAMP AS OF '${tsLit(t0)}'")
+        .head().getLong(0) === 50)
+      val c1 = spark.sql(
+        s"SELECT grp FROM gtt.t TIMESTAMP AS OF '${tsLit(t1)}' WHERE id = 7")
+        .head().getString(0)
+      assert(c1 === "UPD")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gtt.root")
+      spark.conf.unset("spark.sql.catalog.gtt")
+    }
+    // compaction folds history: pre-floor versions fail loudly, floor reads fine
+    cat.compact("t")
+    cat.upsert("t", Seq((1L, "NEW", 0.0, true, new Timestamp(0L)))
+      .toDF("id", "grp", "v", "ok", "ts"))                      // version 3
+    assert(intercept[Exception](asOf(1).count()).getMessage.contains("compacted"))
+    assert(asOf(2).count() === 40)
+    assert(asOf(3).filter(col("grp") === "NEW").count() === 1)
+  }
+
   test("connector write: append = dup-ignore insert, operation=upsert = last-wins") {
     import spark.implicits._
     val (cat, root) = mkCat()

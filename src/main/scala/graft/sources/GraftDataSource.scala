@@ -81,9 +81,46 @@ import scala.jdk.CollectionConverters._
   * logic.
   */
 final class GraftDataSource extends TableProvider
-    with org.apache.spark.sql.sources.DataSourceRegister {
+    with org.apache.spark.sql.sources.DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
+
+  /** `df.writeStream.format("graft").start(table)` — the streaming write
+    * seam. The V1 Sink contract hands each epoch over as ONE DataFrame,
+    * which is exactly the batch-relational unit the catalog's transactional
+    * writes need (dup-ignore anti-joins, last-wins upsert dedup, staged
+    * overwrite — see [[GraftWriteBuilder]]'s V1Write rationale; a per-task
+    * row stream could not own batch-level key semantics). Output-mode
+    * mapping:
+    *
+    *  - append/update + `operation=upsert` (default): per-epoch upsert —
+    *    the Kudu fast-changing-data intent; replays of the one recovering
+    *    epoch after a crash are idempotent (same rows, last-wins by key),
+    *    so end-to-end delivery is effectively-once
+    *  - append + `operation=insert`: dup-ignore insert (idempotent by key)
+    *  - complete: each epoch overwrites the table (aggregation results),
+    *    atomic via the staged-base manifest repoint
+    *
+    * Closes the CDC loop with the changelog SOURCE: a graft→graft
+    * replication pipeline is `readStream.option("changelog",true)` →
+    * filter to upserts/tombstones → this sink (StreamingSpec pins it).
+    */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    val (root, name) = GraftDataSource.resolve(parameters)
+    require(partitionColumns.isEmpty,
+      "graft tables own their layout (key buckets + range column); partitionBy is not supported")
+    val op = parameters.getOrElse("operation", "upsert")
+    require(op == "insert" || op == "upsert",
+      s"graft sink option operation=$op (expected insert or upsert)")
+    val complete = outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
+    val changelog = GraftDataSource.isChangelog(parameters)
+    require(!(changelog && complete),
+      "a changelog stream is incremental by nature — complete mode cannot apply")
+    new GraftSink(root, name, op, complete, changelog)
+  }
 
   override def supportsExternalMetadata(): Boolean = false
 
@@ -234,6 +271,75 @@ private[sources] final class GraftTable(root: String, tableName: String,
     val cond = filters.map(GraftFilters.toColumn).reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     cat.delete(tableName, cond)
+  }
+}
+
+/** Streaming sink over a keyed table (see [[GraftDataSource.createSink]]).
+  *
+  * The epoch's DataFrame arrives backed by the query's incremental
+  * execution; it is re-based onto its materialized RDD before the catalog
+  * write, because the write path runs SEVERAL jobs over the input (the
+  * dup-ignore anti-join, the bucketed layer write) and each would otherwise
+  * re-plan the incremental source. Columns align by NAME with casts to the
+  * table's declared types — a streaming pipeline's projection order is not
+  * part of its contract.
+  */
+private[sources] final class GraftSink(root: String, tableName: String,
+    op: String, complete: Boolean, changelog: Boolean = false)
+  extends org.apache.spark.sql.execution.streaming.Sink {
+
+  import org.apache.spark.sql.functions.{col, lit}
+
+  override def name(): String = s"graft.$tableName.sink"
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    val spark = data.sparkSession
+    val cat = new KuduLikeCatalog(spark, root)
+    require(cat.exists(tableName),
+      s"graft sink target $tableName does not exist under $root — create it first " +
+        "(key columns are declared at CREATE, not inferred from the stream)")
+    val schema = cat.schemaOf(tableName)
+    schema.fieldNames.find(f => !data.columns.exists(_.equalsIgnoreCase(f))).foreach { f =>
+      throw new IllegalArgumentException(
+        s"graft sink: stream is missing column $f of table $tableName " +
+          s"(stream columns: ${data.columns.mkString(", ")})")
+    }
+    // The epoch DataFrame's plan still carries streaming source nodes —
+    // any direct batch action on it trips "must be executed with
+    // writeStream.start()". Re-base onto the executed RDD (the
+    // ForeachBatchSink technique): toRdd materializes the epoch's physical
+    // plan, the converter lifts InternalRow back to external rows, and the
+    // catalog's multi-job write path then runs over a plain batch frame.
+    val streamSchema = data.schema
+    val conv = CatalystTypeConverters.createToScalaConverter(streamSchema)
+    val rowRdd = data.queryExecution.toRdd.map(ir =>
+      conv(ir).asInstanceOf[org.apache.spark.sql.Row])
+    val rebased = spark.createDataFrame(rowRdd, streamSchema)
+    val dataCols = schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq
+    if (changelog) {
+      // `option("changelog","true")` on the SINK: the stream carries an
+      // `op` column ("upsert"/"delete") — the shape the changelog SOURCE
+      // emits — and each epoch applies as ONE mixed changeset layer, so a
+      // graft→graft replication pipeline replicates deletes too. The
+      // source's `version` column (when present) becomes the in-epoch
+      // priority: when one epoch carries several versions of a key, the
+      // highest source version wins, preserving source mutation order.
+      require(data.columns.exists(_.equalsIgnoreCase("op")),
+        "graft changelog sink needs an 'op' column (upsert/delete) — " +
+          "the shape readStream.option(\"changelog\",\"true\") emits")
+      val prio =
+        if (data.columns.exists(_.equalsIgnoreCase("version"))) col("version").cast("int")
+        else lit(0)
+      val changeset = rebased.select(dataCols ++ Seq(
+        col("op").cast("string").as(KuduLikeCatalog.OpCol),
+        prio.as(KuduLikeCatalog.PrioCol)): _*)
+      cat.applyChangeset(tableName, changeset)
+    } else {
+      val aligned = rebased.select(dataCols: _*)
+      if (complete) cat.overwrite(tableName, aligned)
+      else if (op == "insert") cat.insert(tableName, aligned)
+      else cat.upsert(tableName, aligned)
+    }
   }
 }
 

@@ -215,6 +215,96 @@ class StreamingSpec extends SparkSpec {
     assert(cat.table("events_k").count() === 100)
   }
 
+  test("streaming graft sink: writeStream upserts per epoch, insert mode dup-ignores") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("graft_sink_")
+    val cat = new KuduLikeCatalog(spark, root)
+    def df(rows: Seq[(Long, Double, String)]) = rows.toDF("id", "v", "tag")
+    cat.createTable(TableDef("tk", df(Seq((0L, 0.0, "x"))).schema, Seq("id"), buckets = 2))
+
+    // upsert (default): overlapping keys across epochs resolve last-wins;
+    // the stream's column ORDER differs from the table's — by-name align
+    val s1 = MemoryStream[(String, Long, Double)]
+    val q1 = s1.toDF().toDF("tag", "id", "v")
+      .writeStream.format("graft")
+      .option("root", root).option("checkpointLocation", tmpDir("graft_sink_cp1_"))
+      .trigger(Trigger.ProcessingTime(0)).start("tk")
+    s1.addData((0L until 10L).map(i => ("a", i, i * 1.0)))
+    q1.processAllAvailable()
+    s1.addData((5L until 15L).map(i => ("b", i, i * -1.0)))
+    q1.processAllAvailable(); q1.stop()
+    val state = cat.table("tk").collect().map(r =>
+      r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(state.size === 15)
+    assert(state(3L) === (3.0, "a") && state(7L) === (-7.0, "b") && state(14L) === (-14.0, "b"))
+
+    // operation=insert: replayed keys are silently dropped (dup-ignore)
+    val s2 = MemoryStream[(String, Long, Double)]
+    val q2 = s2.toDF().toDF("tag", "id", "v")
+      .writeStream.format("graft").option("operation", "insert")
+      .option("root", root).option("checkpointLocation", tmpDir("graft_sink_cp2_"))
+      .trigger(Trigger.ProcessingTime(0)).start("tk")
+    s2.addData(Seq(("ins", 3L, 999.0), ("ins", 100L, 100.0)))
+    q2.processAllAvailable(); q2.stop()
+    val after = cat.table("tk").collect().map(r =>
+      r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(after(3L) === (3.0, "a"), "existing key must survive insert mode")
+    assert(after(100L) === (100.0, "ins"))
+
+    // a stream missing a table column fails loudly (no silent nulls)
+    val s3 = MemoryStream[(Long, Double)]
+    val q3 = s3.toDF().toDF("id", "v")
+      .writeStream.format("graft")
+      .option("root", root).option("checkpointLocation", tmpDir("graft_sink_cp3_"))
+      .trigger(Trigger.ProcessingTime(0)).start("tk")
+    s3.addData(Seq((1L, 1.0)))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    assert(ex.getMessage.contains("missing column") || ex.getCause != null)
+    q3.stop()
+  }
+
+  test("graft→graft CDC replication: changelog source into changelog sink, deletes included") {
+    import spark.implicits._
+    val root = tmpDir("graft_repl_")
+    val cat = new KuduLikeCatalog(spark, root)
+    def df(rows: Seq[(Long, Double, String)]) = rows.toDF("id", "v", "tag")
+    val schema = df(Seq((0L, 0.0, "x"))).schema
+    cat.createTable(TableDef("src", schema, Seq("id"), buckets = 2))
+    cat.createTable(TableDef("dst", schema, Seq("id"), buckets = 2))
+
+    // bootstrap: replica starts from the source's base snapshot (base
+    // appends are not changelog events — same discipline as the source)
+    cat.insert("src", df((0L until 50L).map(i => (i, i * 1.0, "base"))))
+    cat.insert("dst", cat.table("src"))
+
+    // mutations on src: update, delete, re-update + new key — the replica
+    // must apply them in version order, including the tombstones
+    cat.upsert("src", df((0L until 10L).map(i => (i, i * -1.0, "upd1"))))
+    cat.delete("src", col("id") % 7 === 0)
+    cat.upsert("src", df(Seq((3L, 333.0, "upd2"), (60L, 60.0, "new"))))
+
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("changelog", "true").load("src")
+      .writeStream.format("graft")
+      .option("root", root).option("changelog", "true")
+      .option("checkpointLocation", tmpDir("graft_repl_cp_"))
+      .trigger(Trigger.ProcessingTime(0)).start("dst")
+    q.processAllAvailable(); q.stop()
+
+    def snap(t: String) = cat.table(t).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(snap("dst") === snap("src"),
+      "replica must equal source after changelog replay (deletes included)")
+    // sanity on the interesting keys: 7 deleted, 3 re-updated past its
+    // layer-1 value, 60 inserted
+    assert(!snap("dst").contains(7L))
+    assert(snap("dst")(3L) === (333.0, "upd2"))
+    assert(snap("dst")(60L) === (60.0, "new"))
+  }
+
   test("changelog stream: replaying upserts/deletes reconstructs the batch table state") {
     import spark.implicits._
     val root = tmpDir("graft_cdc_")

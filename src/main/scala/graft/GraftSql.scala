@@ -554,8 +554,16 @@ object GraftSql {
     * parameters, and the bucket/range partitioning. Non-catalog tables fall
     * through to Spark's own DESCRIBE.
     */
+  private val DescribeHistoryHead =
+    """(?is)^DESC(?:RIBE)?\s+HISTORY\s+`?([\w.]+)`?$""".r
+
   private def describe(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame =
     stmt match {
+      // `DESCRIBE HISTORY t` — version history for time travel (version,
+      // kind, committed_at, files, rows), straight off the catalog's
+      // footer-only metadata walk
+      case DescribeHistoryHead(name) if cat.exists(name) =>
+        cat.history(name)
       case DescribeHead(fmt, name) if cat.exists(name) =>
         import spark.implicits._
         val schema = cat.schemaOf(name)

@@ -257,6 +257,41 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   def currentVersion(name: String): Int =
     deltaSeqs(name).lastOption.getOrElse(0)
 
+  /** Version history as a frame — the time-travel companion (`DESCRIBE
+    * HISTORY t` in SQL): one row for the current base (version = the delta
+    * floor; every snapshot at or below it reads this base) and one per
+    * retained mutation layer, with commit time (the atomic-rename mtime),
+    * file count, and row count. Counts come from parquet FOOTERS only —
+    * no data pages are read; base file count is bounded by compaction
+    * parallelism and layers are pending-mutation-sized, so this stays a
+    * metadata operation at any table size.
+    */
+  def history(name: String): DataFrame = {
+    if (!exists(name)) throw new CatalogException(s"table $name does not exist")
+    def footerRows(files: Seq[String]): Long = files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f),
+        spark.sessionState.newHadoopConf())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+    def entry(version: Int, kind: String, dir: Path, files: Seq[String]) = (
+      version, kind,
+      new java.sql.Timestamp(Files.getLastModifiedTime(dir).toMillis),
+      files.size, footerRows(files))
+    val base = {
+      val d = Paths.get(dataLocation(name))
+      entry(deltaFloorOf(name), "base", d,
+        graft.sources.GraftScan.listParquet(d.toString))
+    }
+    val layers = deltaLayers(name).map { case (seq, dir) =>
+      entry(seq, "delta", Paths.get(dir), graft.sources.GraftScan.listParquet(dir))
+    }
+    import spark.implicits._
+    (base +: layers).toDF("version", "kind", "committed_at", "files", "rows")
+      .orderBy("version")
+  }
+
   /** Change feed (CDC): every mutation row applied in versions
     * (fromVersion, toVersion] with its operation ("upsert"/"delete") and
     * version — downstream incremental consumers read this instead of
@@ -397,7 +432,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     */
   private def writePartitioned(
       df: DataFrame, keys: Seq[String], buckets: Int, rangeCol: Option[String],
-      dir: String, mode: SaveMode, rangeAsData: Boolean = false): Unit = {
+      dir: String, mode: SaveMode, rangeAsData: Boolean = false,
+      sortCols: Seq[String] = Seq.empty): Unit = {
     var out = df
     val parts = scala.collection.mutable.ArrayBuffer[String]()
     rangeCol.foreach { rc =>
@@ -408,12 +444,19 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       out = out.withColumn(BucketCol, bucketExpr(keys, buckets))
       parts += BucketCol
     }
+    val sort = if (sortCols.nonEmpty) sortCols else keys
     if (parts.nonEmpty) {
+      // partition dirs FIRST in the sort: FileFormatWriter requires rows
+      // ordered by the partition columns and inserts its own (unstable)
+      // sort when they aren't — which would scramble the data ordering.
+      // With the dirs as a sort prefix the writer's requirement is already
+      // satisfied, no extra sort runs, and the per-file clustering
+      // (cluster columns, then keys) reaches the parquet row groups.
       val clustered = out.repartition(parts.toSeq.map(col): _*)
-        .sortWithinPartitions(keys.map(col): _*)
+        .sortWithinPartitions((parts.toSeq ++ sort).map(col): _*)
       clustered.write.partitionBy(parts.toSeq: _*).mode(mode).parquet(dir)
     } else
-      out.sortWithinPartitions(keys.map(col): _*).write.mode(mode).parquet(dir)
+      out.sortWithinPartitions(sort.map(col): _*).write.mode(mode).parquet(dir)
   }
 
   /** Maintenance: rewrite the table into defaultParallelism-sized files
@@ -435,9 +478,27 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * re-bootstrap over identical state). The bump also names the staged
     * dir, so it happens even on a delta-free compact.
     */
-  def compact(name: String): Unit = {
+  def compact(name: String): Unit = compact(name, Nil)
+
+  /** Compact with CLUSTERING: the folded base is sorted within each
+    * partition file by `clusterBy` (then keys, for determinism), so
+    * parquet row-group min/max statistics on those columns become tight,
+    * disjoint ranges — and every later scan with a pushed predicate on a
+    * cluster column prunes row groups instead of decoding them (the
+    * connector's single-footer reader and Spark's parquet source both
+    * apply stats skipping). The sorted-column analog of Kudu's
+    * range-partition pruning, applied INSIDE each (range, bucket)
+    * partition where directory pruning can't reach: at 100 TB, a filter on
+    * an unindexed-but-clustered column turns from a full decode into a
+    * footer check. Sorting rides the compaction's existing per-partition
+    * write — no extra shuffle, just the in-memory sort the write was
+    * already doing by key.
+    */
+  def compact(name: String, clusterBy: Seq[String]): Unit = {
     if (!exists(name)) throw new CatalogException(s"table $name does not exist")
     assertZone(name)
+    clusterBy.find(c => !schemaOf(name).fieldNames.contains(c)).foreach(c =>
+      throw new CatalogException(s"compact $name: unknown cluster column $c"))
     val keys = keyColsOf(name)
     // Fold through the CONNECTOR scan, not [[table]]: the DSv2 reader
     // merges base+deltas as a per-bucket hash probe (overlay map sized by
@@ -461,7 +522,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     sweepDeadLitter(name, keep = Set(oldDataName, newDataName))
     val staged = tableDir(name).resolve(newDataName)
     writePartitioned(folded, keys, bucketsOf(name), rangeColOf(name),
-      staged.toString, SaveMode.Overwrite)
+      staged.toString, SaveMode.Overwrite,
+      sortCols = clusterBy ++ keys.filterNot(clusterBy.contains))
     val floor = rawDeltaSeqs(name).lastOption.getOrElse(0).max(deltaFloorOf(name))
     patchMeta(name, newDataName, floor) // COMMIT: repoint base + retire folded layers
   }

@@ -269,6 +269,38 @@ class CatalogSpec extends SparkSpec {
     assert(cat.lookup("t", 3L).count() === 1)
   }
 
+  test("clustered compaction sorts files by the cluster column; content unchanged") {
+    import spark.implicits._
+    val root = tmpDir("graft_clus_")
+    val cat = new KuduLikeCatalog(spark, root)
+    // values deliberately uncorrelated with the key so insertion order is
+    // NOT already sorted by v
+    val rows = (0 until 2000).map(i => (i.toLong, ((i * 131) % 977).toDouble, s"t$i"))
+    cat.createTable(TableDef("t", rows.toDF("id", "v", "tag").schema,
+      Seq("id"), buckets = 4))
+    cat.insert("t", rows.toDF("id", "v", "tag"))
+    cat.upsert("t", Seq((5L, -1.0, "upd")).toDF("id", "v", "tag"))
+    cat.compact("t", clusterBy = Seq("v"))
+    // every base file is internally sorted by v → parquet row-group min/max
+    // on v are tight disjoint ranges, the stats-skipping contract
+    val files = Files.walk(Paths.get(s"$root/t"))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path].toString)
+      .filter(f => f.contains("/data_") && f.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val vs = spark.read.parquet(f).select("v").collect().map(_.getDouble(0)).toSeq
+      assert(vs === vs.sorted, s"file $f not clustered by v")
+    }
+    // clustering is an internal layout change only: state identical
+    val state = cat.table("t").collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val expect = rows.map { case (i, v, t) =>
+      if (i == 5L) (i, -1.0, "upd") else (i, v, t) }.toSet
+    assert(state === expect)
+    // unknown cluster column fails loudly
+    intercept[CatalogException](cat.compact("t", clusterBy = Seq("nope")))
+  }
+
   test("merge-on-read: mutations append delta layers, never rewrite the base; compact folds") {
     import spark.implicits._
     val root = tmpDir("graft_mor_")

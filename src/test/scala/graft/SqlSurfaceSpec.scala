@@ -72,6 +72,28 @@ class SqlSurfaceSpec extends SparkSpec {
     intercept[Exception](sql("UPDATE not_ours SET id = 1"))
   }
 
+  test("DESCRIBE HISTORY: version ledger with commit times and footer-only counts") {
+    val (cat, sql) = fresh()
+    sql("""CREATE TABLE h (id INT, v DOUBLE)
+          |TBLPROPERTIES('kudu.key_columns'='id','graft.hash_buckets'='2')""".stripMargin)
+    sql("INSERT INTO h VALUES (1,1.0),(2,2.0),(3,3.0)")
+    sql("UPSERT INTO h VALUES (2,22.0)")          // version 1
+    sql("DELETE FROM h WHERE id = 3")             // version 2
+    val hist = sql("DESCRIBE HISTORY h").collect()
+    assert(hist.map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((0, "base"), (1, "delta"), (2, "delta")))
+    // footer counts: base has the 3 inserted rows, each layer exactly its
+    // mutation rows; commit times never decrease along versions
+    assert(hist.map(_.getLong(4)).toSeq === Seq(3L, 1L, 1L))
+    val times = hist.map(_.getTimestamp(2).getTime).toSeq
+    assert(times === times.sorted)
+    // compaction folds the ledger: one base at the floor, no layers
+    cat.compact("h")
+    val after = sql("DESCRIBE HISTORY h").collect()
+    assert(after.map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((2, "base")))
+    assert(after.head.getLong(4) === 2L, "3 inserted - 1 deleted")
+  }
+
   test("MERGE INTO: update + delete + insert branches with standard clause semantics") {
     val (cat, sql) = fresh()
     sql("""CREATE TABLE acct (id BIGINT, bal DOUBLE, st STRING)

@@ -80,6 +80,8 @@ object GraftSql {
     """(?is)^DELETE\s+FROM\s+`?([\w.]+)`?(?:\s+WHERE\s+(.*))?$""".r
   private val AlterHead =
     """(?is)^ALTER\s+TABLE\s+`?([\w.]+)`?\s+ADD\s+COLUMNS?\s*(.+)$""".r
+  private val AlterDropHead =
+    """(?is)^ALTER\s+TABLE\s+`?([\w.]+)`?\s+DROP\s+COLUMNS?\s*(.+)$""".r
   private val DescribeHead =
     """(?is)^DESC(?:RIBE)?\s+(FORMATTED\s+)?(?:TABLE\s+)?`?([\w.]+)`?$""".r
 
@@ -543,6 +545,18 @@ object GraftSql {
         cat.addColumns(name, fields.toSeq) // atomic: all-or-nothing
         registerViews(spark, cat)
         status(spark, "ALTER TABLE", name, fields.length.toLong)
+      // DROP COLUMN(S): metadata-only evolution; existing file bytes are
+      // reclaimed by the next compact (KuduLikeCatalog.dropColumn)
+      case AlterDropHead(name, colsTxt) if cat.exists(name) =>
+        val raw = colsTxt.trim
+        val inner =
+          if (raw.startsWith("(") && raw.endsWith(")")) raw.substring(1, raw.length - 1)
+          else raw
+        val cols = inner.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty).toSeq
+        cat.dropColumns(name, cols) // atomic: all-or-nothing
+        registerViews(spark, cat)
+        status(spark, "ALTER TABLE", name, cols.length.toLong)
       case _ => spark.sql(stmt)
     }
 

@@ -742,13 +742,50 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
           s"${field.dataType.simpleString} is not supported for column ${field.name}: " +
             "only the 10 Kudu primitive types are allowed")
     }
-    val d = TableDef(name,
-      fields.foldLeft(schema)((s, f) => s.add(f.copy(nullable = true))),
-      keyColsOf(name), bucketsOf(name), rangeColOf(name))
-    // rebuilding the meta must carry the manifest fields forward — dropping
-    // them would silently repoint the base to `data` and resurrect floored
-    // delta layers — in ONE atomic write (a rebuild-then-patch pair would
-    // leave a crash window with the pointer gone)
+    rewriteSchemaMeta(name,
+      fields.foldLeft(schema)((s, f) => s.add(f.copy(nullable = true))))
+  }
+
+  /** DROP a non-key column — the other half of online schema evolution
+    * (Kudu supports both). Metadata-only and O(1): the declared schema
+    * shrinks, and since every read path (batch, connector, delta overlay)
+    * projects the DECLARED schema onto the files, the dropped column's
+    * bytes in existing base/delta files simply stop being read. The next
+    * [[compact]] rewrites the base through the declared schema and
+    * physically reclaims the space — the same deferred-reclaim discipline
+    * as displaced bases. Key columns and the range-partition column are
+    * structural and cannot be dropped.
+    */
+  def dropColumn(name: String, column: String): Unit = dropColumns(name, Seq(column))
+
+  /** Multi-column DROP is ATOMIC like [[addColumns]]: every column
+    * validates before the single meta write.
+    */
+  def dropColumns(name: String, columns: Seq[String]): Unit = {
+    val schema = readSchema(name)
+    columns.foreach { column =>
+      if (!schema.fieldNames.contains(column))
+        throw new CatalogException(s"$name has no column $column")
+      if (keyColsOf(name).contains(column))
+        throw new CatalogException(
+          s"cannot drop key column $column (recreate the table to change its key)")
+      if (rangeColOf(name).contains(column))
+        throw new CatalogException(
+          s"cannot drop range-partition column $column (the table's layout depends on it)")
+    }
+    rewriteSchemaMeta(name,
+      StructType(schema.fields.filterNot(f => columns.contains(f.name))))
+  }
+
+  /** Atomically swap the declared schema in the meta manifest, carrying the
+    * manifest fields forward — dropping them would silently repoint the
+    * base to `data` and resurrect floored delta layers — in ONE write (a
+    * rebuild-then-patch pair would leave a crash window with the pointer
+    * gone). The recorded zone is PRESERVED, never re-stamped from the
+    * current session (re-stamping would disarm [[assertZone]]).
+    */
+  private def rewriteSchemaMeta(name: String, newSchema: StructType): Unit = {
+    val d = TableDef(name, newSchema, keyColsOf(name), bucketsOf(name), rangeColOf(name))
     val (dd, fl) = (dataDirNameOf(name), deltaFloorOf(name))
     val base = metaJson(d, d.schema, zoneOf(name))
     val full =

@@ -301,6 +301,43 @@ class CatalogSpec extends SparkSpec {
     intercept[CatalogException](cat.compact("t", clusterBy = Seq("nope")))
   }
 
+  test("DROP COLUMN: metadata-only evolution; compact reclaims; structural columns refuse") {
+    import spark.implicits._
+    val root = tmpDir("graft_drop_")
+    val cat = new KuduLikeCatalog(spark, root)
+    val rows = (0 until 100).map(i => (i.toLong, i * 1.0, i * 2.0, s"t$i"))
+    cat.createTable(TableDef("t", rows.toDF("id", "a", "b", "tag").schema,
+      Seq("id"), buckets = 2))
+    cat.insert("t", rows.toDF("id", "a", "b", "tag"))
+    cat.upsert("t", Seq((5L, -1.0, -2.0, "upd")).toDF("id", "a", "b", "tag"))
+
+    cat.dropColumn("t", "b")
+    assert(cat.schemaOf("t").fieldNames.toSeq === Seq("id", "a", "tag"))
+    // every read path projects the declared schema: batch and connector
+    assert(cat.table("t").columns.toSeq === Seq("id", "a", "tag"))
+    val viaConnector = spark.read.format("graft").option("root", root).load("t")
+    assert(viaConnector.columns.toSeq === Seq("id", "a", "tag"))
+    assert(viaConnector.filter(col("id") === 5).head().getDouble(1) === -1.0)
+    // mutations continue under the evolved schema
+    cat.upsert("t", Seq((6L, 66.0, "upd6")).toDF("id", "a", "tag"))
+    assert(cat.table("t").filter(col("id") === 6).head().getString(2) === "upd6")
+    // compact physically reclaims: the new base's parquet schema lacks b
+    cat.compact("t")
+    val baseSchema = spark.read.parquet(cat.dataLocation("t")).schema.fieldNames.toSet
+    assert(!baseSchema.contains("b"), baseSchema.mkString(","))
+    assert(cat.table("t").count() === 100)
+
+    // structural columns refuse; multi-drop validates ALL before ANY
+    intercept[CatalogException](cat.dropColumn("t", "id"))
+    intercept[CatalogException](cat.dropColumn("t", "nope"))
+    intercept[CatalogException](cat.dropColumns("t", Seq("a", "nope")))
+    assert(cat.schemaOf("t").fieldNames.contains("a"), "failed multi-drop must drop nothing")
+    // range-partition column is structural too
+    val ts = Seq((1L, new Timestamp(1700000000000L), 1.0)).toDF("id", "ts", "v")
+    cat.createTable(TableDef("r", ts.schema, Seq("id"), rangeCol = Some("ts")))
+    intercept[CatalogException](cat.dropColumn("r", "ts"))
+  }
+
   test("merge-on-read: mutations append delta layers, never rewrite the base; compact folds") {
     import spark.implicits._
     val root = tmpDir("graft_mor_")

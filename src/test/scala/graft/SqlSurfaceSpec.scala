@@ -213,6 +213,22 @@ class SqlSurfaceSpec extends SparkSpec {
     intercept[Exception] { sql("ALTER TABLE no_such_t ADD COLUMN x INT") }
   }
 
+  test("ALTER TABLE DROP COLUMN(S): SQL route, atomic multi-drop") {
+    val (cat, sql) = fresh()
+    sql("""CREATE TABLE d (id INT, a INT, b INT, c STRING)
+          |TBLPROPERTIES('kudu.key_columns'='id')""".stripMargin)
+    sql("INSERT INTO d VALUES (1,1,10,'x'),(2,2,20,'y')")
+    assert(sql("ALTER TABLE d DROP COLUMN b").head().getLong(2) === 1L)
+    assert(cat.schemaOf("d").fieldNames.toSeq === Seq("id", "a", "c"))
+    assert(sql("SELECT * FROM d WHERE id = 1").head().getString(2) === "x")
+    // multi-drop with parens; a bad column aborts the WHOLE statement
+    intercept[CatalogException](sql("ALTER TABLE d DROP COLUMNS (a, nope)"))
+    assert(cat.schemaOf("d").fieldNames.contains("a"))
+    sql("ALTER TABLE d DROP COLUMNS (a, c)")
+    assert(cat.schemaOf("d").fieldNames.toSeq === Seq("id"))
+    intercept[CatalogException](sql("ALTER TABLE d DROP COLUMN id"))
+  }
+
   test("CTAS: CREATE TABLE … STORED BY … TBLPROPERTIES … AS SELECT loads through the catalog") {
     val (cat, sql) = fresh()
     Tables.registerAll(spark, sf)

@@ -423,9 +423,43 @@ private[sources] final class GraftScan(root: String, tableName: String,
     fullSchema: StructType, required: StructType,
     pushed: Array[sources.Filter], changelog: Boolean = false,
     asOf: Option[Int] = None)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Planning statistics from the PLANNED file set (post range/bucket
+    * pruning), scaled by the projected-column fraction — the same estimate
+    * Spark's own FileScan reports. Without this a DSv2 relation falls back
+    * to `defaultSizeInBytes` (effectively infinite), so a small graft
+    * dimension table joined against a fact scan would NEVER auto-broadcast
+    * and every such join would pay a full shuffle. The reference's planner
+    * had the same information channel in tablet size estimates
+    * (HiveKuduTableInputFormat.java:148-223 — one split per tablet with
+    * known bounds). Row count stays unreported: pushed filters make any
+    * footer-derived count an overestimate, and size alone drives the
+    * broadcast decision.
+    */
+  override def estimateStatistics(): Statistics = {
+    val files = plannedPartitions.iterator.flatMap {
+      case p: GraftInputPartition =>
+        p.baseFiles.iterator ++ p.deltas.iterator.flatMap(_.files)
+      case p: GraftChangelogPartition => p.files.iterator
+      case _ => Iterator.empty
+    }
+    val totalBytes = files
+      .map(f => try Files.size(Paths.get(f)) catch { case _: Exception => 0L })
+      .sum
+    val colFraction =
+      if (fullSchema.isEmpty) 1.0
+      else math.max(1, required.size).toDouble / fullSchema.size
+    val estimate = math.max(1L, (totalBytes * colFraction).toLong)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(estimate)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   override def description(): String =
     s"GraftScan table=$tableName${if (changelog) " changelog" else ""}" +

@@ -92,6 +92,33 @@ class DataSourceSpec extends SparkSpec {
       "every graft partition should surface its storage host to the scheduler")
   }
 
+  test("connector scan reports planning statistics: small graft dims auto-broadcast") {
+    val (cat, root) = mkCat()
+    cat.createTable(TableDef("dim", schema, Seq("id"), buckets = 2))
+    cat.insert("dim", rows(100))
+    // the optimized relation's size must come from the scan's planned file
+    // bytes — without SupportsReportStatistics a DSv2 relation reports
+    // defaultSizeInBytes (effectively infinite) and NEVER auto-broadcasts
+    val dim = readDs(root, "dim")
+    val size = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(size > 0 && size < 10L * 1024 * 1024,
+      s"expected file-derived size under the broadcast threshold, got $size")
+    // projection scales the estimate by the column fraction (FileScan parity)
+    val narrow =
+      readDs(root, "dim").select("id").queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(narrow < size, s"pruned scan should report less ($narrow !< $size)")
+    // and the planner acts on it: a big fact side joined to the small graft
+    // dim broadcasts WITHOUT any hint (AQE off pins the static plan)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val fact = spark.range(2000000).toDF("id") // ~16 MB estimate, over threshold
+      val joined = fact.join(dim, "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"small graft dim should broadcast by statistics alone:\n$plan")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("format(\"graft\"): bucketed table reads back identical to catalog.table()") {
     val (cat, root) = mkCat()
     cat.createTable(TableDef("t", schema, Seq("id"), buckets = 4))

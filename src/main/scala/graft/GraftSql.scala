@@ -48,6 +48,9 @@ object GraftSql {
     else if (upper.startsWith("ALTER TABLE")) alter(spark, cat, stmt)
     else if (upper.startsWith("DESCRIBE ") || upper.startsWith("DESC "))
       describe(spark, cat, stmt)
+    else if (upper == "SHOW TABLES") showTables(spark, cat)
+    else if (upper.startsWith("SHOW CREATE TABLE")) showCreate(spark, cat, stmt)
+    else if (upper.startsWith("TRUNCATE TABLE")) truncate(spark, cat, stmt)
     else { registerViews(spark, cat); spark.sql(stmt) }
   }
 
@@ -663,6 +666,65 @@ object GraftSql {
             .map(p => p.group(1) -> p.group(2)).toMap
         }
       case None => Map.empty
+    }
+
+  private val ShowCreateHead =
+    """(?is)^SHOW\s+CREATE\s+TABLE\s+`?([\w.]+)`?$""".r
+  private val TruncateHead =
+    """(?is)^TRUNCATE\s+TABLE\s+`?([\w.]+)`?$""".r
+
+  /** Bare `SHOW TABLES`: the catalog's table list in Hive's one-column
+    * shape. Namespaced forms (`SHOW TABLES IN ns`) fall through to Spark,
+    * where the `graftsql` TableCatalog plugin answers for its namespace.
+    */
+  private def showTables(spark: SparkSession, cat: KuduLikeCatalog): DataFrame = {
+    import spark.implicits._
+    cat.tableNames.sorted.toDF("tab_name")
+  }
+
+  /** `SHOW CREATE TABLE t` — reconstructs DDL in the reference's dialect
+    * (STORED BY + TBLPROPERTIES, README.md:22-31) that ROUND-TRIPS through
+    * [[create]]: executing the emitted statement yields a table with the
+    * same schema, keys, buckets, and range column.
+    */
+  private def showCreate(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame =
+    stmt match {
+      case ShowCreateHead(name) if cat.exists(name) =>
+        import spark.implicits._
+        val keys = cat.keyColsOf(name)
+        val cols = cat.schemaOf(name).fields
+          .map(f => s"  `${f.name}` ${f.dataType.sql}").mkString(",\n")
+        val buckets = cat.bucketsOf(name)
+        val props =
+          Seq(s"'kudu.key_columns' = '${keys.mkString(",")}'") ++
+          (if (buckets > 0) Seq(s"'graft.hash_buckets' = '$buckets'") else Nil) ++
+          cat.rangeColOf(name).map(rc => s"'graft.range_column' = '$rc'")
+        val ddl =
+          s"""CREATE TABLE `$name` (
+             |$cols)
+             |STORED BY 'graft.catalog.KuduLikeCatalog'
+             |TBLPROPERTIES (
+             |  ${props.mkString(",\n  ")})""".stripMargin
+        Seq(ddl).toDF("createtab_stmt")
+      case _ => { registerViews(spark, cat); spark.sql(stmt) }
+    }
+
+  /** `TRUNCATE TABLE t` — an atomic empty overwrite: schema, keys, and
+    * layout survive; readers see the full old state until the one-swap
+    * commit, then an empty table (the crash-consistency discipline of
+    * [[KuduLikeCatalog.overwrite]]). Delta layers are floored away by the
+    * same commit, so no pre-truncate mutation can resurface.
+    */
+  private def truncate(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame =
+    stmt match {
+      case TruncateHead(name) if cat.exists(name) =>
+        val empty = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          cat.schemaOf(name))
+        cat.overwrite(name, empty)
+        registerViews(spark, cat)
+        status(spark, "TRUNCATE TABLE", name, 0L)
+      case _ => { registerViews(spark, cat); spark.sql(stmt) }
     }
 
   private def status(spark: SparkSession, op: String, table: String, rows: Long): DataFrame = {

@@ -306,6 +306,45 @@ class SqlSurfaceSpec extends SparkSpec {
       === Seq("INSERT INTO t VALUES (1, ';')"))
   }
 
+  test("SHOW TABLES lists the catalog; SHOW CREATE TABLE round-trips the DDL") {
+    val (cat, sql) = fresh()
+    sql("""CREATE TABLE ev (id BIGINT, ts TIMESTAMP, v DOUBLE)
+          |STORED BY 'handler'
+          |TBLPROPERTIES('kudu.key_columns'='id',
+          |  'graft.hash_buckets'='4', 'graft.range_column'='ts')""".stripMargin)
+    sql("CREATE TABLE flat (k INT, s STRING) TBLPROPERTIES('kudu.key_columns'='k')")
+    assert(sql("SHOW TABLES").collect().map(_.getString(0)).toSeq === Seq("ev", "flat"))
+    // the emitted DDL must round-trip through the dialect parser: same
+    // schema, keys, and layout on a table created FROM it
+    val ddl = sql("SHOW CREATE TABLE ev").head().getString(0)
+    assert(ddl.contains("STORED BY") && ddl.contains("kudu.key_columns"))
+    val cat2 = new KuduLikeCatalog(spark, tmpDir("graft_sqlsurf_rt_"))
+    GraftSql.execute(spark, cat2, ddl)
+    assert(cat2.schemaOf("ev") === cat.schemaOf("ev"))
+    assert(cat2.keyColsOf("ev") === cat.keyColsOf("ev"))
+    assert(cat2.bucketsOf("ev") === 4)
+    assert(cat2.rangeColOf("ev") === Some("ts"))
+    // bucketless/rangeless tables emit no layout properties
+    val flatDdl = sql("SHOW CREATE TABLE flat").head().getString(0)
+    assert(!flatDdl.contains("graft.hash_buckets") && !flatDdl.contains("graft.range_column"))
+  }
+
+  test("TRUNCATE TABLE empties atomically, keeps schema/layout, floors deltas") {
+    val (cat, sql) = fresh()
+    sql("""CREATE TABLE t (id INT, v STRING)
+          |TBLPROPERTIES('kudu.key_columns'='id', 'graft.hash_buckets'='2')""".stripMargin)
+    sql("INSERT INTO t VALUES (1,'a'),(2,'b'),(3,'c')")
+    sql("UPSERT INTO t VALUES (2,'B!')") // a pending delta layer
+    sql("TRUNCATE TABLE t")
+    assert(sql("SELECT count(*) FROM t").head().getLong(0) === 0L)
+    assert(cat.schemaOf("t").fieldNames.toSeq === Seq("id", "v"))
+    assert(cat.bucketsOf("t") === 2)
+    // the floored delta cannot resurface, and the table remains writable
+    sql("INSERT INTO t VALUES (9,'z')")
+    assert(sql("SELECT id, v FROM t").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      === Seq((9, "z")))
+  }
+
   test("non-catalog statements fall through to spark.sql with catalog views in scope") {
     val (_, sql) = fresh()
     sql("""CREATE TABLE dim (id INT, v STRING)

@@ -369,4 +369,80 @@ object Dedup {
         "use ngramJaccardPairsCross explicitly if you really want the uncapped join")
     ngramJaccardPairsCross(newDf, refDf, textCol, idCol, n, tau, dfMax)
   }
+
+  /** Transitive closure of candidate PAIRS into dup components — the final
+    * step every corpus dedup needs: MinHash/SimHash/Jaccard emit "a~b"
+    * edges, but the unit you keep-one-of is the CONNECTED COMPONENT (a~b,
+    * b~c ⇒ {a,b,c} even when a,c never paired). Returns (id, component)
+    * for every node appearing in a pair, component = min id reachable
+    * (single-link clustering). Nodes with no edges don't appear — the
+    * caller coalesces to self (see `d30_cc_components`).
+    *
+    * Iterative min-label propagation with pointer jumping: each round
+    * (a) every node pulls the min label over its neighbors, then (b) every
+    * label rebinds through ITS OWN current label (pointer doubling), so a
+    * length-L chain collapses in O(log L) rounds, not O(L). Each round is
+    * hash-shuffle equi-joins on node id — no global state, no driver-side
+    * data; the only thing crossing to the driver per round is the scalar
+    * convergence probe. Rounds persist via the staged-slot discipline and
+    * re-plan from the persisted frame, so lineage never grows with the
+    * round count. Convergence = fixpoint test against the STATIC edge set
+    * (some edge still joins two labels ⇒ not done); labels only decrease
+    * and every assigned label is a member id, so at fixpoint the constant
+    * label per component IS the component min.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+      maxRounds: Int = 50): DataFrame = {
+    // Iterative frames MUST truncate lineage, not just cache: a persisted
+    // frame keeps its full LOGICAL plan, so round N's plan would nest every
+    // prior round's (each round references its predecessor ~5×) — analysis
+    // and plan-string cost grow exponentially with rounds (observed as a
+    // driver OOM building an AQE explain string). localCheckpoint replaces
+    // the plan with the materialized RDD (eager), keeping every round's
+    // plan O(1); blocks are executor-resident (lost-executor recompute is
+    // not possible — acceptable for a convergent loop that simply reruns).
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    // round 0: least of self and min neighbor (symmetric edges ⇒ every
+    // paired node appears as src)
+    var labels = edges
+      .groupBy(col("src").as("id")).agg(min(col("dst")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("comp"))
+      .localCheckpoint()
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      // (a) pull min neighbor label along edges
+      val viaEdges = edges
+        .join(labels.select(col("id").as("src"), col("comp").as("scomp")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("scomp")).as("ncomp"))
+      val pulled = labels.join(viaEdges, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // (b) pointer jump: comp := label(comp) when smaller
+      val next = pulled.as("x")
+        .join(pulled.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
+          col("x.comp") === col("y.cid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.comp"), coalesce(col("ccomp"), col("x.comp"))).as("comp"))
+        .localCheckpoint() // eager: materializes AND truncates the plan
+      // fixpoint probe against the static edges: any edge whose endpoints
+      // still carry different labels means another round (limit(1) — the
+      // probe short-circuits, it never counts the full violation set)
+      done = edges
+        .join(next.select(col("id").as("src"), col("comp").as("cs")), Seq("src"))
+        .join(next.select(col("id").as("dst"), col("comp").as("cd")), Seq("dst"))
+        .filter(col("cs") =!= col("cd")).limit(1).count() == 0L
+      labels = next // superseded rounds' blocks are GC'd by the ContextCleaner
+      round += 1
+    }
+    require(done,
+      s"connectedComponents did not converge in $maxRounds rounds — " +
+        "raise maxRounds (component diameter exceeds 2^rounds)")
+    labels
+  }
 }

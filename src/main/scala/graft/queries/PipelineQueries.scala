@@ -191,6 +191,45 @@ object PipelineQueries {
              |WHERE i * 1.0 / ((sa.sz + sb.sz - i) * 1.0) >= 0.05
              |ORDER BY a, b""".stripMargin)),
 
+    // Transitive closure of d9's near-dup pairs into dup GROUPS — the step
+    // a real dedup pipeline runs after any pair generator (a~b, b~c ⇒ one
+    // group {a,b,c} even though a,c never paired; keep min-id per group).
+    // Spark side: iterative min-label propagation with pointer jumping
+    // (O(log diameter) rounds of id-keyed equi-joins, lineage truncated per
+    // round). Oracle: DuckDB recursive CTE computing min reachable id.
+    QDef("d30_cc_components",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 60)
+        val pairs = Dedup.ngramJaccardPairs(
+          docs, "text", "doc_id", n = 2, tau = 0.05, dfMax = Long.MaxValue)
+        val cc = Dedup.connectedComponents(pairs, "a", "b")
+          .withColumnRenamed("id", "doc_id")
+        docs.select(col("doc_id"))
+          .join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("component"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT DISTINCT doc_id AS doc, g FROM (
+             |    SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))),
+             |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS g
+             |    FROM documents WHERE doc_id < 60) t),
+             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc AS a, b.doc AS b, count(*) AS i
+             |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc < b.doc GROUP BY 1, 2),
+             |pairs AS (SELECT a, b FROM inter
+             |          JOIN sizes sa ON sa.doc = a JOIN sizes sb ON sb.doc = b
+             |          WHERE i * 1.0 / ((sa.sz + sb.sz - i) * 1.0) >= 0.05),
+             |edges AS (SELECT a AS src, b AS dst FROM pairs
+             |          UNION SELECT b, a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 60
+             |  UNION
+             |  SELECT e.dst, r.r FROM edges e JOIN reach r ON r.id = e.src)
+             |SELECT id AS doc_id, min(r) AS component
+             |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // The df-capped (scale) configuration of d9, hash-verified: candidate
     // pairs must share at least one DISCRIMINATIVE shingle (document
     // frequency <= 5 here); intersections are still verified over ALL

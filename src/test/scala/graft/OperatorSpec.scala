@@ -97,6 +97,38 @@ class OperatorSpec extends SparkSpec {
     } finally { pool.shutdownNow(); () }
   }
 
+  test("CC: connectedComponents equals driver union-find; chains collapse in log rounds") {
+    import spark.implicits._
+    // mixed shapes: a chain (worst case for naive propagation), a star, a
+    // triangle with a pendant, an isolated pair
+    val chain = (0 until 40).map(i => (i.toLong, (i + 1).toLong))
+    val star = (1 to 5).map(i => (100L, 100L + i))
+    val tri = Seq((200L, 201L), (201L, 202L), (200L, 202L), (202L, 203L))
+    val pair = Seq((300L, 301L))
+    val edges = chain ++ star ++ tri ++ pair
+    val cc = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver union-find truth: roots attach max-under-min, so the root of
+    // every set IS its min id
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(cc === nodes.map(n => n -> find(n)).toMap)
+    // pointer doubling: a 200-link chain converges within 10 rounds where
+    // naive min-propagation would need 200
+    val longChain = (0 until 200).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val cc2 = Dedup.connectedComponents(longChain, "a", "b", maxRounds = 10)
+    assert(cc2.agg(max(col("comp"))).head().getLong(0) === 0L)
+    assert(cc2.count() === 201L)
+  }
+
   test("D2-LSH: banded candidates find identical and near-identical docs") {
     import spark.implicits._
     val docs = Tables.load(spark, sf, "documents")

@@ -1,6 +1,6 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -433,7 +433,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   private def writePartitioned(
       df: DataFrame, keys: Seq[String], buckets: Int, rangeCol: Option[String],
       dir: String, mode: SaveMode, rangeAsData: Boolean = false,
-      sortCols: Seq[String] = Seq.empty): Unit = {
+      sortCols: Seq[String] = Seq.empty,
+      sortExprs: Seq[Column] = Seq.empty): Unit = {
     var out = df
     val parts = scala.collection.mutable.ArrayBuffer[String]()
     rangeCol.foreach { rc =>
@@ -444,7 +445,12 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       out = out.withColumn(BucketCol, bucketExpr(keys, buckets))
       parts += BucketCol
     }
-    val sort = if (sortCols.nonEmpty) sortCols else keys
+    // sortExprs (e.g. a computed z-order key) beats sortCols beats keys —
+    // an EXPRESSION sort clusters the file without materializing a column
+    // into the parquet schema.
+    val sort: Seq[Column] =
+      if (sortExprs.nonEmpty) sortExprs
+      else (if (sortCols.nonEmpty) sortCols else keys).map(col)
     if (parts.nonEmpty) {
       // partition dirs FIRST in the sort: FileFormatWriter requires rows
       // ordered by the partition columns and inserts its own (unstable)
@@ -453,10 +459,10 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       // satisfied, no extra sort runs, and the per-file clustering
       // (cluster columns, then keys) reaches the parquet row groups.
       val clustered = out.repartition(parts.toSeq.map(col): _*)
-        .sortWithinPartitions((parts.toSeq ++ sort).map(col): _*)
+        .sortWithinPartitions(parts.toSeq.map(col) ++ sort: _*)
       clustered.write.partitionBy(parts.toSeq: _*).mode(mode).parquet(dir)
     } else
-      out.sortWithinPartitions(sort.map(col): _*).write.mode(mode).parquet(dir)
+      out.sortWithinPartitions(sort: _*).write.mode(mode).parquet(dir)
   }
 
   /** Maintenance: rewrite the table into defaultParallelism-sized files
@@ -494,7 +500,29 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * write — no extra shuffle, just the in-memory sort the write was
     * already doing by key.
     */
-  def compact(name: String, clusterBy: Seq[String]): Unit = {
+  def compact(name: String, clusterBy: Seq[String]): Unit =
+    compactImpl(name, clusterBy, zorder = false)
+
+  /** Compact with Z-ORDER clustering: rows are sorted within each partition
+    * file by the Morton interleave of the cluster columns' quantile-bucket
+    * indices ([[graft.functions.ZOrder]]) instead of their linear
+    * concatenation. Linear `compact(name, Seq(a, b))` gives tight row-group
+    * stats on `a` only; z-order gives USABLY tight stats on EVERY cluster
+    * column at once — each row group covers a small hyper-rectangle of the
+    * value space, so single-dimension predicates on either column prune
+    * row groups (the Delta OPTIMIZE ZORDER BY / Iceberg rewrite layout).
+    * Same commit protocol, shuffle count and file layout as [[compact]];
+    * only the in-file ordering differs — plus one sampled approxQuantile
+    * pass to learn bucket boundaries (layout-affecting only, never
+    * correctness).
+    */
+  def compactZOrdered(name: String, zorderBy: Seq[String]): Unit = {
+    require(zorderBy.size >= 2,
+      s"z-order needs >= 2 columns (one column is plain clustering): $zorderBy")
+    compactImpl(name, zorderBy, zorder = true)
+  }
+
+  private def compactImpl(name: String, clusterBy: Seq[String], zorder: Boolean): Unit = {
     if (!exists(name)) throw new CatalogException(s"table $name does not exist")
     assertZone(name)
     clusterBy.find(c => !schemaOf(name).fieldNames.contains(c)).foreach(c =>
@@ -521,9 +549,15 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val newDataName = s"data_${baseEpoch(name)}"
     sweepDeadLitter(name, keep = Set(oldDataName, newDataName))
     val staged = tableDir(name).resolve(newDataName)
+    val sortExprs: Seq[Column] =
+      if (zorder)
+        graft.functions.ZOrder.zkey(folded, clusterBy) +:
+          keys.filterNot(clusterBy.contains).map(col)
+      else Seq.empty
     writePartitioned(folded, keys, bucketsOf(name), rangeColOf(name),
       staged.toString, SaveMode.Overwrite,
-      sortCols = clusterBy ++ keys.filterNot(clusterBy.contains))
+      sortCols = clusterBy ++ keys.filterNot(clusterBy.contains),
+      sortExprs = sortExprs)
     val floor = rawDeltaSeqs(name).lastOption.getOrElse(0).max(deltaFloorOf(name))
     patchMeta(name, newDataName, floor) // COMMIT: repoint base + retire folded layers
   }

@@ -311,6 +311,44 @@ object Dedup {
       broadcast(contaminationReport(train, eval, textCol, idCol, n).select(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Bloom-prefiltered contamination report — same RESULT as
+    * [[contaminationReport]], different scale envelope. The broadcast-exact
+    * design caps out when the eval/reference shingle set no longer fits an
+    * executor broadcast (a multi-benchmark union or a reference corpus can
+    * be 10^9+ distinct shingles ≈ tens of GB exact, but ~1.2 GB as a 1%
+    * Bloom). Three-stage filter-and-verify, exactness preserved:
+    *
+    *  1. BUILD: eval shingles → xxhash64 → mergeable [[graft.functions
+    *     .BloomFilterAggregator]] (bitwise-OR merge, map-side partials; the
+    *     finished words are driver-sized like Spark's own runtime-bloom
+    *     subquery result, then re-broadcast as a torrent handle).
+    *  2. PREFILTER: one narrow pass over the training corpus keeps only
+    *     shingles the filter MIGHT contain — no false negatives, so nothing
+    *     real is lost; ~fpp of clean shingles survive as noise. This is the
+    *     only stage that touches 100-TB bytes, and it shuffles nothing.
+    *  3. VERIFY: the surviving sliver equi-joins the exact eval shingle set
+    *     (plain shuffle join — neither side need be broadcastable; both are
+    *     post-filter slivers), striking every false positive. The report is
+    *     therefore bit-identical to the exact operator and shares its
+    *     DuckDB oracle.
+    */
+  def bloomContaminationReport(
+      train: DataFrame, eval: DataFrame, textCol: String, idCol: String,
+      n: Int, expectedEvalShingles: Long, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.BloomFilterOps
+    val evalShingles = stage("bloom-decon-eval", eval
+      .select(explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("g"))
+      .distinct())
+    val (bits, numHashes) = BloomFilterOps.build(
+      evalShingles.select(xxhash64(col("g")).as("h")), expectedEvalShingles, fpp)
+    graft.Tables.parallel(train)
+      .select(col(idCol),
+        explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("g"))
+      .filter(BloomFilterOps.mightContain(xxhash64(col("g")), bits, numHashes))
+      .join(evalShingles, Seq("g"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** Cross-corpus n-gram Jaccard near-dup pairs — the two-corpus form of
     * [[ngramJaccardPairs]]: which NEW documents near-duplicate something in a
     * REFERENCE corpus (incremental-crawl dedup, eval-set fuzzy

@@ -603,6 +603,34 @@ object PipelineQueries {
              |FROM tr JOIN ev USING (g)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Bloom-prefiltered decontamination — the SAME report as
+    // d24_decontaminate (and the same oracle SQL: filter-and-verify keeps
+    // exactness), but the eval set rides a mergeable Bloom filter instead
+    // of an exact broadcast, the scale path once the benchmark-shingle
+    // union outgrows executor broadcast (Dedup.bloomContaminationReport).
+    QDef("d31_bloom_decontaminate",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.bloomContaminationReport(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "text", "doc_id", n = 4, expectedEvalShingles = 200000L, fpp = 0.01)
+          .orderBy("doc_id")
+      },
+      Some("""WITH ev AS (SELECT DISTINCT g FROM (
+             |  SELECT unnest(list_transform(range(1, len(string_split(text,' ')) - 2),
+             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+             |         string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) AS g
+             |  FROM documents WHERE doc_id % 20 = 0) t),
+             |tr AS (SELECT DISTINCT doc_id, g FROM (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 2),
+             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+             |         string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) AS g
+             |  FROM documents WHERE doc_id % 20 <> 0) t)
+             |SELECT doc_id, count(*) AS n_overlap
+             |FROM tr JOIN ev USING (g)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Deterministic global training shuffle: shard + in-shard position from
     // an md5 coin — the reproducible replacement for ORDER BY rand() when
     // writing training shards. Per-shard windows ARE the scale path: shards

@@ -459,28 +459,32 @@ object Dedup {
         .join(labels.select(col("id").as("src"), col("comp").as("scomp")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("scomp")).as("ncomp"))
       val pulled = labels.join(viaEdges, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("__prev"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-      // (b) pointer jump: comp := label(comp) when smaller
+      // (b) pointer jump: comp := label(comp) when smaller. The round's
+      // OLD label rides along as __prev so the fixpoint probe needs no
+      // join at all.
       val next = pulled.as("x")
         .join(pulled.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
           col("x.comp") === col("y.cid"), "left")
-        .select(col("x.id").as("id"),
+        .select(col("x.id").as("id"), col("x.__prev").as("__prev"),
           least(col("x.comp"), coalesce(col("ccomp"), col("x.comp"))).as("comp"))
         .localCheckpoint() // eager: materializes AND truncates the plan
-      // fixpoint probe against the static edges: any edge whose endpoints
-      // still carry different labels means another round (limit(1) — the
-      // probe short-circuits, it never counts the full violation set)
-      done = edges
-        .join(next.select(col("id").as("src"), col("comp").as("cs")), Seq("src"))
-        .join(next.select(col("id").as("dst"), col("comp").as("cd")), Seq("dst"))
-        .filter(col("cs") =!= col("cd")).limit(1).count() == 0L
+      // fixpoint probe: "this round changed nothing" is the fixpoint — and
+      // it implies edge-consistency: with symmetric edges, an unchanged
+      // pull step means comp(d) ≤ comp(s) along every edge in BOTH
+      // directions, i.e. equal labels across every edge. The probe scans
+      // the just-materialized blocks (no join, no shuffle; limit(1)
+      // short-circuits on the first changed label) — the old probe's two
+      // edge-sized joins per round were the dominant per-round cost at
+      // scale, where edges outnumber nodes by the average degree.
+      done = next.filter(col("comp") =!= col("__prev")).limit(1).count() == 0L
       labels = next // superseded rounds' blocks are GC'd by the ContextCleaner
       round += 1
     }
     require(done,
       s"connectedComponents did not converge in $maxRounds rounds — " +
         "raise maxRounds (component diameter exceeds 2^rounds)")
-    labels
+    labels.select("id", "comp")
   }
 }

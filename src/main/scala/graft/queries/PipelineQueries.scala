@@ -197,6 +197,47 @@ object PipelineQueries {
     // Spark side: iterative min-label propagation with pointer jumping
     // (O(log diameter) rounds of id-keyed equi-joins, lineage truncated per
     // round). Oracle: DuckDB recursive CTE computing min reachable id.
+    // Ordered funnel over the event stream: first 'view', first 'click'
+    // STRICTLY AFTER that view, first 'purchase' strictly after that click
+    // — the sequential-pattern shape (MATCH_RECOGNIZE-lite) every event
+    // analytics engine ships. Spark-first: three conditional min-
+    // aggregations chained by user_id equi-joins — every stage is hash-
+    // partitioned on the same key, so AQE plans the chain with ONE
+    // user_id exchange reused across stages; nothing is ever collected
+    // and no window spans more than one user's events.
+    QDef("d32_funnel_analysis",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events").select("user_id", "ts", "event_type")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("v_ts"))
+        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts") > col("v_ts"))
+          .groupBy("user_id").agg(min("ts").as("c_ts"))
+        val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts") > col("c_ts"))
+          .groupBy("user_id").agg(min("ts").as("p_ts"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select(col("user_id"),
+            unix_millis(col("v_ts")).as("view_ms"),
+            unix_millis(col("c_ts")).as("click_ms"),
+            unix_millis(col("p_ts")).as("purchase_ms"),
+            (lit(1) + when(col("c_ts").isNotNull, 1).otherwise(0)
+              + when(col("p_ts").isNotNull, 1).otherwise(0)).as("stage"))
+          .orderBy("user_id")
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+             |           WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e JOIN v USING (user_id)
+             |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+             |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e JOIN c USING (user_id)
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+             |SELECT v.user_id, epoch_ms(v_ts) AS view_ms, epoch_ms(c_ts) AS click_ms,
+             |  epoch_ms(p_ts) AS purchase_ms,
+             |  1 + CAST(c_ts IS NOT NULL AS INT) + CAST(p_ts IS NOT NULL AS INT) AS stage
+             |FROM v LEFT JOIN c ON v.user_id = c.user_id
+             |       LEFT JOIN p ON v.user_id = p.user_id
+             |ORDER BY 1""".stripMargin)),
+
     QDef("d30_cc_components",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 60)

@@ -238,6 +238,25 @@ object PipelineQueries {
              |       LEFT JOIN p ON v.user_id = p.user_id
              |ORDER BY 1""".stripMargin)),
 
+    // Trainable BPE tokenizer (Sennrich ACL-2016) end-to-end: learn 200
+    // merges from the corpus' exact word histogram (distributed count,
+    // driver loop over the bounded top-K rows, broadcast ranks), then
+    // encode every document distributed. No SQL oracle — BPE is not
+    // expressible in DuckDB; BpeSpec gates the textbook merge sequence,
+    // lossless round-trip, and partitioning-independence instead. The
+    // driver records the rows-only check.
+    QDef("d33_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val model = graft.operators.Bpe.train(
+          docs, "text", numMerges = 200, topWords = 20000)
+        docs.select(col("doc_id"),
+          size(model.encode(col("text"))).as("n_tokens"),
+          size(split(lower(col("text")), "\\s+")).as("n_words"))
+          .orderBy("doc_id")
+      },
+      None),
+
     QDef("d30_cc_components",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 60)

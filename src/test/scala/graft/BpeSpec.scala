@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer contracts: the textbook merge sequence on the Sennrich
+  * toy corpus, lossless round-trip, partitioning-independent training,
+  * and the column expression's agreement with the driver-side encoder.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("learns the textbook merges on the Sennrich toy corpus") {
+    // the ACL-2016 running example: low x5, lower x2, newest x6, widest x3
+    val corpus = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    ).toDF("text")
+    val model = Bpe.train(corpus, "text", numMerges = 4, topWords = 100)
+    // ('e','s') 9 beats everything; then ('es','t') 9; then ('est','</w>')
+    // 9; the next tier is l-o (7) vs lo-w (after l-o merges)
+    assert(model.merges.take(3) ===
+      Seq(("e", "s"), ("es", "t"), ("est", Bpe.Eow)))
+    assert(model.merges(3) === ("l", "o"))
+    // encoding replays training: 'newest' collapses through est
+    assert(model.encodeWord("newest") === Seq("n", "e", "w", "est" + Bpe.Eow)
+      || model.encodeWord("newest") === Seq("n", "e", "w", "est", Bpe.Eow))
+  }
+
+  test("round-trip: token concat reproduces the word stream") {
+    val docs = Tables.load(spark, sf, "documents").limit(200)
+    val model = Bpe.train(docs, "text", numMerges = 150, topWords = 5000)
+    val rows = docs.select(col("doc_id"), lower(col("text")).as("t"),
+      model.encode(col("text")).as("toks")).collect()
+    rows.foreach { r =>
+      val expect = r.getString(1).split("\\s+").filter(_.nonEmpty).mkString(" ")
+      val got = r.getSeq[String](2).mkString("")
+        .replace(Bpe.Eow, " ").trim
+      assert(got === expect, s"round-trip failed for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("training is partitioning-independent (exact histogram, total tie-break)") {
+    val docs = Tables.load(spark, sf, "documents").limit(300)
+    val m1 = Bpe.train(docs.repartition(1), "text", numMerges = 100, topWords = 3000)
+    val m16 = Bpe.train(docs.repartition(16), "text", numMerges = 100, topWords = 3000)
+    assert(m1.merges === m16.merges)
+  }
+
+  test("column expression agrees with the driver-side encoder") {
+    val docs = Tables.load(spark, sf, "documents").limit(50)
+    val model = Bpe.train(docs, "text", numMerges = 80, topWords = 2000)
+    val viaCol = docs.select(col("doc_id"), model.encode(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val expected = Bpe.words(r.getString(1)).flatMap(w => model.encodeWord(w)).toSeq
+      assert(viaCol(r.getLong(0)) === expected)
+    }
+  }
+
+  test("more merges means fewer tokens; zero merges is characters") {
+    val docs = Tables.load(spark, sf, "documents").limit(100)
+    val m0 = Bpe.Model(Seq.empty)
+    val m200 = Bpe.train(docs, "text", numMerges = 200, topWords = 5000)
+    val counts = docs.select(
+      size(m0.encode(col("text"))).as("n0"),
+      size(m200.encode(col("text"))).as("n200"))
+      .agg(sum("n0").as("n0"), sum("n200").as("n200")).head()
+    assert(counts.getLong(1) < counts.getLong(0),
+      s"merges did not compress: ${counts.getLong(1)} !< ${counts.getLong(0)}")
+  }
+}

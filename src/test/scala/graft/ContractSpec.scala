@@ -27,7 +27,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the survey ledger claim") {
-    assert(SparkEntry.all.size === 135, s"ledger says 135, found ${SparkEntry.all.size}")
+    assert(SparkEntry.all.size === 136, s"ledger says 136, found ${SparkEntry.all.size}")
   }
 
   test("driver-side collect() stays confined to the documented bounded sites") {

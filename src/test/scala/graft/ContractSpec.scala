@@ -21,9 +21,14 @@ class ContractSpec extends AnyFunSuite {
       assert(qs.contains(k), s"oracle $k has no query")
       assert(sql.trim.nonEmpty && !sql.trim.endsWith(";"))
     }
-    // every declared query is oracle-checked in this build (no weaker
-    // rows-only fallbacks)
-    assert(SparkEntry.oracleSql.keySet === qs)
+    // every declared query is oracle-checked in this build, except the
+    // NAMED set whose semantics no SQL engine can express — each must
+    // carry a ScalaTest suite as its gate instead (listed here so a
+    // missing oracle is always a deliberate, reviewed decision):
+    //  - d33_bpe_encode: trainable BPE subword segmentation (BpeSpec
+    //    pins the merge sequence, round-trip, and determinism)
+    val rowsOnly = Set("d33_bpe_encode")
+    assert(SparkEntry.oracleSql.keySet === qs -- rowsOnly)
   }
 
   test("inventory size matches the survey ledger claim") {
@@ -39,10 +44,12 @@ class ContractSpec extends AnyFunSuite {
     //  - IncrementalAgg.scala: emptied-GROUP-KEYS only (≤ touched groups)
     //  - StreamingIngest.scala: eval-set shingles for a broadcast literal,
     //    size-guarded at the call site
+    //  - Bpe.scala: the top-K word histogram (bounded by topWords rows
+    //    regardless of corpus size) for the driver-side merge loop
     //  - Smoke/Explain/Bench/Verify mains: driver tools, not operators
     val allowed = Set("AsOfJoin.scala", "IncrementalAgg.scala",
-      "StreamingIngest.scala", "Smoke.scala", "Explain.scala", "Bench.scala",
-      "Verify.scala")
+      "StreamingIngest.scala", "Bpe.scala", "Smoke.scala", "Explain.scala",
+      "Bench.scala", "Verify.scala")
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     val offenders = scala.util.Using.resource(java.nio.file.Files.walk(root)) { stream =>

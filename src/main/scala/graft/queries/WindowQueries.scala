@@ -116,6 +116,33 @@ object WindowQueries {
              |FROM sess GROUP BY user_id, sid
              |ORDER BY user_id, start_ms""".stripMargin)),
 
+    // Sequence-pattern matching (MATCH_RECOGNIZE-lite): each user's event
+    // history collapses to an ordered initial-letter string, and a regex
+    // recognizes the view→…→click→…→purchase pattern over it. One
+    // hash-partitioned aggregation — the per-user event list is the only
+    // grouped state (bounded by events-per-user, the same bound every
+    // sessionizer carries), and the regex runs post-agg on one short
+    // string per user. Tie-broken by event_id so both engines agree on
+    // same-timestamp ordering.
+    QDef("w8_seq_pattern",
+      (s, dir) => Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(
+              col("ts"), col("event_id"),
+              substring(col("event_type"), 1, 1).as("c")))),
+            x => x.getField("c")), "").as("seq"))
+        .select(col("user_id"), col("seq"),
+          col("seq").rlike("v.*c.*p").as("reached"))
+        .orderBy("user_id"),
+      Some("""WITH s AS (
+             |  SELECT user_id,
+             |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+             |  FROM events GROUP BY 1)
+             |SELECT user_id, seq, regexp_matches(seq, 'v.*c.*p') AS reached
+             |FROM s ORDER BY 1""".stripMargin)),
+
     // Top-N per group: classic rank-and-filter.
     QDef("w6_topn_per_group",
       (s, dir) => Tables.load(s, dir, "orders")

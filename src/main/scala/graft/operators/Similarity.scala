@@ -136,4 +136,110 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("qid", "rank", "id", "cos")
   }
+
+  /** Product-quantization ANN (Jégou et al., TPAMI 2011) — the
+    * memory-bandwidth scale path: the corpus is scanned as m-byte PQ codes
+    * (16-32× smaller than the float payload) against a per-query lookup
+    * table, and only the `rerank` best ADC candidates per query touch real
+    * embeddings for exact scoring. Where [[ivfTopK]] cuts WHICH rows are
+    * scored, PQ cuts the BYTES PER ROW — at 100 TB they compose (encode
+    * per IVF cell = IVFADC); this operator is the pure-PQ form so each
+    * path is gated separately.
+    *
+    * Shape: both sides are L2-normalized (cosine ≡ dot thereafter), the
+    * codebooks are trained by deterministic driver-side Lloyd iterations
+    * on a BOUNDED sample (≤ maxFit vectors collected — the same sampled-
+    * fit contract as ivfTopK's KMeans; at d=64 floats that is ≤ 2.5 MB),
+    * corpus codes and query LUTs are computed distributed, ADC scoring is
+    * a narrow scan (m lookups/row, dimension-independent), and the exact
+    * re-rank joins only the Q×rerank shortlist back to the embeddings.
+    * Returned `cos` is the EXACT cosine of surviving candidates, so
+    * results are comparable (and tie-broken identically) to
+    * [[bruteForceTopK]]; recall is gated in PqSpec.
+    */
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 64,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import graft.functions.{PqAdcExpr, PqEncodeExpr, PqLutExpr, PqUtil}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+
+    def normalized(df: DataFrame, id: String, emb: String): DataFrame = {
+      val nrm = sqrt(aggregate(col(emb), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      df.select(col(id), transform(col(emb),
+        x => (x.cast("double") / nrm).cast("float")).as(emb))
+    }
+
+    val c = graft.Tables.parallel(
+      normalized(corpus.select(col(idCol).as("id"), col(embCol).as("c_emb")), "id", "c_emb"))
+    val q = normalized(
+      queries.select(col(idCol).as("qid"), col(embCol).as("q_emb")), "qid", "q_emb")
+
+    // --- codebook training: bounded sample, deterministic Lloyd ---
+    val maxFit = 10000L
+    val n = c.count()
+    val sampleDf =
+      if (n <= maxFit) c
+      else c.sample(withReplacement = false, maxFit.toDouble / n, seed = 42L)
+    // ordered by id so the collected sample (and therefore Lloyd's
+    // deterministic init) is identical under any partitioning
+    val sample = sampleDf.select("id", "c_emb").orderBy("id").collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "pqTopK: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val codebooks: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
+      val subVecs = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      // deterministic init: evenly spaced sample points (no RNG state)
+      var cents = Array.tabulate(math.min(ksub, subVecs.length))(j =>
+        subVecs(j * subVecs.length / math.min(ksub, subVecs.length)).clone())
+      var it = 0
+      while (it < 10) {
+        val sums = Array.fill(cents.length)(new Array[Double](sub))
+        val counts = new Array[Long](cents.length)
+        subVecs.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var j = 0
+          while (j < cents.length) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val df0 = v(i) - cents(j)(i); d += df0 * df0; i += 1 }
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < sub) { sums(best)(i) += v(i); i += 1 }
+        }
+        cents = cents.zipWithIndex.map { case (old, j) =>
+          if (counts(j) == 0) old // empty cell keeps its centroid
+          else Array.tabulate(sub)(i => (sums(j)(i) / counts(j)).toFloat)
+        }
+        it += 1
+      }
+      cents
+    }
+
+    // --- distributed encode / LUT / ADC scan / exact re-rank ---
+    val coded = c.select(col("id"), ColumnBridge.column(
+      PqEncodeExpr(ColumnBridge.expression(col("c_emb")), codebooks)).as("codes"))
+    val luts = q.select(col("qid"), ColumnBridge.column(
+      PqLutExpr(ColumnBridge.expression(col("q_emb")), codebooks)).as("lut"))
+    val adc = luts.crossJoin(coded)
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), ColumnBridge.column(PqAdcExpr(
+        ColumnBridge.expression(col("lut")),
+        ColumnBridge.expression(col("codes")))).as("adc"))
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("id").asc)
+    val shortlist = adc.withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= rerank)
+      .select("qid", "id")
+    val exact = shortlist.join(q, "qid").join(c, "id")
+      .withColumn("cos", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "id", "cos")
+  }
 }

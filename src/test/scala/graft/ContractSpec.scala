@@ -46,10 +46,12 @@ class ContractSpec extends AnyFunSuite {
     //    size-guarded at the call site
     //  - Bpe.scala: the top-K word histogram (bounded by topWords rows
     //    regardless of corpus size) for the driver-side merge loop
+    //  - Similarity.scala: pqTopK's codebook-training sample (bounded by
+    //    maxFit vectors — same sampled-fit contract as ivfTopK's KMeans)
     //  - Smoke/Explain/Bench/Verify mains: driver tools, not operators
     val allowed = Set("AsOfJoin.scala", "IncrementalAgg.scala",
-      "StreamingIngest.scala", "Bpe.scala", "Smoke.scala", "Explain.scala",
-      "Bench.scala", "Verify.scala")
+      "StreamingIngest.scala", "Bpe.scala", "Similarity.scala", "Smoke.scala",
+      "Explain.scala", "Bench.scala", "Verify.scala")
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     val offenders = scala.util.Using.resource(java.nio.file.Files.walk(root)) { stream =>

@@ -64,6 +64,17 @@ final class CatalogException(msg: String) extends RuntimeException(msg)
   */
 final class KuduLikeCatalog(spark: SparkSession, root: String) {
 
+  // Catalog storage writes timestamps as INT64 TIMESTAMP_MICROS, not
+  // Spark's INT96 default: INT96 is deprecated in the parquet spec and
+  // carries NO column statistics, which would silently disable row-group
+  // skipping and footer-answered aggregates (GraftAggReaderFactory) for
+  // every timestamp column. The reference stores timestamps as epoch
+  // longs at its seam for the same reason (HiveKuduBridgeUtils.java:
+  // 192-196). Readers (Spark's vectorized reader AND the connector's
+  // row-group reader) handle both encodings, so pre-existing INT96
+  // tables stay readable.
+  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
   /** The closed type set of the reference (SURVEY.md §1.2). Both timestamp
     * flavors map to the reference's single TIMESTAMP (stored as epoch-millis
     * long either way — reference: HiveKuduBridgeUtils.java:192-196).

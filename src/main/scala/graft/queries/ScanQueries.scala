@@ -26,6 +26,25 @@ object ScanQueries {
     * Verify still runs the full build+mutate+read `fn`, so correctness
     * coverage of the write path is unchanged.
     */
+  /** s21's table: orders keyed+bucketed, fully compacted (no deltas), so
+    * the connector may answer COUNT/MIN/MAX from footers alone.
+    */
+  private def buildAggTable(s: org.apache.spark.sql.SparkSession, dir: String, t: String): Unit = {
+    val cat = new KuduLikeCatalog(s, t)
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    cat.createTable(TableDef("orders_a", orders.schema, Seq("o_orderkey"), buckets = 8))
+    cat.insert("orders_a", orders)
+  }
+
+  private def aggPushdownRead(
+      s: org.apache.spark.sql.SparkSession, t: String): org.apache.spark.sql.DataFrame =
+    s.read.format("graft").option("root", t).load("orders_a")
+      .agg(count(lit(1)).as("n"),
+        min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
+        d182(min("o_totalprice")).as("min_price"),
+        d182(max("o_totalprice")).as("max_price"))
+
   private val benchTables = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def memoized(key: String)(build: String => Unit): String =
     benchTables.computeIfAbsent(key, { _ =>
@@ -205,6 +224,28 @@ object ScanQueries {
           .select(col("o_orderkey"), d182(col("o_totalprice")).as("price"),
             col("o_orderdate"))
           .orderBy("o_orderkey")
+      }),
+
+    // Footer-answered aggregates through the connector (AggPushdownSpec's
+    // oracle-gated face): COUNT/MIN/MAX on a compacted keyed table come
+    // from parquet metadata — zero data pages decoded; the plan pins
+    // PushedAggregates via the spec suite. The oracle computes the same
+    // totals over the source table. Bench memoizes the table build so the
+    // timed lambda is the footer sweep alone (the s16 lesson).
+    QDef("s21_agg_pushdown",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s21_").toString
+        buildAggTable(s, dir, tmp)
+        aggPushdownRead(s, tmp)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+             |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+             |  CAST(min(o_totalprice) AS DECIMAL(18,2)) AS min_price,
+             |  CAST(max(o_totalprice) AS DECIMAL(18,2)) AS max_price
+             |FROM orders""".stripMargin),
+      benchFn = Some { (s, dir) =>
+        val tmp = memoized(s"s21:$dir")(t => buildAggTable(s, dir, t))
+        aggPushdownRead(s, tmp)
       }),
 
     // CTAS through the SQL router (Hive dialect the reference delegates to

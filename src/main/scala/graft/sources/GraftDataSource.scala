@@ -391,10 +391,90 @@ private[sources] final class GraftWriteBuilder(root: String, tableName: String,
 private[sources] final class GraftScanBuilder(root: String, tableName: String,
     fullSchema: StructType, changelog: Boolean = false,
     asOf: Option[Int] = None) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[sources.Filter] = Array.empty
+  private var aggSpec: Seq[GraftAggFunc] = Seq.empty
+
+  /** Metadata-only aggregate pushdown: COUNT(*) / MIN / MAX answered from
+    * parquet footers (row counts + column chunk statistics) without
+    * decoding a single data page — at 100 TB the difference between a scan
+    * job and a footer sweep. Accepted ONLY when the footers are the whole
+    * truth:
+    *  - no pending delta layers (merge-on-read would change counts/values
+    *    — compaction re-enables the pushdown),
+    *  - no pushed filters and no grouping (footer totals are table-level),
+    *  - no time travel, not the changelog view,
+    *  - MIN/MAX only over types whose parquet statistics are exact
+    *    (integral/floating/boolean/date/timestamp — never string/binary,
+    *    whose stats may be truncated).
+    * Partial-pushdown contract (`supportCompletePushDown` = false): each
+    * partition emits one row of partials from ITS files' footers — footer
+    * reads parallelize across the cluster like any scan — and Spark's
+    * final aggregate merges them, so a fallback or a mixed plan can never
+    * produce a wrong answer.
+    */
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (changelog || asOf.isDefined || pushed.nonEmpty ||
+      agg.groupByExpressions.nonEmpty) return false
+    val cat = new KuduLikeCatalog(SparkSession.active, root)
+    if (cat.deltaLayers(tableName).nonEmpty) return false
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 =>
+          fullSchema.fields.find(_.name == r.fieldNames.head)
+        case _ => None
+      }
+    def statExact(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | BooleanType | DateType | TimestampType |
+           TimestampNTZType => true
+      case _ => false
+    }
+    val specs: Seq[Option[GraftAggFunc]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(GraftCountStar)
+      case m: Min =>
+        fieldOf(m.column).filter(f => statExact(f.dataType))
+          .map(f => GraftMinOf(f.name, f.dataType))
+      case m: Max =>
+        fieldOf(m.column).filter(f => statExact(f.dataType))
+          .map(f => GraftMaxOf(f.name, f.dataType))
+      case _ => None
+    }
+    if (specs.isEmpty || specs.exists(_.isEmpty)) return false
+    val resolved = specs.flatten
+    // legacy-format probe: a table written under Spark's INT96 timestamp
+    // default has NO stats for those columns — decline rather than guess.
+    // One footer is representative (the catalog writes uniformly; the
+    // reader still fails loudly on a per-chunk surprise).
+    val minMaxCols = resolved.collect {
+      case GraftMinOf(f, _) => f
+      case GraftMaxOf(f, _) => f
+    }.distinct
+    if (minMaxCols.nonEmpty) {
+      val files = GraftScan.listParquet(cat.dataLocation(tableName))
+      files.headOption.foreach { f =>
+        val footer = ParquetFileReader.readFooter(
+          HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), new Configuration()),
+          org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+        val msg = footer.getFileMetaData.getSchema
+        val int96 = minMaxCols.exists { c =>
+          msg.containsField(c) &&
+            msg.getType(Seq(c): _*).asPrimitiveType().getPrimitiveTypeName == PrimitiveTypeName.INT96
+        }
+        if (int96) return false
+      }
+    }
+    aggSpec = resolved
+    true
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
 
   // changelog scans keep the full (data…, op, version) schema and leave all
   // filters residual: a changelog is small by construction (pending
@@ -416,13 +496,33 @@ private[sources] final class GraftScanBuilder(root: String, tableName: String,
   override def pushedFilters(): Array[sources.Filter] = pushed
 
   override def build(): Scan =
-    new GraftScan(root, tableName, fullSchema, required, pushed, changelog, asOf)
+    new GraftScan(root, tableName, fullSchema,
+      if (aggSpec.nonEmpty) GraftAggFunc.schema(aggSpec) else required,
+      pushed, changelog, asOf, aggSpec)
+}
+
+/** A pushed footer-answerable aggregate function. */
+private[sources] sealed trait GraftAggFunc
+private[sources] case object GraftCountStar extends GraftAggFunc
+private[sources] final case class GraftMinOf(field: String, dt: DataType) extends GraftAggFunc
+private[sources] final case class GraftMaxOf(field: String, dt: DataType) extends GraftAggFunc
+
+private[sources] object GraftAggFunc {
+  /** Output schema of the partial-aggregate rows, positional with the
+    * pushed function list (Spark zips by position; names are cosmetic).
+    */
+  def schema(specs: Seq[GraftAggFunc]): StructType =
+    StructType(specs.zipWithIndex.map {
+      case (GraftCountStar, i) => StructField(s"count_star_$i", LongType, nullable = false)
+      case (GraftMinOf(f, dt), i) => StructField(s"min_${f}_$i", dt, nullable = true)
+      case (GraftMaxOf(f, dt), i) => StructField(s"max_${f}_$i", dt, nullable = true)
+    })
 }
 
 private[sources] final class GraftScan(root: String, tableName: String,
     fullSchema: StructType, required: StructType,
     pushed: Array[sources.Filter], changelog: Boolean = false,
-    asOf: Option[Int] = None)
+    asOf: Option[Int] = None, aggSpec: Seq[GraftAggFunc] = Seq.empty)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -465,6 +565,8 @@ private[sources] final class GraftScan(root: String, tableName: String,
     s"GraftScan table=$tableName${if (changelog) " changelog" else ""}" +
       asOf.fold("")(v => s" asOf=$v") + " " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
+      (if (aggSpec.nonEmpty) s"PushedAggregates: ${aggSpec.mkString("[", ", ", "]")}, "
+       else "") +
       s"ReadSchema: ${required.catalogString}"
 
   override def toBatch: Batch = this
@@ -497,6 +599,19 @@ private[sources] final class GraftScan(root: String, tableName: String,
     if (changelog)
       // batch changelog read: every retained layer (floor, latest]
       return GraftChangelog.partitions(catalog, tableName, Int.MinValue, Int.MaxValue)
+    if (aggSpec.nonEmpty) {
+      // footer-only aggregate scan: no deltas by contract (pushAggregation
+      // declines when any are pending), so the base files ARE the table.
+      // Files chunk into ~defaultParallelism groups — footer reads
+      // parallelize like any scan, each task emitting one partial row.
+      val files = GraftScan.listParquet(catalog.dataLocation(tableName)).sorted
+      if (files.isEmpty)
+        return Array(GraftAggPartition(Seq.empty, aggSpec))
+      val chunk = math.max(1, math.ceil(
+        files.size.toDouble / spark.sparkContext.defaultParallelism).toInt)
+      return files.grouped(chunk)
+        .map(fs => GraftAggPartition(fs, aggSpec): InputPartition).toArray
+    }
     val keys = catalog.keyColsOf(tableName)
     val buckets = catalog.bucketsOf(tableName)
     // Planning-time __range directory pruning (the connector analog of the
@@ -586,6 +701,7 @@ private[sources] final class GraftScan(root: String, tableName: String,
     val catalog = new KuduLikeCatalog(spark, root)
     if (changelog)
       return new GraftChangelogReaderFactory(catalog.schemaOf(tableName))
+    if (aggSpec.nonEmpty) return new GraftAggReaderFactory
     // resolved driver-side (executors can't read session conf) and shipped
     // inside the serialized factory
     val maxOverlayRows = spark.conf.getOption(GraftDataSource.MaxOverlayRowsKey)
@@ -705,6 +821,102 @@ private[graft] final case class GraftChangelogPartition(
     seq: Int, files: Seq[String], locations: Array[String] = Array.empty)
   extends InputPartition {
   override def preferredLocations(): Array[String] = locations
+}
+
+/** One footer-sweep unit of a pushed aggregate: this task's files. */
+private[graft] final case class GraftAggPartition(
+    files: Seq[String], specs: Seq[GraftAggFunc]) extends InputPartition
+
+/** Computes one partial-aggregate row per partition from parquet FOOTERS
+  * only: COUNT(*) = Σ row-group row counts; MIN/MAX fold the row groups'
+  * column statistics. No data page is ever decoded. A chunk with no
+  * non-null value contributes nothing to MIN/MAX (parquet writes
+  * statistics for every primitive chunk our writer produces; the stats
+  * object carries hasNonNullValue=false exactly when the chunk is
+  * all-null) — matching SQL MIN/MAX null semantics. A missing statistics
+  * object fails loudly: it would mean a foreign writer, and guessing
+  * would return wrong answers silently.
+  */
+private[sources] final class GraftAggReaderFactory extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GraftAggPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = compute(part)
+      override def close(): Unit = ()
+    }
+  }
+
+  private def compute(part: GraftAggPartition): InternalRow = {
+    val conf = new Configuration()
+    var count = 0L
+    // raw parquet-stat accumulators per spec (Comparable of the physical type)
+    val acc = new Array[Comparable[Any]](part.specs.length)
+    part.files.foreach { f =>
+      val footer = ParquetFileReader.readFooter(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf),
+        org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+      footer.getBlocks.asScala.foreach { block =>
+        count += block.getRowCount
+        part.specs.zipWithIndex.foreach {
+          case (GraftCountStar, _) => ()
+          case (spec, i) =>
+            val (field, isMin) = spec match {
+              case GraftMinOf(n, _) => (n, true)
+              case GraftMaxOf(n, _) => (n, false)
+              case GraftCountStar => throw new MatchError(spec) // unreachable
+            }
+            val cc = block.getColumns.asScala
+              .find(_.getPath.toDotString == field)
+              .getOrElse(throw new IllegalStateException(
+                s"pushed aggregate: column $field missing in footer of $f"))
+            val st = cc.getStatistics
+            if (st == null)
+              throw new IllegalStateException(
+                s"pushed aggregate: no statistics for $field in $f")
+            if (st.hasNonNullValue) {
+              val v = (if (isMin) st.genericGetMin else st.genericGetMax)
+                .asInstanceOf[Comparable[Any]]
+              if (acc(i) == null) acc(i) = v
+              else {
+                val c = v.compareTo(acc(i))
+                if ((isMin && c < 0) || (!isMin && c > 0)) acc(i) = v
+              }
+            } else if (!(st.isNumNullsSet && st.getNumNulls == block.getRowCount))
+              // hasNonNullValue=false is only trustworthy as "all null"
+              // when the null count proves it — anything else (INT96
+              // chunk, stats-disabled writer) must fail loudly, never
+              // silently answer NULL
+              throw new IllegalStateException(
+                s"pushed aggregate: unusable statistics for $field in $f")
+        }
+      }
+    }
+    val out = part.specs.zipWithIndex.map {
+      case (GraftCountStar, _) => count: Any
+      case (GraftMinOf(_, dt), i) => toInternal(acc(i), dt)
+      case (GraftMaxOf(_, dt), i) => toInternal(acc(i), dt)
+    }
+    new GenericInternalRow(out.toArray)
+  }
+
+  /** Parquet stat value → Spark internal representation for `dt`. */
+  private def toInternal(v: Any, dt: DataType): Any =
+    if (v == null) null
+    else dt match {
+      case ByteType => v.asInstanceOf[Number].byteValue()
+      case ShortType => v.asInstanceOf[Number].shortValue()
+      case IntegerType | DateType => v.asInstanceOf[Number].intValue()
+      case LongType | TimestampType | TimestampNTZType =>
+        v.asInstanceOf[Number].longValue()
+      case FloatType => v.asInstanceOf[java.lang.Float].floatValue()
+      case DoubleType => v.asInstanceOf[java.lang.Double].doubleValue()
+      case BooleanType => v.asInstanceOf[java.lang.Boolean].booleanValue()
+      case other => throw new IllegalStateException(
+        s"pushed aggregate over unsupported type $other")
+    }
 }
 
 private[sources] object GraftChangelog {

@@ -437,6 +437,14 @@ private[sources] final class GraftScanBuilder(root: String, tableName: String,
     }
     val specs: Seq[Option[GraftAggFunc]] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(GraftCountStar)
+      case c: org.apache.spark.sql.connector.expressions.aggregate.Count
+          if !c.isDistinct =>
+        // COUNT(col) = Σ (rows − nulls) per chunk; needs the null count
+        // stat, which parquet-mr records for every primitive chunk (the
+        // reader still proves isNumNullsSet per chunk, failing loudly on
+        // a foreign writer). Any stat-bearing type qualifies — the VALUES
+        // are never read.
+        fieldOf(c.column).map(f => GraftCountCol(f.name))
       case m: Min =>
         fieldOf(m.column).filter(f => statExact(f.dataType))
           .map(f => GraftMinOf(f.name, f.dataType))
@@ -454,6 +462,7 @@ private[sources] final class GraftScanBuilder(root: String, tableName: String,
     val minMaxCols = resolved.collect {
       case GraftMinOf(f, _) => f
       case GraftMaxOf(f, _) => f
+      case GraftCountCol(f) => f // needs per-chunk null counts, absent on INT96
     }.distinct
     if (minMaxCols.nonEmpty) {
       val files = GraftScan.listParquet(cat.dataLocation(tableName))
@@ -504,6 +513,7 @@ private[sources] final class GraftScanBuilder(root: String, tableName: String,
 /** A pushed footer-answerable aggregate function. */
 private[sources] sealed trait GraftAggFunc
 private[sources] case object GraftCountStar extends GraftAggFunc
+private[sources] final case class GraftCountCol(field: String) extends GraftAggFunc
 private[sources] final case class GraftMinOf(field: String, dt: DataType) extends GraftAggFunc
 private[sources] final case class GraftMaxOf(field: String, dt: DataType) extends GraftAggFunc
 
@@ -514,6 +524,7 @@ private[sources] object GraftAggFunc {
   def schema(specs: Seq[GraftAggFunc]): StructType =
     StructType(specs.zipWithIndex.map {
       case (GraftCountStar, i) => StructField(s"count_star_$i", LongType, nullable = false)
+      case (GraftCountCol(f), i) => StructField(s"count_${f}_$i", LongType, nullable = false)
       case (GraftMinOf(f, dt), i) => StructField(s"min_${f}_$i", dt, nullable = true)
       case (GraftMaxOf(f, dt), i) => StructField(s"max_${f}_$i", dt, nullable = true)
     })
@@ -854,6 +865,7 @@ private[sources] final class GraftAggReaderFactory extends PartitionReaderFactor
     var count = 0L
     // raw parquet-stat accumulators per spec (Comparable of the physical type)
     val acc = new Array[Comparable[Any]](part.specs.length)
+    val colCounts = new Array[Long](part.specs.length)
     part.files.foreach { f =>
       val footer = ParquetFileReader.readFooter(
         HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf),
@@ -862,11 +874,21 @@ private[sources] final class GraftAggReaderFactory extends PartitionReaderFactor
         count += block.getRowCount
         part.specs.zipWithIndex.foreach {
           case (GraftCountStar, _) => ()
+          case (GraftCountCol(field), i) =>
+            val cc = block.getColumns.asScala
+              .find(_.getPath.toDotString == field)
+              .getOrElse(throw new IllegalStateException(
+                s"pushed aggregate: column $field missing in footer of $f"))
+            val st = cc.getStatistics
+            if (st == null || !st.isNumNullsSet)
+              throw new IllegalStateException(
+                s"pushed aggregate: no null-count statistic for $field in $f")
+            colCounts(i) += block.getRowCount - st.getNumNulls
           case (spec, i) =>
             val (field, isMin) = spec match {
               case GraftMinOf(n, _) => (n, true)
               case GraftMaxOf(n, _) => (n, false)
-              case GraftCountStar => throw new MatchError(spec) // unreachable
+              case _ => throw new MatchError(spec) // unreachable
             }
             val cc = block.getColumns.asScala
               .find(_.getPath.toDotString == field)
@@ -896,6 +918,7 @@ private[sources] final class GraftAggReaderFactory extends PartitionReaderFactor
     }
     val out = part.specs.zipWithIndex.map {
       case (GraftCountStar, _) => count: Any
+      case (GraftCountCol(_), i) => colCounts(i): Any
       case (GraftMinOf(_, dt), i) => toInternal(acc(i), dt)
       case (GraftMaxOf(_, dt), i) => toInternal(acc(i), dt)
     }

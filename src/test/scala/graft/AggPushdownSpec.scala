@@ -96,6 +96,26 @@ class AggPushdownSpec extends SparkSpec {
     assert(r.isNullAt(1))
   }
 
+  test("count(col) from footer null counts; count(distinct) declines") {
+    val root = tmpDir("graft_aggpd_")
+    val cat = new KuduLikeCatalog(spark, root)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = true)))
+    // every third v is null
+    cat.createTable(TableDef("t", schema, Seq("id"), buckets = 3))
+    cat.insert("t", spark.createDataFrame(
+      spark.sparkContext.parallelize((1 to 300).map(i => org.apache.spark.sql.Row(
+        i.toLong, if (i % 3 == 0) null else i.toDouble))), schema))
+    val agg = connector(root).agg(count(col("v")).as("nv"), count(lit(1)).as("n"))
+    assert(plannedScan(agg).contains("PushedAggregates"))
+    val r = agg.head()
+    assert(r.getLong(0) === 200L && r.getLong(1) === 300L)
+    val distinct = connector(root).agg(count_distinct(col("v")).as("nd"))
+    assert(!plannedScan(distinct).contains("PushedAggregates"))
+    assert(distinct.head().getLong(0) === 200L)
+  }
+
   test("timestamp min/max from footers equals the scan answer") {
     val root = tmpDir("graft_aggpd_")
     val cat = new KuduLikeCatalog(spark, root)

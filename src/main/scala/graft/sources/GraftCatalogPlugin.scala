@@ -34,7 +34,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * entry points throw UnsupportedOperationException with a pointer at the
   * right API.
   */
-final class GraftCatalogPlugin extends TableCatalog {
+final class GraftCatalogPlugin extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -123,4 +124,66 @@ final class GraftCatalogPlugin extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft tables cannot be renamed")
+
+  // ---- FunctionCatalog: the `bucket` transform behind storage-partitioned
+  // joins. Two co-bucketed graft tables joined on their full key report
+  // KeyGroupedPartitioning over bucket(n, keys…); Spark resolves that
+  // transform against THIS function and, when both sides agree
+  // (spark.sql.sources.v2.bucketing.enabled=true), plans the join with NO
+  // exchange — the connector's tablet layout IS the join distribution,
+  // Kudu's co-located-scan promise carried through the V2 planner.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(
+      catalogName, ident.name())
+}
+
+/** The catalog's key-hash bucketing as a V2 function: murmur3(keys, seed
+  * 42) pmod n — bit-identical to the write path's bucket directory
+  * assignment (KuduLikeCatalog.bucketExpr) and the planner's key routing
+  * (GraftDataSource.bucketOf), so a value Spark computes through this
+  * function always lands in the directory the writer chose.
+  */
+private[sources] object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, keys...): graft key-hash bucket id (murmur3 seed 42, pmod n)"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length >= 2,
+      s"bucket(n, keys...) needs at least one key column, got $inputType")
+    require(inputType.fields.head.dataType == org.apache.spark.sql.types.IntegerType,
+      s"bucket's first argument is the bucket count (INT), got $inputType")
+    GraftBucketBound(inputType)
+  }
+}
+
+private[sources] final case class GraftBucketBound(inputType: StructType)
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+  import org.apache.spark.sql.catalyst.InternalRow
+  override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+    inputType.fields.map(_.dataType)
+  override def resultType(): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    // values arrive INTERNAL (UTF8String etc.) — wrap as literals directly,
+    // no external->catalyst conversion
+    val lits = (1 until inputType.length).map { i =>
+      val dt = inputType.fields(i).dataType
+      org.apache.spark.sql.catalyst.expressions.Literal(input.get(i, dt), dt)
+    }
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(lits, 42)
+      .eval(InternalRow.empty).asInstanceOf[Int]
+    ((h % n) + n) % n
+  }
 }

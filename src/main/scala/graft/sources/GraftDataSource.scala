@@ -228,6 +228,19 @@ private[sources] final class GraftTable(root: String, tableName: String,
     if (changelog) s"graft.$tableName.changelog"
     else asOf.fold(s"graft.$tableName")(v => s"graft.$tableName@v$v")
   override def schema(): StructType = tableSchema
+
+  /** Declared layout: `bucket(n, keys…)` for hash-bucketed tables — the V2
+    * face of the tablet partitioning, resolved against the plugin's
+    * FunctionCatalog for storage-partitioned joins.
+    */
+  override def partitioning(): Array[Transform] = {
+    if (changelog) return Array.empty
+    val cat = new KuduLikeCatalog(SparkSession.active, root)
+    val b = cat.bucketsOf(tableName)
+    if (b <= 0) Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+      b, cat.keyColsOf(tableName): _*))
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     // BATCH_WRITE admits the v2 write plan (DataFrameWriter requires the
     // literal capability); V1_BATCH_WRITE + the V1Write from build() then
@@ -534,9 +547,39 @@ private[sources] final class GraftScan(root: String, tableName: String,
     fullSchema: StructType, required: StructType,
     pushed: Array[sources.Filter], changelog: Boolean = false,
     asOf: Option[Int] = None, aggSpec: Seq[GraftAggFunc] = Seq.empty)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
+
+  /** Storage-partitioned-join face: a fully per-bucket plan reports
+    * `KeyGroupedPartitioning(bucket(n, keys…))`, one partition per bucket
+    * with the bucket id as the partition key — when two graft tables share
+    * bucket count + key shape and join on the full key, Spark
+    * (spark.sql.sources.v2.bucketing.enabled) zips the bucket scans with
+    * ZERO exchange. Merge-on-read never breaks this: a key's bucket is a
+    * pure hash of the key, so deltas overlay inside their own bucket.
+    * Anything not per-bucket (unbucketed layout, footer aggregates,
+    * changelog) reports Unknown and planning proceeds as before.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val parts = plannedPartitions
+    val perBucket = !changelog && aggSpec.isEmpty && parts.nonEmpty &&
+      parts.forall {
+        case p: GraftInputPartition => p.bucket >= 0
+        case _ => false
+      }
+    if (perBucket) {
+      val cat = new KuduLikeCatalog(SparkSession.active, root)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+          cat.bucketsOf(tableName), cat.keyColsOf(tableName): _*)),
+        parts.length)
+    } else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        parts.length)
+  }
 
   /** Planning statistics from the PLANNED file set (post range/bucket
     * pruning), scaled by the projected-column fraction — the same estimate
@@ -823,8 +866,14 @@ private[graft] final case class GraftDeltaSlice(seq: Int, files: Seq[String])
 private[graft] final case class GraftInputPartition(
     bucket: Int, baseFiles: Seq[String], deltas: Seq[GraftDeltaSlice],
     emitOverlay: Boolean, locations: Array[String] = Array.empty)
-  extends InputPartition {
+  extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def preferredLocations(): Array[String] = locations
+  /** Consulted only under KeyGroupedPartitioning (per-bucket plans; the
+    * unbucketed -1 never reports it).
+    */
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
 }
 
 /** One changelog micro-batch unit: a single delta layer (its files). */

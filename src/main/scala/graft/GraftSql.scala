@@ -51,6 +51,7 @@ object GraftSql {
     else if (upper == "SHOW TABLES") showTables(spark, cat)
     else if (upper.startsWith("SHOW CREATE TABLE")) showCreate(spark, cat, stmt)
     else if (upper.startsWith("TRUNCATE TABLE")) truncate(spark, cat, stmt)
+    else if (upper.startsWith("OPTIMIZE ")) optimize(spark, cat, stmt)
     else { registerViews(spark, cat); spark.sql(stmt) }
   }
 
@@ -731,4 +732,33 @@ object GraftSql {
     import spark.implicits._
     Seq((op, table, rows)).toDF("operation", "table", "rows")
   }
+
+  private val OptimizeHead =
+    """(?is)^OPTIMIZE\s+`?([\w.]+)`?(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,`]+?)\s*\))?$""".r
+
+  /** `OPTIMIZE t` (compaction: fold deltas, rewrite sized files) and
+    * `OPTIMIZE t ZORDER BY (a, b)` (multi-dimensional clustering — the
+    * Delta-dialect face of [[KuduLikeCatalog.compactZOrdered]]). A single
+    * linear cluster column routes to plain clustered compaction (z-order
+    * of one dimension IS a sort).
+    */
+  private def optimize(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame =
+    stmt match {
+      case OptimizeHead(name, cols) =>
+        if (!cat.exists(name))
+          throw new CatalogException(s"OPTIMIZE $name: table does not exist")
+        val zorder = Option(cols).map(
+          _.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq)
+          .getOrElse(Seq.empty)
+        zorder match {
+          case Seq() => cat.compact(name)
+          case Seq(one) => cat.compact(name, Seq(one))
+          case many => cat.compactZOrdered(name, many)
+        }
+        registerViews(spark, cat)
+        status(spark, if (zorder.size >= 2) "OPTIMIZE ZORDER" else "OPTIMIZE", name, 0L)
+      case _ =>
+        throw new CatalogException(
+          s"cannot parse OPTIMIZE (expected: OPTIMIZE t [ZORDER BY (c1, c2…)]): $stmt")
+    }
 }

@@ -356,4 +356,25 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(joined.collect().map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
       === Seq(("x", 10), ("y", 20)))
   }
+
+  test("OPTIMIZE folds deltas; OPTIMIZE ZORDER BY clusters without changing content") {
+    val (cat, sql) = fresh()
+    sql("""CREATE TABLE z (id BIGINT, x BIGINT, y BIGINT)
+          |TBLPROPERTIES('kudu.key_columns'='id')""".stripMargin)
+    import spark.implicits._
+    cat.insert("z", (1 to 500).map(i => (i.toLong, (i % 20).toLong, (i / 20).toLong))
+      .toDF("id", "x", "y"))
+    sql("DELETE FROM z WHERE id % 5 = 0")
+    assert(cat.deltaLayers("z").nonEmpty)
+    val before = sql("SELECT * FROM z").collect().map(_.toString).sorted.toSeq
+    val st = sql("OPTIMIZE z ZORDER BY (x, y)").head()
+    assert(st.getString(0) === "OPTIMIZE ZORDER" && st.getString(1) === "z")
+    assert(cat.deltaLayers("z").isEmpty, "OPTIMIZE must fold pending deltas")
+    val after = sql("SELECT * FROM z").collect().map(_.toString).sorted.toSeq
+    assert(after === before, "clustering is layout-only")
+    // plain OPTIMIZE still parses and runs on a clean table
+    assert(sql("OPTIMIZE z").head().getString(0) === "OPTIMIZE")
+    intercept[CatalogException](sql("OPTIMIZE nope_no_table"))
+    intercept[CatalogException](sql("OPTIMIZE z ZORDER x, y"))
+  }
 }

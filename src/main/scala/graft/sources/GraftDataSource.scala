@@ -548,7 +548,7 @@ private[sources] final class GraftScan(root: String, tableName: String,
     pushed: Array[sources.Filter], changelog: Boolean = false,
     asOf: Option[Int] = None, aggSpec: Seq[GraftAggFunc] = Seq.empty)
   extends Scan with Batch with SupportsReportStatistics
-  with SupportsReportPartitioning {
+  with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
 
@@ -644,7 +644,73 @@ private[sources] final class GraftScan(root: String, tableName: String,
   // mix row-based and columnar input partitions")
   private lazy val plannedPartitions: Array[InputPartition] = planPartitions()
 
-  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
+  /** Partitions surviving runtime filtering (null until [[filter]] runs). */
+  @volatile private var runtimeKept: Array[InputPartition] = _
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (runtimeKept != null) runtimeKept else plannedPartitions
+
+  /** Runtime (DPP-style) pruning: Spark hands the join's realized key set
+    * AFTER the build side executes, and the scan drops work that cannot
+    * match — the V2 face of Kudu's scan-token re-scoping. Two channels,
+    * both exact in the safe direction (over-scan possible, under-scan
+    * never; Spark re-applies the join condition row-level):
+    *  - single-key bucketed tables: IN/EQ values on the key route to their
+    *    buckets (same murmur3 as the writer), other buckets' partitions —
+    *    base AND deltas, which bucket identically — drop whole;
+    *  - range tables: time values tighten the `__range` month window, and
+    *    non-matching BASE files drop from within each partition (deltas
+    *    never range-prune — an upsert may move a key across months).
+    */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    if (changelog || aggSpec.nonEmpty) return Array.empty
+    val catalog = new KuduLikeCatalog(SparkSession.active, root)
+    val keys = catalog.keyColsOf(tableName)
+    val keyAttr =
+      if (catalog.bucketsOf(tableName) > 0 && keys.size == 1) keys else Seq.empty
+    (keyAttr ++ catalog.rangeColOf(tableName).toSeq).distinct
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions.column(c))
+      .toArray
+  }
+
+  override def filter(runtimeFilters: Array[sources.Filter]): Unit = {
+    val catalog = new KuduLikeCatalog(SparkSession.active, root)
+    val keys = catalog.keyColsOf(tableName)
+    val buckets = catalog.bucketsOf(tableName)
+
+    // bucket routing from runtime IN/EQ sets on the single key column
+    var allowedBuckets: Option[Set[Int]] = None
+    if (buckets > 0 && keys.size == 1) {
+      val k = keys.head
+      val dt = fullSchema(k).dataType
+      def route(vs: Iterable[Any]): Set[Int] =
+        vs.filter(_ != null).map(v =>
+          GraftDataSource.bucketOf(Seq((v, dt)), buckets)).toSet
+      GraftFilters.flattenAnd(runtimeFilters).foreach {
+        case sources.In(a, vs) if a == k && vs != null =>
+          val s = route(vs.toSeq)
+          allowedBuckets = Some(allowedBuckets.fold(s)(_ intersect s))
+        case sources.EqualTo(a, v) if a == k && v != null =>
+          val s = route(Seq(v))
+          allowedBuckets = Some(allowedBuckets.fold(s)(_ intersect s))
+        case _ => ()
+      }
+    }
+
+    // range-window tightening from runtime time predicates
+    val keepFile = GraftScan.rangePruner(catalog, tableName, runtimeFilters)
+
+    runtimeKept = plannedPartitions.flatMap {
+      case p: GraftInputPartition =>
+        if (p.bucket >= 0 && allowedBuckets.exists(!_.contains(p.bucket))) None
+        else {
+          val kept = p.baseFiles.filter(keepFile)
+          if (kept.isEmpty && p.deltas.isEmpty) None
+          else Some(p.copy(baseFiles = kept): InputPartition)
+        }
+      case other => Some(other)
+    }
+  }
 
   private def planPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active

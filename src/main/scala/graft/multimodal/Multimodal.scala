@@ -89,6 +89,7 @@ object Multimodal {
             else if (isWav(bytes)) decodeWav(id, bytes)
             else if (Flac.isFlac(bytes)) decodeFlac(id, bytes)
             else if (isJpeg(bytes)) decodeJpeg(id, bytes)
+            else if (Mp4.isMp4(bytes)) decodeMp4(id, bytes)
             else mp3GeometryOpt(bytes) match {
               case Some(g) => decodeMp3(id, bytes, g)
               case None => stubRecord(id, bytes, fmt)
@@ -1076,6 +1077,26 @@ object Multimodal {
     val (audioOff, samples, ch) = g
     DecodedMedia(id, "audio/mpeg", b.length.toLong, samples, 1, ch,
       fnv(b, audioOff, b.length, FnvSeed))
+  }
+
+  /** ISO-BMFF (MP4) container parse ([[Mp4]]): width/height from the video
+    * track's tkhd, width slot reused as frame count is NOT done — geometry
+    * mirrors the image convention (w × h), channels = track count. The
+    * checksum folds the SAMPLE byte ranges from the stbl tables, not the
+    * raw file — a re-mux (same frames, different chunking/box order)
+    * hashes identically, the cross-container dedup property the WAV/FLAC
+    * pair also has.
+    */
+  private def decodeMp4(id: Long, b: Array[Byte]): DecodedMedia = {
+    val info = Mp4.parse(b)
+    val v = info.videoTrack.getOrElse(info.tracks.headOption.getOrElse(
+      throw new IllegalArgumentException("mp4 with no tracks")))
+    var cs = FnvSeed
+    info.tracks.foreach(_.sampleRanges.foreach { case (off, len) =>
+      cs = fnv(b, off.toInt, (off + len).toInt, cs)
+    })
+    DecodedMedia(id, "video/mp4", b.length.toLong, v.width, v.height,
+      info.tracks.size, cs)
   }
 
   /** JPEG sniff: SOI marker followed by a structurally valid marker chain

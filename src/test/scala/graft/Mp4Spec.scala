@@ -1,0 +1,78 @@
+package graft
+
+import graft.multimodal.{Mp4, Multimodal}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ISO-BMFF container math: build→parse round trip, sample-table byte
+  * ranges recover the exact frame payloads, re-mux checksum invariance,
+  * and the decode dispatch + degrade path.
+  */
+class Mp4Spec extends SparkSpec {
+
+  private def frames(n: Int): Seq[Array[Byte]] =
+    (0 until n).map(i => Array.tabulate[Byte](10 + i * 3)(j => ((i * 31 + j) & 0xff).toByte))
+
+  test("build -> parse round trip: geometry and sample tables") {
+    val fs = frames(7)
+    val b = Mp4.build(640, 360, timescale = 30000, frameDelta = 1001, fs, framesPerChunk = 2)
+    assert(Mp4.isMp4(b))
+    val info = Mp4.parse(b)
+    assert(info.brand === "isom")
+    val v = info.videoTrack.get
+    assert(v.width === 640 && v.height === 360)
+    assert(v.timescale === 30000 && v.duration === 1001L * 7)
+    assert(v.sampleCount === 7)
+    // the ranges must recover the EXACT frame bytes written into mdat
+    val got = v.sampleRanges.map { case (off, len) =>
+      b.slice(off.toInt, (off + len).toInt).toSeq }
+    assert(got.toSeq === fs.map(_.toSeq))
+    // stts expansion: pts = i * delta
+    assert(v.sampleTimes.toSeq === (0 until 7).map(_ * 1001L))
+  }
+
+  test("uneven last chunk: stsc two-run expansion still covers every sample") {
+    val fs = frames(5) // 2+2+1 under framesPerChunk=2
+    val b = Mp4.build(64, 64, 1000, 40, fs, framesPerChunk = 2)
+    val v = Mp4.parse(b).videoTrack.get
+    assert(v.chunkOffsets.length === 3)
+    val got = v.sampleRanges.map { case (off, len) =>
+      b.slice(off.toInt, (off + len).toInt).toSeq }
+    assert(got.toSeq === fs.map(_.toSeq))
+  }
+
+  test("re-mux invariance: different chunking, identical sample checksum") {
+    val fs = frames(8)
+    val a = Mp4.build(320, 240, 1000, 40, fs, framesPerChunk = 2)
+    val c = Mp4.build(320, 240, 1000, 40, fs, framesPerChunk = 3)
+    assert(!java.util.Arrays.equals(a, c), "containers must differ")
+    import spark.implicits._
+    val df = Seq((1L, a), (2L, c)).toDF("id", "payload")
+      .withColumn("meta", struct(lit("video/mp4").as("format"),
+        length(col("payload")).cast("long").as("n_bytes")))
+    val rows = Multimodal.decode(spark, df).collect().sortBy(_.id)
+    assert(rows.forall(_.format === "video/mp4"))
+    assert(rows(0).width === 320 && rows(0).height === 240)
+    assert(rows(0).checksum === rows(1).checksum,
+      "re-muxed frames must hash identically (sample-range checksum)")
+  }
+
+  test("truncated container degrades to the stub record, never throws") {
+    val b = Mp4.build(64, 64, 1000, 40, frames(4))
+    val cut = b.take(b.length / 2)
+    assert(!Mp4.isMp4(cut))
+    import spark.implicits._
+    val df = Seq((9L, cut)).toDF("id", "payload")
+      .withColumn("meta", struct(lit("video/mp4").as("format"),
+        length(col("payload")).cast("long").as("n_bytes")))
+    val r = Multimodal.decode(spark, df).collect().head
+    // stub records keep the metadata format string but hash the WHOLE
+    // byte payload (not sample ranges) and carry derived stub geometry
+    val wholeFnv = {
+      var cs = 1469598103934665603L
+      cut.foreach(b => cs = (cs ^ (b & 0xffL)) * 1099511628211L)
+      cs
+    }
+    assert(r.checksum === wholeFnv, "truncated payload must take the stub path")
+  }
+}

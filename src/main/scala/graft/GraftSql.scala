@@ -561,8 +561,17 @@ object GraftSql {
         cat.dropColumns(name, cols) // atomic: all-or-nothing
         registerViews(spark, cat)
         status(spark, "ALTER TABLE", name, cols.length.toLong)
+      // RENAME TO: one atomic directory move (metadata is path-relative)
+      case AlterRenameHead(name, newName) if cat.exists(name) =>
+        cat.renameTable(name, newName)
+        spark.catalog.dropTempView(name) // the old view must not linger
+        registerViews(spark, cat)
+        status(spark, "ALTER TABLE RENAME", newName, 0L)
       case _ => spark.sql(stmt)
     }
+
+  private val AlterRenameHead =
+    """(?is)^ALTER\s+TABLE\s+`?([\w.]+)`?\s+RENAME\s+TO\s+`?([\w.]+)`?$""".r
 
   /** DESCRIBE [FORMATTED] <table> for catalog tables — the reference
     * transcript's step 2 (`describe formatted test_drop`, README.md:33 and

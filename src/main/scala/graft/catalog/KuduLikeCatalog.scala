@@ -206,6 +206,22 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   def rollbackCreateTable(name: String): Unit =
     try deleteRecursively(tableDir(name)) catch { case _: Throwable => () }
 
+  /** ALTER TABLE … RENAME TO: one directory move (same filesystem —
+    * atomic), no data rewrite. All table metadata is path-relative (the
+    * `_meta.json` manifest names layers, never the table), so the moved
+    * directory IS the renamed table. Kudu's ALTER TABLE rename analog;
+    * the reference delegated renames to Hive metastore identity.
+    */
+  def renameTable(oldName: String, newName: String): Unit = {
+    if (!exists(oldName)) throw new CatalogException(s"table $oldName does not exist")
+    if (exists(newName)) throw new CatalogException(s"table $newName already exists")
+    require(newName.nonEmpty && newName.matches("[\\w.]+"),
+      s"invalid table name: $newName")
+    Files.createDirectories(tableDir(newName).getParent)
+    Files.move(tableDir(oldName), tableDir(newName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Current table contents. Fast path with no pending mutations reads the
     * base directly; with pending delta layers (merge-on-read, see [[upsert]])
     * the effective row per key is the highest-sequence version, tombstones

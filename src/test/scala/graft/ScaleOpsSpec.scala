@@ -333,4 +333,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(once.toSeq === twice.toSeq)
     assert(once.map(_._2).distinct.length > 45) // content-derived
   }
+
+  test("HLL sketches: mergeable distinct counts, partitioning-independent, unions add") {
+    // Spark 4 Datasketches HLL: the mergeable scale path behind
+    // a4_count_distinct / a5's approx gate. Sketch content is a pure max
+    // of register values -> identical under any partitioning, and sketch
+    // UNION estimates the union of the underlying sets - the property
+    // that lets 1000 executors sketch independently and merge on one.
+    val li = Tables.load(spark, sf, "lineitem")
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    def est(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))"))
+        .head().getLong(0)
+    val e1 = est(li.repartition(1))
+    val e16 = est(li.repartition(16))
+    assert(e1 === e16, "sketch estimate must not depend on partitioning")
+    assert(math.abs(e1 - exact).toDouble / exact < 0.05,
+      s"HLL estimate $e1 vs exact $exact drifted >5%")
+    // union of two disjoint halves estimates the whole
+    val whole = li.select(col("l_orderkey"))
+    val a = whole.filter(col("l_orderkey") % 2 === 0)
+      .select(expr("hll_sketch_agg(l_orderkey)").as("s"))
+    val b = whole.filter(col("l_orderkey") % 2 =!= 0)
+      .select(expr("hll_sketch_agg(l_orderkey)").as("s"))
+    val unioned = a.union(b)
+      .select(expr("hll_sketch_estimate(hll_union_agg(s))")).head().getLong(0)
+    val exactWhole = whole.distinct().count()
+    assert(math.abs(unioned - exactWhole).toDouble / exactWhole < 0.05,
+      s"HLL union estimate $unioned vs exact $exactWhole drifted >5%")
+  }
 }

@@ -377,4 +377,18 @@ class SqlSurfaceSpec extends SparkSpec {
     intercept[CatalogException](sql("OPTIMIZE nope_no_table"))
     intercept[CatalogException](sql("OPTIMIZE z ZORDER x, y"))
   }
+
+  test("ALTER TABLE RENAME TO: atomic directory move, data and layers intact") {
+    val (cat, sql) = fresh()
+    sql("""CREATE TABLE rn (id INT, v STRING)
+          |TBLPROPERTIES('kudu.key_columns'='id')""".stripMargin)
+    sql("INSERT INTO rn VALUES (1,'a'),(2,'b'),(3,'c')")
+    sql("DELETE FROM rn WHERE id = 2") // pending delta layer must survive
+    val st = sql("ALTER TABLE rn RENAME TO rn2").head()
+    assert(st.getString(0) === "ALTER TABLE RENAME" && st.getString(1) === "rn2")
+    assert(!cat.exists("rn") && cat.exists("rn2"))
+    assert(sql("SELECT id FROM rn2").collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 3))
+    intercept[CatalogException](cat.renameTable("rn2", "rn2"))
+    intercept[CatalogException](cat.renameTable("ghost", "x"))
+  }
 }

@@ -157,10 +157,38 @@ object Similarity {
     * results are comparable (and tie-broken identically) to
     * [[bruteForceTopK]]; recall is gated in PqSpec.
     */
+  /** IVFADC (Jégou et al. §IV): IVF cuts WHICH rows are scored (queries
+    * probe their `nprobe` nearest KMeans cells), PQ cuts the BYTES PER ROW
+    * (in-cell candidates are scored as m-byte codes against the query's
+    * LUT), and the exact re-rank keeps returned scores exact. This is the
+    * composition the pure forms ([[ivfTopK]], [[pqTopK]]) exist to gate
+    * separately: at 100 TB the ADC scan reads |corpus|·nprobe/cells · m
+    * bytes — both reduction factors multiply.
+    *
+    * Plumbing: cell assignment is the IVF broadcast-centroid join; PQ
+    * codes are computed once per corpus row; the per-cell candidate join
+    * is the same (cell) equi-join as IVF, but carrying CODES instead of
+    * embeddings — the float payload only moves for the Q×rerank shortlist.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      cells: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 64,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    pqTopKImpl(queries, corpus, k, m, ksub, rerank, idCol, embCol,
+      ivf = Some((cells, nprobe)))
+
   def pqTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 8, ksub: Int = 16, rerank: Int = 64,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    pqTopKImpl(queries, corpus, k, m, ksub, rerank, idCol, embCol, ivf = None)
+
+  private def pqTopKImpl(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int, ksub: Int, rerank: Int,
+      idCol: String, embCol: String,
+      ivf: Option[(Int, Int)]): DataFrame = {
     import graft.functions.{PqAdcExpr, PqEncodeExpr, PqLutExpr, PqUtil}
     import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -191,42 +219,38 @@ object Similarity {
     require(dim % m == 0, s"pqTopK: dim $dim not divisible by m=$m")
     val sub = dim / m
     val codebooks: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
-      val subVecs = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
-      // deterministic init: evenly spaced sample points (no RNG state)
-      var cents = Array.tabulate(math.min(ksub, subVecs.length))(j =>
-        subVecs(j * subVecs.length / math.min(ksub, subVecs.length)).clone())
-      var it = 0
-      while (it < 10) {
-        val sums = Array.fill(cents.length)(new Array[Double](sub))
-        val counts = new Array[Long](cents.length)
-        subVecs.foreach { v =>
-          var best = 0; var bestD = Double.MaxValue
-          var j = 0
-          while (j < cents.length) {
-            var d = 0.0; var i = 0
-            while (i < sub) { val df0 = v(i) - cents(j)(i); d += df0 * df0; i += 1 }
-            if (d < bestD) { bestD = d; best = j }
-            j += 1
-          }
-          counts(best) += 1
-          var i = 0
-          while (i < sub) { sums(best)(i) += v(i); i += 1 }
-        }
-        cents = cents.zipWithIndex.map { case (old, j) =>
-          if (counts(j) == 0) old // empty cell keeps its centroid
-          else Array.tabulate(sub)(i => (sums(j)(i) / counts(j)).toFloat)
-        }
-        it += 1
-      }
-      cents
+      lloyd(sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)),
+        ksub, iters = 10)
     }
 
     // --- distributed encode / LUT / ADC scan / exact re-rank ---
-    val coded = c.select(col("id"), ColumnBridge.column(
+    val coded = c.select(col("id"), col("c_emb"), ColumnBridge.column(
       PqEncodeExpr(ColumnBridge.expression(col("c_emb")), codebooks)).as("codes"))
-    val luts = q.select(col("qid"), ColumnBridge.column(
+    val luts = q.select(col("qid"), col("q_emb"), ColumnBridge.column(
       PqLutExpr(ColumnBridge.expression(col("q_emb")), codebooks)).as("lut"))
-    val adc = luts.crossJoin(coded)
+    // candidate pairing: full coded scan (pure PQ), or the IVF (cell)
+    // equi-join — coarse centroids trained on the SAME driver sample, so
+    // IVFADC costs no extra corpus pass
+    val pairs = ivf match {
+      case None => luts.select("qid", "lut").crossJoin(coded.select("id", "codes"))
+      case Some((cells, nprobe)) =>
+        val spark = corpus.sparkSession
+        val coarse = lloyd(sample, cells, iters = 10)
+        val centroids = broadcast(spark.createDataFrame(
+          coarse.zipWithIndex.map { case (cent, i) => (i, cent) }
+            .toIndexedSeq).toDF("cell", "centroid"))
+        def assign(df: DataFrame, emb: String, keep: Int, keyCol: String): DataFrame = {
+          val scored = df.join(centroids)
+            .withColumn("d", VectorFunctions.cosine(col(emb), col("centroid")))
+          val w = Window.partitionBy(col(keyCol)).orderBy(col("d").desc, col("cell").asc)
+          scored.withColumn("cr", row_number().over(w))
+            .filter(col("cr") <= keep)
+            .drop("d", "cr", "centroid")
+        }
+        assign(luts, "q_emb", nprobe, "qid").select("qid", "lut", "cell")
+          .join(assign(coded, "c_emb", 1, "id").select("id", "codes", "cell"), Seq("cell"))
+    }
+    val adc = pairs
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id"), ColumnBridge.column(PqAdcExpr(
         ColumnBridge.expression(col("lut")),
@@ -241,5 +265,41 @@ object Similarity {
     exact.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "id", "cos")
+  }
+
+  /** Deterministic driver-side Lloyd iterations: init = evenly spaced
+    * sample points (no RNG state), empty cells keep their centroid. Both
+    * PQ subspace codebooks and IVFADC coarse centroids train through this
+    * one loop over the bounded collected sample.
+    */
+  private def lloyd(vecs: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    require(vecs.nonEmpty, "lloyd: empty training set")
+    val dim = vecs.head.length
+    val kk = math.min(k, vecs.length)
+    var cents = Array.tabulate(kk)(j => vecs(j * vecs.length / kk).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      vecs.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val df0 = v(i) - cents(j)(i); d += df0 * df0; i += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        if (counts(j) == 0) old
+        else Array.tabulate(dim)(i => (sums(j)(i) / counts(j)).toFloat)
+      }
+      it += 1
+    }
+    cents
   }
 }

@@ -64,4 +64,29 @@ class PqSpec extends SparkSpec {
       .orderBy("qid", "rank").collect().map(_.toString).toSeq
     assert(a === b)
   }
+
+  test("IVFADC: cell-restricted ADC scan, recall holds, exact scores returned") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val k = 5
+    val exact = Similarity.bruteForceTopK(emb, emb, k)
+      .select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // generous probes on the noise-structured fixture: IVF loses whatever
+    // mass is outside the probed cells, PQ reorders within - gate the
+    // COMPOSITION at a level both reductions can clear together
+    val ivfadc = Similarity.ivfPqTopK(emb, emb, k,
+      cells = 8, nprobe = 4, m = 16, ksub = 32, rerank = 25)
+      .select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = exact.map { case (qid, ids) =>
+      (ivfadc.getOrElse(qid, Set.empty) & ids).size.toDouble / ids.size
+    }.sum / exact.size
+    assert(recall >= 0.5, s"IVFADC recall@$k too low: $recall")
+    // determinism across partitionings (the shared lloyd + ordered sample)
+    val again = Similarity.ivfPqTopK(emb.repartition(5), emb.repartition(3), k,
+      cells = 8, nprobe = 4, m = 16, ksub = 32, rerank = 25)
+      .select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(again === ivfadc)
+  }
 }

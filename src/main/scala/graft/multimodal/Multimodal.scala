@@ -27,6 +27,13 @@ final case class ResizedMedia(
     id: Long, decoded: Boolean, width: Int, height: Int, channels: Int,
     payload: Array[Byte])
 
+/** One sampled video frame ([[Multimodal.frameSamples]]): container-exact
+  * byte range + presentation time from the MP4 sample tables. `payload`
+  * holds the frame's bytes (in production: the ranged-GET result).
+  */
+final case class FrameSample(
+    id: Long, frameIdx: Int, ptsMs: Long, offset: Long, payload: Array[Byte])
+
 /** Multimodal-column plumbing (SURVEY.md §2.8 north-star "multimodal
   * columns"): media as opaque `binary` columns with typed metadata.
   *
@@ -1331,6 +1338,40 @@ object Multimodal {
     * Same 100-TB shape as [[decode]]: partition-parallel mapPartitions,
     * media bytes never shuffle, only the small feature vectors do.
     */
+  /** Frame sampling over the video column: every `everyNth` sample of the
+    * MP4 video track, located by the container's stbl math (exact byte
+    * ranges, [[Mp4.Track.sampleRanges]]) and stamped with its presentation
+    * time. One flatMap — each row expands to its sampled frames with no
+    * shuffle; at 100 TB the (offset, size) pairs become object-store
+    * ranged GETs instead of slices, and nothing else changes. Non-video
+    * payloads and parse failures contribute zero rows (degrade-per-record,
+    * never a dead task).
+    */
+  def frameSamples(spark: SparkSession, media: DataFrame,
+      everyNth: Int = 1): Dataset[FrameSample] = {
+    require(everyNth >= 1, s"everyNth must be >= 1: $everyNth")
+    import spark.implicits._
+    media.select(col("id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          try {
+            if (!Mp4.isMp4(bytes)) Iterator.empty
+            else Mp4.parse(bytes).videoTrack.iterator.flatMap { t =>
+              val ranges = t.sampleRanges
+              val times = t.sampleTimes
+              val scale = math.max(1L, t.timescale)
+              Iterator.range(0, ranges.length, everyNth).map { i =>
+                val (off, len) = ranges(i)
+                FrameSample(id, i, times(i) * 1000L / scale, off,
+                  java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt))
+              }
+            }
+          } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+        }
+      }
+  }
+
   def features(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col("id"), col("payload"), col("meta.format").as("format"))

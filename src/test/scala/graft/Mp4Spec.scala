@@ -75,4 +75,18 @@ class Mp4Spec extends SparkSpec {
     }
     assert(r.checksum === wholeFnv, "truncated payload must take the stub path")
   }
+
+  test("frameSamples: every-Nth frames with container-exact bytes and pts") {
+    val fs = frames(9)
+    val b = Mp4.build(320, 240, timescale = 1000, frameDelta = 40, fs, framesPerChunk = 4)
+    import spark.implicits._
+    val df = Seq((5L, b), (6L, "not a video".getBytes("UTF-8"))).toDF("id", "payload")
+    val got = Multimodal.frameSamples(spark, df, everyNth = 3)
+      .collect().sortBy(_.frameIdx)
+    assert(got.map(_.id).toSet === Set(5L)) // non-video row contributes nothing
+    assert(got.map(_.frameIdx).toSeq === Seq(0, 3, 6))
+    assert(got.map(_.ptsMs).toSeq === Seq(0L, 120L, 240L)) // 40/1000s per frame
+    got.foreach(f => assert(f.payload.toSeq === fs(f.frameIdx).toSeq,
+      s"frame ${f.frameIdx} bytes differ"))
+  }
 }

@@ -490,6 +490,17 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       clustered.write.partitionBy(parts.toSeq: _*).mode(mode).parquet(dir)
     } else
       out.sortWithinPartitions(sort: _*).write.mode(mode).parquet(dir)
+    // Record the EFFECTIVE in-file sort (underscore file — invisible to
+    // file listings): the connector's SupportsReportOrdering claims
+    // key-ordered streams only when this marker proves the files were
+    // sorted by exactly the key columns — a clustered/z-ordered layout
+    // must never be mistaken for key order (a sort-merge join trusting a
+    // wrong claim returns wrong rows, silently).
+    val sortDesc =
+      if (sortExprs.nonEmpty) "expr"
+      else (if (sortCols.nonEmpty) sortCols else keys).mkString(",")
+    try Files.writeString(Paths.get(dir).resolve("_sort"), sortDesc)
+    catch { case _: Exception => () } // marker is an optimization, never a failure
   }
 
   /** Maintenance: rewrite the table into defaultParallelism-sized files

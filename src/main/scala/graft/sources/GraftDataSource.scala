@@ -548,7 +548,8 @@ private[sources] final class GraftScan(root: String, tableName: String,
     pushed: Array[sources.Filter], changelog: Boolean = false,
     asOf: Option[Int] = None, aggSpec: Seq[GraftAggFunc] = Seq.empty)
   extends Scan with Batch with SupportsReportStatistics
-  with SupportsReportPartitioning with SupportsRuntimeFiltering {
+  with SupportsReportPartitioning with SupportsRuntimeFiltering
+  with SupportsReportOrdering {
 
   override def readSchema(): StructType = required
 
@@ -662,6 +663,42 @@ private[sources] final class GraftScan(root: String, tableName: String,
     *    non-matching BASE files drop from within each partition (deltas
     *    never range-prune — an upsert may move a key across months).
     */
+  /** Kudu tablets serve primary-key-ORDERED rows; the compacted catalog
+    * layout has the same property — `writePartitioned` sorts each file by
+    * the key columns — and this surfaces it to the planner so a sort-merge
+    * join over co-bucketed tables skips BOTH its sorts (composing with
+    * [[outputPartitioning]]'s exchange elimination: co-located AND
+    * pre-sorted). Reported only when the per-partition stream really is
+    * key-ordered: every partition at most ONE base file (multi-file
+    * buckets concatenate independently-sorted files) and ZERO deltas (the
+    * merge overlay appends its surviving upserts out of order). Pending
+    * mutations simply stop the claim; compaction restores it.
+    */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val parts = plannedPartitions
+    val singleSortedFiles = !changelog && aggSpec.isEmpty && parts.nonEmpty &&
+      parts.forall {
+        case p: GraftInputPartition => p.baseFiles.size <= 1 && p.deltas.isEmpty
+        case _ => false
+      }
+    if (!singleSortedFiles) return Array.empty
+    val cat = new KuduLikeCatalog(SparkSession.active, root)
+    val keys = cat.keyColsOf(tableName)
+    // the _sort marker must PROVE the files were sorted by exactly the
+    // keys — a clustered/z-ordered base, or a pre-marker legacy base,
+    // claims nothing (safe default: plan keeps its sorts)
+    val marker = Paths.get(cat.dataLocation(tableName)).resolve("_sort")
+    val proven =
+      try Files.exists(marker) && Files.readString(marker) == keys.mkString(",")
+      catch { case _: Exception => false }
+    if (!proven) return Array.empty
+    keys.map { k =>
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(k),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+    }.toArray
+  }
+
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     if (changelog || aggSpec.nonEmpty) return Array.empty
     val catalog = new KuduLikeCatalog(SparkSession.active, root)

@@ -102,4 +102,54 @@ class SpjSpec extends SparkSpec {
     try body
     finally { spark.conf.set(conf, "false"); spark.conf.set(auto, prevAuto) }
   }
+
+  test("compacted key order: sort-merge join skips exchanges AND sorts") {
+    withCatalog { (cat, _, cn) =>
+      cat.createTable(TableDef("a", facts.schema, Seq("id"), buckets = 8))
+      cat.insert("a", facts)
+      cat.createTable(TableDef("b", dims.schema, Seq("id"), buckets = 8))
+      cat.insert("b", dims)
+      cat.compact("a"); cat.compact("b") // one key-sorted file per bucket + _sort proof
+      withSpj {
+        val prefer = "spark.sql.join.preferSortMergeJoin"
+        val prev = spark.conf.get(prefer)
+        spark.conf.set(prefer, "true")
+        try {
+          val j = spark.sql(
+            s"SELECT a.id, b.name FROM $cn.a a JOIN $cn.b b ON a.id = b.id")
+          val plan = j.queryExecution.executedPlan.toString
+          assert(j.count() === 500)
+          assert(exchanges(j) === 0, s"expected SPJ:\n$plan")
+          assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+          assert(!plan.linesIterator.exists(l => l.trim.startsWith("+- Sort ")
+            || l.trim.startsWith(":- Sort ") || l.trim.startsWith("*(") && l.contains(" Sort ")),
+            s"reported key order must eliminate the SMJ sorts:\n$plan")
+        } finally spark.conf.set(prefer, prev)
+      }
+    }
+  }
+
+  test("clustered layout never claims key order (sorts stay in the plan)") {
+    withCatalog { (cat, _, cn) =>
+      cat.createTable(TableDef("a", facts.schema, Seq("id"), buckets = 8))
+      cat.insert("a", facts)
+      cat.compact("a", Seq("x")) // sorted by (x, id): NOT key order
+      cat.createTable(TableDef("b", dims.schema, Seq("id"), buckets = 8))
+      cat.insert("b", dims)
+      cat.compact("b")
+      withSpj {
+        val prefer = "spark.sql.join.preferSortMergeJoin"
+        val prev = spark.conf.get(prefer)
+        spark.conf.set(prefer, "true")
+        try {
+          val j = spark.sql(
+            s"SELECT a.id, b.name FROM $cn.a a JOIN $cn.b b ON a.id = b.id")
+          val plan = j.queryExecution.executedPlan.toString
+          assert(j.count() === 500)
+          assert(plan.contains("Sort "),
+            s"a clustered base must not claim key order:\n$plan")
+        } finally spark.conf.set(prefer, prev)
+      }
+    }
+  }
 }

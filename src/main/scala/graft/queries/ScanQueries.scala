@@ -45,6 +45,43 @@ object ScanQueries {
         d182(min("o_totalprice")).as("min_price"),
         d182(max("o_totalprice")).as("max_price"))
 
+  /** s22's co-bucketed pair: customer + per-customer order stats, both
+    * keyed and hash-bucketed on custkey, compacted to one key-sorted file
+    * per bucket (which also proves the key-order claim for sort-free SMJ).
+    */
+  private def buildSpjTables(s: org.apache.spark.sql.SparkSession, dir: String, t: String): Unit = {
+    val cat = new KuduLikeCatalog(s, t)
+    val cust = Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+    cat.createTable(TableDef("cust", cust.schema, Seq("c_custkey"), buckets = 8))
+    cat.insert("cust", cust)
+    val ostats = Tables.load(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        // exact DECIMAL sum, then DOUBLE for storage: the closed 10-type
+        // set has no decimal (Kudu's own constraint), and the decimal-
+        // domain sum keeps the double deterministic under any shuffle
+        sum(d182(col("o_totalprice"))).cast("double").as("total"))
+    cat.createTable(TableDef("ostats", ostats.schema, Seq("o_custkey"), buckets = 8))
+    cat.insert("ostats", ostats)
+    cat.compact("cust")
+    cat.compact("ostats")
+  }
+
+  private def spjJoinRead(
+      s: org.apache.spark.sql.SparkSession, t: String): org.apache.spark.sql.DataFrame = {
+    // catalog name derives from the root: Spark caches plugin instances by
+    // name, so each distinct root registers its own
+    val cn = s"spjq_${java.lang.Integer.toHexString(t.hashCode & 0x7fffffff)}"
+    s.conf.set(s"spark.sql.catalog.$cn",
+      classOf[graft.sources.GraftCatalogPlugin].getName)
+    s.conf.set(s"spark.sql.catalog.$cn.root", t)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.sql(
+      s"""SELECT c_custkey, c_name, n_orders, total
+         |FROM $cn.cust JOIN $cn.ostats ON c_custkey = o_custkey
+         |ORDER BY c_custkey""".stripMargin)
+  }
+
   private val benchTables = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def memoized(key: String)(build: String => Unit): String =
     benchTables.computeIfAbsent(key, { _ =>
@@ -246,6 +283,33 @@ object ScanQueries {
       benchFn = Some { (s, dir) =>
         val tmp = memoized(s"s21:$dir")(t => buildAggTable(s, dir, t))
         aggPushdownRead(s, tmp)
+      }),
+
+    // Storage-partitioned join, oracle-gated: customer and a per-customer
+    // order-stats table land in CO-BUCKETED keyed tables (both keyed and
+    // hash-bucketed on custkey, both compacted to one key-sorted file per
+    // bucket), and the SQL join through the catalog plugin runs with the
+    // tablet layout as the join distribution — zero exchange, and with
+    // the key-order claim proven, zero sorts (SpjSpec pins both plan
+    // shapes; HERE the result is hash-gated against DuckDB). SPJ requires
+    // the join key to BE the partition key — exactly Kudu's co-located-
+    // scan precondition.
+    QDef("s22_spj_join",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s22_").toString
+        buildSpjTables(s, dir, tmp)
+        spjJoinRead(s, tmp)
+      },
+      Some("""WITH os AS (
+             |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |  FROM orders GROUP BY 1)
+             |SELECT c_custkey, c_name, n_orders, total
+             |FROM customer JOIN os ON c_custkey = o_custkey
+             |ORDER BY 1""".stripMargin),
+      benchFn = Some { (s, dir) =>
+        val tmp = memoized(s"s22:$dir")(t => buildSpjTables(s, dir, t))
+        spjJoinRead(s, tmp)
       }),
 
     // CTAS through the SQL router (Hive dialect the reference delegates to

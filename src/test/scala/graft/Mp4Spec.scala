@@ -89,4 +89,33 @@ class Mp4Spec extends SparkSpec {
     got.foreach(f => assert(f.payload.toSeq === fs(f.frameIdx).toSeq,
       s"frame ${f.frameIdx} bytes differ"))
   }
+
+  test("cross-modality composition: sampled video frames decode as images") {
+    // frames are REAL PNGs: frameSamples -> attach as image payloads ->
+    // Multimodal.decode recovers per-frame geometry and pixel checksums -
+    // the video -> frame -> pixels pipeline with no codec stubs anywhere
+    val pngs = (0 until 4).map { i =>
+      val rgb = Array.tabulate[Byte](8 * 6 * 3)(j => ((i * 50 + j) & 0xff).toByte)
+      Multimodal.encodePng(8, 6, rgb)
+    }
+    val video = Mp4.build(8, 6, 1000, 40, pngs)
+    import spark.implicits._
+    val vdf = Seq((1L, video)).toDF("id", "payload")
+    val framesDf = Multimodal.frameSamples(spark, vdf, everyNth = 2)
+      .select(col("frameIdx").cast("long").as("id"), col("payload"))
+      .withColumn("meta", struct(lit("image/png").as("format"),
+        length(col("payload")).cast("long").as("n_bytes")))
+    val decoded = Multimodal.decode(spark, framesDf).collect().sortBy(_.id)
+    assert(decoded.map(_.id).toSeq === Seq(0L, 2L))
+    decoded.foreach { d =>
+      assert(d.format === "image/png" && d.width === 8 && d.height === 6)
+    }
+    // pixel checksums must match decoding the SAME pngs directly
+    val direct = Multimodal.decode(spark,
+      Seq((0L, pngs(0)), (2L, pngs(2))).toDF("id", "payload")
+        .withColumn("meta", struct(lit("image/png").as("format"),
+          length(col("payload")).cast("long").as("n_bytes"))))
+      .collect().sortBy(_.id)
+    assert(decoded.map(_.checksum).toSeq === direct.map(_.checksum).toSeq)
+  }
 }

@@ -235,11 +235,16 @@ object ScanQueries {
           // JVM default zone and break oracle parity off-UTC
           .filter(col("o_orderdate") >= lit("1995-02-15 00:00:00").cast("timestamp")
             && col("o_orderdate") < lit("1995-04-15 00:00:00").cast("timestamp"))
+          // epoch-millis, not raw TIMESTAMP: the determinism contract
+          // (README "Correctness model") — and the catalog session now
+          // writes stats-bearing TIMESTAMP_MICROS, which DuckDB reads
+          // tz-aware while its own literals stay naive
           .select(col("o_orderkey"), d182(col("o_totalprice")).as("price"),
-            col("o_orderdate"))
+            expr("unix_millis(o_orderdate)").as("odate_ms"))
           .orderBy("o_orderkey")
       },
-      Some("""SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_orderdate
+      Some("""SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             |  epoch_ms(o_orderdate) AS odate_ms
              |FROM orders
              |WHERE o_orderdate >= TIMESTAMP '1995-02-15 00:00:00'
              |  AND o_orderdate < TIMESTAMP '1995-04-15 00:00:00'
@@ -258,8 +263,12 @@ object ScanQueries {
         s.read.format("graft").option("root", tmp).load("orders_r")
           .filter(col("o_orderdate") >= lit("1995-02-15 00:00:00").cast("timestamp")
             && col("o_orderdate") < lit("1995-04-15 00:00:00").cast("timestamp"))
+          // epoch-millis, not raw TIMESTAMP: the determinism contract
+          // (README "Correctness model") — and the catalog session now
+          // writes stats-bearing TIMESTAMP_MICROS, which DuckDB reads
+          // tz-aware while its own literals stay naive
           .select(col("o_orderkey"), d182(col("o_totalprice")).as("price"),
-            col("o_orderdate"))
+            expr("unix_millis(o_orderdate)").as("odate_ms"))
           .orderBy("o_orderkey")
       }),
 

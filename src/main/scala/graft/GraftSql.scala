@@ -21,6 +21,8 @@ import org.apache.spark.sql.types.StructType
   *  - `kudu.table_name`, `kudu.master_addresses` — accepted and ignored
   *    (storage routing is the catalog root here, not a Kudu master)
   *  - `graft.hash_buckets`  — hash-partition the data into N key buckets
+  *  - `graft.hash_columns`  — hash on this PK SUBSET (Kudu `HASH (cols)`);
+  *    default = all key columns
   *  - `graft.range_column`  — month-range partition on this column
   *
   * DDL/DML statements return a one-row status frame `(operation, table,
@@ -109,7 +111,9 @@ object GraftSql {
     if (!(ifNotExists && cat.exists(name))) {
       cat.createTable(TableDef(name, schema, keyCols,
         buckets = props.get("graft.hash_buckets").map(_.trim.toInt).getOrElse(0),
-        rangeCol = props.get("graft.range_column").map(_.trim)))
+        rangeCol = props.get("graft.range_column").map(_.trim),
+        hashCols = props.get("graft.hash_columns")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)))
       registerViews(spark, cat)
     }
     status(spark, "CREATE TABLE", name, 0L)
@@ -145,7 +149,9 @@ object GraftSql {
     }
     cat.createTable(TableDef(name, src.schema, keyCols,
       buckets = props.get("graft.hash_buckets").map(_.trim.toInt).getOrElse(0),
-      rangeCol = props.get("graft.range_column").map(_.trim)))
+      rangeCol = props.get("graft.range_column").map(_.trim),
+      hashCols = props.get("graft.hash_columns")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)))
     val n =
       try cat.insert(name, src)
       catch { case e: Throwable => cat.rollbackCreateTable(name); throw e }
@@ -614,6 +620,9 @@ object GraftSql {
               ("", "kudu.key_columns", keys.mkString(",")),
               ("", "storage_handler", "graft.catalog.KuduLikeCatalog")) ++
               (if (buckets > 0) Seq(("", "graft.hash_buckets", buckets.toString)) else Nil) ++
+              (if (buckets > 0 && cat.hashColsOf(name) != cat.keyColsOf(name))
+                 Seq(("", "graft.hash_columns", cat.hashColsOf(name).mkString(",")))
+               else Nil) ++
               range.map(rc => ("", "graft.range_column", rc)).toSeq ++
               cat.zoneOf(name).map(z => ("", "graft.range_zone", z)).toSeq ++
               Seq(
@@ -708,6 +717,9 @@ object GraftSql {
         val props =
           Seq(s"'kudu.key_columns' = '${keys.mkString(",")}'") ++
           (if (buckets > 0) Seq(s"'graft.hash_buckets' = '$buckets'") else Nil) ++
+          (if (buckets > 0 && cat.hashColsOf(name) != cat.keyColsOf(name))
+             Seq(s"'graft.hash_columns' = '${cat.hashColsOf(name).mkString(",")}'")
+           else Nil) ++
           cat.rangeColOf(name).map(rc => s"'graft.range_column' = '$rc'")
         val ddl =
           s"""CREATE TABLE `$name` (

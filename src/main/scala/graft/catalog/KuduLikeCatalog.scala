@@ -19,13 +19,25 @@ import java.util.Comparator
   *   Kudu's PK hash partitioning into tablets — declared as a goal but left
   *   unimplemented in the reference (CreateTableOptions passed empty,
   *   KuduStorageHandler.java:264-267; DesignDocument.md:8).
+  * @param hashCols hash-partition on a SUBSET of the primary key (empty =
+  *   all key columns). Kudu's actual partitioning model — `HASH (host)
+  *   PARTITIONS n` on a PK of (host, metric, time) — so all of one
+  *   entity's rows co-locate in one tablet while the PK stays unique.
+  *   Every writer and the connector's bucket routing hash EXACTLY these
+  *   columns, so merge-on-read and storage-partitioned joins hold on the
+  *   subset.
   */
 final case class TableDef(
     name: String, schema: StructType, keyCols: Seq[String],
-    buckets: Int = 0, rangeCol: Option[String] = None) {
+    buckets: Int = 0, rangeCol: Option[String] = None,
+    hashCols: Seq[String] = Seq.empty) {
   require(name.nonEmpty, "table name must be non-empty")
   require(keyCols.nonEmpty, "key columns must be non-empty (Kudu tables are keyed)")
   require(buckets >= 0, "buckets must be >= 0")
+  require(hashCols.forall(keyCols.contains),
+    s"hash columns must be a subset of the key columns: $hashCols vs $keyCols")
+  /** effective bucketing columns */
+  def effectiveHashCols: Seq[String] = if (hashCols.nonEmpty) hashCols else keyCols
 }
 
 /** Error type for catalog validation failures (the reference throws
@@ -186,7 +198,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
           throw new CatalogException(s"range column $rc not present in schema")
       }
       writePartitioned(empty, d.keyCols, d.buckets, d.rangeCol,
-        dataDir(d.name), SaveMode.Overwrite)
+        dataDir(d.name), SaveMode.Overwrite, hashCols = d.hashCols)
       Files.writeString(metaFile(d.name),
         metaJson(d, normalized, d.rangeCol.map(_ => sessionZone)))
     } catch {
@@ -383,10 +395,16 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       .map { case (k, v) => col(k) === v }.reduce(_ && _)
     val b = bucketsOf(name)
     // bucket + key filters push through the delta-overlay union into every
-    // layer's parquet scan, so pruning survives pending mutations
+    // layer's parquet scan, so pruning survives pending mutations. The
+    // bucket hash covers the DECLARED hash columns only (a PK subset when
+    // one was declared) — typed literals selected by position.
+    val hashLits = {
+      val byKey = keys.zip(typedLits).toMap
+      hashColsOf(name).map(byKey)
+    }
     val base =
       if (b > 0) effective(name)
-        .filter(col(BucketCol) === pmod(hash(typedLits: _*), lit(b)))
+        .filter(col(BucketCol) === pmod(hash(hashLits: _*), lit(b)))
       else effective(name)
     base.filter(keyFilter).drop(BucketCol, RangeCol)
   }
@@ -461,7 +479,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       df: DataFrame, keys: Seq[String], buckets: Int, rangeCol: Option[String],
       dir: String, mode: SaveMode, rangeAsData: Boolean = false,
       sortCols: Seq[String] = Seq.empty,
-      sortExprs: Seq[Column] = Seq.empty): Unit = {
+      sortExprs: Seq[Column] = Seq.empty,
+      hashCols: Seq[String] = Seq.empty): Unit = {
     var out = df
     val parts = scala.collection.mutable.ArrayBuffer[String]()
     rangeCol.foreach { rc =>
@@ -469,7 +488,10 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       if (!rangeAsData) parts += RangeCol
     }
     if (buckets > 0) {
-      out = out.withColumn(BucketCol, bucketExpr(keys, buckets))
+      // hash EXACTLY the declared hash columns (a PK subset when one was
+      // declared) — writers and the connector's routing must agree bit-wise
+      out = out.withColumn(BucketCol,
+        bucketExpr(if (hashCols.nonEmpty) hashCols else keys, buckets))
       parts += BucketCol
     }
     // sortExprs (e.g. a computed z-order key) beats sortCols beats keys —
@@ -595,7 +617,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     writePartitioned(folded, keys, bucketsOf(name), rangeColOf(name),
       staged.toString, SaveMode.Overwrite,
       sortCols = clusterBy ++ keys.filterNot(clusterBy.contains),
-      sortExprs = sortExprs)
+      sortExprs = sortExprs, hashCols = hashColsOf(name))
     val floor = rawDeltaSeqs(name).lastOption.getOrElse(0).max(deltaFloorOf(name))
     patchMeta(name, newDataName, floor) // COMMIT: repoint base + retire folded layers
   }
@@ -672,6 +694,20 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       .filter(_.nonEmpty)
   }
 
+  /** The columns bucket hashing runs over — a declared PK subset, or the
+    * full key when none was declared (legacy metas have no "hashCols").
+    */
+  def hashColsOf(name: String): Seq[String] = {
+    val meta = Files.readString(metaFile(name))
+    """"hashCols":\[([^\]]*)\]""".r.findFirstMatchIn(meta) match {
+      case Some(m) =>
+        val cols = m.group(1).split(",")
+          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq.filter(_.nonEmpty)
+        if (cols.nonEmpty) cols else keyColsOf(name)
+      case None => keyColsOf(name)
+    }
+  }
+
   /** INSERT with duplicate-key-ignore semantics (SURVEY.md S6).
     *
     * Within the incoming batch, the survivor per key is the first row when
@@ -745,7 +781,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       // Count rides along with the write (Observation) — one job, not two.
       val obs = org.apache.spark.sql.Observation()
       writePartitioned(toInsert.observe(obs, count(lit(1)).as("n")),
-        keys, bucketsOf(name), rangeColOf(name), dataDir(name), SaveMode.Append)
+        keys, bucketsOf(name), rangeColOf(name), dataDir(name), SaveMode.Append,
+        hashCols = hashColsOf(name))
       // `toInsert`'s anti-join re-evaluates against the file listing captured
       // at DataFrame creation (before the append), so the fallback recount is
       // consistent with what was just written.
@@ -857,7 +894,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * current session (re-stamping would disarm [[assertZone]]).
     */
   private def rewriteSchemaMeta(name: String, newSchema: StructType): Unit = {
-    val d = TableDef(name, newSchema, keyColsOf(name), bucketsOf(name), rangeColOf(name))
+    val d = TableDef(name, newSchema, keyColsOf(name), bucketsOf(name), rangeColOf(name),
+      hashCols = { val h = hashColsOf(name); if (h == keyColsOf(name)) Seq.empty else h })
     val (dd, fl) = (dataDirNameOf(name), deltaFloorOf(name))
     val base = metaJson(d, d.schema, zoneOf(name))
     val full =
@@ -945,7 +983,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val staged = tableDir(name).resolve(newDataName)
     val obs = org.apache.spark.sql.Observation()
     writePartitioned(deduped.observe(obs, count(lit(1)).as("n")),
-      keys, bucketsOf(name), rangeColOf(name), staged.toString, SaveMode.Overwrite)
+      keys, bucketsOf(name), rangeColOf(name), staged.toString, SaveMode.Overwrite,
+      hashCols = hashColsOf(name))
     val n = obs.get("n").asInstanceOf[Long]
     val floor = rawDeltaSeqs(name).lastOption.getOrElse(0).max(deltaFloorOf(name))
     patchMeta(name, newDataName, floor) // COMMIT
@@ -1152,7 +1191,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val obs = org.apache.spark.sql.Observation()
     writePartitioned(rows.observe(obs, count(lit(1)).as("n")),
       keyColsOf(name), bucketsOf(name), rangeColOf(name),
-      tmp.toString, SaveMode.Overwrite, rangeAsData = true)
+      tmp.toString, SaveMode.Overwrite, rangeAsData = true,
+      hashCols = hashColsOf(name))
     val n = observedCount(obs, "n", rows.count())
     if (n > 0)
       Files.move(tmp, deltasDir(name).resolve(seq.toString),
@@ -1194,7 +1234,10 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       val z = zone.map(z => s"""\"zone\":\"$z\",""").getOrElse("")
       s"""\"rangeCol\":\"$rc\",$z"""
     }.getOrElse("")
-    s"""{"name":"${d.name}","buckets":${d.buckets},$range"keyCols":[$keys],"schemaJson":${normalized.json}}"""
+    val hash =
+      if (d.hashCols.isEmpty) ""
+      else s""""hashCols":[${d.hashCols.map(k => "\"" + k + "\"").mkString(",")}],"""
+    s"""{"name":"${d.name}","buckets":${d.buckets},$range$hash"keyCols":[$keys],"schemaJson":${normalized.json}}"""
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -239,7 +239,7 @@ private[sources] final class GraftTable(root: String, tableName: String,
     val b = cat.bucketsOf(tableName)
     if (b <= 0) Array.empty
     else Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
-      b, cat.keyColsOf(tableName): _*))
+      b, cat.hashColsOf(tableName): _*))
   }
   override def capabilities(): java.util.Set[TableCapability] =
     // BATCH_WRITE admits the v2 write plan (DataFrameWriter requires the
@@ -575,7 +575,7 @@ private[sources] final class GraftScan(root: String, tableName: String,
       val cat = new KuduLikeCatalog(SparkSession.active, root)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
-          cat.bucketsOf(tableName), cat.keyColsOf(tableName): _*)),
+          cat.bucketsOf(tableName), cat.hashColsOf(tableName): _*)),
         parts.length)
     } else
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
@@ -702,9 +702,10 @@ private[sources] final class GraftScan(root: String, tableName: String,
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     if (changelog || aggSpec.nonEmpty) return Array.empty
     val catalog = new KuduLikeCatalog(SparkSession.active, root)
-    val keys = catalog.keyColsOf(tableName)
+    val hashCols = catalog.hashColsOf(tableName)
     val keyAttr =
-      if (catalog.bucketsOf(tableName) > 0 && keys.size == 1) keys else Seq.empty
+      if (catalog.bucketsOf(tableName) > 0 && hashCols.size == 1) hashCols
+      else Seq.empty
     (keyAttr ++ catalog.rangeColOf(tableName).toSeq).distinct
       .map(c => org.apache.spark.sql.connector.expressions.Expressions.column(c))
       .toArray
@@ -712,13 +713,13 @@ private[sources] final class GraftScan(root: String, tableName: String,
 
   override def filter(runtimeFilters: Array[sources.Filter]): Unit = {
     val catalog = new KuduLikeCatalog(SparkSession.active, root)
-    val keys = catalog.keyColsOf(tableName)
+    val hashCols = catalog.hashColsOf(tableName)
     val buckets = catalog.bucketsOf(tableName)
 
-    // bucket routing from runtime IN/EQ sets on the single key column
+    // bucket routing from runtime IN/EQ sets on the single hash column
     var allowedBuckets: Option[Set[Int]] = None
-    if (buckets > 0 && keys.size == 1) {
-      val k = keys.head
+    if (buckets > 0 && hashCols.size == 1) {
+      val k = hashCols.head
       val dt = fullSchema(k).dataType
       def route(vs: Iterable[Any]): Set[Int] =
         vs.filter(_ != null).map(v =>
@@ -791,16 +792,18 @@ private[sources] final class GraftScan(root: String, tableName: String,
       .map { case (seq, dir) => (seq, GraftScan.listParquet(dir)) }
       .filter(_._2.nonEmpty)
 
-    // tablet routing: equality on EVERY key column pins the one bucket that
-    // can hold the key (planning-time partition pruning)
+    // tablet routing: equality on EVERY hash column (the declared PK
+    // subset, or the full key) pins the one bucket that can hold the key
+    // (planning-time partition pruning)
+    val hashCols = catalog.hashColsOf(tableName)
     val routedBucket: Option[Int] =
       if (buckets <= 0) None
       else {
         val eqs = GraftFilters.flattenAnd(pushed).collect {
           case sources.EqualTo(a, v) if v != null => a -> v
         }.toMap
-        if (keys.forall(eqs.contains)) {
-          val typed = keys.map(k => (eqs(k), fullSchema(k).dataType))
+        if (hashCols.forall(eqs.contains)) {
+          val typed = hashCols.map(k => (eqs(k), fullSchema(k).dataType))
           Some(GraftDataSource.bucketOf(typed, buckets))
         } else None
       }

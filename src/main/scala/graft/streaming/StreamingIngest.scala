@@ -98,6 +98,30 @@ object StreamingIngest {
       .select(col("v_user").as("user_id"), col("v_ts"), col("b_ts"), col("value"))
   }
 
+  /** LEFT OUTER stream-stream interval join: views that found no purchase
+    * inside their window are EMITTED (null purchase columns) once the
+    * watermark passes the window's end — the abandoned-funnel feed.
+    * Same state-eviction bound as the inner form: both sides' state is
+    * watermark-trimmed, and the outer rows are exactly what eviction
+    * proves unmatched — the semantics only a state store can provide
+    * (a batch left join over a window re-reads everything; the stream
+    * emits each verdict once, as it becomes final).
+    */
+  def intervalLeftJoinStreams(
+      views: DataFrame, purchases: DataFrame,
+      watermark: String = "30 minutes", windowMinutes: Int = 30): DataFrame = {
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"), col("value"))
+    v.join(p,
+      col("v_user") === col("b_user") &&
+        col("b_ts") > col("v_ts") &&
+        col("b_ts") <= col("v_ts") + expr(s"INTERVAL $windowMinutes MINUTE"),
+      "left_outer")
+      .select(col("v_user").as("user_id"), col("v_ts"), col("b_ts"), col("value"))
+  }
+
   /** Streaming decontamination: drop streamed documents sharing any word
     * n-gram with a STATIC eval/benchmark corpus — the streaming face of
     * [[graft.operators.Dedup.decontaminate]].

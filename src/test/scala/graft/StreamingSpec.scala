@@ -366,4 +366,49 @@ class StreamingSpec extends SparkSpec {
     assert(cat.table("t").collect()
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap === batchState)
   }
+
+  test("left-outer interval join: unmatched views emit with nulls at the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents()
+    val views = events.filter(_.event_type == "view")
+    val buys = events.filter(_.event_type == "purchase")
+
+    val vs = MemoryStream[Ev]
+    val ps = MemoryStream[Ev]
+    val joined = StreamingIngest.intervalLeftJoinStreams(vs.toDF(), ps.toDF())
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_left_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    vs.addData(views.take(views.size / 2)); ps.addData(buys.take(buys.size / 2))
+    q.processAllAvailable()
+    vs.addData(views.drop(views.size / 2)); ps.addData(buys.drop(buys.size / 2))
+    q.processAllAvailable()
+    // advance both watermarks far past every event so ALL outer verdicts
+    // become final and flush
+    val flushV = views.maxBy(_.ts.getTime)
+    val flushB = buys.maxBy(_.ts.getTime)
+    def bump(e: Ev, ms: Long) = e.copy(
+      event_id = -1L, ts = new java.sql.Timestamp(e.ts.getTime + ms))
+    vs.addData(bump(flushV, 10L * 3600 * 1000)); ps.addData(bump(flushB, 10L * 3600 * 1000))
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.table("ssj_left_out").collect()
+      .filterNot(_.getLong(0) == -1L) // drop the watermark-bump sentinels
+    val batch = spark.createDataset(views).toDF()
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .join(spark.createDataset(buys).toDF()
+        .select(col("user_id").as("b_user"), col("ts").as("b_ts"), col("value")),
+        col("v_user") === col("b_user") && col("b_ts") > col("v_ts") &&
+          col("b_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTE"),
+        "left_outer")
+      .select(col("v_user").as("user_id"), col("v_ts"), col("b_ts"))
+      .collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getTimestamp(1),
+        if (r.isNullAt(2)) null else r.getTimestamp(2))
+    assert(out.exists(_.isNullAt(2)), "some views must be unmatched")
+    assert(out.map(key).toSeq.map(_.toString).sorted ===
+      batch.map(key).toSeq.map(_.toString).sorted)
+  }
 }

@@ -563,6 +563,21 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   def compact(name: String, clusterBy: Seq[String]): Unit =
     compactImpl(name, clusterBy, zorder = false)
 
+  /** Maintenance-daemon hook: compact IFF the pending delta-layer count
+    * exceeds `maxPendingLayers` — the explicit form of Kudu's background
+    * compaction policy (maintenance manager thresholds). Returns whether a
+    * compaction ran. Deliberately NOT auto-triggered inside the write
+    * path: folding advances the changelog floor, and a write that
+    * silently destroys CDC history a streaming consumer still needs is
+    * worse than a loud "compact the table" from the capped overlay —
+    * the operator (or a scheduled job) owns the retention decision.
+    */
+  def maybeCompact(name: String, maxPendingLayers: Int): Boolean = {
+    require(maxPendingLayers >= 0, s"maxPendingLayers must be >= 0")
+    if (deltaLayers(name).size <= maxPendingLayers) false
+    else { compact(name); true }
+  }
+
   /** Compact with Z-ORDER clustering: rows are sorted within each partition
     * file by the Morton interleave of the cluster columns' quantile-bucket
     * indices ([[graft.functions.ZOrder]]) instead of their linear

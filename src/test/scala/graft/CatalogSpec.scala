@@ -740,4 +740,23 @@ class CatalogSpec extends SparkSpec {
     assert(cat.table("t").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
       === Seq((11, "z")))
   }
+
+  test("maybeCompact: threshold-gated maintenance, state preserved") {
+    import spark.implicits._
+    val cat = new KuduLikeCatalog(spark, tmpDir("graft_mc_"))
+    val rows = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    cat.createTable(graft.catalog.TableDef("t", rows.schema, Seq("id"), buckets = 4))
+    cat.insert("t", rows)
+    cat.upsert("t", Seq((1L, "a")).toDF("id", "v"))
+    cat.upsert("t", Seq((2L, "b")).toDF("id", "v"))
+    assert(cat.deltaLayers("t").size === 2)
+    assert(!cat.maybeCompact("t", maxPendingLayers = 2), "2 <= 2: below threshold")
+    assert(cat.deltaLayers("t").size === 2)
+    assert(cat.maybeCompact("t", maxPendingLayers = 1), "2 > 1: must compact")
+    assert(cat.deltaLayers("t").isEmpty)
+    val t = cat.table("t")
+    assert(t.count() === 100)
+    assert(t.filter(org.apache.spark.sql.functions.col("id") === 1L)
+      .head().getString(1) === "a")
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import scala.collection.mutable
@@ -56,6 +56,36 @@ object Bpe {
     def encode(text: Column): Column = {
       import org.apache.spark.sql.graftbridge.ColumnBridge
       ColumnBridge.column(BpeEncodeExpr(ColumnBridge.expression(text), merges))
+    }
+
+    /** Deterministic vocabulary: every symbol the merge table can emit —
+      * the 256 byte-range single characters + Eow first (so ids are stable
+      * under vocab growth), then each merge's joined symbol in RANK order.
+      * Unknown symbols (characters outside the byte range) map to id 0,
+      * the conventional <unk> slot.
+      */
+    @transient lazy val vocab: Map[String, Int] = {
+      val base = (0 until 256).map(c => c.toChar.toString) :+ Bpe.Eow
+      val merged = merges.map { case (a, b) => a + b }
+      // a merge result can collide with a base symbol only if inputs were
+      // outside the byte range; distinct keeps first (= lowest id)
+      (base ++ merged).distinct.zipWithIndex.toMap
+    }
+
+    def vocabSize: Int = vocab.size
+
+    /** text → array<int> token ids (the trainable-tokenizer output an
+      * actual training pipeline feeds to sequence packing). id 0 = <unk>.
+      */
+    def encodeIds(text: Column): Column = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(
+        BpeEncodeIdsExpr(ColumnBridge.expression(text), merges))
+    }
+
+    def decodeIds(ids: Seq[Int]): String = {
+      val rev = vocab.map(_.swap)
+      ids.map(rev.getOrElse(_, "")).mkString("").replace(Bpe.Eow, " ").trim
     }
   }
 
@@ -181,6 +211,33 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     val out = mutable.ArrayBuffer.empty[Any]
     Bpe.words(text).foreach { w =>
       Bpe.encodeWord(w, ranks).foreach(t => out += UTF8String.fromString(t))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** text → array<int> of BPE token IDS under [[Bpe.Model.vocab]] (id 0 =
+  * the NUL/<unk> slot for symbols outside the byte range). Same
+  * CodegenFallback rationale as [[BpeEncodeExpr]].
+  */
+case class BpeEncodeIdsExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_encode_ids"
+
+  @transient private lazy val model = Bpe.Model(merges)
+  @transient private lazy val ranks: Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val out = mutable.ArrayBuffer.empty[Int]
+    Bpe.words(text).foreach { w =>
+      Bpe.encodeWord(w, ranks).foreach(t => out += model.vocab.getOrElse(t, 0))
     }
     new GenericArrayData(out.toArray)
   }

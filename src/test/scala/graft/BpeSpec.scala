@@ -69,4 +69,28 @@ class BpeSpec extends SparkSpec {
     assert(counts.getLong(1) < counts.getLong(0),
       s"merges did not compress: ${counts.getLong(1)} !< ${counts.getLong(0)}")
   }
+
+  test("token ids: vocab-stable encoding, lossless decode, prefix stability") {
+    val docs = Tables.load(spark, sf, "documents").limit(150)
+    val model = graft.operators.Bpe.train(docs, "text", numMerges = 120, topWords = 4000)
+    assert(model.vocabSize >= 257, "vocab must cover the byte range + Eow")
+    val rows = docs.select(col("doc_id"), lower(col("text")).as("t"),
+      model.encodeIds(col("text")).as("ids"),
+      model.encode(col("text")).as("toks")).collect()
+    rows.foreach { r =>
+      val ids = r.getSeq[Int](2)
+      val toks = r.getSeq[String](3)
+      // ids are exactly the tokens mapped through the vocab
+      assert(ids === toks.map(t => model.vocab.getOrElse(t, 0)))
+      // decode round-trips the word stream
+      val expect = r.getString(1).split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(model.decodeIds(ids) === expect, s"decode failed for doc ${r.getLong(0)}")
+    }
+    // prefix stability: a model with MORE merges keeps every existing id
+    val bigger = graft.operators.Bpe.train(docs, "text", numMerges = 160, topWords = 4000)
+    assert(bigger.merges.take(120) === model.merges)
+    model.vocab.foreach { case (tok, id) =>
+      assert(bigger.vocab(tok) === id, s"id of '$tok' drifted under vocab growth")
+    }
+  }
 }

@@ -93,4 +93,39 @@ class BpeSpec extends SparkSpec {
       assert(bigger.vocab(tok) === id, s"id of '$tok' drifted under vocab growth")
     }
   }
+
+  test("composition: BPE ids feed sequence packing with real token budgets") {
+    // the actual training-prep chain: train tokenizer -> encode ids ->
+    // pack per-shard sequences under a REAL token budget (not a regex
+    // proxy). Pack boundaries must respect the budget and preserve order.
+    val docs = Tables.load(spark, sf, "documents").limit(200)
+    val model = graft.operators.Bpe.train(docs, "text", numMerges = 100, topWords = 4000)
+    val budget = 512
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val packed = docs
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        size(model.encodeIds(col("text"))).as("toks"))
+      .withColumn("seq",
+        floor((sum(col("toks")).over(w) - col("toks")) / lit(budget)))
+      .collect()
+    assert(packed.nonEmpty)
+    // per (shard, seq): the packed tokens before the LAST doc fit the
+    // budget (the last doc may overflow into opening the next sequence)
+    packed.groupBy(r => (r.getLong(1), r.getLong(3))).foreach { case (_, rs) =>
+      val toks = rs.sortBy(_.getLong(0)).map(_.getInt(2))
+      assert(toks.init.sum < budget,
+        s"a sequence closed over budget: ${toks.mkString(",")}")
+    }
+    // determinism: same model + data -> same packing under any partitioning
+    val again = docs.repartition(7)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        size(model.encodeIds(col("text"))).as("toks"))
+      .withColumn("seq",
+        floor((sum(col("toks")).over(w) - col("toks")) / lit(budget)))
+      .collect()
+    assert(again.map(_.toString).sorted.toSeq === packed.map(_.toString).sorted.toSeq)
+  }
 }

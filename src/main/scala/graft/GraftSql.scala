@@ -23,7 +23,8 @@ import org.apache.spark.sql.types.StructType
   *  - `graft.hash_buckets`  — hash-partition the data into N key buckets
   *  - `graft.hash_columns`  — hash on this PK SUBSET (Kudu `HASH (cols)`);
   *    default = all key columns
-  *  - `graft.range_column`  — month-range partition on this column
+  *  - `graft.range_column`  — range-partition on this column
+  *  - `graft.range_granularity` — `month` (default) or `day` directories
   *
   * DDL/DML statements return a one-row status frame `(operation, table,
   * rows)`; queries return their result frame.
@@ -113,7 +114,9 @@ object GraftSql {
         buckets = props.get("graft.hash_buckets").map(_.trim.toInt).getOrElse(0),
         rangeCol = props.get("graft.range_column").map(_.trim),
         hashCols = props.get("graft.hash_columns")
-          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)))
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
+        rangeGranularity = props.get("graft.range_granularity")
+          .map(_.trim.toLowerCase).getOrElse("month")))
       registerViews(spark, cat)
     }
     status(spark, "CREATE TABLE", name, 0L)
@@ -151,7 +154,9 @@ object GraftSql {
       buckets = props.get("graft.hash_buckets").map(_.trim.toInt).getOrElse(0),
       rangeCol = props.get("graft.range_column").map(_.trim),
       hashCols = props.get("graft.hash_columns")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
+      rangeGranularity = props.get("graft.range_granularity")
+        .map(_.trim.toLowerCase).getOrElse("month")))
     val n =
       try cat.insert(name, src)
       catch { case e: Throwable => cat.rollbackCreateTable(name); throw e }
@@ -720,7 +725,10 @@ object GraftSql {
           (if (buckets > 0 && cat.hashColsOf(name) != cat.keyColsOf(name))
              Seq(s"'graft.hash_columns' = '${cat.hashColsOf(name).mkString(",")}'")
            else Nil) ++
-          cat.rangeColOf(name).map(rc => s"'graft.range_column' = '$rc'")
+          cat.rangeColOf(name).map(rc => s"'graft.range_column' = '$rc'") ++
+          (if (cat.rangeColOf(name).isDefined && cat.rangeGranularityOf(name) != "month")
+             Seq(s"'graft.range_granularity' = '${cat.rangeGranularityOf(name)}'")
+           else Nil)
         val ddl =
           s"""CREATE TABLE `$name` (
              |$cols)

@@ -30,12 +30,15 @@ import java.util.Comparator
 final case class TableDef(
     name: String, schema: StructType, keyCols: Seq[String],
     buckets: Int = 0, rangeCol: Option[String] = None,
-    hashCols: Seq[String] = Seq.empty) {
+    hashCols: Seq[String] = Seq.empty,
+    rangeGranularity: String = "month") {
   require(name.nonEmpty, "table name must be non-empty")
   require(keyCols.nonEmpty, "key columns must be non-empty (Kudu tables are keyed)")
   require(buckets >= 0, "buckets must be >= 0")
   require(hashCols.forall(keyCols.contains),
     s"hash columns must be a subset of the key columns: $hashCols vs $keyCols")
+  require(Set("month", "day").contains(rangeGranularity),
+    s"rangeGranularity must be month or day: $rangeGranularity")
   /** effective bucketing columns */
   def effectiveHashCols: Seq[String] = if (hashCols.nonEmpty) hashCols else keyCols
 }
@@ -198,7 +201,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
           throw new CatalogException(s"range column $rc not present in schema")
       }
       writePartitioned(empty, d.keyCols, d.buckets, d.rangeCol,
-        dataDir(d.name), SaveMode.Overwrite, hashCols = d.hashCols)
+        dataDir(d.name), SaveMode.Overwrite, hashCols = d.hashCols,
+        rangeFmt = if (d.rangeGranularity == "day") "yyyy-MM-dd" else "yyyy-MM")
       Files.writeString(metaFile(d.name),
         metaJson(d, normalized, d.rangeCol.map(_ => sessionZone)))
     } catch {
@@ -427,7 +431,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     // TimeZone.getTimeZone, which silently falls back to GMT) so
     // offset-style ids like "+08:00" work.
     val zone = java.time.ZoneId.of(zoneOf(name).getOrElse("UTC"))
-    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM").withZone(zone)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern(rangePattern(name)).withZone(zone)
     val fromMonth = fmt.format(from.toInstant)
     val toMonth = fmt.format(to.toInstant)
     effective(name)
@@ -480,11 +485,12 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       dir: String, mode: SaveMode, rangeAsData: Boolean = false,
       sortCols: Seq[String] = Seq.empty,
       sortExprs: Seq[Column] = Seq.empty,
-      hashCols: Seq[String] = Seq.empty): Unit = {
+      hashCols: Seq[String] = Seq.empty,
+      rangeFmt: String = "yyyy-MM"): Unit = {
     var out = df
     val parts = scala.collection.mutable.ArrayBuffer[String]()
     rangeCol.foreach { rc =>
-      out = out.withColumn(RangeCol, date_format(col(rc), "yyyy-MM"))
+      out = out.withColumn(RangeCol, date_format(col(rc), rangeFmt))
       if (!rangeAsData) parts += RangeCol
     }
     if (buckets > 0) {
@@ -632,7 +638,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     writePartitioned(folded, keys, bucketsOf(name), rangeColOf(name),
       staged.toString, SaveMode.Overwrite,
       sortCols = clusterBy ++ keys.filterNot(clusterBy.contains),
-      sortExprs = sortExprs, hashCols = hashColsOf(name))
+      sortExprs = sortExprs, hashCols = hashColsOf(name),
+      rangeFmt = rangePattern(name))
     val floor = rawDeltaSeqs(name).lastOption.getOrElse(0).max(deltaFloorOf(name))
     patchMeta(name, newDataName, floor) // COMMIT: repoint base + retire folded layers
   }
@@ -641,6 +648,17 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val meta = Files.readString(metaFile(name))
     """"rangeCol":"([^"]+)"""".r.findFirstMatchIn(meta).map(_.group(1))
   }
+
+  /** Range directory granularity: "month" (default) or "day". */
+  def rangeGranularityOf(name: String): String = {
+    val meta = Files.readString(metaFile(name))
+    """"rangeGranularity":"([^"]+)"""".r.findFirstMatchIn(meta)
+      .map(_.group(1)).getOrElse("month")
+  }
+
+  /** The date_format/DateTimeFormatter pattern for `__range` values. */
+  def rangePattern(name: String): String =
+    if (rangeGranularityOf(name) == "day") "yyyy-MM-dd" else "yyyy-MM"
 
   /** Timezone the `__range` partition values were (and must keep being)
     * formatted under — recorded at CREATE time. Absent on non-range tables
@@ -797,7 +815,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       val obs = org.apache.spark.sql.Observation()
       writePartitioned(toInsert.observe(obs, count(lit(1)).as("n")),
         keys, bucketsOf(name), rangeColOf(name), dataDir(name), SaveMode.Append,
-        hashCols = hashColsOf(name))
+        hashCols = hashColsOf(name), rangeFmt = rangePattern(name))
       // `toInsert`'s anti-join re-evaluates against the file listing captured
       // at DataFrame creation (before the append), so the fallback recount is
       // consistent with what was just written.
@@ -910,7 +928,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     */
   private def rewriteSchemaMeta(name: String, newSchema: StructType): Unit = {
     val d = TableDef(name, newSchema, keyColsOf(name), bucketsOf(name), rangeColOf(name),
-      hashCols = { val h = hashColsOf(name); if (h == keyColsOf(name)) Seq.empty else h })
+      hashCols = { val h = hashColsOf(name); if (h == keyColsOf(name)) Seq.empty else h },
+      rangeGranularity = rangeGranularityOf(name))
     val (dd, fl) = (dataDirNameOf(name), deltaFloorOf(name))
     val base = metaJson(d, d.schema, zoneOf(name))
     val full =
@@ -999,7 +1018,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val obs = org.apache.spark.sql.Observation()
     writePartitioned(deduped.observe(obs, count(lit(1)).as("n")),
       keys, bucketsOf(name), rangeColOf(name), staged.toString, SaveMode.Overwrite,
-      hashCols = hashColsOf(name))
+      hashCols = hashColsOf(name), rangeFmt = rangePattern(name))
     val n = obs.get("n").asInstanceOf[Long]
     val floor = rawDeltaSeqs(name).lastOption.getOrElse(0).max(deltaFloorOf(name))
     patchMeta(name, newDataName, floor) // COMMIT
@@ -1207,7 +1226,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     writePartitioned(rows.observe(obs, count(lit(1)).as("n")),
       keyColsOf(name), bucketsOf(name), rangeColOf(name),
       tmp.toString, SaveMode.Overwrite, rangeAsData = true,
-      hashCols = hashColsOf(name))
+      hashCols = hashColsOf(name), rangeFmt = rangePattern(name))
     val n = observedCount(obs, "n", rows.count())
     if (n > 0)
       Files.move(tmp, deltasDir(name).resolve(seq.toString),
@@ -1247,7 +1266,9 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val keys = d.keyCols.map(k => "\"" + k + "\"").mkString(",")
     val range = d.rangeCol.map { rc =>
       val z = zone.map(z => s"""\"zone\":\"$z\",""").getOrElse("")
-      s"""\"rangeCol\":\"$rc\",$z"""
+      val g = if (d.rangeGranularity != "month")
+        s"""\"rangeGranularity\":\"${d.rangeGranularity}\",""" else ""
+      s"""\"rangeCol\":\"$rc\",$g$z"""
     }.getOrElse("")
     val hash =
       if (d.hashCols.isEmpty) ""

@@ -879,7 +879,7 @@ private[sources] final class GraftScan(root: String, tableName: String,
 
 private[graft] object GraftScan {
 
-  private val RangeDirRx = "__range=([0-9]{4}-[0-9]{2})".r
+  private val RangeDirRx = "__range=([0-9]{4}-[0-9]{2}(?:-[0-9]{2})?)".r
 
   /** Path predicate for planning-time `__range` pruning: pushed range-column
     * predicates become an inclusive [lo, hi] month window (lexical compare —
@@ -899,7 +899,8 @@ private[graft] object GraftScan {
       case None => _ => true
       case Some(rc) =>
         val zone = java.time.ZoneId.of(catalog.zoneOf(tableName).getOrElse("UTC"))
-        val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM").withZone(zone)
+        val fmt = java.time.format.DateTimeFormatter
+          .ofPattern(catalog.rangePattern(tableName)).withZone(zone)
         def month(v: Any): Option[String] = v match {
           case t: java.sql.Timestamp => Some(fmt.format(t.toInstant))
           case i: java.time.Instant => Some(fmt.format(i))

@@ -55,6 +55,7 @@ object GraftSql {
     else if (upper.startsWith("SHOW CREATE TABLE")) showCreate(spark, cat, stmt)
     else if (upper.startsWith("TRUNCATE TABLE")) truncate(spark, cat, stmt)
     else if (upper.startsWith("OPTIMIZE ")) optimize(spark, cat, stmt)
+    else if (upper.startsWith("VACUUM ")) vacuum(spark, cat, stmt)
     else { registerViews(spark, cat); spark.sql(stmt) }
   }
 
@@ -761,6 +762,20 @@ object GraftSql {
     import spark.implicits._
     Seq((op, table, rows)).toDF("operation", "table", "rows")
   }
+
+  private val VacuumHead = """(?is)^VACUUM\s+`?([\w.]+)`?$""".r
+
+  /** `VACUUM t`: reclaim manifest-unreferenced storage (displaced base
+    * generation + floored delta layers) — cuts the one-cycle snapshot
+    * grace, so it is an explicit operator verb.
+    */
+  private def vacuum(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame =
+    stmt match {
+      case VacuumHead(name) =>
+        cat.vacuum(name)
+        status(spark, "VACUUM", name, 0L)
+      case _ => throw new CatalogException(s"cannot parse VACUUM: $stmt")
+    }
 
   private val OptimizeHead =
     """(?is)^OPTIMIZE\s+`?([\w.]+)`?(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,`]+?)\s*\))?$""".r

@@ -1035,6 +1035,19 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * commit) is what gives captured reader plans their one-cycle snapshot
     * stability, and bounds on-disk litter to one dead generation.
     */
+  /** VACUUM: reclaim everything the manifest no longer references — the
+    * displaced base generation (normally retained one maintenance cycle
+    * for readers planned before the last overwrite/compact) and every
+    * floored delta layer. Operator-invoked (SQL `VACUUM t`): running it
+    * cuts the one-cycle snapshot grace, which is exactly the Delta/Iceberg
+    * vacuum-vs-time-travel tradeoff, so the call is explicit and
+    * deliberate, never automatic.
+    */
+  def vacuum(name: String): Unit = {
+    if (!exists(name)) throw new CatalogException(s"table $name does not exist")
+    sweepDeadLitter(name, keep = Set.empty)
+  }
+
   private def sweepDeadLitter(name: String, keep: Set[String]): Unit = {
     val live = dataDirNameOf(name)
     // base-dir names: the initial "data" plus epoch-staged "data_<epoch>"

@@ -391,4 +391,29 @@ class SqlSurfaceSpec extends SparkSpec {
     intercept[CatalogException](cat.renameTable("rn2", "rn2"))
     intercept[CatalogException](cat.renameTable("ghost", "x"))
   }
+
+  test("VACUUM reclaims the displaced generation and floored layers; state intact") {
+    val (cat, sql) = fresh()
+    sql("""CREATE TABLE vt (id INT, v STRING)
+          |TBLPROPERTIES('kudu.key_columns'='id')""".stripMargin)
+    sql("INSERT INTO vt VALUES (1,'a'),(2,'b'),(3,'c')")
+    sql("DELETE FROM vt WHERE id = 2")
+    sql("OPTIMIZE vt") // fold: displaced base + floored layer stay on disk
+    val dir = new java.io.File(cat.location("vt"))
+    def baseDirs() = dir.listFiles().filter(f =>
+      f.isDirectory && f.getName.matches("data(_\\d+)?")).map(_.getName).toSet
+    def layerDirs() = {
+      val d = new java.io.File(dir, "deltas")
+      if (!d.exists()) Set.empty[String]
+      else d.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    }
+    assert(baseDirs().size > 1, "pre-vacuum: displaced generation retained")
+    assert(layerDirs().nonEmpty, "pre-vacuum: floored layer retained")
+    val st = sql("VACUUM vt").head()
+    assert(st.getString(0) === "VACUUM" && st.getString(1) === "vt")
+    assert(baseDirs().size === 1, "vacuum must drop the displaced generation")
+    assert(layerDirs().isEmpty, "vacuum must drop floored layers")
+    assert(sql("SELECT id FROM vt").collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 3))
+    intercept[CatalogException](sql("VACUUM no_such_table"))
+  }
 }

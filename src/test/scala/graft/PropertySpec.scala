@@ -59,8 +59,8 @@ class PropertySpec extends SparkSpec {
       var deltasExist = false
       val snapshots = scala.collection.mutable.ArrayBuffer[(Int, Map[Int, String])]()
 
-      (1 to 10).foreach { step =>
-        rnd.nextInt(5) match {
+      (1 to 12).foreach { step =>
+        rnd.nextInt(8) match {
           case 0 => // INSERT: only keys not live land; in-batch survivor = min v
             val b = batch()
             val newRows = b.groupBy(_._1).collect {
@@ -93,6 +93,15 @@ class PropertySpec extends SparkSpec {
             assert(n === model.size, s"iter $iter step $step overwrite count")
             deltasExist = false // layers discarded with the old contents
             snapshots.clear() // version numbering re-baselines
+          case 5 => // Z-ORDER COMPACT: layout-only, same model effect as compact
+            cat.compactZOrdered("t", Seq("id", "v"))
+            deltasExist = false
+            snapshots.clear()
+          case 6 => // VACUUM: reclaims dead storage, state invariant
+            cat.vacuum("t")
+          case 7 => // maybeCompact: compacts iff layers exceed the threshold
+            val ran = cat.maybeCompact("t", maxPendingLayers = 1)
+            if (ran) { deltasExist = false; snapshots.clear() }
         }
         if (deltasExist) snapshots += ((cat.currentVersion("t"), model))
         val got = cat.table("t").collect().map(x => (x.getInt(0), x.getString(1))).toSet

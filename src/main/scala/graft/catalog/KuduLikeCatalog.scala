@@ -523,12 +523,21 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     // key-ordered streams only when this marker proves the files were
     // sorted by exactly the key columns — a clustered/z-ordered layout
     // must never be mistaken for key order (a sort-merge join trusting a
-    // wrong claim returns wrong rows, silently).
-    val sortDesc =
-      if (sortExprs.nonEmpty) "expr"
-      else (if (sortCols.nonEmpty) sortCols else keys).mkString(",")
-    try Files.writeString(Paths.get(dir).resolve("_sort"), sortDesc)
-    catch { case _: Exception => () } // marker is an optimization, never a failure
+    // wrong claim returns wrong rows, silently). Only a FULL BASE REBUILD
+    // may assert a marker; an append can only INVALIDATE one — an
+    // appended file breaks any whole-partition order claim, and an
+    // append that lands zero files (all-duplicate insert) must not
+    // overwrite a clustered base's marker with a lying "keys" (the one
+    // sequence that would pass the single-file check with wrong order).
+    try {
+      val marker = Paths.get(dir).resolve("_sort")
+      if (mode == SaveMode.Overwrite) {
+        val sortDesc =
+          if (sortExprs.nonEmpty) "expr"
+          else (if (sortCols.nonEmpty) sortCols else keys).mkString(",")
+        Files.writeString(marker, sortDesc)
+      } else Files.deleteIfExists(marker)
+    } catch { case _: Exception => () } // marker is an optimization, never a failure
   }
 
   /** Maintenance: rewrite the table into defaultParallelism-sized files

@@ -152,4 +152,18 @@ class SpjSpec extends SparkSpec {
       }
     }
   }
+
+  test("an empty append after clustered compact cannot forge the key-order claim") {
+    withCatalog { (cat, root, _) =>
+      cat.createTable(TableDef("a", facts.schema, Seq("id"), buckets = 4))
+      cat.insert("a", facts)
+      cat.compact("a", Seq("x")) // base sorted by (x, id), marker = "x,id"
+      // all-duplicate insert: zero files land, but the write path runs
+      cat.insert("a", facts.limit(50))
+      val marker = java.nio.file.Paths.get(cat.dataLocation("a")).resolve("_sort")
+      assert(!java.nio.file.Files.exists(marker) ||
+        java.nio.file.Files.readString(marker) != "id",
+        "append must never assert a key-order marker over a clustered base")
+    }
+  }
 }

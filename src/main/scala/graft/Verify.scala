@@ -15,7 +15,10 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // usage: Verify <sfDir> <outDir> [queryName...] — names filter the run
+    // (dev loop: re-dump one query + its oracle without the full sweep)
+    val Array(sfDir, outDir) = args.take(2)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,7 +30,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // per query: output fields in Spark order, flagged decimal-or-not
     val outFields = scala.collection.mutable.Map.empty[String, Seq[(String, Boolean)]]
-    SparkEntry.all.foreach { q =>
+    SparkEntry.all.filter(q => only.isEmpty || only(q.name)).foreach { q =>
       try {
         val raw = q.fn(spark, sfDir)
         val fields = raw.schema.fields

@@ -1,6 +1,6 @@
 #!/bin/bash
 # Run graft.Verify directly with java (faster than sbt runMain).
-# Usage: tools/run_verify.sh [sfDir] [outDir]
+# Usage: tools/run_verify.sh [sfDir] [outDir] [queryName...]
 set -e
 cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.01}
@@ -19,4 +19,4 @@ rm -rf "$OUT"
 exec java $ADD_OPENS -Xmx48g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
-  graft.Verify "$SF" "$OUT"
+  graft.Verify "$SF" "$OUT" "${@:3}"

@@ -257,6 +257,28 @@ object PipelineQueries {
       },
       None),
 
+    // D34 PageRank over the symmetrized supplier↔part co-purchase graph
+    // (bipartite: an edge per distinct (l_suppkey, l_partkey), part ids
+    // offset into a disjoint node space). Rank math is BIGINT-scaled
+    // integer arithmetic (PageRank.pageRankInt), so the hash gate compares
+    // exact values — no float accumulation-order drift. The oracle's
+    // unrolled CTEs are GENERATED by the same iteration loop.
+    QDef("d34_pagerank",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val fwd = li.select(
+          col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey").cast("long") + 100000000L).as("dst")).distinct()
+        val edges = fwd.unionAll(
+          fwd.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.PageRank.pageRankInt(edges, "src", "dst", iterations = 3)
+          .select(col("id").as("node_id"), col("pr"))
+          .orderBy(col("pr").desc, col("node_id"))
+          .limit(20)
+      },
+      Some(graft.operators.PageRank.oracleSqlLineitemBipartite(
+        iterations = 3, topK = 20))),
+
     QDef("d30_cc_components",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 60)

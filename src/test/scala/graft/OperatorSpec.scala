@@ -258,4 +258,41 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(ours === builtin)
   }
+
+  test("D34: PageRank integer arithmetic matches hand-computed path graph") {
+    import spark.implicits._
+    // symmetric path 1-2-3; scale 1000, 2 iterations, worked by hand:
+    //   deg = (1:1, 2:2, 3:1), base = 150
+    //   r1 = (575, 1850, 575); r2 = (936, 1127, 936)
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val r2 = graft.operators.PageRank
+      .pageRankInt(edges, "src", "dst", iterations = 2, scale = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 === Map(1L -> 936L, 2L -> 1127L, 3L -> 936L))
+  }
+
+  test("D34: PageRank is partitioning-invariant and retry-deterministic") {
+    import spark.implicits._
+    val fwd = spark.range(200).select(
+      (col("id") % 17).as("src"), (col("id") % 29 + 100).as("dst")).distinct()
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    def run(e: org.apache.spark.sql.DataFrame) =
+      graft.operators.PageRank.pageRankInt(e, iterations = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run(edges)
+    val b = run(edges.repartition(7))
+    val c = run(edges.coalesce(1))
+    assert(a === b && a === c)
+    assert(a.keySet === (0L until 17L).toSet ++ (100L until 129L).toSet)
+  }
+
+  test("D34: dangling-free contract — ranks anchor on sources; a pure sink is absent") {
+    import spark.implicits._
+    val directed = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst") // 2 is a pure sink
+    val pr = graft.operators.PageRank
+      .pageRankInt(directed, iterations = 1, scale = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sources with no in-edges hold exactly the (1-d) base mass
+    assert(pr === Map(1L -> 150L, 3L -> 150L))
+  }
 }

@@ -487,4 +487,27 @@ object Dedup {
         "raise maxRounds (component diameter exceeds 2^rounds)")
     labels.select("id", "comp")
   }
+
+  /** Survivor selection over dedup components: keep the BEST-scoring member
+    * of each component (longest / highest-quality document), not the
+    * arbitrary min-id. This is the final decision step of a corpus dedup —
+    * [[connectedComponents]] names the unit to keep one of; this names
+    * WHICH one. Returns one row per component: (component, keep_id,
+    * members).
+    *
+    * One aggregation, no window: the argmax rides a `max_by` over the
+    * (score, -id) struct — map-side partial aggregation keeps one candidate
+    * per (component, partition), so a 100-TB corpus shuffles one row per
+    * component per task, never the member payloads, and there is no
+    * per-component sort (the window formulation would shuffle AND sort every
+    * member). Ties break to the LOWEST id (ids are unique, so the struct
+    * order is total and the survivor is deterministic under any
+    * partitioning or retry).
+    */
+  def keepCanonical(
+      members: DataFrame, idCol: String, compCol: String, scoreCol: String): DataFrame =
+    members.groupBy(col(compCol).as("component"))
+      .agg(
+        expr(s"max_by($idCol, struct($scoreCol, -$idCol))").as("keep_id"),
+        count(lit(1)).as("members"))
 }

@@ -198,5 +198,33 @@ object AggQueries {
       Some("""SELECT o_orderpriority,
              |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A12 explicit GROUPING SETS (the general form a7's ROLLUP/CUBE are
+    // shorthand for) — one pass, one shuffle: Catalyst expands the sets
+    // into a single Expand + partial/final aggregate, not one job per set.
+    QDef("a12_grouping_sets",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          count(lit(1)).as("n"),
+          sum(d182(col("l_quantity"))).cast("decimal(38,4)").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("g_rf"), col("g_ls"), col("n"), col("sum_qty"))
+        .orderBy("g_rf", "g_ls", "rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, '(all)') AS rf, coalesce(l_linestatus, '(all)') AS ls,
+             |  CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+             |  CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+             |ORDER BY g_rf, g_ls, rf, ls""".stripMargin)),
   )
 }

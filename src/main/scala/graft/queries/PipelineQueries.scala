@@ -279,6 +279,55 @@ object PipelineQueries {
       Some(graft.operators.PageRank.oracleSqlLineitemBipartite(
         iterations = 3, topK = 20))),
 
+    // D35 canonical survivor per near-dup component: the decision step that
+    // completes the dedup pipeline — edges (n-gram Jaccard) → components
+    // (transitive closure) → keep the LONGEST member (ties to lowest id).
+    // Spark side is one max_by aggregation (no window sort, payload never
+    // shuffles); the oracle recomputes it with a window over the same
+    // recursive-CTE closure d30 uses.
+    QDef("d35_canonical_keep",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+        val pairs = Dedup.ngramJaccardPairs(
+          docs, "text", "doc_id", n = 2, tau = 0.1, dfMax = Long.MaxValue)
+        val cc = Dedup.connectedComponents(pairs, "a", "b")
+          .withColumnRenamed("id", "doc_id")
+        val members = docs
+          .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+          .join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("component"), col("len"))
+        Dedup.keepCanonical(members, "doc_id", "component", "len")
+          .orderBy("component")
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT DISTINCT doc_id AS doc, g FROM (
+             |    SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))),
+             |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS g
+             |    FROM documents WHERE doc_id < 200) t),
+             |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc AS a, b.doc AS b, count(*) AS i
+             |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc < b.doc GROUP BY 1, 2),
+             |pairs AS (SELECT a, b FROM inter
+             |          JOIN sizes sa ON sa.doc = a JOIN sizes sb ON sb.doc = b
+             |          WHERE i * 1.0 / ((sa.sz + sb.sz - i) * 1.0) >= 0.1),
+             |edges AS (SELECT a AS src, b AS dst FROM pairs
+             |          UNION SELECT b, a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+             |  UNION
+             |  SELECT e.dst, r.r FROM edges e JOIN reach r ON r.id = e.src),
+             |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY 1),
+             |scored AS (SELECT c.component, c.doc_id, CAST(length(d.text) AS BIGINT) AS len
+             |           FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+             |ranked AS (SELECT component, doc_id,
+             |             row_number() OVER (PARTITION BY component
+             |                                ORDER BY len DESC, doc_id ASC) AS rn
+             |           FROM scored)
+             |SELECT component, min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+             |       count(*) AS members
+             |FROM ranked GROUP BY component ORDER BY component""".stripMargin)),
+
     QDef("d30_cc_components",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 60)

@@ -286,6 +286,21 @@ class OperatorSpec extends SparkSpec {
     assert(a.keySet === (0L until 17L).toSet ++ (100L until 129L).toSet)
   }
 
+  test("D35: keepCanonical picks max score, ties to lowest id, under any partitioning") {
+    import spark.implicits._
+    val members = Seq(
+      (1L, 10L, 5L), (2L, 10L, 9L), (3L, 10L, 9L), // tie at 9 → keep id 2
+      (4L, 20L, 1L),                                // singleton
+      (5L, 30L, 3L), (6L, 30L, 2L)
+    ).toDF("id", "component", "score")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.keepCanonical(df, "id", "component", "score")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = Set((10L, 2L, 3L), (20L, 4L, 1L), (30L, 5L, 2L))
+    assert(run(members) === expect)
+    assert(run(members.repartition(5)) === expect)
+  }
+
   test("D34: dangling-free contract — ranks anchor on sources; a pure sink is absent") {
     import spark.implicits._
     val directed = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst") // 2 is a pure sink

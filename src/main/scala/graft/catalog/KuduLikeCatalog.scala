@@ -810,11 +810,25 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
         s"insert schema ${df.schema.fieldNames.mkString(",")} does not match " +
           s"table schema ${schema.fieldNames.mkString(",")}")
     val dedupedBatch = firstPerKey(df, schema.fieldNames.toSeq, keys)
-    val existingKeys = table(name).select(keys.map(col): _*)
-    val toInsert = dedupedBatch
-      .join(existingKeys, keys, "left_anti")
-      .select(schema.fieldNames.map(col).toSeq: _*)
-    if (deltaSeqs(name).nonEmpty)
+    val buckets = bucketsOf(name)
+    val hasDeltas = deltaSeqs(name).nonEmpty
+    // Dup-check. Bucket-aligned path for bucketed delta-free tables: every
+    // version of a key lives in ONE bucket (writers route by the same
+    // murmur3-over-hashCols), so existence is a bucket-local question — the
+    // batch shuffles once on bucket id and each task probes its own
+    // bucket's base files in place. The standing table never shuffles
+    // (the generic anti-join shuffles its key projection every insert).
+    // With pending delta layers the alive-key set depends on the overlay
+    // (a tombstoned key IS insertable), so those fall back to the generic
+    // anti-join against the merged snapshot.
+    val toInsert =
+      (if (buckets > 0 && !hasDeltas)
+        alignedNewRows(name, dedupedBatch, keys, buckets, hashColsOf(name))
+      else
+        dedupedBatch.join(
+          table(name).select(keys.map(col): _*), keys, "left_anti"))
+        .select(schema.fieldNames.map(col).toSeq: _*)
+    if (hasDeltas)
       // pending mutation layers: the insert must land ABOVE them — a base
       // append (sequence 0) would stay shadowed by an older tombstone of a
       // re-inserted key
@@ -835,6 +849,54 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       if (n > 0) bumpBaseEpoch(name)
       n
     }
+  }
+
+  /** Bucket-aligned duplicate-key filter (the Kudu shape: key existence is
+    * a tablet-local question answered by the tablet's own key index —
+    * reference design intent, DesignDocument.md). Returns `dedupedBatch`
+    * minus rows whose key exists in the base files; callers guarantee no
+    * pending delta layers (a tombstoned key IS insertable, which only the
+    * merged overlay knows).
+    *
+    * Plan shape: ONE shuffle of the batch on the writer's own bucket
+    * expression — the standing table never shuffles (the generic anti-join
+    * shuffles its key projection on every insert). Task i buffers its
+    * (|batch|/N) slice, computes the slice's first-key bounds, and streams
+    * only bucket i's base files through the vectorized key-column reader
+    * with those bounds pushed to parquet row-group stats — base files are
+    * key-sorted by [[writePartitioned]], so a targeted insert decodes a
+    * handful of row groups, not the bucket; a bucket the batch doesn't
+    * touch reads NOTHING (not even footers). Memory per task =
+    * bounds-overlapping keys of one bucket (size N so bucket key sets fit
+    * — the same rule as Kudu's per-tablet key index) plus the batch slice
+    * the write shuffle would buffer anyway. The file list is captured on
+    * the driver at planning (metadata-only), so the filter set is a stable
+    * snapshot exactly like the DataFrame path's.
+    */
+  private def alignedNewRows(name: String, dedupedBatch: DataFrame,
+      keys: Seq[String], buckets: Int, hashCols: Seq[String]): DataFrame = {
+    val fields = dedupedBatch.schema.fields
+    val keySchema = StructType(keys.map(dedupedBatch.schema(_)).toSeq)
+    val keyIdx = keys.map(dedupedBatch.schema.fieldIndex).toArray
+    val bucketRx = "__bucket=(\\d+)".r
+    val filesByBucket: Map[Int, Seq[String]] =
+      graft.sources.GraftScan.listParquet(dataDir(name))
+        .flatMap(f => bucketRx.findFirstMatchIn(f).map(_.group(1).toInt -> f))
+        .groupBy(_._1).map { case (b, fs) => b -> fs.map(_._2).sorted }
+    val withBucket =
+      dedupedBatch.withColumn(BucketCol, bucketExpr(hashCols, buckets))
+    val bIdx = fields.length // BucketCol is appended last
+    val k1 = keys.head
+    // HashPartitioner on the Int bucket is identity for 0 <= b < N, so
+    // task index == bucket id and the probe files are addressable by it.
+    val routed = withBucket.rdd
+      .map(r => (r.getInt(bIdx), r))
+      .partitionBy(new org.apache.spark.HashPartitioner(buckets))
+    val filtered = routed.mapPartitionsWithIndex((b, it) =>
+      KuduLikeCatalog.filterAgainstBucketFiles(
+        it, filesByBucket.getOrElse(b, Seq.empty), keySchema, keyIdx, k1,
+        fields.length))
+    dedupedBatch.sparkSession.createDataFrame(filtered, StructType(fields))
   }
 
   /** Monotone counter of base-file appends (inserts taking the non-delta
@@ -1313,4 +1375,98 @@ object KuduLikeCatalog {
   private[graft] val OpCol = "__op"
   private[graft] val SeqCol = "__seq"
   private[graft] val PrioCol = "__prio"
+
+  /** Task-side core of [[KuduLikeCatalog.alignedNewRows]] — static so the
+    * closure ships file paths and a schema, never catalog/session state.
+    * Key comparison happens in a NORMALIZED space where the vectorized
+    * reader's catalyst values and the batch Row's external values meet:
+    * strings as String, timestamps (both flavors) as epoch-micros Long,
+    * binary as content-equal ByteBuffer, floats with -0.0/NaN canonicalized
+    * (SQL equality semantics: -0.0 = 0.0, NaN matches NaN — boxed
+    * `equals` would otherwise split them by bit pattern).
+    */
+  private[catalog] def filterAgainstBucketFiles(
+      it: Iterator[(Int, org.apache.spark.sql.Row)], files: Seq[String],
+      keySchema: StructType, keyIdx: Array[Int], k1: String,
+      nFields: Int): Iterator[org.apache.spark.sql.Row] = {
+    import scala.collection.immutable.ArraySeq
+    val batch = it.map(_._2).toArray
+    if (batch.isEmpty) return Iterator.empty // untouched bucket: zero reads
+    // per-bucket first-key bounds → parquet row-group stats pruning (the
+    // translator skips types parquet-mr can't compare; pure optimization)
+    val pushed: Array[org.apache.spark.sql.sources.Filter] = {
+      val vs = batch.iterator.map(_.get(keyIdx(0)))
+        .filter(v => v != null && v.isInstanceOf[Comparable[_]]).toArray
+      if (vs.length != batch.length) Array.empty
+      else {
+        val ord: Ordering[Any] = (a: Any, b: Any) =>
+          a.asInstanceOf[Comparable[Any]].compareTo(b)
+        Array(
+          org.apache.spark.sql.sources.GreaterThanOrEqual(k1, vs.min(ord)),
+          org.apache.spark.sql.sources.LessThanOrEqual(k1, vs.max(ord)))
+      }
+    }
+    val accessors = keySchema.fields.map(f =>
+      org.apache.spark.sql.catalyst.InternalRow.getAccessor(f.dataType, nullable = true))
+    val existing = new java.util.HashSet[ArraySeq[Any]]()
+    files.foreach { f =>
+      val r = graft.sources.GraftVectorized.open(f, keySchema, pushed)
+      var done = false
+      try {
+        val rows = graft.sources.GraftVectorized.rowIterator(r)
+        while (rows.hasNext) {
+          val row = rows.next()
+          val k = new Array[Any](keyIdx.length)
+          var i = 0
+          while (i < k.length) { k(i) = normFileKey(accessors(i)(row, i)); i += 1 }
+          existing.add(ArraySeq.unsafeWrapArray(k))
+        }
+        done = true // rowIterator closed the reader at EOF
+      } finally if (!done) r.close()
+    }
+    batch.iterator.filter { row =>
+      val k = new Array[Any](keyIdx.length)
+      var i = 0
+      while (i < k.length) { k(i) = normBatchKey(row.get(keyIdx(i))); i += 1 }
+      !existing.contains(ArraySeq.unsafeWrapArray(k))
+    }.map(row => org.apache.spark.sql.Row.fromSeq(
+      (0 until nFields).map(row.get(_): Any)))
+  }
+
+  /** Catalyst value (vectorized reader view) → normalized key component.
+    * Views into reused column vectors are copied here (toString / clone)
+    * before they outlive the batch.
+    */
+  private def normFileKey(v: Any): Any = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b.clone())
+    case f: java.lang.Float => normFloat(f)
+    case d: java.lang.Double => normDouble(d)
+    case x => x // boxed primitives; timestamps are already epoch-micros Long
+  }
+
+  /** External Row value → the same normalized key space. */
+  private def normBatchKey(v: Any): Any = v match {
+    case s: String => s
+    case t: java.sql.Timestamp =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+    case i: java.time.Instant =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)
+    case l: java.time.LocalDateTime =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(l)
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case f: java.lang.Float => normFloat(f)
+    case d: java.lang.Double => normDouble(d)
+    case x => x
+  }
+
+  private def normFloat(f: java.lang.Float): java.lang.Float =
+    if (f.isNaN) java.lang.Float.valueOf(Float.NaN)
+    else if (f.floatValue() == 0.0f) java.lang.Float.valueOf(0.0f)
+    else f
+
+  private def normDouble(d: java.lang.Double): java.lang.Double =
+    if (d.isNaN) java.lang.Double.valueOf(Double.NaN)
+    else if (d.doubleValue() == 0.0d) java.lang.Double.valueOf(0.0d)
+    else d
 }

@@ -169,6 +169,32 @@ object ScanQueries {
              |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Same insert sequence through a BUCKETED table: dup-ignore routes
+    // through the bucket-aligned key probe (alignedNewRows — the standing
+    // table never shuffles) instead of the generic anti-join. Same oracle
+    // as s6: the two dup-check engines must be observationally identical.
+    QDef("s6b_insert_dup_ignore_bucketed",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s6b_").toString
+        val cat = new KuduLikeCatalog(s, tmp)
+        val orders = Tables.load(s, dir, "orders")
+        cat.createTable(TableDef("orders_k", orders.schema, Seq("o_orderkey"),
+          buckets = 8))
+        cat.insert("orders_k", orders.filter(col("o_orderkey") % 3 === 0))
+        cat.insert("orders_k",
+          orders.withColumn("o_totalprice", col("o_totalprice") + lit(100000.0))
+            .filter(col("o_orderkey") % 2 === 0))
+        cat.table("orders_k")
+          .select(col("o_orderkey"), d182(col("o_totalprice")).as("price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+             |FROM orders WHERE o_orderkey % 3 = 0
+             |UNION ALL
+             |SELECT o_orderkey, CAST(o_totalprice + 100000.0 AS DECIMAL(18,2)) AS price
+             |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // The DSv2 connector read path end-to-end against the SQL oracle:
     // ingest documents into a bucketed keyed table, mutate it (upsert +
     // delete → two pending delta layers), then read back THROUGH

@@ -1494,7 +1494,7 @@ private[sources] final class GraftColumnarPartitionReader(
   * through Spark's modern parquet writer (external attach never routes
   * through the connector), so no Julian-calendar rebasing applies.
   */
-private[sources] object GraftVectorized {
+private[graft] object GraftVectorized {
 
   import org.apache.spark.sql.execution.datasources.parquet.{
     ParquetFooterReader, ParquetReadSupport, VectorizedParquetRecordReader}

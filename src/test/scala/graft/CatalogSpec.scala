@@ -759,4 +759,60 @@ class CatalogSpec extends SparkSpec {
     assert(t.filter(org.apache.spark.sql.functions.col("id") === 1L)
       .head().getString(1) === "a")
   }
+
+  test("S6 bucket-aligned dup-check equals the generic anti-join, every key type") {
+    import spark.implicits._
+    val cat = new KuduLikeCatalog(spark, tmpDir("graft_aligned_"))
+    def ts(s: String) = Timestamp.valueOf(s)
+    // composite (string, timestamp) key exercises the normalized key space
+    // (UTF8String->String, Timestamp->micros) across the file/batch seam
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("ts", TimestampType),
+      StructField("v", DoubleType)))
+    def df(rows: Seq[(String, Timestamp, Double)]) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2, r._3)).asJava, schema)
+    val base = (1 to 200).map(i => (s"k$i", ts(s"2024-01-01 10:00:${i % 60}"), i.toDouble))
+    // same inserts into a bucketed (aligned path) and keyless-layout table
+    cat.createTable(TableDef("b", schema, Seq("k", "ts"), buckets = 8, hashCols = Seq("k")))
+    cat.createTable(TableDef("u", schema, Seq("k", "ts")))
+    assert(cat.insert("b", df(base)) === 200)
+    assert(cat.insert("u", df(base)) === 200)
+    // second batch: 50 exact-key dups (dropped), 50 same-k-different-ts (kept), 30 new
+    val dups = base.take(50)
+    val newTs = base.slice(50, 100).map { case (k, t, v) => (k, ts("2025-06-06 00:00:00"), v) }
+    val fresh = (201 to 230).map(i => (s"k$i", ts("2024-03-03 03:03:03"), i.toDouble))
+    val batch2 = df(scala.util.Random.shuffle(dups ++ newTs ++ fresh))
+    assert(cat.insert("b", batch2) === 80)
+    assert(cat.insert("u", batch2) === 80)
+    val got = cat.table("b").collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    val want = cat.table("u").collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    assert(got === want)
+    assert(got.size === 280)
+    // all-duplicate batch appends nothing through the aligned path
+    assert(cat.insert("b", df(dups)) === 0)
+  }
+
+  test("S6 aligned dup-check: long keys, range+bucket layout, in-batch dups") {
+    import spark.implicits._
+    val cat = new KuduLikeCatalog(spark, tmpDir("graft_aligned2_"))
+    def ts(s: String) = Timestamp.valueOf(s)
+    val rows = (1 to 100).map(i =>
+      (i.toLong, ts(s"2024-0${i % 3 + 1}-15 12:00:00"), s"v$i"))
+    val df0 = rows.toDF("id", "t", "v")
+    cat.createTable(TableDef("t", df0.schema, Seq("id"),
+      buckets = 4, rangeCol = Some("t")))
+    assert(cat.insert("t", df0) === 100)
+    // batch with internal dups (same key twice) + existing keys + new keys
+    val batch = Seq(
+      (1L, ts("2024-01-15 12:00:00"), "dup"),   // existing key -> dropped
+      (200L, ts("2024-05-01 00:00:00"), "bbb"), // in-batch dup, survivor by value
+      (200L, ts("2024-05-01 00:00:00"), "aaa"), // "aaa" < "bbb": firstPerKey keeps aaa
+      (201L, ts("2024-06-01 00:00:00"), "new")
+    ).toDF("id", "t", "v")
+    assert(cat.insert("t", batch) === 2)
+    val t = cat.table("t")
+    assert(t.count() === 102)
+    assert(t.filter(col("id") === 200L).head().getString(2) === "aaa")
+    assert(t.filter(col("id") === 1L).head().getString(2) === "v1")
+  }
 }

@@ -53,6 +53,7 @@ object GraftSql {
       describe(spark, cat, stmt)
     else if (upper == "SHOW TABLES") showTables(spark, cat)
     else if (upper.startsWith("SHOW CREATE TABLE")) showCreate(spark, cat, stmt)
+    else if (upper.startsWith("SHOW PARTITIONS")) showPartitions(spark, cat, stmt)
     else if (upper.startsWith("TRUNCATE TABLE")) truncate(spark, cat, stmt)
     else if (upper.startsWith("OPTIMIZE ")) optimize(spark, cat, stmt)
     else if (upper.startsWith("VACUUM ")) vacuum(spark, cat, stmt)
@@ -693,6 +694,8 @@ object GraftSql {
       case None => Map.empty
     }
 
+  private val ShowPartitionsHead =
+    """(?is)^SHOW\s+PARTITIONS\s+`?([\w.]+)`?$""".r
   private val ShowCreateHead =
     """(?is)^SHOW\s+CREATE\s+TABLE\s+`?([\w.]+)`?$""".r
   private val TruncateHead =
@@ -706,6 +709,24 @@ object GraftSql {
     import spark.implicits._
     cat.tableNames.sorted.toDF("tab_name")
   }
+
+  /** `SHOW PARTITIONS t` — Hive's partition listing over the range+bucket
+    * directory layout (the Kudu-tablet analog): one row per live base
+    * partition dir, `__range=…/__bucket=…` shape. Like Hive, asking a
+    * non-partitioned table is an error, not an empty result — silence
+    * would read as "partitioned but empty". Metadata-only: lists the
+    * manifest-live base directory, never opens data.
+    */
+  private def showPartitions(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame =
+    stmt match {
+      case ShowPartitionsHead(name) if cat.exists(name) =>
+        import spark.implicits._
+        if (cat.bucketsOf(name) == 0 && cat.rangeColOf(name).isEmpty)
+          throw new CatalogException(
+            s"SHOW PARTITIONS $name: table is not partitioned (no buckets, no range column)")
+        cat.partitionsOf(name).toDF("partition")
+      case _ => { registerViews(spark, cat); spark.sql(stmt) }
+    }
 
   /** `SHOW CREATE TABLE t` — reconstructs DDL in the reference's dialect
     * (STORED BY + TBLPROPERTIES, README.md:22-31) that ROUND-TRIPS through

@@ -160,6 +160,18 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     */
   def dataLocation(name: String): String = dataDir(name)
 
+  /** Live base partition directories, relative to the data dir —
+    * `__range=…/__bucket=…` shape (SHOW PARTITIONS). Metadata-only; delta
+    * layers are not partitions (they are pending mutations of them).
+    */
+  def partitionsOf(name: String): Seq[String] = {
+    val dd = Paths.get(dataDir(name))
+    graft.sources.GraftScan.listParquet(dataDir(name))
+      .map(f => dd.relativize(Paths.get(f).getParent).toString)
+      .filter(s => s.contains("__range=") || s.contains("__bucket="))
+      .distinct.sorted
+  }
+
   /** All tables in this catalog root (directories carrying `_meta.json`). */
   def tableNames: Seq[String] = {
     val r = Paths.get(root)

@@ -416,4 +416,30 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sql("SELECT id FROM vt").collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 3))
     intercept[CatalogException](sql("VACUUM no_such_table"))
   }
+
+  test("SHOW PARTITIONS lists range+bucket dirs; non-partitioned table errors") {
+    val (_, sql) = fresh()
+    sql("""CREATE TABLE pt (id BIGINT, ts TIMESTAMP, v STRING)
+          |TBLPROPERTIES('kudu.key_columns'='id',
+          |  'graft.hash_buckets'='2', 'graft.range_column'='ts')""".stripMargin)
+    sql("""INSERT INTO pt VALUES
+          |(1, TIMESTAMP'2024-01-05 00:00:00', 'a'),
+          |(2, TIMESTAMP'2024-02-05 00:00:00', 'b')""".stripMargin)
+    val parts = sql("SHOW PARTITIONS pt").collect().map(_.getString(0)).toSeq
+    assert(parts.nonEmpty && parts === parts.sorted && parts.distinct === parts)
+    assert(parts.forall(p => p.matches("__range=2024-0[12]/__bucket=[01]")))
+    assert(parts.exists(_.startsWith("__range=2024-01/")) &&
+      parts.exists(_.startsWith("__range=2024-02/")))
+    // bucket-only table: partitions are the bucket dirs
+    sql("""CREATE TABLE bt (id BIGINT, v STRING)
+          |TBLPROPERTIES('kudu.key_columns'='id', 'graft.hash_buckets'='4')""".stripMargin)
+    sql("INSERT INTO bt VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d'),(5,'e')")
+    val bparts = sql("SHOW PARTITIONS bt").collect().map(_.getString(0)).toSeq
+    assert(bparts.nonEmpty && bparts.forall(_.matches("__bucket=[0-3]")))
+    // Hive behavior: not-partitioned is an ERROR, not an empty listing
+    sql("""CREATE TABLE np (id BIGINT, v STRING)
+          |TBLPROPERTIES('kudu.key_columns'='id')""".stripMargin)
+    val e = intercept[CatalogException](sql("SHOW PARTITIONS np"))
+    assert(e.getMessage.contains("not partitioned"))
+  }
 }

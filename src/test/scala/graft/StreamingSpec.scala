@@ -411,4 +411,39 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(key).toSeq.map(_.toString).sorted ===
       batch.map(key).toSeq.map(_.toString).sorted)
   }
+
+  test("streaming heavy hitters: MG sketch over micro-batches keeps the batch guarantee") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the mergeable Misra–Gries Aggregator rides Structured Streaming's
+    // partial/merge state machinery unchanged — the same property that
+    // makes it safe across shuffle partials makes it safe across epochs
+    val docs = Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("t")).as[String]
+      .collect().toSeq
+    val k = 16
+    val stream = MemoryStream[String]
+    val q = stream.toDS().select(
+      new graft.functions.HeavyHittersAggregator(k).toColumn.name("hh"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hh_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // three uneven micro-batches — state must merge across epochs
+    docs.grouped((docs.size / 3).max(1)).foreach { chunk =>
+      stream.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    val sketch = spark.table("hh_out").as[Map[String, Long]].head()
+    assert(sketch.size <= k)
+    val n = docs.size.toLong
+    val exact = docs.groupBy(identity).map { case (t, ts) => t -> ts.size.toLong }
+    val bound = n.toDouble / (k + 1)
+    exact.foreach { case (t, c) =>
+      if (c > bound) assert(sketch.contains(t), s"heavy hitter '$t' lost across epochs")
+    }
+    sketch.foreach { case (t, c) =>
+      assert(c <= exact(t), s"'$t' overcounted after epoch merges")
+      assert(exact(t) - c <= bound, s"'$t' undercount beyond the MG bound")
+    }
+  }
 }

@@ -96,6 +96,7 @@ object Multimodal {
             else if (isWav(bytes)) decodeWav(id, bytes)
             else if (Flac.isFlac(bytes)) decodeFlac(id, bytes)
             else if (isJpeg(bytes)) decodeJpeg(id, bytes)
+            else if (Gif.isGif(bytes)) decodeGif(id, bytes)
             else if (Mp4.isMp4(bytes)) decodeMp4(id, bytes)
             else mp3GeometryOpt(bytes) match {
               case Some(g) => decodeMp3(id, bytes, g)
@@ -1162,6 +1163,16 @@ object Multimodal {
     * CMYK) degrade to the header parse below — true geometry, scan-bytes
     * checksum — never to a failure.
     */
+  /** GIF first frame through [[Gif.decode]]: checksum over the
+    * palette-expanded samples, so interlaced/sequential and different LZW
+    * run boundaries hash identically (the PNG filter-invariance analog).
+    */
+  private def decodeGif(id: Long, b: Array[Byte]): DecodedMedia = {
+    val (w, h, ch, pix) = Gif.decode(b)
+    DecodedMedia(id, "image/gif", b.length.toLong, w, h, ch,
+      fnv(pix, 0, pix.length, FnvSeed))
+  }
+
   private def decodeJpeg(id: Long, b: Array[Byte]): DecodedMedia =
     try {
       val (w, h, ch, pix) = Jpeg.decode(b)
@@ -1279,6 +1290,8 @@ object Multimodal {
         Some(d)
       } else if (isJpeg(b)) {
         Some(Jpeg.decode(b)) // Huffman envelope (incl. progressive); outside it → catch → None
+      } else if (Gif.isGif(b)) {
+        Some(Gif.decode(b))
       } else None
     } catch { case scala.util.control.NonFatal(_) => None }
 

@@ -1020,4 +1020,107 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.forall(_ % 5 == 0))
     assert(sampled.length === d.collect().count(_.id % 5 == 0))
   }
+
+  test("GIF LZW round trip: sequential, interlaced, KwKwK runs, 12-bit table freeze") {
+    import graft.multimodal.Gif
+    val rnd = new scala.util.Random(7)
+    // small-palette random image
+    val (w, h) = (23, 17)
+    val pal5 = Array(
+      Array[Byte](255.toByte, 0, 0), Array[Byte](0, 255.toByte, 0),
+      Array[Byte](0, 0, 255.toByte), Array[Byte](17, 34, 51),
+      Array[Byte](200.toByte, 100, 50))
+    val rgb = Array.tabulate(w * h)(_ => pal5(rnd.nextInt(5))).flatten.toArray
+    val seqGif = Gif.encodeRgb(w, h, rgb)
+    val (dw, dh, dch, dpix) = Gif.decode(seqGif)
+    assert((dw, dh, dch) === ((w, h, 3)))
+    assert(dpix.toSeq === rgb.toSeq, "sequential round trip")
+    // interlaced: identical reconstruction (row scatter is lossless)
+    val (_, _, _, ipix) = Gif.decode(Gif.encodeRgb(w, h, rgb, interlaced = true))
+    assert(ipix.toSeq === rgb.toSeq, "interlaced round trip")
+    // constant image: back-to-back KwKwK codes (every new code referenced
+    // one step before the decoder defines it)
+    val flat = Array.fill(64 * 64 * 3)(42.toByte)
+    assert(Gif.decode(Gif.encodeRgb(64, 64, flat))._4.toSeq === flat.toSeq)
+    // 250-color noise at 128x128 pushes the dictionary past 4096: codes
+    // freeze at 12 bits and both sides must stay in lockstep
+    val bigPal = Array.tabulate(250)(i =>
+      Array[Byte]((i * 7 % 256).toByte, (i * 13 % 256).toByte, (i * 29 % 256).toByte))
+    val big = Array.tabulate(128 * 128)(_ => bigPal(rnd.nextInt(250))).flatten.toArray
+    assert(Gif.decode(Gif.encodeRgb(128, 128, big))._4.toSeq === big.toSeq,
+      "round trip across the table freeze")
+  }
+
+  test("GIF cross-validates against ImageIO both directions") {
+    import graft.multimodal.Gif
+    import java.io.ByteArrayInputStream
+    val rnd = new scala.util.Random(11)
+    val (w, h) = (31, 13)
+    val pal = Array.tabulate(16)(i =>
+      Array[Byte]((i * 16).toByte, (255 - i * 16).toByte, (i * 5 + 3).toByte))
+    val rgb = Array.tabulate(w * h)(_ => pal(rnd.nextInt(16))).flatten.toArray
+    // our encoder → the JDK's independent decoder (incl. the interlaced file)
+    Seq(false, true).foreach { interlaced =>
+      val img = javax.imageio.ImageIO.read(
+        new ByteArrayInputStream(Gif.encodeRgb(w, h, rgb, interlaced)))
+      assert(img.getWidth === w && img.getHeight === h)
+      var p = 0
+      while (p < w * h) {
+        val v = img.getRGB(p % w, p / w)
+        assert(((v >> 16) & 0xff) === (rgb(p * 3) & 0xff) &&
+          ((v >> 8) & 0xff) === (rgb(p * 3 + 1) & 0xff) &&
+          (v & 0xff) === (rgb(p * 3 + 2) & 0xff),
+          s"ImageIO disagrees at pixel $p (interlaced=$interlaced)")
+        p += 1
+      }
+    }
+    // the JDK's independent encoder → our decoder
+    val cm = new java.awt.image.IndexColorModel(
+      4, 16, pal.map(_(0)).toArray, pal.map(_(1)).toArray, pal.map(_(2)).toArray)
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    (0 until w * h).foreach { p =>
+      val c = rgb.slice(p * 3, p * 3 + 3)
+      bi.setRGB(p % w, p / w,
+        ((c(0) & 0xff) << 16) | ((c(1) & 0xff) << 8) | (c(2) & 0xff))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "gif", bos), "JDK GIF writer available")
+    val (jw, jh, jch, jpix) = Gif.decode(bos.toByteArray)
+    assert((jw, jh, jch) === ((w, h, 3)))
+    assert(jpix.toSeq === rgb.toSeq, "our decoder reproduces the JDK encoder's pixels")
+  }
+
+  test("GIF transparency, Multimodal dispatch, checksum invariance, corrupt degrade") {
+    import graft.multimodal.Gif
+    val pal = Array[Byte](255.toByte, 0, 0, /**/ 0, 255.toByte, 0, /**/ 9, 9, 9)
+    val idx = Array[Byte](0, 1, 2, 2, 1, 0)
+    // transparent index 2 → RGBA with alpha 0 exactly there
+    val (tw, th, tch, tpix) = Gif.decode(
+      Gif.encodeIndexed(3, 2, idx, pal, transparentIdx = 2))
+    assert((tw, th, tch) === ((3, 2, 4)))
+    idx.zipWithIndex.foreach { case (ix, p) =>
+      assert((tpix(p * 4 + 3) & 0xff) === (if (ix == 2) 0 else 255))
+      assert(tpix(p * 4) === pal(ix * 3) && tpix(p * 4 + 1) === pal(ix * 3 + 1))
+    }
+    // ImageIO referee on the transparent pixel
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Gif.encodeIndexed(3, 2, idx, pal, transparentIdx = 2)))
+    assert(((img.getRGB(2, 0) >>> 24) & 0xff) === 0, "ImageIO sees alpha 0 at idx 2")
+    assert(((img.getRGB(0, 0) >>> 24) & 0xff) === 255)
+    // dispatch + interlace checksum invariance through the column operator
+    val seqBytes = Gif.encodeIndexed(3, 2, idx, pal)
+    val intBytes = Gif.encodeIndexed(3, 2, idx, pal, interlaced = true)
+    val out = Multimodal.decode(spark, asMedia(Seq(
+      (1L, seqBytes, "image/gif"), (2L, intBytes, "image/gif"),
+      (3L, seqBytes.dropRight(8), "image/gif")))) // truncated → degrade
+      .collect().sortBy(_.id)
+    assert(out(0).format === "image/gif" && out(0).channels === 3)
+    assert((out(0).width, out(0).height) === ((3, 2)))
+    assert(out(0).checksum === out(1).checksum,
+      "interlaced vs sequential storage hashes identically")
+    assert(out(2).format === "image/gif" && out(2).checksum != out(0).checksum,
+      "truncated payload degrades to the stub record, task survives")
+    assert(out(2).width != 3, "stub geometry, not a half-parsed frame")
+  }
 }

@@ -55,6 +55,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_minhash_sig(text) (k=4)")
         graft.functions.MinHashSigExpr(args.head)
+      }),
+    ("graft_nfc",
+      new ExpressionInfo(classOf[graft.functions.UnicodeNormalizeExpr].getName, "graft_nfc"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_nfc(text)")
+        graft.functions.UnicodeNormalizeExpr(args.head, "NFC")
+      }),
+    ("graft_nfkc",
+      new ExpressionInfo(classOf[graft.functions.UnicodeNormalizeExpr].getName, "graft_nfkc"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_nfkc(text)")
+        graft.functions.UnicodeNormalizeExpr(args.head, "NFKC")
       }))
 
   /** Register into an existing session (idempotent). */

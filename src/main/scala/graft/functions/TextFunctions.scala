@@ -231,6 +231,15 @@ object TextFunctions {
     ColumnBridge.column(FingerprintMd5Expr(ColumnBridge.expression(text)))
   }
 
+  /** Unicode normalization ([[UnicodeNormalizeExpr]]): canonical NFC/NFD or
+    * compatibility NFKC/NFKD — run BEFORE exact dedup / fingerprinting or
+    * byte-different spellings of the same text fragment every hash upstream.
+    */
+  def normalize(text: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(UnicodeNormalizeExpr(ColumnBridge.expression(text), form))
+  }
+
   /** Declarative HOF formulation of [[fingerprint]] (reference spec). */
   def fingerprintHof(text: Column): Column =
     array_min(transform(charShingles(text, 8), g => md5(g)))

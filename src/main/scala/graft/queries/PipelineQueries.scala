@@ -257,6 +257,27 @@ object PipelineQueries {
       },
       None),
 
+    // D36 Unicode normalization (native codegen UnicodeNormalizeExpr): the
+    // fixture text is ASCII (proven by the oracle equality itself), so each
+    // doc is decorated with a denormalized suffix — combining acute,
+    // full-width A, the fi ligature. NFC gates against DuckDB's independent
+    // nfc_normalize; NFKC (which DuckDB lacks) gates against the
+    // hand-derived Unicode folding (é precomposed, Ａ→A, ﬁ→fi) valid
+    // exactly because the base text is NFKC-invariant ASCII.
+    QDef("d36_nfc_normalize",
+      (s, dir) => {
+        val suffix = " e\u0301\uFF21\uFB01"
+        Tables.parallel(Tables.load(s, dir, "documents"))
+          .select(col("doc_id"),
+            md5(TF.normalize(concat(col("text"), lit(suffix)))).as("h_nfc"),
+            md5(TF.normalize(concat(col("text"), lit(suffix)), "NFKC")).as("h_nfkc"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  md5(nfc_normalize(text || ' e' || chr(769) || chr(65313) || chr(64257))) AS h_nfc,
+             |  md5(text || ' ' || chr(233) || 'Afi') AS h_nfkc
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // D34 PageRank over the symmetrized supplier↔part co-purchase graph
     // (bipartite: an edge per distinct (l_suppkey, l_partkey), part ids
     // offset into a disjoint node space). Rank math is BIGINT-scaled

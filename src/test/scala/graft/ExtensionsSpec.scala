@@ -57,4 +57,28 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("graft_cosine"))
   }
+
+  test("graft_nfc / graft_nfkc: known Unicode foldings, codegen == interpreted, no-op fast path") {
+    GraftExtensions.register(spark)
+    import graft.functions.UnicodeNormalizeExpr
+    import org.apache.spark.unsafe.types.UTF8String
+    // known mappings: e+combining acute → é; NFKC additionally folds
+    // full-width A and the fi ligature
+    val row = spark.sql(
+      "SELECT graft_nfc('é Ａﬁ'), graft_nfkc('é Ａﬁ')").head()
+    assert(row.getString(0) === "é Ａﬁ", "NFC composes, keeps compat chars")
+    assert(row.getString(1) === "é Afi", "NFKC composes AND folds compat chars")
+    // interpreted eval (nullSafeEval) must equal the codegen'd SQL path
+    val interp = UnicodeNormalizeExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal("é Ａﬁ"), "NFKC")
+      .eval(null).asInstanceOf[UTF8String].toString
+    assert(interp === row.getString(1))
+    // already-normalized input returns the SAME UTF8String (no realloc)
+    val in = UTF8String.fromString("plain ascii")
+    val k = UnicodeNormalizeExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), "NFC")
+    assert(k.compute(in) eq in, "normalized input short-circuits")
+    // null propagates
+    assert(spark.sql("SELECT graft_nfc(CAST(NULL AS STRING))").head().isNullAt(0))
+  }
 }

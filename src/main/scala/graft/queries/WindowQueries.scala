@@ -156,5 +156,67 @@ object WindowQueries {
              |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
              |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t
              |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // Time-series resample + gap-fill: hourly bins over a FIXED grid (720
+    // hours of the fixture month), empty hours surfaced as zeros — the
+    // downsample shape every metrics/time-series pipeline needs. One
+    // aggregation shuffle; the generated grid is tiny and broadcasts, so
+    // gap-filling adds no data-sized work at any scale. Timestamps cross
+    // the engine boundary as epoch-millis (determinism contract).
+    QDef("w9_resample_gapfill",
+      (s, dir) => {
+        val agg = Tables.load(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"),
+            sum(d182(col("value"))).cast("decimal(38,4)").as("sum_v"))
+        val grid = s.sql(
+          """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+            |  timestamp'2024-01-30 23:00:00', interval 1 hour)) AS h""".stripMargin)
+        grid.join(agg, Seq("h"), "left")
+          .select(unix_millis(col("h")).as("h_ms"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("sum_v"), lit(0).cast("decimal(38,4)")).as("sum_v"))
+          .orderBy("h_ms")
+      },
+      Some("""WITH grid AS (
+             |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+             |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS h),
+             |agg AS (
+             |  SELECT date_trunc('hour', ts) AS h, count(*) AS n,
+             |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_v
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+             |SELECT CAST(epoch_ms(g.h) AS BIGINT) AS h_ms,
+             |       COALESCE(a.n, 0) AS n,
+             |       COALESCE(a.sum_v, CAST(0 AS DECIMAL(38,4))) AS sum_v
+             |FROM grid g LEFT JOIN agg a ON a.h = g.h
+             |ORDER BY h_ms""".stripMargin)),
+
+    // Cohort retention: users grouped by first-activity week, activity
+    // counted per week offset — the classic retention triangle. Two
+    // aggregations + one join, all hash-partitioned on user_id until the
+    // final (tiny) cohort matrix; ISO Monday week truncation agrees
+    // between Spark and DuckDB.
+    QDef("w10_cohort_retention",
+      (s, dir) => {
+        val wk = Tables.load(s, dir, "events")
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+          .distinct()
+        val first = wk.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+        wk.join(first, Seq("user_id"))
+          .select(col("cohort").cast("date").as("cohort_week"),
+            expr("datediff(cast(wk as date), cast(cohort as date)) div 7").as("week_n"))
+          .groupBy("cohort_week", "week_n")
+          .agg(count(lit(1)).as("active_users"))
+          .orderBy("cohort_week", "week_n")
+      },
+      Some("""WITH wk AS (
+             |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+             |first AS (SELECT user_id, min(wk) AS cohort FROM wk GROUP BY 1)
+             |SELECT CAST(f.cohort AS DATE) AS cohort_week,
+             |       (CAST(w.wk AS DATE) - CAST(f.cohort AS DATE)) // 7 AS week_n,
+             |       count(*) AS active_users
+             |FROM wk w JOIN first f ON w.user_id = f.user_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 }

@@ -32,7 +32,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the survey ledger claim") {
-    assert(SparkEntry.all.size === 145, s"ledger says 145, found ${SparkEntry.all.size}")
+    assert(SparkEntry.all.size === 147, s"ledger says 147, found ${SparkEntry.all.size}")
   }
 
   test("driver-side collect() stays confined to the documented bounded sites") {

@@ -1091,6 +1091,26 @@ class MultimodalSpec extends SparkSpec {
     assert(jpix.toSeq === rgb.toSeq, "our decoder reproduces the JDK encoder's pixels")
   }
 
+  test("GIF and PNG of the same pixels produce identical features (cross-format invariant)") {
+    import graft.multimodal.Gif
+    val rnd = new scala.util.Random(5)
+    val (w, h) = (19, 11)
+    val pal = Array.tabulate(8)(i =>
+      Array[Byte]((i * 31).toByte, (i * 17 + 5).toByte, (255 - i * 29).toByte))
+    val rgb = Array.tabulate(w * h)(_ => pal(rnd.nextInt(8))).flatten.toArray
+    val gifF = Multimodal.features(spark,
+      asMedia(Seq((1L, Gif.encodeRgb(w, h, rgb), "image/gif")))).collect().head
+    val pngF = Multimodal.features(spark,
+      asMedia(Seq((2L, Multimodal.encodePng(w, h, rgb), "image/png")))).collect().head
+    assert(gifF.decoded && pngF.decoded)
+    assert((gifF.width, gifF.height, gifF.channels) ===
+      ((pngF.width, pngF.height, pngF.channels)))
+    assert(gifF.chanMean.toSeq === pngF.chanMean.toSeq &&
+      gifF.chanStd.toSeq === pngF.chanStd.toSeq &&
+      gifF.lumaHist.toSeq === pngF.lumaHist.toSeq,
+      "identical pixels through different containers must featurize identically")
+  }
+
   test("GIF transparency, Multimodal dispatch, checksum invariance, corrupt degrade") {
     import graft.multimodal.Gif
     val pal = Array[Byte](255.toByte, 0, 0, /**/ 0, 255.toByte, 0, /**/ 9, 9, 9)

@@ -574,6 +574,12 @@ object GraftSql {
         cat.dropColumns(name, cols) // atomic: all-or-nothing
         registerViews(spark, cat)
         status(spark, "ALTER TABLE", name, cols.length.toLong)
+      // DROP RANGE PARTITION: Kudu's instant retention — one metadata write
+      // excludes the partition from every read; no rewrite, no tombstones
+      case AlterDropRangeHead(name, value) if cat.exists(name) =>
+        cat.dropRangePartition(name, value)
+        registerViews(spark, cat)
+        status(spark, "ALTER TABLE DROP RANGE PARTITION", name, 1L)
       // RENAME TO: one atomic directory move (metadata is path-relative)
       case AlterRenameHead(name, newName) if cat.exists(name) =>
         cat.renameTable(name, newName)
@@ -582,6 +588,9 @@ object GraftSql {
         status(spark, "ALTER TABLE RENAME", newName, 0L)
       case _ => spark.sql(stmt)
     }
+
+  private val AlterDropRangeHead =
+    """(?is)^ALTER\s+TABLE\s+`?([\w.]+)`?\s+DROP\s+RANGE\s+PARTITION\s+'([^']+)'$""".r
 
   private val AlterRenameHead =
     """(?is)^ALTER\s+TABLE\s+`?([\w.]+)`?\s+RENAME\s+TO\s+`?([\w.]+)`?$""".r

@@ -163,13 +163,108 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   /** Live base partition directories, relative to the data dir —
     * `__range=…/__bucket=…` shape (SHOW PARTITIONS). Metadata-only; delta
     * layers are not partitions (they are pending mutations of them).
+    * Dropped range partitions are absent, like Kudu tablets after a
+    * DROP RANGE PARTITION.
     */
   def partitionsOf(name: String): Seq[String] = {
     val dd = Paths.get(dataDir(name))
-    graft.sources.GraftScan.listParquet(dataDir(name))
+    liveBaseFiles(name)
       .map(f => dd.relativize(Paths.get(f).getParent).toString)
       .filter(s => s.contains("__range=") || s.contains("__bucket="))
       .distinct.sorted
+  }
+
+  /** Base parquet files minus dropped range partitions — the ONE listing
+    * every path-level base reader (connector planning, aligned insert,
+    * SHOW PARTITIONS) must use, or dropped rows resurrect on that path.
+    * The DataFrame read path applies the same exclusion as a partition
+    * filter in [[rawTable]].
+    */
+  private[graft] def liveBaseFiles(name: String): Seq[String] = {
+    val files = graft.sources.GraftScan.listParquet(dataDir(name))
+    val dropped = droppedRangesOf(name)
+    if (dropped.isEmpty) files
+    else {
+      val rx = "__range=([^/]+)".r
+      files.filterNot(f =>
+        rx.findFirstMatchIn(f).exists(m => dropped.contains(m.group(1))))
+    }
+  }
+
+  private def droppedRangesFile(name: String): Path =
+    tableDir(name).resolve("dropped_ranges")
+
+  /** Range partition values excluded from every read (metadata-only bulk
+    * delete — see [[dropRangePartition]]).
+    */
+  def droppedRangesOf(name: String): Seq[String] =
+    if (!Files.exists(droppedRangesFile(name))) Seq.empty
+    else Files.readString(droppedRangesFile(name))
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** ALTER TABLE … DROP RANGE PARTITION — Kudu's instant-retention verb and
+    * THE reason range partitioning exists at 100 TB: dropping a month of a
+    * 100-TB table is one metadata write (no rewrite, no tombstones, no
+    * shuffle; Kudu deletes the tablets). Mechanics here: the value joins
+    * `dropped_ranges` (tmp+ATOMIC_MOVE), every read path excludes it (the
+    * DataFrame path via a partition filter that prunes at planning, the
+    * file-listing paths via [[liveBaseFiles]]), and the NEXT compact/
+    * overwrite rebuilds the base without those directories and clears the
+    * list — the displaced generation (including the dropped dirs) is
+    * reclaimed by the existing litter sweep / VACUUM.
+    *
+    * Preconditions, both loud:
+    *  - no pending delta layers (they overlay every range; Kudu drops a
+    *    tablet WITH its delta stores — here compact() first makes the cut
+    *    exact);
+    *  - the partition must exist (dropping nothing is a caller bug).
+    *
+    * Writes touching a dropped range are REJECTED until a compact clears
+    * it (Kudu: no owning tablet for the row). Changelog consumers are
+    * invalidated via the base epoch — a partition drop never appears as
+    * CDC deletes, exactly like base appends never appear as inserts.
+    */
+  def dropRangePartition(name: String, value: String): Unit = {
+    rangeColOf(name).getOrElse(throw new CatalogException(
+      s"DROP RANGE PARTITION $name: table is not range-partitioned"))
+    if (deltaSeqs(name).nonEmpty)
+      throw new CatalogException(
+        s"DROP RANGE PARTITION $name '$value': pending delta layers overlay " +
+          s"every range — run compact(\"$name\") first so the cut is exact")
+    val rx = "__range=([^/]+)".r
+    val existing = liveBaseFiles(name)
+      .flatMap(f => rx.findFirstMatchIn(f).map(_.group(1))).distinct
+    if (!existing.contains(value))
+      throw new CatalogException(
+        s"DROP RANGE PARTITION $name: no live partition '$value' " +
+          s"(have: ${existing.sorted.mkString(", ")})")
+    // epoch first: an early bump on crash costs one spurious re-bootstrap;
+    // a late one would let a changelog consumer silently miss the drop
+    bumpBaseEpoch(name)
+    val next = (droppedRangesOf(name) :+ value).distinct.sorted
+    val tmp = tableDir(name).resolve(".dropped_tmp")
+    Files.writeString(tmp, next.mkString("\n"))
+    Files.move(tmp, droppedRangesFile(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Writes may not target a dropped range (Kudu: the row has no owning
+    * tablet). One cheap short-circuit job, and only on tables that
+    * currently carry a dropped range.
+    */
+  private def rejectDroppedRangeWrites(name: String, df: DataFrame): Unit = {
+    val dropped = droppedRangesOf(name)
+    if (dropped.nonEmpty) {
+      val rc = rangeColOf(name).get
+      val hit = df
+        .filter(date_format(col(rc), rangePattern(name)).isin(dropped: _*))
+        .limit(1).count() > 0
+      if (hit) throw new CatalogException(
+        s"$name: write targets dropped range partition(s) " +
+          s"${dropped.mkString(", ")} — compact() folds the drop into the " +
+          "base and re-opens the range")
+    }
   }
 
   /** All tables in this catalog root (directories carrying `_meta.json`). */
@@ -458,7 +553,12 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     var schema = readSchema(name)
     if (rangeColOf(name).isDefined) schema = schema.add(StructField(RangeCol, StringType))
     if (bucketsOf(name) > 0) schema = schema.add(StructField(BucketCol, IntegerType))
-    spark.read.schema(schema).parquet(dataDir(name))
+    val df = spark.read.schema(schema).parquet(dataDir(name))
+    // dropped range partitions: the filter is on a DIRECTORY column, so
+    // Spark prunes those partitions at planning — the DataFrame twin of
+    // liveBaseFiles' path exclusion
+    val dropped = droppedRangesOf(name)
+    if (dropped.isEmpty) df else df.filter(!col(RangeCol).isin(dropped: _*))
   }
 
   /** Shared partitioned-write path: range dirs (month granularity) outer,
@@ -663,6 +763,11 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       rangeFmt = rangePattern(name))
     val floor = rawDeltaSeqs(name).lastOption.getOrElse(0).max(deltaFloorOf(name))
     patchMeta(name, newDataName, floor) // COMMIT: repoint base + retire folded layers
+    // the folded base was built from the exclusion-filtered snapshot, so
+    // dropped range partitions are physically gone — clear the list (the
+    // range is writable again; a crash between COMMIT and here leaves a
+    // harmless no-op exclusion the next compact clears)
+    Files.deleteIfExists(droppedRangesFile(name))
   }
 
   def rangeColOf(name: String): Option[String] = {
@@ -821,6 +926,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       throw new CatalogException(
         s"insert schema ${df.schema.fieldNames.mkString(",")} does not match " +
           s"table schema ${schema.fieldNames.mkString(",")}")
+    rejectDroppedRangeWrites(name, df)
     val dedupedBatch = firstPerKey(df, schema.fieldNames.toSeq, keys)
     val buckets = bucketsOf(name)
     val hasDeltas = deltaSeqs(name).nonEmpty
@@ -892,7 +998,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val keyIdx = keys.map(dedupedBatch.schema.fieldIndex).toArray
     val bucketRx = "__bucket=(\\d+)".r
     val filesByBucket: Map[Int, Seq[String]] =
-      graft.sources.GraftScan.listParquet(dataDir(name))
+      liveBaseFiles(name) // dropped ranges excluded: their keys are re-insertable
         .flatMap(f => bucketRx.findFirstMatchIn(f).map(_.group(1).toInt -> f))
         .groupBy(_._1).map { case (b, fs) => b -> fs.map(_._2).sorted }
     val withBucket =
@@ -1105,6 +1211,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val n = obs.get("n").asInstanceOf[Long]
     val floor = rawDeltaSeqs(name).lastOption.getOrElse(0).max(deltaFloorOf(name))
     patchMeta(name, newDataName, floor) // COMMIT
+    Files.deleteIfExists(droppedRangesFile(name)) // overwrite defines a fresh table
     n
   }
 
@@ -1311,6 +1418,11 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * merge into every read. Empty batches commit nothing.
     */
   private def writeDelta(name: String, rows: DataFrame): Long = {
+    // a mutation may not target a dropped range (an upsert there would
+    // resurrect a partition Kudu considers deleted; tombstones for
+    // already-invisible keys are rejected with the same message — the
+    // snapshot-derived delete path never produces them)
+    rejectDroppedRangeWrites(name, rows)
     // number above BOTH the raw on-disk layers and the floor: a new layer
     // must never collide with (or hide under) a dead pre-overwrite sequence
     val seq = rawDeltaSeqs(name).lastOption.getOrElse(0)

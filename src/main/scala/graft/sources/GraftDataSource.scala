@@ -478,7 +478,7 @@ private[sources] final class GraftScanBuilder(root: String, tableName: String,
       case GraftCountCol(f) => f // needs per-chunk null counts, absent on INT96
     }.distinct
     if (minMaxCols.nonEmpty) {
-      val files = GraftScan.listParquet(cat.dataLocation(tableName))
+      val files = cat.liveBaseFiles(tableName)
       files.headOption.foreach { f =>
         val footer = ParquetFileReader.readFooter(
           HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), new Configuration()),
@@ -762,7 +762,7 @@ private[sources] final class GraftScan(root: String, tableName: String,
       // declines when any are pending), so the base files ARE the table.
       // Files chunk into ~defaultParallelism groups — footer reads
       // parallelize like any scan, each task emitting one partial row.
-      val files = GraftScan.listParquet(catalog.dataLocation(tableName)).sorted
+      val files = catalog.liveBaseFiles(tableName).sorted
       if (files.isEmpty)
         return Array(GraftAggPartition(Seq.empty, aggSpec))
       val chunk = math.max(1, math.ceil(
@@ -781,7 +781,9 @@ private[sources] final class GraftScan(root: String, tableName: String,
     // another month — its base row (old month) is only suppressed because
     // the overlay saw the superseding delta row (new month); pruning deltas
     // by range would resurrect the old version.
-    val baseFiles = GraftScan.listParquet(catalog.dataLocation(tableName))
+    // liveBaseFiles excludes dropped range partitions — the connector must
+    // agree with the catalog read path or dropped rows resurrect here
+    val baseFiles = catalog.liveBaseFiles(tableName)
       .filter(GraftScan.rangePruner(catalog, tableName, pushed))
     // snapshot read: plan only layers ≤ asOf — free with merge-on-read,
     // the overlay just stops at the version. Validated against the delta

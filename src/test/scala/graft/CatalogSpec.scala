@@ -760,6 +760,69 @@ class CatalogSpec extends SparkSpec {
       .head().getString(1) === "a")
   }
 
+  test("DROP RANGE PARTITION: metadata-only retention, every read path agrees") {
+    import spark.implicits._
+    val root = tmpDir("graft_droprange_")
+    val cat = new KuduLikeCatalog(spark, root)
+    def ts(s: String) = Timestamp.valueOf(s)
+    val rows = (1 to 90).map(i =>
+      (i.toLong, ts(f"2024-${i % 3 + 1}%02d-10 08:00:00"), s"v$i"))
+    val df0 = rows.toDF("id", "t", "v")
+    cat.createTable(TableDef("t", df0.schema, Seq("id"),
+      buckets = 2, rangeCol = Some("t")))
+    cat.insert("t", df0)
+    val epochBefore = cat.baseEpoch("t")
+
+    // drop with pending deltas must refuse
+    cat.upsert("t", Seq((1L, ts("2024-01-10 08:00:00"), "x")).toDF("id", "t", "v"))
+    val e1 = intercept[CatalogException](cat.dropRangePartition("t", "2024-02"))
+    assert(e1.getMessage.contains("compact"))
+    cat.compact("t")
+
+    // the drop: one metadata write; dirs stay on disk until the next compact
+    cat.dropRangePartition("t", "2024-02")
+    assert(cat.baseEpoch("t") > epochBefore, "changelog consumers must be invalidated")
+    assert(cat.droppedRangesOf("t") === Seq("2024-02"))
+    // id=1 was upserted into January above, so it survives the February drop
+    val expect =
+      rows.filterNot(_._2.toString.startsWith("2024-02")).map(_._1).toSet + 1L
+    assert(cat.table("t").collect().map(_.getLong(0)).toSet === expect)
+    assert(!cat.partitionsOf("t").exists(_.contains("2024-02")))
+    assert(graft.sources.GraftScan.listParquet(cat.dataLocation("t"))
+      .exists(_.contains("__range=2024-02")), "metadata-only: bytes still on disk")
+    // the connector planning path must agree with the catalog read path
+    val viaConnector = spark.read.format("graft").option("root", root).load("t")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaConnector === expect, "connector excludes dropped partitions too")
+    // footer-answered COUNT(*) must not overcount dropped files
+    val cnt = spark.read.format("graft").option("root", root).load("t")
+      .groupBy().count().head().getLong(0)
+    assert(cnt === expect.size.toLong)
+
+    // writes into the dropped range are rejected (no owning tablet)
+    val feb = Seq((999L, ts("2024-02-20 00:00:00"), "no")).toDF("id", "t", "v")
+    assert(intercept[CatalogException](cat.insert("t", feb))
+      .getMessage.contains("dropped range"))
+    assert(intercept[CatalogException](cat.upsert("t", feb))
+      .getMessage.contains("dropped range"))
+    // other ranges stay writable, and a dropped key is re-insertable there
+    assert(cat.insert("t",
+      Seq((2L, ts("2024-03-15 00:00:00"), "moved")).toDF("id", "t", "v")) ===
+      (if (expect.contains(2L)) 0L else 1L))
+
+    // nonexistent partition is a loud error
+    assert(intercept[CatalogException](cat.dropRangePartition("t", "2030-01"))
+      .getMessage.contains("no live partition"))
+
+    // compact folds the drop into the base and re-opens the range
+    cat.compact("t")
+    assert(cat.droppedRangesOf("t").isEmpty)
+    assert(!graft.sources.GraftScan.listParquet(cat.dataLocation("t"))
+      .exists(_.contains("__range=2024-02")), "fold physically removed the dirs")
+    assert(cat.insert("t", feb) === 1L, "range writable again after the fold")
+    assert(cat.table("t").filter(col("id") === 999L).count() === 1L)
+  }
+
   test("S6 bucket-aligned dup-check equals the generic anti-join, every key type") {
     import spark.implicits._
     val cat = new KuduLikeCatalog(spark, tmpDir("graft_aligned_"))

@@ -417,6 +417,26 @@ class SqlSurfaceSpec extends SparkSpec {
     intercept[CatalogException](sql("VACUUM no_such_table"))
   }
 
+  test("ALTER TABLE DROP RANGE PARTITION: SQL retention verb end-to-end") {
+    val (cat, sql) = fresh()
+    sql("""CREATE TABLE rt (id BIGINT, ts TIMESTAMP, v STRING)
+          |TBLPROPERTIES('kudu.key_columns'='id', 'graft.range_column'='ts')""".stripMargin)
+    sql("""INSERT INTO rt VALUES
+          |(1, TIMESTAMP'2024-01-05 00:00:00', 'a'),
+          |(2, TIMESTAMP'2024-02-05 00:00:00', 'b'),
+          |(3, TIMESTAMP'2024-03-05 00:00:00', 'c')""".stripMargin)
+    val st = sql("ALTER TABLE rt DROP RANGE PARTITION '2024-02'").head()
+    assert(st.getString(0) === "ALTER TABLE DROP RANGE PARTITION")
+    assert(sql("SELECT id FROM rt ORDER BY id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 3L))
+    assert(!sql("SHOW PARTITIONS rt").collect().map(_.getString(0))
+      .exists(_.contains("2024-02")))
+    val e = intercept[CatalogException](
+      sql("INSERT INTO rt VALUES (9, TIMESTAMP'2024-02-09 00:00:00', 'x')"))
+    assert(e.getMessage.contains("dropped range"))
+    assert(cat.droppedRangesOf("rt") === Seq("2024-02"))
+  }
+
   test("SHOW PARTITIONS lists range+bucket dirs; non-partitioned table errors") {
     val (_, sql) = fresh()
     sql("""CREATE TABLE pt (id BIGINT, ts TIMESTAMP, v STRING)

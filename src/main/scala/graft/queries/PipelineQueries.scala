@@ -4,7 +4,7 @@ import graft.{QDef, Tables}
 import graft.QDef._
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Chunker, Dedup, Quantize, Similarity}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -940,5 +940,68 @@ object PipelineQueries {
              |    ORDER BY md5('pick:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
              |  FROM clean) x
              |WHERE rn <= 10 ORDER BY doc_id""".stripMargin)),
+
+    // D37 symmetric int8 embedding quantization (operators/Quantize) — the
+    // 4x storage/bandwidth cut that makes billion-vector columns scannable.
+    // Per-row narrow HOF arithmetic; outputs are integers (scale and error
+    // in fixed nano-units) so the gate is exact. The oracle also proves the
+    // reconstruction bound empirically: max_err_e9 ~ scale_e9/2.
+    QDef("d37_embed_quantize",
+      (s, dir) => {
+        val q = Quantize.int8(
+          Tables.load(s, dir, "embeddings").select("vec_id", "embedding"),
+          "embedding")
+        q.select(col("vec_id"),
+            floor(col("scale") * lit(1e9)).cast("long").as("scale_e9"),
+            col("q_sum"), col("q_min"), col("q_max"), col("n_sat"),
+            col("max_err_e9"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id, embedding,
+             |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+             |  FROM embeddings),
+             |c AS (
+             |  SELECT vec_id, scale,
+             |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+             |         ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)/scale + 0.5) AS BIGINT)) END AS codes,
+             |    embedding
+             |  FROM q)
+             |SELECT vec_id,
+             |  CAST(floor(scale * 1e9) AS BIGINT) AS scale_e9,
+             |  CAST(list_sum(codes) AS BIGINT) AS q_sum,
+             |  CAST(list_min(codes) AS BIGINT) AS q_min,
+             |  CAST(list_max(codes) AS BIGINT) AS q_max,
+             |  CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_sat,
+             |  CAST(list_max(list_transform(list_zip(embedding, codes), p ->
+             |    floor(abs(CAST(struct_extract(p,1) AS DOUBLE) - CAST(struct_extract(p,2) AS DOUBLE) * scale) * 1e9))) AS BIGINT) AS max_err_e9
+             |FROM c ORDER BY vec_id""".stripMargin)),
+
+    // D38 sliding-window chunking (operators/Chunker): documents to
+    // overlapping 16-token windows at stride 12 — the doc-to-context-length
+    // step of a trainer feed. posexplode fan-out is per-row narrow work;
+    // chunk identity is pinned by md5 over the window text.
+    QDef("d38_chunk_overlap",
+      (s, dir) => {
+        Chunker.slidingWindow(
+            Tables.load(s, dir, "documents").select("doc_id", "text"),
+            "text", window = 16, stride = 12)
+          .select(col("doc_id"),
+            col("chunk_idx").cast("long").as("chunk_idx"),
+            col("tok_start").cast("long").as("tok_start"),
+            col("n_tok"), col("chunk_hash"), col("first_tok"), col("last_tok"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 12)) AS tok_start FROM t),
+             |c AS (SELECT doc_id, tok_start // 12 AS chunk_idx, tok_start,
+             |             toks[tok_start+1 : least(tok_start+16, len(toks))] AS chunk
+             |      FROM s)
+             |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             |       CAST(tok_start AS BIGINT) AS tok_start,
+             |       CAST(len(chunk) AS BIGINT) AS n_tok,
+             |       md5(array_to_string(chunk, ' ')) AS chunk_hash,
+             |       chunk[1] AS first_tok, chunk[len(chunk)] AS last_tok
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
   )
 }

@@ -32,7 +32,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the survey ledger claim") {
-    assert(SparkEntry.all.size === 147, s"ledger says 147, found ${SparkEntry.all.size}")
+    assert(SparkEntry.all.size === 149, s"ledger says 149, found ${SparkEntry.all.size}")
   }
 
   test("driver-side collect() stays confined to the documented bounded sites") {
@@ -51,7 +51,7 @@ class ContractSpec extends AnyFunSuite {
     //  - Smoke/Explain/Bench/Verify mains: driver tools, not operators
     val allowed = Set("AsOfJoin.scala", "IncrementalAgg.scala",
       "StreamingIngest.scala", "Bpe.scala", "Similarity.scala", "Smoke.scala",
-      "Explain.scala", "Bench.scala", "Verify.scala")
+      "Explain.scala", "Bench.scala", "Verify.scala", "SoloQ.scala")
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     val offenders = scala.util.Using.resource(java.nio.file.Files.walk(root)) { stream =>

@@ -310,4 +310,51 @@ class OperatorSpec extends SparkSpec {
     // sources with no in-edges hold exactly the (1-d) base mass
     assert(pr === Map(1L -> 150L, 3L -> 150L))
   }
+
+  test("D37: int8 quantization — codes bounded, max element saturates, " +
+    "error within scale/2, zero vector all-zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector: scale 0
+      (3L, Array(127.0f, -127.0f, 1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val q = graft.operators.Quantize.int8(df, "embedding")
+      .select("vec_id", "scale", "codes", "n_sat", "max_err_e9")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getSeq[Long](2), r.getLong(3), r.getLong(4)))).toMap
+    val (s1, c1, sat1, err1) = q(1L)
+    assert(s1 === 1.0 / 127.0)
+    assert(c1 === Seq(64L, -127L, 32L, 0L)) // 0.5/(1/127)=63.5 rounds half-up
+    assert(sat1 === 1L && c1.forall(c => math.abs(c) <= 127))
+    // reconstruction bound: |x - q*scale| <= scale/2 (+1 nano of float noise)
+    assert(err1 <= math.ceil(s1 / 2 * 1e9).toLong + 1)
+    val (s2, c2, sat2, err2) = q(2L)
+    assert(s2 === 0.0 && c2 === Seq(0L, 0L, 0L, 0L) && sat2 === 0L && err2 === 0L)
+    val (_, c3, sat3, _) = q(3L)
+    assert(c3 === Seq(127L, -127L, 1L, -1L) && sat3 === 2L)
+  }
+
+  test("D38: sliding-window chunking — full coverage with exact overlap, " +
+    "short doc yields one whole-doc chunk") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (0 until 30).map(i => s"t$i").mkString(" ")), // 30 tokens
+      (2L, "a b c")                                      // shorter than window
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.Chunker
+      .slidingWindow(docs, "text", window = 16, stride = 12, keepText = true)
+      .select("doc_id", "chunk_idx", "tok_start", "n_tok", "chunk_text")
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getString(4)))
+    val d1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    // starts 0,12,24: windows [0,16),[12,28),[24,30) — covers every token,
+    // consecutive chunks overlap by window-stride=4
+    assert(d1.map(c => (c._3, c._4)) === Seq((0, 16L), (12, 16L), (24, 6L)))
+    assert(d1(0)._5.split(" ").takeRight(4).toSeq ===
+      d1(1)._5.split(" ").take(4).toSeq)
+    val d2 = rows.filter(_._1 == 2L)
+    assert(d2.map(c => (c._2, c._3, c._4, c._5)).toSeq ===
+      Seq((0, 0, 3L, "a b c")))
+  }
 }

@@ -580,6 +580,12 @@ object GraftSql {
         cat.dropRangePartition(name, value)
         registerViews(spark, cat)
         status(spark, "ALTER TABLE DROP RANGE PARTITION", name, 1L)
+      // ADD RANGE PARTITION: re-open a dropped range EMPTY without the
+      // O(table) compact (hardlink generation swap — KuduLikeCatalog)
+      case AlterAddRangeHead(name, value) if cat.exists(name) =>
+        cat.addRangePartition(name, value)
+        registerViews(spark, cat)
+        status(spark, "ALTER TABLE ADD RANGE PARTITION", name, 1L)
       // RENAME TO: one atomic directory move (metadata is path-relative)
       case AlterRenameHead(name, newName) if cat.exists(name) =>
         cat.renameTable(name, newName)
@@ -591,6 +597,9 @@ object GraftSql {
 
   private val AlterDropRangeHead =
     """(?is)^ALTER\s+TABLE\s+`?([\w.]+)`?\s+DROP\s+RANGE\s+PARTITION\s+'([^']+)'$""".r
+
+  private val AlterAddRangeHead =
+    """(?is)^ALTER\s+TABLE\s+`?([\w.]+)`?\s+ADD\s+RANGE\s+PARTITION\s+'([^']+)'$""".r
 
   private val AlterRenameHead =
     """(?is)^ALTER\s+TABLE\s+`?([\w.]+)`?\s+RENAME\s+TO\s+`?([\w.]+)`?$""".r

@@ -249,6 +249,69 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** ALTER TABLE … ADD RANGE PARTITION — the other half of Kudu's range
+    * lifecycle: dropping a range and later re-opening it EMPTY (Kudu
+    * deletes the tablet on drop and creates a fresh one on add; the old
+    * rows never come back). Without this verb the only re-open path was a
+    * full compact — an O(table) rewrite to make one range writable again,
+    * which is exactly the 100-TB cost this verb exists to avoid.
+    *
+    * Mechanics, O(file-count metadata, zero data movement): every live
+    * base file EXCEPT the dropped range's subtree is HARDLINKED into a
+    * fresh `data_<epoch>` generation (same names, same bytes, `_sort`
+    * markers ride along), the meta swap repoints the base (COMMIT — same
+    * discipline as compact/overwrite, so crashed attempts are collected by
+    * the standard litter sweep), and the value leaves `dropped_ranges`, at
+    * which point writes to the range are accepted again and materialize
+    * fresh directories. Visible data never changes (the range was already
+    * excluded from every read), but the epoch bumps anyway — generation
+    * naming and changelog staleness guards share that counter, and one
+    * spurious consumer re-bootstrap beats a special-cased generation name.
+    *
+    * Adding a range that was never dropped is a no-op (ranges here
+    * materialize on first write — Kudu pre-declares tablets; we don't
+    * need to); adding one that is LIVE is a loud caller bug, like Kudu's
+    * "new range partition conflicts with existing one".
+    */
+  def addRangePartition(name: String, value: String): Unit = {
+    rangeColOf(name).getOrElse(throw new CatalogException(
+      s"ADD RANGE PARTITION $name: table is not range-partitioned"))
+    val rx = "__range=([^/]+)".r
+    val live = liveBaseFiles(name)
+      .flatMap(f => rx.findFirstMatchIn(f).map(_.group(1))).distinct
+    if (live.contains(value))
+      throw new CatalogException(
+        s"ADD RANGE PARTITION $name: range '$value' already exists")
+    if (!droppedRangesOf(name).contains(value)) return // declarative no-op
+    bumpBaseEpoch(name)
+    val oldDataName = dataDirNameOf(name)
+    val newDataName = s"data_${baseEpoch(name)}"
+    sweepDeadLitter(name, keep = Set(oldDataName, newDataName))
+    val oldBase = Paths.get(dataDir(name))
+    val staged = tableDir(name).resolve(newDataName)
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.walk(oldBase)) { stream =>
+      stream.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .filterNot(_.toString.contains(s"__range=$value"))
+        .foreach { f =>
+          val dest = staged.resolve(oldBase.relativize(f))
+          Files.createDirectories(dest.getParent)
+          Files.createLink(dest, f)
+        }
+    }
+    patchMeta(name, newDataName, deltaFloorOf(name)) // COMMIT: repoint base
+    val remaining = droppedRangesOf(name).filterNot(_ == value)
+    if (remaining.isEmpty) Files.deleteIfExists(droppedRangesFile(name))
+    else {
+      val tmp = tableDir(name).resolve(".dropped_tmp")
+      Files.writeString(tmp, remaining.mkString("\n"))
+      Files.move(tmp, droppedRangesFile(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** Writes may not target a dropped range (Kudu: the row has no owning
     * tablet). One cheap short-circuit job, and only on tables that
     * currently carry a dropped range.

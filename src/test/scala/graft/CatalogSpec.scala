@@ -823,6 +823,65 @@ class CatalogSpec extends SparkSpec {
     assert(cat.table("t").filter(col("id") === 999L).count() === 1L)
   }
 
+  test("ADD RANGE PARTITION: re-opens a dropped range empty via hardlink " +
+    "relink — no rewrite, no resurrection, other ranges byte-identical") {
+    import spark.implicits._
+    val root = tmpDir("graft_addrange_")
+    val cat = new KuduLikeCatalog(spark, root)
+    def ts(s: String) = Timestamp.valueOf(s)
+    val rows = (1 to 90).map(i =>
+      (i.toLong, ts(f"2024-${i % 3 + 1}%02d-10 08:00:00"), s"v$i"))
+    cat.createTable(TableDef("t", rows.toDF("id", "t", "v").schema, Seq("id"),
+      buckets = 2, rangeCol = Some("t")))
+    cat.insert("t", rows.toDF("id", "t", "v"))
+    val janFilesBefore = graft.sources.GraftScan
+      .listParquet(cat.dataLocation("t")).filter(_.contains("__range=2024-01"))
+
+    // a LIVE range cannot be re-added (Kudu: conflicting range)
+    assert(intercept[CatalogException](cat.addRangePartition("t", "2024-02"))
+      .getMessage.contains("already exists"))
+    // a never-dropped absent range is a declarative no-op: the write
+    // materializes it later, exactly as without the call
+    cat.addRangePartition("t", "2030-01")
+    assert(cat.insert("t",
+      Seq((500L, ts("2030-01-05 00:00:00"), "new")).toDF("id", "t", "v")) === 1L)
+
+    cat.dropRangePartition("t", "2024-02")
+    val genBefore = cat.baseEpoch("t")
+    cat.addRangePartition("t", "2024-02")
+    assert(cat.baseEpoch("t") > genBefore)
+    assert(cat.droppedRangesOf("t").isEmpty)
+
+    // re-opened EMPTY: the dropped rows never come back
+    val expect = rows.filterNot(_._2.toString.startsWith("2024-02"))
+      .map(_._1).toSet + 500L
+    assert(cat.table("t").collect().map(_.getLong(0)).toSet === expect)
+    assert(!cat.partitionsOf("t").exists(_.contains("2024-02")))
+
+    // surviving files are HARDLINKS of the old generation (same inode,
+    // zero data movement), and the file set is exactly "live minus dropped"
+    val after = graft.sources.GraftScan.listParquet(cat.dataLocation("t"))
+    assert(!after.exists(_.contains("__range=2024-02")))
+    val janAfter = after.filter(_.contains("__range=2024-01"))
+    assert(janAfter.map(f => f.substring(f.indexOf("__range="))).sorted ===
+      janFilesBefore.map(f => f.substring(f.indexOf("__range="))).sorted)
+    assert(java.nio.file.Files.isSameFile(
+      java.nio.file.Paths.get(janFilesBefore.head),
+      java.nio.file.Paths.get(janAfter.find(a =>
+        a.endsWith(janFilesBefore.head.substring(
+          janFilesBefore.head.indexOf("__range=")))).get)),
+      "relink must hardlink, not copy")
+
+    // the range accepts writes again and fills from empty
+    val feb = Seq((999L, ts("2024-02-20 00:00:00"), "back")).toDF("id", "t", "v")
+    assert(cat.insert("t", feb) === 1L)
+    assert(cat.table("t").filter(col("id") === 999L).count() === 1L)
+    // and the SQL verb routes to the same mechanics
+    Tables.registerAll(spark, sf)
+    val st = GraftSql.execute(spark, cat, "ALTER TABLE t ADD RANGE PARTITION '2031-07'").head()
+    assert(st.getString(0) === "ALTER TABLE ADD RANGE PARTITION")
+  }
+
   test("S6 bucket-aligned dup-check equals the generic anti-join, every key type") {
     import spark.implicits._
     val cat = new KuduLikeCatalog(spark, tmpDir("graft_aligned_"))

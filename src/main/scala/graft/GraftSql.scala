@@ -586,6 +586,12 @@ object GraftSql {
         cat.addRangePartition(name, value)
         registerViews(spark, cat)
         status(spark, "ALTER TABLE ADD RANGE PARTITION", name, 1L)
+      // RENAME COLUMN: the honest O(table) fold+rewrite (no field-ID
+      // indirection in this layout — KuduLikeCatalog.renameColumn)
+      case AlterRenameColHead(name, from, to) if cat.exists(name) =>
+        cat.renameColumn(name, from, to)
+        registerViews(spark, cat)
+        status(spark, "ALTER TABLE RENAME COLUMN", name, 1L)
       // RENAME TO: one atomic directory move (metadata is path-relative)
       case AlterRenameHead(name, newName) if cat.exists(name) =>
         cat.renameTable(name, newName)
@@ -600,6 +606,9 @@ object GraftSql {
 
   private val AlterAddRangeHead =
     """(?is)^ALTER\s+TABLE\s+`?([\w.]+)`?\s+ADD\s+RANGE\s+PARTITION\s+'([^']+)'$""".r
+
+  private val AlterRenameColHead =
+    """(?is)^ALTER\s+TABLE\s+`?([\w.]+)`?\s+RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?$""".r
 
   private val AlterRenameHead =
     """(?is)^ALTER\s+TABLE\s+`?([\w.]+)`?\s+RENAME\s+TO\s+`?([\w.]+)`?$""".r

@@ -1171,6 +1171,73 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       StructType(schema.fields.filterNot(f => columns.contains(f.name))))
   }
 
+  /** ALTER TABLE … RENAME COLUMN (Kudu supports it online). Unlike
+    * ADD/DROP COLUMN — metadata-only here because parquet
+    * missing-column/projection semantics absorb them — a rename must
+    * REWRITE: the physical files spell the old name, and this layout
+    * identifies columns by name (no Iceberg-style field IDs / Delta-style
+    * column mapping). So the verb is the honest O(table) fold: merge
+    * base+deltas through the connector scan (per-bucket overlay probe, the
+    * compact path), rename, rewrite a fresh generation, and COMMIT schema +
+    * key/hash/range references + base pointer + delta floor in ONE atomic
+    * meta swap — no instant where the pointer names one schema and the
+    * files another. The known O(metadata) design is column-ID indirection
+    * carried through every scan surface (catalog reads, connector
+    * pushdown/stats/SPJ/runtime filtering); it buys rename-without-rewrite
+    * at the cost of a mapping layer on every one of those paths, and this
+    * engine's single-invariant layout (file schema == declared schema) is
+    * the deliberate trade. Key, hash-bucket and range-partition columns
+    * may be renamed: bucket routing hashes VALUES, not names, and range
+    * directory values are name-independent, so the rewritten layout is
+    * bit-identical in placement.
+    */
+  def renameColumn(name: String, from: String, to: String): Unit = {
+    if (!exists(name)) throw new CatalogException(s"table $name does not exist")
+    assertZone(name)
+    val schema = readSchema(name)
+    if (!schema.fieldNames.contains(from))
+      throw new CatalogException(s"$name has no column $from")
+    if (schema.fieldNames.contains(to))
+      throw new CatalogException(s"$name already has a column $to")
+    if (!to.matches("[A-Za-z_][A-Za-z0-9_]*"))
+      throw new CatalogException(s"invalid column name '$to'")
+    def ren(s: Seq[String]) = s.map(c => if (c == from) to else c)
+    val keys = keyColsOf(name)
+    val merged = spark.read.format("graft").option("root", root).load(name)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+      .withColumnRenamed(from, to) // position preserved
+    bumpBaseEpoch(name)
+    val oldDataName = dataDirNameOf(name)
+    val newDataName = s"data_${baseEpoch(name)}"
+    sweepDeadLitter(name, keep = Set(oldDataName, newDataName))
+    val staged = tableDir(name).resolve(newDataName)
+    val folded =
+      if (bucketsOf(name) > 0 || rangeColOf(name).isDefined) merged
+      else merged.repartition(spark.sparkContext.defaultParallelism, ren(keys).map(col): _*)
+    writePartitioned(folded, ren(keys), bucketsOf(name),
+      rangeColOf(name).map(c => if (c == from) to else c),
+      staged.toString, SaveMode.Overwrite, sortCols = ren(keys),
+      hashCols = ren(hashColsOf(name)), rangeFmt = rangePattern(name))
+    val newSchema = StructType(
+      schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    val d = TableDef(name, newSchema, ren(keys), bucketsOf(name),
+      rangeColOf(name).map(c => if (c == from) to else c),
+      hashCols = {
+        val h = ren(hashColsOf(name)); if (h == ren(keys)) Seq.empty else h
+      },
+      rangeGranularity = rangeGranularityOf(name))
+    val floor = rawDeltaSeqs(name).lastOption.getOrElse(0).max(deltaFloorOf(name))
+    val full = s"""{"dataDir":"$newDataName","deltaFloor":$floor,""" +
+      metaJson(d, d.schema, zoneOf(name)).drop(1)
+    val tmp = tableDir(name).resolve(".meta_tmp")
+    Files.writeString(tmp, full)
+    Files.move(tmp, metaFile(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING) // COMMIT
+    // the fold read the exclusion-filtered snapshot (same as compact)
+    Files.deleteIfExists(droppedRangesFile(name))
+  }
+
   /** Atomically swap the declared schema in the meta manifest, carrying the
     * manifest fields forward — dropping them would silently repoint the
     * base to `data` and resurrect floored delta layers — in ONE write (a

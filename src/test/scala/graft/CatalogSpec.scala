@@ -882,6 +882,52 @@ class CatalogSpec extends SparkSpec {
     assert(st.getString(0) === "ALTER TABLE ADD RANGE PARTITION")
   }
 
+  test("RENAME COLUMN: one-swap fold+rewrite — key/hash/range refs follow, " +
+    "deltas folded, bucket routing and range pruning survive the new name") {
+    import spark.implicits._
+    val root = tmpDir("graft_rencol_")
+    val cat = new KuduLikeCatalog(spark, root)
+    def ts(s: String) = Timestamp.valueOf(s)
+    val rows = (1 to 60).map(i =>
+      (i.toLong, ts(f"2024-${i % 2 + 1}%02d-10 08:00:00"), s"v$i"))
+    cat.createTable(TableDef("t", rows.toDF("id", "t", "v").schema, Seq("id"),
+      buckets = 2, rangeCol = Some("t")))
+    cat.insert("t", rows.toDF("id", "t", "v"))
+    // pending delta: the rename must fold it, not lose it
+    cat.upsert("t", Seq((7L, ts("2024-01-10 08:00:00"), "patched"))
+      .toDF("id", "t", "v"))
+
+    // loud caller bugs first
+    assert(intercept[CatalogException](cat.renameColumn("t", "nope", "x"))
+      .getMessage.contains("no column"))
+    assert(intercept[CatalogException](cat.renameColumn("t", "v", "id"))
+      .getMessage.contains("already has"))
+    assert(intercept[CatalogException](cat.renameColumn("t", "v", "bad name"))
+      .getMessage.contains("invalid"))
+
+    // rename the KEY column (also the hash-bucket column) — the hardest case
+    cat.renameColumn("t", "id", "doc_id")
+    assert(cat.keyColsOf("t") === Seq("doc_id"))
+    assert(cat.schemaOf("t").fieldNames.toSeq === Seq("doc_id", "t", "v"))
+    val got = cat.table("t").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.size === 60 && got(7L) === "patched", "delta folded through the rename")
+    // dup-ignore still routes to the right bucket under the new name
+    assert(cat.insert("t",
+      Seq((7L, ts("2024-01-10 08:00:00"), "dup")).toDF("doc_id", "t", "v")) === 0L)
+    assert(cat.insert("t",
+      Seq((500L, ts("2024-02-01 00:00:00"), "new")).toDF("doc_id", "t", "v")) === 1L)
+
+    // rename the RANGE column: pruning metadata follows
+    cat.renameColumn("t", "t", "event_ts")
+    assert(cat.rangeColOf("t") === Some("event_ts"))
+    assert(cat.partitionsOf("t").exists(_.contains("2024-01")))
+    assert(cat.lookup("t", 7L).head().getString(2) === "patched")
+
+    // SQL verb end-to-end, then DESCRIBE shows the new name
+    GraftSql.execute(spark, cat, "ALTER TABLE t RENAME COLUMN v TO body")
+    assert(cat.schemaOf("t").fieldNames.toSeq === Seq("doc_id", "event_ts", "body"))
+  }
+
   test("S6 bucket-aligned dup-check equals the generic anti-join, every key type") {
     import spark.implicits._
     val cat = new KuduLikeCatalog(spark, tmpDir("graft_aligned_"))

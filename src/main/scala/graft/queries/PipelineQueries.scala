@@ -1003,5 +1003,36 @@ object PipelineQueries {
              |       md5(array_to_string(chunk, ' ')) AS chunk_hash,
              |       chunk[1] AS first_tok, chunk[len(chunk)] AS last_tok
              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // D39 dataset card: the per-source corpus report a training pipeline
+    // publishes with every snapshot — doc/token/char totals, language
+    // spread, exact-dup rate. One partial-aggregating shuffle on `source`
+    // (low cardinality); token counts are computed in the map side's narrow
+    // projection, so at 100 TB this is one pass + a tiny reduce. All-integer
+    // output keeps the gate exact.
+    QDef("d39_corpus_report",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(col("source"), col("lang"), col("n_chars"),
+            sha2(col("text"), 256).as("h"),
+            size(split(col("text"), " ")).cast("long").as("tok"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("tok").as("total_tokens"),
+            sum("n_chars").as("total_chars"),
+            countDistinct(col("lang")).as("n_langs"),
+            countDistinct(col("h")).as("n_unique_texts"))
+          .withColumn("n_dup_docs", col("n_docs") - col("n_unique_texts"))
+          .orderBy("source")
+      },
+      Some("""SELECT source,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             |  CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_unique_texts,
+             |  CAST(count(*) - count(DISTINCT sha256(text)) AS BIGINT) AS n_dup_docs
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
   )
 }

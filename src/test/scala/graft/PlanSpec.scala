@@ -134,6 +134,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("D37/D38: quantization and chunking are narrow per-row maps — the " +
+    "only exchange is the oracle gate's final ordering") {
+    for (name <- Seq("d37_embed_quantize", "d38_chunk_overlap")) {
+      val p = planOf(name)
+      // no join, no window, no aggregation exchange: the operator itself
+      // never shuffles; at 100 TB it is a single pass over the corpus
+      assert(!p.contains("Join"), s"$name: $p")
+      assert(!p.contains("Window"), s"$name: $p")
+      // formatted mode prints each node in the tree AND a details section —
+      // count the numbered detail headers, one per physical node
+      assert("""\(\d+\) Exchange""".r.findAllIn(p).size === 1,
+        s"$name: one sort exchange only\n$p")
+    }
+    assert(planOf("d38_chunk_overlap").contains("Generate"), "posexplode fan-out")
+  }
+
   test("runtime bloom-filter injection prunes the fact side of a selective shuffle join") {
     // At 100 TB the fact scan of a selective shuffle join is the cost; Spark's
     // InjectRuntimeFilter builds a bloom filter from the filtered (small) side

@@ -53,12 +53,6 @@ object GraftSql {
       describe(spark, cat, stmt)
     else if (upper == "SHOW TABLES") showTables(spark, cat)
     else if (upper.startsWith("SHOW CREATE TABLE")) showCreate(spark, cat, stmt)
-    // SHOW TABLES — the Hive CLI staple; lists CATALOG tables (the
-    // reference's surface), not the session's temp views
-    else if (upper.trim == "SHOW TABLES") {
-      import spark.implicits._
-      cat.tableNames.sorted.toDF("tableName")
-    }
     else if (upper.startsWith("SHOW PARTITIONS")) showPartitions(spark, cat, stmt)
     else if (upper.startsWith("TRUNCATE TABLE")) truncate(spark, cat, stmt)
     else if (upper.startsWith("OPTIMIZE ")) optimize(spark, cat, stmt)

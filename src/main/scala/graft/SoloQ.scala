@@ -22,6 +22,8 @@ object SoloQ {
     spark.range(1000).selectExpr("sum(id)").collect()
     val names = args.toSeq
     val qs = SparkEntry.all.filter(q => names.contains(q.name))
+    val unknown = names.filterNot(qs.map(_.name).contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     qs.foreach { q =>
       val fn = q.benchFn.getOrElse(q.fn)
       for (i <- 1 to 4) {

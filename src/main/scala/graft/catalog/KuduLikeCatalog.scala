@@ -274,6 +274,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * "new range partition conflicts with existing one".
     */
   def addRangePartition(name: String, value: String): Unit = {
+    if (!exists(name)) throw new CatalogException(s"table $name does not exist")
     rangeColOf(name).getOrElse(throw new CatalogException(
       s"ADD RANGE PARTITION $name: table is not range-partitioned"))
     val rx = "__range=([^/]+)".r
@@ -293,7 +294,10 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     scala.util.Using.resource(Files.walk(oldBase)) { stream =>
       stream.iterator().asScala
         .filter(Files.isRegularFile(_))
-        .filterNot(_.toString.contains(s"__range=$value"))
+        // EXACT segment match, same contract as liveBaseFiles — substring
+        // containment would also exclude values this one merely prefixes
+        .filterNot(f =>
+          rx.findFirstMatchIn(f.toString).exists(_.group(1) == value))
         .foreach { f =>
           val dest = staged.resolve(oldBase.relativize(f))
           Files.createDirectories(dest.getParent)

@@ -28,8 +28,12 @@ object Chunker {
       keepText: Boolean = false): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")
-    val toks = split(col(textCol), " ")
-    val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride))
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    // NULL text yields ZERO chunks (posexplode of an empty array drops the
+    // row) — greatest(null-1, 0) would otherwise fabricate one start offset
+    // and emit a garbage chunk the trainer path must never see
+    val starts = when(col(textCol).isNull, array())
+      .otherwise(sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)))
     val out = df
       .withColumn("__toks", toks)
       .select(col("*"), posexplode(starts).as(Seq("chunk_idx", "tok_start")))

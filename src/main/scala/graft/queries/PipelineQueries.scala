@@ -1015,7 +1015,7 @@ object PipelineQueries {
         Tables.load(s, dir, "documents")
           .select(col("source"), col("lang"), col("n_chars"),
             sha2(col("text"), 256).as("h"),
-            size(split(col("text"), " ")).cast("long").as("tok"))
+            TF.tokenCount(col("text")).cast("long").as("tok"))
           .groupBy("source")
           .agg(
             count(lit(1)).as("n_docs"),

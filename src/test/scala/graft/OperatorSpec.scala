@@ -340,7 +340,8 @@ class OperatorSpec extends SparkSpec {
     import spark.implicits._
     val docs = Seq(
       (1L, (0 until 30).map(i => s"t$i").mkString(" ")), // 30 tokens
-      (2L, "a b c")                                      // shorter than window
+      (2L, "a b c"),                                     // shorter than window
+      (3L, null.asInstanceOf[String])                    // NULL text: no chunks
     ).toDF("doc_id", "text")
     val rows = graft.operators.Chunker
       .slidingWindow(docs, "text", window = 16, stride = 12, keepText = true)
@@ -356,5 +357,6 @@ class OperatorSpec extends SparkSpec {
     val d2 = rows.filter(_._1 == 2L)
     assert(d2.map(c => (c._2, c._3, c._4, c._5)).toSeq ===
       Seq((0, 0, 3L, "a b c")))
+    assert(!rows.exists(_._1 == 3L), "NULL text must yield zero chunks")
   }
 }

@@ -437,17 +437,6 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(cat.droppedRangesOf("rt") === Seq("2024-02"))
   }
 
-  test("SHOW TABLES lists catalog tables, sorted — never the session's temp views") {
-    val (cat, sql) = fresh()
-    sql("CREATE TABLE zz_b (id BIGINT, v STRING) TBLPROPERTIES('kudu.key_columns'='id')")
-    sql("CREATE TABLE aa_a (id BIGINT, v STRING) TBLPROPERTIES('kudu.key_columns'='id')")
-    spark.range(1).createOrReplaceTempView("not_a_catalog_table")
-    val names = sql("SHOW TABLES").collect().map(_.getString(0)).toSeq
-    assert(names === Seq("aa_a", "zz_b"))
-    sql("DROP TABLE aa_a")
-    assert(sql("SHOW TABLES").collect().map(_.getString(0)).toSeq === Seq("zz_b"))
-  }
-
   test("SHOW PARTITIONS lists range+bucket dirs; non-partitioned table errors") {
     val (_, sql) = fresh()
     sql("""CREATE TABLE pt (id BIGINT, ts TIMESTAMP, v STRING)

@@ -40,6 +40,17 @@ object Verify {
         outFields(q.name) = fields
       } catch { case e: Throwable =>
         System.err.println(s"[verify] ${q.name} failed: ${e.getMessage}")
+        // The round-8 trap: an errored query left NO output, and the
+        // driver's gate silently shrank (126/126 reported where 126/128 was
+        // the truth). Write a one-row __error marker instead — it can never
+        // match any oracle, so the failure lands in CORRECTNESS_r{N} as a
+        // loud per-query mismatch under the query's own name.
+        try {
+          import spark.implicits._
+          Seq(("__error", String.valueOf(e.getMessage).take(500)))
+            .toDF("__error", "message").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/${q.name}")
+        } catch { case _: Throwable => () }
       }
     }
     def wrapOracle(name: String, sql: String): String =

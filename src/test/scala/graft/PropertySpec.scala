@@ -53,6 +53,9 @@ class PropertySpec extends SparkSpec {
       def batch() = List.fill(8)((rnd.nextInt(12), rnd.nextInt(1000).toString))
 
       var model = Map.empty[Int, String]
+      // the value column's CURRENT name — RENAME COLUMN flips it mid-run,
+      // and every later batch must speak the renamed schema
+      var vName = "v"
       // tableAsOf(v) is only stable while version numbering is stable —
       // base appends (insert with no pending deltas) and compact() both
       // change what version 0 means, so snapshots re-baseline there
@@ -60,19 +63,19 @@ class PropertySpec extends SparkSpec {
       val snapshots = scala.collection.mutable.ArrayBuffer[(Int, Map[Int, String])]()
 
       (1 to 12).foreach { step =>
-        rnd.nextInt(8) match {
+        rnd.nextInt(9) match {
           case 0 => // INSERT: only keys not live land; in-batch survivor = min v
             val b = batch()
             val newRows = b.groupBy(_._1).collect {
               case (k, vs) if !model.contains(k) => (k, vs.map(_._2).min)
             }
-            val n = cat.insert("t", b.toDF("id", "v"))
+            val n = cat.insert("t", b.toDF("id", vName))
             assert(n === newRows.size, s"iter $iter step $step insert count")
             model ++= newRows
             if (!deltasExist) snapshots.clear() // landed in the base
           case 1 => // UPSERT: every key in the batch replaced
             val b = batch()
-            cat.upsert("t", b.toDF("id", "v"))
+            cat.upsert("t", b.toDF("id", vName))
             model ++= b.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).min) }
             deltasExist = true
           case 2 => // DELETE by key predicate
@@ -88,7 +91,7 @@ class PropertySpec extends SparkSpec {
             snapshots.clear()
           case 4 => // OVERWRITE: truncate-and-load, in-batch survivor = min v
             val b = batch()
-            val n = cat.overwrite("t", b.toDF("id", "v"))
+            val n = cat.overwrite("t", b.toDF("id", vName))
             model = b.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).min) }
             assert(n === model.size, s"iter $iter step $step overwrite count")
             deltasExist = false // layers discarded with the old contents
@@ -102,6 +105,15 @@ class PropertySpec extends SparkSpec {
           case 7 => // maybeCompact: compacts iff layers exceed the threshold
             val ran = cat.maybeCompact("t", maxPendingLayers = 1)
             if (ran) { deltasExist = false; snapshots.clear() }
+          case 8 => // RENAME COLUMN: state-invariant modulo the name;
+            // folds deltas + rewrites the base, so it re-baselines like
+            // compact, and every later batch must use the new schema
+            val next = if (vName == "v") "w" else "v"
+            cat.renameColumn("t", vName, next)
+            vName = next
+            assert(cat.schemaOf("t").fieldNames.toSeq === Seq("id", vName))
+            deltasExist = false
+            snapshots.clear()
         }
         if (deltasExist) snapshots += ((cat.currentVersion("t"), model))
         val got = cat.table("t").collect().map(x => (x.getInt(0), x.getString(1))).toSet
@@ -113,6 +125,15 @@ class PropertySpec extends SparkSpec {
           .map(x => (x.getInt(0), x.getString(1))).toSet
         assert(got === m.toSet, s"iter $iter snapshot v$v")
       }
+      // the seeded draw may never hit case 8 — exercise rename explicitly
+      // (after the snapshot replay: a rename re-baselines version numbering)
+      val next = if (vName == "v") "w" else "v"
+      cat.renameColumn("t", vName, next)
+      vName = next
+      val renamed = cat.table("t").collect()
+        .map(x => (x.getInt(0), x.getString(1))).toSet
+      assert(renamed === model.toSet, s"iter $iter post-rename state")
+      assert(cat.schemaOf("t").fieldNames.toSeq === Seq("id", vName))
     }
   }
 

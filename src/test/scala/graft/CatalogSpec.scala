@@ -880,6 +880,25 @@ class CatalogSpec extends SparkSpec {
     Tables.registerAll(spark, sf)
     val st = GraftSql.execute(spark, cat, "ALTER TABLE t ADD RANGE PARTITION '2031-07'").head()
     assert(st.getString(0) === "ALTER TABLE ADD RANGE PARTITION")
+
+    // re-opening ONE of several dropped ranges: the others stay excluded
+    // (the dropped list shrinks, never clears wholesale)
+    cat.dropRangePartition("t", "2024-01")
+    cat.dropRangePartition("t", "2024-03")
+    cat.addRangePartition("t", "2024-01")
+    assert(cat.droppedRangesOf("t") === Seq("2024-03"))
+    // of the original ids 1..90 (month = id%3+1), none from the re-opened
+    // January nor the still-dropped March may remain
+    val kept = cat.table("t").collect().map(_.getLong(0)).toSet
+    assert(!kept.exists(id => id <= 90 && (id % 3) + 1 == 1),
+      "re-opened January stays empty")
+    assert(!kept.exists(id => id <= 90 && (id % 3) + 1 == 3), "March stays dropped")
+    assert(kept === Set(500L, 999L))
+    assert(intercept[CatalogException](cat.insert("t",
+      Seq((777L, ts("2024-03-15 00:00:00"), "no")).toDF("id", "t", "v")))
+      .getMessage.contains("dropped range"))
+    assert(cat.insert("t",
+      Seq((778L, ts("2024-01-15 00:00:00"), "yes")).toDF("id", "t", "v")) === 1L)
   }
 
   test("RENAME COLUMN: one-swap fold+rewrite — key/hash/range refs follow, " +

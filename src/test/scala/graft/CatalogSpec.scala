@@ -899,6 +899,10 @@ class CatalogSpec extends SparkSpec {
       .getMessage.contains("dropped range"))
     assert(cat.insert("t",
       Seq((778L, ts("2024-01-15 00:00:00"), "yes")).toDF("id", "t", "v")) === 1L)
+    // the connector planning path must agree with the catalog about which
+    // ranges are live after the partial re-open
+    assert(spark.read.format("graft").option("root", root).load("t")
+      .collect().map(_.getLong(0)).toSet === Set(500L, 999L, 778L))
   }
 
   test("RENAME COLUMN: one-swap fold+rewrite — key/hash/range refs follow, " +
@@ -945,6 +949,10 @@ class CatalogSpec extends SparkSpec {
     // SQL verb end-to-end, then DESCRIBE shows the new name
     GraftSql.execute(spark, cat, "ALTER TABLE t RENAME COLUMN v TO body")
     assert(cat.schemaOf("t").fieldNames.toSeq === Seq("doc_id", "event_ts", "body"))
+    // the connector presents the renamed schema and the same rows
+    val viaConn = spark.read.format("graft").option("root", root).load("t")
+    assert(viaConn.schema.fieldNames.toSeq === Seq("doc_id", "event_ts", "body"))
+    assert(viaConn.count() === 61L)
   }
 
   test("S6 bucket-aligned dup-check equals the generic anti-join, every key type") {

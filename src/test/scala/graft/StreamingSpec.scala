@@ -446,4 +446,34 @@ class StreamingSpec extends SparkSpec {
       assert(exact(t) - c <= bound, s"'$t' undercount beyond the MG bound")
     }
   }
+
+  test("streaming trainer feed: chunking is stateless per-row — stream == batch " +
+    "regardless of micro-batch cuts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, (0 until 40).map(i => s"a$i").mkString(" ")),
+      (2L, (0 until 25).map(i => s"b$i").mkString(" ")),
+      (3L, "x y z"))
+    val stream = MemoryStream[(Long, String)]
+    def chunked(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Chunker.slidingWindow(
+        df.toDF("doc_id", "text"), "text", window = 16, stride = 12)
+    val q = chunked(stream.toDF()).writeStream.outputMode("append")
+      .format("memory").queryName("chunk_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // two uneven micro-batches: a narrow per-row op must not care
+    stream.addData(docs.take(1)); q.processAllAvailable()
+    stream.addData(docs.drop(1)); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(3), r.getString(4))
+    val streamed = spark.table("chunk_out")
+      .select("doc_id", "chunk_idx", "tok_start", "n_tok", "chunk_hash")
+      .collect().map(key).toSet
+    val batch = chunked(docs.toDF("doc_id", "text"))
+      .select("doc_id", "chunk_idx", "tok_start", "n_tok", "chunk_hash")
+      .collect().map(key).toSet
+    assert(streamed === batch && streamed.nonEmpty)
+  }
 }

@@ -317,20 +317,29 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   }
 
   /** Writes may not target a dropped range (Kudu: the row has no owning
-    * tablet). One cheap short-circuit job, and only on tables that
-    * currently carry a dropped range.
+    * tablet). Free on tables with no dropped range (the common state: the
+    * input passes through untouched, zero jobs). When a dropped range
+    * exists, the batch is pinned with ONE evaluation (localCheckpoint) and
+    * the returned pinned frame MUST be what the caller writes: checking
+    * `df` and then re-evaluating it for the write would compute expensive
+    * inputs twice, and a nondeterministic input could pass the check yet
+    * materialize a dropped-range row on the second evaluation, silently
+    * resurrecting the partition.
     */
-  private def rejectDroppedRangeWrites(name: String, df: DataFrame): Unit = {
+  private def rejectDroppedRangeWrites(name: String, df: DataFrame): DataFrame = {
     val dropped = droppedRangesOf(name)
-    if (dropped.nonEmpty) {
+    if (dropped.isEmpty) df
+    else {
       val rc = rangeColOf(name).get
-      val hit = df
+      val pinned = df.localCheckpoint(true)
+      val hit = pinned
         .filter(date_format(col(rc), rangePattern(name)).isin(dropped: _*))
         .limit(1).count() > 0
       if (hit) throw new CatalogException(
         s"$name: write targets dropped range partition(s) " +
           s"${dropped.mkString(", ")} — compact() folds the drop into the " +
           "base and re-opens the range")
+      pinned
     }
   }
 
@@ -343,9 +352,25 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       .map(_.getName).sorted.toSeq
   }
 
+  /** Names starting with the internal `__` prefix are reserved for the
+    * layout's synthetic columns (`__range`, `__bucket`, `__op`, `__seq`,
+    * `__prio`): a user column with such a name would collide with the
+    * directory-partition columns on read and the delta-overlay columns on
+    * write. Enforced uniformly at CREATE, ADD COLUMN, and RENAME COLUMN.
+    */
+  private def assertLegalColumnName(c: String): Unit = {
+    if (!c.matches("[A-Za-z_][A-Za-z0-9_]*"))
+      throw new CatalogException(s"invalid column name '$c'")
+    if (c.startsWith("__"))
+      throw new CatalogException(
+        s"column name '$c' is reserved: the __ prefix names internal " +
+          "partition/overlay columns (__range, __bucket, __op, __seq, __prio)")
+  }
+
   /** Validate a TableDef against the reference's rules. */
   def validate(d: TableDef): Unit = {
     d.schema.fields.foreach { f =>
+      assertLegalColumnName(f.name)
       if (!allowedTypes.contains(f.dataType))
         throw new CatalogException(
           s"${f.dataType.simpleString} is not supported for column ${f.name}: " +
@@ -993,8 +1018,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       throw new CatalogException(
         s"insert schema ${df.schema.fieldNames.mkString(",")} does not match " +
           s"table schema ${schema.fieldNames.mkString(",")}")
-    rejectDroppedRangeWrites(name, df)
-    val dedupedBatch = firstPerKey(df, schema.fieldNames.toSeq, keys)
+    val batch = rejectDroppedRangeWrites(name, df)
+    val dedupedBatch = firstPerKey(batch, schema.fieldNames.toSeq, keys)
     val buckets = bucketsOf(name)
     val hasDeltas = deltaSeqs(name).nonEmpty
     // Dup-check. Bucket-aligned path for bucketed delta-free tables: every
@@ -1007,7 +1032,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     // (a tombstoned key IS insertable), so those fall back to the generic
     // anti-join against the merged snapshot.
     val toInsert =
-      (if (buckets > 0 && !hasDeltas)
+      (if (buckets > 0 && !hasDeltas && alignedKeyTypesOk(schema, keys))
         alignedNewRows(name, dedupedBatch, keys, buckets, hashColsOf(name))
       else
         dedupedBatch.join(
@@ -1035,6 +1060,21 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       n
     }
   }
+
+  /** Key types the bucket-aligned dup check explicitly normalizes
+    * ([[KuduLikeCatalog.filterAgainstBucketFiles]] normBatchKey/normFileKey).
+    * Any OTHER key type routes to the generic anti-join — the two dup-check
+    * engines must never diverge because a representation (file-side catalyst
+    * value vs batch-side external value) was left un-normalized.
+    */
+  private def alignedKeyTypesOk(schema: StructType, keys: Seq[String]): Boolean =
+    keys.forall(k => schema(k).dataType match {
+      case StringType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | BooleanType | BinaryType |
+           TimestampType | TimestampNTZType | DateType => true
+      case _: DecimalType => true
+      case _ => false
+    })
 
   /** Bucket-aligned duplicate-key filter (the Kudu shape: key existence is
     * a tablet-local question answered by the tablet's own key index —
@@ -1135,6 +1175,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     fields.foreach { field =>
       if (!taken.add(field.name))
         throw new CatalogException(s"column ${field.name} already exists")
+      assertLegalColumnName(field.name)
       if (!allowedTypes.contains(field.dataType))
         throw new CatalogException(
           s"${field.dataType.simpleString} is not supported for column ${field.name}: " +
@@ -1203,8 +1244,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       throw new CatalogException(s"$name has no column $from")
     if (schema.fieldNames.contains(to))
       throw new CatalogException(s"$name already has a column $to")
-    if (!to.matches("[A-Za-z_][A-Za-z0-9_]*"))
-      throw new CatalogException(s"invalid column name '$to'")
+    assertLegalColumnName(to)
     def ren(s: Seq[String]) = s.map(c => if (c == from) to else c)
     val keys = keyColsOf(name)
     val merged = spark.read.format("graft").option("root", root).load(name)
@@ -1556,7 +1596,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     // resurrect a partition Kudu considers deleted; tombstones for
     // already-invisible keys are rejected with the same message — the
     // snapshot-derived delete path never produces them)
-    rejectDroppedRangeWrites(name, rows)
+    val batch = rejectDroppedRangeWrites(name, rows)
     // number above BOTH the raw on-disk layers and the floor: a new layer
     // must never collide with (or hide under) a dead pre-overwrite sequence
     val seq = rawDeltaSeqs(name).lastOption.getOrElse(0)
@@ -1565,11 +1605,11 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val tmp = deltasDir(name).resolve(s".tmp_$seq")
     deleteRecursively(tmp) // litter from a crashed previous attempt
     val obs = org.apache.spark.sql.Observation()
-    writePartitioned(rows.observe(obs, count(lit(1)).as("n")),
+    writePartitioned(batch.observe(obs, count(lit(1)).as("n")),
       keyColsOf(name), bucketsOf(name), rangeColOf(name),
       tmp.toString, SaveMode.Overwrite, rangeAsData = true,
       hashCols = hashColsOf(name), rangeFmt = rangePattern(name))
-    val n = observedCount(obs, "n", rows.count())
+    val n = observedCount(obs, "n", batch.count())
     if (n > 0)
       Files.move(tmp, deltasDir(name).resolve(seq.toString),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -1657,8 +1697,19 @@ object KuduLikeCatalog {
         .filter(v => v != null && v.isInstanceOf[Comparable[_]]).toArray
       if (vs.length != batch.length) Array.empty
       else {
-        val ord: Ordering[Any] = (a: Any, b: Any) =>
-          a.asInstanceOf[Comparable[Any]].compareTo(b)
+        // strings MUST order by unsigned UTF-8 bytes (what parquet Binary
+        // stats compare): UTF-16 compareTo disagrees above the BMP
+        // (U+10000 sorts below U+FFFD), and a too-low "max" would prune the
+        // row group holding a real matching key → silent duplicate insert
+        val ord: Ordering[Any] = vs(0) match {
+          case _: String => (a: Any, b: Any) =>
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(a.asInstanceOf[String])
+              .binaryCompare(org.apache.spark.unsafe.types.UTF8String
+                .fromString(b.asInstanceOf[String]))
+          case _ => (a: Any, b: Any) =>
+            a.asInstanceOf[Comparable[Any]].compareTo(b)
+        }
         Array(
           org.apache.spark.sql.sources.GreaterThanOrEqual(k1, vs.min(ord)),
           org.apache.spark.sql.sources.LessThanOrEqual(k1, vs.max(ord)))
@@ -1698,12 +1749,19 @@ object KuduLikeCatalog {
   private def normFileKey(v: Any): Any = v match {
     case s: org.apache.spark.unsafe.types.UTF8String => s.toString
     case b: Array[Byte] => java.nio.ByteBuffer.wrap(b.clone())
+    case d: org.apache.spark.sql.types.Decimal =>
+      d.toJavaBigDecimal.stripTrailingZeros
     case f: java.lang.Float => normFloat(f)
     case d: java.lang.Double => normDouble(d)
-    case x => x // boxed primitives; timestamps are already epoch-micros Long
+    case x => x // boxed primitives; timestamps/dates are epoch-micros/days
   }
 
-  /** External Row value → the same normalized key space. */
+  /** External Row value → the same normalized key space. Dates land as
+    * epoch-day Int (the vectorized reader's native view) and decimals as
+    * scale-normalized java BigDecimal — without these, a date/decimal key
+    * column would make every existing key look absent (java.sql.Date never
+    * equals Integer) and silently re-insert duplicate primary keys.
+    */
   private def normBatchKey(v: Any): Any = v match {
     case s: String => s
     case t: java.sql.Timestamp =>
@@ -1712,6 +1770,11 @@ object KuduLikeCatalog {
       org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)
     case l: java.time.LocalDateTime =>
       org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(l)
+    case d: java.sql.Date =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d)
+    case d: java.time.LocalDate => java.lang.Math.toIntExact(d.toEpochDay)
+    case b: java.math.BigDecimal => b.stripTrailingZeros
+    case b: scala.math.BigDecimal => b.bigDecimal.stripTrailingZeros
     case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
     case f: java.lang.Float => normFloat(f)
     case d: java.lang.Double => normDouble(d)

@@ -987,6 +987,42 @@ class CatalogSpec extends SparkSpec {
     assert(cat.insert("b", df(dups)) === 0)
   }
 
+  test("S6 aligned dup-check bounds use UTF-8 byte order (supplementary plane)") {
+    val cat = new KuduLikeCatalog(spark, tmpDir("graft_sp_"))
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType)))
+    def df(rows: Seq[(String, Long)]) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, schema)
+    cat.createTable(TableDef("t", schema, Seq("k"), buckets = 1))
+    // U+10000: UTF-16 code units (D800 DC00) sort BELOW U+FFFD, but its
+    // UTF-8 bytes (F0 90 80 80) sort ABOVE U+FFFD's (EF BF BD). Bounds
+    // computed in UTF-16 order would push max=U+FFFD and prune the row
+    // group holding the existing U+10000 key -> silent duplicate insert.
+    val sp = "\ud800\udc00"
+    assert(cat.insert("t", df(Seq(sp -> 1L))) === 1)
+    assert(cat.insert("t", df(Seq(sp -> 2L, "\ufffd" -> 3L))) === 1)
+    assert(cat.table("t").count() === 2)
+    assert(cat.table("t").filter(col("k") === sp).count() === 1,
+      "duplicate primary key must not survive the bounds pruning")
+  }
+
+  test("reserved __ names rejected at CREATE, ADD COLUMN, RENAME COLUMN") {
+    val cat = freshCat()
+    val e = intercept[CatalogException] {
+      cat.createTable(TableDef("bad",
+        StructType(Seq(StructField("__bucket", LongType))), Seq("__bucket")))
+    }
+    assert(e.getMessage.contains("reserved"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    cat.createTable(TableDef("t", schema, Seq("id")))
+    intercept[CatalogException] { cat.addColumn("t", StructField("__seq", StringType)) }
+    intercept[CatalogException] { cat.renameColumn("t", "v", "__range") }
+    intercept[CatalogException] { cat.renameColumn("t", "v", "__op") }
+    cat.renameColumn("t", "v", "val") // plain names unaffected
+    assert(cat.schemaOf("t").fieldNames.toSeq === Seq("id", "val"))
+  }
+
   test("S6 aligned dup-check: long keys, range+bucket layout, in-batch dups") {
     import spark.implicits._
     val cat = new KuduLikeCatalog(spark, tmpDir("graft_aligned2_"))

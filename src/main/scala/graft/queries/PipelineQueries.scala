@@ -241,21 +241,32 @@ object PipelineQueries {
     // Trainable BPE tokenizer (Sennrich ACL-2016) end-to-end: learn 200
     // merges from the corpus' exact word histogram (distributed count,
     // driver loop over the bounded top-K rows, broadcast ranks), then
-    // encode every document distributed. No SQL oracle — BPE is not
-    // expressible in DuckDB; BpeSpec gates the textbook merge sequence,
-    // lossless round-trip, and partitioning-independence instead. The
-    // driver records the rows-only check.
+    // encode every document distributed. The merge TABLE isn't
+    // SQL-expressible, but the encode output is still oracle-GATED: BPE
+    // token concatenation (</w> -> space) must reproduce the
+    // whitespace-normalized lowered text exactly — computed per document
+    // on the real encode output and emitted as roundtrip_ok, which DuckDB
+    // pins to 1 while independently recomputing n_words. A truncated,
+    // reordered, or corrupted encoding fails the row hash; merge-sequence
+    // exactness (textbook corpus) stays gated by BpeSpec.
     QDef("d33_bpe_encode",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val model = graft.operators.Bpe.train(
           docs, "text", numMerges = 200, topWords = 20000)
+        val rebuilt = trim(replace(
+          array_join(model.encode(col("text")), ""), lit(graft.operators.Bpe.Eow), lit(" ")))
+        val normalized = array_join(
+          filter(split(lower(col("text")), "\\s+"), w => w =!= ""), " ")
         docs.select(col("doc_id"),
-          size(model.encode(col("text"))).as("n_tokens"),
-          size(split(lower(col("text")), "\\s+")).as("n_words"))
+          size(filter(split(lower(col("text")), "\\s+"), w => w =!= "")).as("n_words"),
+          (rebuilt === normalized).cast("int").as("roundtrip_ok"))
           .orderBy("doc_id")
       },
-      None),
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS INTEGER) AS n_words,
+             |  1 AS roundtrip_ok
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // D36 Unicode normalization (native codegen UnicodeNormalizeExpr): the
     // fixture text is ASCII (proven by the oracle equality itself), so each

@@ -21,14 +21,13 @@ class ContractSpec extends AnyFunSuite {
       assert(qs.contains(k), s"oracle $k has no query")
       assert(sql.trim.nonEmpty && !sql.trim.endsWith(";"))
     }
-    // every declared query is oracle-checked in this build, except the
-    // NAMED set whose semantics no SQL engine can express — each must
-    // carry a ScalaTest suite as its gate instead (listed here so a
-    // missing oracle is always a deliberate, reviewed decision):
-    //  - d33_bpe_encode: trainable BPE subword segmentation (BpeSpec
-    //    pins the merge sequence, round-trip, and determinism)
-    val rowsOnly = Set("d33_bpe_encode")
-    assert(SparkEntry.oracleSql.keySet === qs -- rowsOnly)
+    // every declared query is oracle-checked in this build — zero
+    // rows-only carve-outs. d33_bpe_encode (the former exception: BPE
+    // merge tables aren't SQL) is gated through its round-trip invariant
+    // (token concatenation must rebuild the normalized text; DuckDB pins
+    // it and recomputes n_words) plus BpeSpec for merge-sequence
+    // exactness.
+    assert(SparkEntry.oracleSql.keySet === qs)
   }
 
   test("inventory size matches the survey ledger claim") {

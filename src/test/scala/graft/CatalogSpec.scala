@@ -987,6 +987,72 @@ class CatalogSpec extends SparkSpec {
     assert(cat.insert("b", df(dups)) === 0)
   }
 
+  test("concurrent writers: inserts count each new key exactly once, upsert layers commit exactly once") {
+    val root = tmpDir("graft_conc_")
+    val cat = new KuduLikeCatalog(spark, root)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    def df(rows: Seq[(Long, String)]) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, schema)
+    cat.createTable(TableDef("t", schema, Seq("id"), buckets = 4))
+    assert(cat.insert("t", df((0L until 100L).map(i => i -> s"base$i"))) === 100)
+
+    import scala.concurrent._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // 4 inserters with OVERLAPPING ranges (thread i: [50i, 50i+100)) — the
+      // write lock serializes their dup-check-then-append read-modify-write,
+      // so across all threads each genuinely-new key is counted exactly once
+      val inserts = Future.sequence((0 until 4).map(i => Future {
+        cat.insert("t", df((50L * i until 50L * i + 100L).map(k => k -> s"ins$i-$k")))
+      }))
+      // 4 upserters over the same 50 keys — each reserves its own layer
+      val upserts = Future.sequence((0 until 4).map(i => Future {
+        cat.upsert("t", df((0L until 50L).map(k => k -> s"up$i-$k")))
+      }))
+      val ins = Await.result(inserts, duration.Duration(600, "s"))
+      val ups = Await.result(upserts, duration.Duration(600, "s"))
+      assert(ins.sum === 150, s"dup-ignore must count each new key once: $ins")
+      assert(ups.sum === 200, s"each upsert layer holds its full batch: $ups")
+    } finally pool.shutdown()
+
+    val t = cat.table("t")
+    assert(t.count() === 250)
+    assert(t.select("id").distinct().count() === 250, "no duplicate primary keys")
+    // contested keys resolve to exactly one racing writer's value
+    assert(t.filter(col("id") === 0L).head().getString(1).startsWith("up"))
+    // every committed layer is a plain sequence dir; no torn/tmp/reservation litter
+    val layers = new java.io.File(s"$root/t/deltas").listFiles().map(_.getName).toSeq
+    assert(layers.forall(_.forall(_.isDigit)), s"litter left behind: $layers")
+  }
+
+  test("concurrent upserts each commit their own reserved layer (no lost writes)") {
+    val root = tmpDir("graft_rsv_")
+    val cat = new KuduLikeCatalog(spark, root)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    def df(rows: Seq[(Long, String)]) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, schema)
+    cat.createTable(TableDef("t", schema, Seq("id")))
+    import scala.concurrent._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // disjoint key ranges: with the old last-seq+1 allocation, racing
+      // writers collided on one sequence and the loser's completed write
+      // was lost; with reservation every writer owns a distinct layer
+      val n = Await.result(Future.sequence((0 until 12).map(i => Future {
+        cat.upsert("t", df((100L * i until 100L * i + 100L).map(k => k -> s"w$i")))
+      })), duration.Duration(600, "s"))
+      assert(n.forall(_ === 100L))
+    } finally pool.shutdown()
+    assert(cat.table("t").count() === 1200, "all 12 concurrent layers visible")
+    val layers = new java.io.File(s"$root/t/deltas").listFiles().map(_.getName)
+      .filter(_.forall(_.isDigit)).map(_.toInt).sorted.toSeq
+    assert(layers === (1 to 12), s"12 distinct committed sequences, got $layers")
+  }
+
   test("S6 aligned dup-check bounds use UTF-8 byte order (supplementary plane)") {
     val cat = new KuduLikeCatalog(spark, tmpDir("graft_sp_"))
     val schema = StructType(Seq(

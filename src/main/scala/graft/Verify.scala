@@ -14,6 +14,33 @@ import java.nio.file.{Files, Paths}
   * select; validated in-order vs DuckDB by tools/t2_local.py T2_INORDER=1).
   */
 object Verify {
+  /** Fixture precondition (round-10 #7): every declared key column must be
+    * UNIQUE. Several oracle CTEs aggregate per key (e.g. the simhash64 CTE
+    * GROUPs BY doc_id) and every keyed-table query assumes dup-ignore is a
+    * no-op on the raw fixture; a duplicated corpus silently changes oracle
+    * semantics instead of failing. (A per-row oracle reformulation cannot
+    * rescue determinism anyway: duplicate ids make each query's total
+    * ORDER BY a tie, so row order diverges engine-to-engine regardless.)
+    * Fail the whole run loudly before dumping anything.
+    */
+  def checkFixturePreconditions(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, countDistinct, count}
+    val keyed = Seq(
+      "region" -> "r_regionkey", "nation" -> "n_nationkey",
+      "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "orders" -> "o_orderkey",
+      "events" -> "event_id", "documents" -> "doc_id",
+      "embeddings" -> "vec_id")
+    keyed.foreach { case (t, k) =>
+      val r = Tables.load(spark, sfDir, t)
+        .agg(count(col(k)).as("n"), countDistinct(col(k)).as("d")).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"fixture precondition violated: $t.$k has ${r.getLong(0)} rows but " +
+          s"${r.getLong(1)} distinct keys — regenerate the fixture " +
+          "(tools/gen_sf.py asserts this at generation time)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     // usage: Verify <sfDir> <outDir> [queryName...] — names filter the run
     // (dev loop: re-dump one query + its oracle without the full sweep)
@@ -28,15 +55,39 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    checkFixturePreconditions(spark, sfDir)
     // per query: output fields in Spark order, flagged decimal-or-not
     val outFields = scala.collection.mutable.Map.empty[String, Seq[(String, Boolean)]]
     SparkEntry.all.filter(q => only.isEmpty || only(q.name)).foreach { q =>
       try {
-        val raw = q.fn(spark, sfDir)
+        val raw0 = q.fn(spark, sfDir)
+        val decFields = raw0.schema.fields.filter(_.dataType.isInstanceOf[DecimalType])
+        val raw = if (decFields.nonEmpty) raw0.persist() else raw0
+        // Representability guard (round-10 verdict): the driver-hash contract
+        // casts every decimal output to DOUBLE on both sides, so any value
+        // past double's ~16 significant digits rounds engine-dependently
+        // (tpch_q1's sum_charge hit 17 digits at sf1 and diverged by 1 ulp).
+        // Fail loudly HERE — at whatever scale Verify runs — instead of
+        // letting the divergence surface only as a downstream hash mismatch.
+        if (decFields.nonEmpty) {
+          import org.apache.spark.sql.functions.col
+          val lossy = decFields.map { f =>
+            col(f.name).isNotNull &&
+              col(f.name).cast("double").cast(f.dataType) =!= col(f.name)
+          }.reduce(_ || _)
+          val bad = raw.filter(lossy)
+            .select(decFields.map(f => col(f.name)).toIndexedSeq: _*).limit(1).collect()
+          require(bad.isEmpty,
+            s"decimal output exceeds double representability (driver casts " +
+              s"decimals to DOUBLE): ${bad.headOption.getOrElse("")} in columns " +
+              decFields.map(_.name).mkString(",") +
+              " — emit fewer significant digits (e.g. fixed-point BIGINT units)")
+        }
         val fields = raw.schema.fields
           .map(f => f.name -> f.dataType.isInstanceOf[DecimalType]).toSeq
         QDef.castDecimalOutputs(raw).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/${q.name}")
+        if (decFields.nonEmpty) raw.unpersist()
         outFields(q.name) = fields
       } catch { case e: Throwable =>
         System.err.println(s"[verify] ${q.name} failed: ${e.getMessage}")

@@ -42,8 +42,16 @@ object TpchQueries {
         sum(d182(col("l_quantity"))).cast("decimal(38,4)").as("sum_qty"),
         sum(d182(col("l_extendedprice"))).cast("decimal(38,4)").as("sum_base_price"),
         sum(expr(revenueExpr)).cast("decimal(38,4)").as("sum_disc_price"),
-        sum(expr(s"($revenueExpr) * (CAST(1.0 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"))
-          .cast("decimal(38,6)").as("sum_charge"),
+        // sum_charge carries 17 significant digits at sf1 — past double's ~16
+        // — so a decimal output would round differently through the two
+        // engines' decimal→double output casts (round-10 verdict). Emitted as
+        // exact BIGINT cents instead: floor(x*100) is identical in both
+        // engines (DuckDB's decimal downcast truncates, Spark's rounds
+        // HALF_UP, so a DECIMAL(18,2) output cast would still diverge on
+        // >=half-cent residues); the internal sum stays exact DECIMAL(38,6).
+        floor(sum(expr(s"($revenueExpr) * (CAST(1.0 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"))
+            .cast("decimal(38,6)") * lit(100))
+          .cast("long").as("sum_charge_cents"),
         avg(d182(col("l_quantity"))).cast("decimal(38,4)").as("avg_qty"),
         avg(d182(col("l_extendedprice"))).cast("decimal(38,4)").as("avg_price"),
         avg(d182(col("l_discount"))).cast("decimal(38,4)").as("avg_disc"),
@@ -69,7 +77,7 @@ object TpchQueries {
               |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_qty,
               |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_base_price,
               |  CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS sum_disc_price,
-              |  CAST(sum(($revenueExpr) * (CAST(1.0 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DECIMAL(38,6)) AS sum_charge,
+              |  CAST(floor(CAST(sum(($revenueExpr) * (CAST(1.0 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DECIMAL(38,6)) * 100) AS BIGINT) AS sum_charge_cents,
               |  CAST(avg(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS avg_qty,
               |  CAST(avg(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS avg_price,
               |  CAST(avg(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS avg_disc,
@@ -87,10 +95,10 @@ object TpchQueries {
           sum(d182(col("l_quantity"))).cast("decimal(38,4)").as("sum_qty"),
           sum(d182(col("l_extendedprice"))).cast("decimal(38,4)").as("sum_base_price"),
           sum(expr(revenueExpr)).cast("decimal(38,4)").as("sum_disc_price"),
-          // natural scale 6 — downscaling would round an exact half-tie
-          // differently in the two engines (Spark HALF_UP vs DuckDB truncate)
-          sum(expr(s"($revenueExpr) * (CAST(1.0 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"))
-            .cast("decimal(38,6)").as("sum_charge"),
+          // exact BIGINT cents — see q1Body's sum_charge_cents comment
+          floor(sum(expr(s"($revenueExpr) * (CAST(1.0 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"))
+              .cast("decimal(38,6)") * lit(100))
+            .cast("long").as("sum_charge_cents"),
           avg(d182(col("l_quantity"))).cast("decimal(38,4)").as("avg_qty"),
           avg(d182(col("l_extendedprice"))).cast("decimal(38,4)").as("avg_price"),
           avg(d182(col("l_discount"))).cast("decimal(38,4)").as("avg_disc"),
@@ -100,7 +108,7 @@ object TpchQueries {
               |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_qty,
               |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_base_price,
               |  CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS sum_disc_price,
-              |  CAST(sum(($revenueExpr) * (CAST(1.0 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DECIMAL(38,6)) AS sum_charge,
+              |  CAST(floor(CAST(sum(($revenueExpr) * (CAST(1.0 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DECIMAL(38,6)) * 100) AS BIGINT) AS sum_charge_cents,
               |  CAST(avg(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS avg_qty,
               |  CAST(avg(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS avg_price,
               |  CAST(avg(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS avg_disc,

@@ -33,7 +33,10 @@ def gen(table, sql):
           flush=True)
 
 def mx(t, c):
-    return con.execute(f"SELECT max({c}) FROM {s(t)}").fetchone()[0]
+    # Copy stride = max+1: keys are 0-based, so offsetting copy c by c*max
+    # would collide copy c's max key with copy c+1's zero key (round-10
+    # verdict: exactly copies-1 duplicate keys per table — 149999, 299998, …).
+    return con.execute(f"SELECT max({c}) FROM {s(t)}").fetchone()[0] + 1
 
 MC = mx('customer', 'c_custkey')
 MS = mx('supplier', 's_suppkey')
@@ -78,3 +81,17 @@ gen('embeddings', f"""
          list_prepend(CAST(embedding[1] + c*0.001 AS FLOAT), embedding[2:]) AS embedding,
          label
   FROM {s('embeddings')}, {C} ORDER BY c, vec_id""")
+
+# Post-generate invariant: every key column must be UNIQUE in the output —
+# a replicated fixture with colliding keys silently changes the semantics of
+# every keyed-table query and key-grouped oracle CTE (round-10: 8/10 sf1
+# failures were exactly this).
+KEYS = {'customer': 'c_custkey', 'supplier': 's_suppkey', 'part': 'p_partkey',
+        'orders': 'o_orderkey', 'events': 'event_id', 'documents': 'doc_id',
+        'embeddings': 'vec_id'}
+for t, k in KEYS.items():
+    n_rows, n_keys = con.execute(
+        f"SELECT count(*), count(DISTINCT {k}) FROM read_parquet('{dst}/{t}.parquet')"
+    ).fetchone()
+    assert n_rows == n_keys, f"{t}.{k}: {n_rows} rows but {n_keys} distinct keys"
+print("key uniqueness OK", flush=True)

@@ -24,7 +24,13 @@ import org.apache.spark.sql.types.StructType
   *  - `graft.hash_columns`  — hash on this PK SUBSET (Kudu `HASH (cols)`);
   *    default = all key columns
   *  - `graft.range_column`  — range-partition on this column
+  *  - `graft.range_columns` — COMPOSITE range partitioning (Kudu
+  *    `RANGE (day, tenant)`): first column is the time dimension
+  *    (outermost directories, granularity applies), the rest nest as
+  *    identity-valued sub-levels — the multi-tenant retention shape
   *  - `graft.range_granularity` — `month` (default) or `day` directories
+  *  - `graft.bloom_columns` — write parquet bloom filters on these
+  *    columns (non-key point-lookup row-group pruning)
   *
   * DDL/DML statements return a one-row status frame `(operation, table,
   * rows)`; queries return their result frame.
@@ -112,16 +118,29 @@ object GraftSql {
     val props = tblProperties(stmt.substring(afterCols))
     val keyCols = requiredKeyCols(name, props)
     if (!(ifNotExists && cat.exists(name))) {
-      cat.createTable(TableDef(name, schema, keyCols,
-        buckets = props.get("graft.hash_buckets").map(_.trim.toInt).getOrElse(0),
-        rangeCol = props.get("graft.range_column").map(_.trim),
-        hashCols = props.get("graft.hash_columns")
-          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
-        rangeGranularity = props.get("graft.range_granularity")
-          .map(_.trim.toLowerCase).getOrElse("month")))
+      cat.createTable(tableDefFromProps(name, schema, keyCols, props))
       registerViews(spark, cat)
     }
     status(spark, "CREATE TABLE", name, 0L)
+  }
+
+  /** Layout TBLPROPERTIES → TableDef, shared by CREATE and CTAS so the two
+    * can never accept different property dialects. `graft.range_columns`
+    * (composite) wins over `graft.range_column` when both appear.
+    */
+  private def tableDefFromProps(name: String, schema: StructType,
+      keyCols: Seq[String], props: Map[String, String]): TableDef = {
+    def list(key: String): Seq[String] = props.get(key)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    val rangeCols = list("graft.range_columns")
+    TableDef(name, schema, keyCols,
+      buckets = props.get("graft.hash_buckets").map(_.trim.toInt).getOrElse(0),
+      rangeCol = rangeCols.headOption.orElse(props.get("graft.range_column").map(_.trim)),
+      hashCols = list("graft.hash_columns"),
+      rangeGranularity = props.get("graft.range_granularity")
+        .map(_.trim.toLowerCase).getOrElse("month"),
+      rangeSubCols = if (rangeCols.nonEmpty) rangeCols.tail else Seq.empty,
+      bloomCols = list("graft.bloom_columns"))
   }
 
   private def requiredKeyCols(name: String, props: Map[String, String]): Seq[String] =
@@ -152,13 +171,7 @@ object GraftSql {
         throw new CatalogException(
           s"CTAS $name: key column $k not in SELECT output (${src.columns.mkString(",")})")
     }
-    cat.createTable(TableDef(name, src.schema, keyCols,
-      buckets = props.get("graft.hash_buckets").map(_.trim.toInt).getOrElse(0),
-      rangeCol = props.get("graft.range_column").map(_.trim),
-      hashCols = props.get("graft.hash_columns")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
-      rangeGranularity = props.get("graft.range_granularity")
-        .map(_.trim.toLowerCase).getOrElse("month")))
+    cat.createTable(tableDefFromProps(name, src.schema, keyCols, props))
     val n =
       try cat.insert(name, src)
       catch { case e: Throwable => cat.rollbackCreateTable(name); throw e }
@@ -657,8 +670,15 @@ object GraftSql {
               (if (buckets > 0 && cat.hashColsOf(name) != cat.keyColsOf(name))
                  Seq(("", "graft.hash_columns", cat.hashColsOf(name).mkString(",")))
                else Nil) ++
-              range.map(rc => ("", "graft.range_column", rc)).toSeq ++
+              range.map { rc =>
+                val subs = cat.rangeSubColsOf(name)
+                if (subs.isEmpty) ("", "graft.range_column", rc)
+                else ("", "graft.range_columns", (rc +: subs).mkString(","))
+              }.toSeq ++
               cat.zoneOf(name).map(z => ("", "graft.range_zone", z)).toSeq ++
+              (if (cat.bloomColsOf(name).nonEmpty)
+                 Seq(("", "graft.bloom_columns", cat.bloomColsOf(name).mkString(",")))
+               else Nil) ++
               Seq(
                 ("", "", ""),
                 ("# Storage Information", "", ""),
@@ -774,9 +794,16 @@ object GraftSql {
           (if (buckets > 0 && cat.hashColsOf(name) != cat.keyColsOf(name))
              Seq(s"'graft.hash_columns' = '${cat.hashColsOf(name).mkString(",")}'")
            else Nil) ++
-          cat.rangeColOf(name).map(rc => s"'graft.range_column' = '$rc'") ++
+          cat.rangeColOf(name).map { rc =>
+            val subs = cat.rangeSubColsOf(name)
+            if (subs.isEmpty) s"'graft.range_column' = '$rc'"
+            else s"'graft.range_columns' = '${(rc +: subs).mkString(",")}'"
+          } ++
           (if (cat.rangeColOf(name).isDefined && cat.rangeGranularityOf(name) != "month")
              Seq(s"'graft.range_granularity' = '${cat.rangeGranularityOf(name)}'")
+           else Nil) ++
+          (if (cat.bloomColsOf(name).nonEmpty)
+             Seq(s"'graft.bloom_columns' = '${cat.bloomColsOf(name).mkString(",")}'")
            else Nil)
         val ddl =
           s"""CREATE TABLE `$name` (

@@ -27,11 +27,27 @@ import java.util.Comparator
   *   columns, so merge-on-read and storage-partitioned joins hold on the
   *   subset.
   */
+/** @param rangeSubCols composite range partitioning (Kudu: `RANGE (day,
+  *   tenant)` — DesignDocument.md:8 partitioning goal): additional range
+  *   dimensions NESTED under the time-derived `__range` directory as
+  *   `__range2=`, `__range3=`, … identity-valued levels. The multi-tenant
+  *   retention shape: `DROP RANGE PARTITION '2024-01/acme'` deletes one
+  *   tenant-month as metadata, `'2024-01'` a whole month across tenants.
+  *   Requires `rangeCol` (the time dimension stays outermost — that is
+  *   where scan pruning and retention cut).
+  * @param bloomCols columns to write parquet bloom filters for — the
+  *   file-level point-lookup index on NON-KEY columns (Kudu analog: the
+  *   per-tablet key index, DesignDocument.md; key columns already prune
+  *   via the sorted layout's min/max stats). Consulted by the connector's
+  *   row-group pruner and Spark's vectorized parquet reader.
+  */
 final case class TableDef(
     name: String, schema: StructType, keyCols: Seq[String],
     buckets: Int = 0, rangeCol: Option[String] = None,
     hashCols: Seq[String] = Seq.empty,
-    rangeGranularity: String = "month") {
+    rangeGranularity: String = "month",
+    rangeSubCols: Seq[String] = Seq.empty,
+    bloomCols: Seq[String] = Seq.empty) {
   require(name.nonEmpty, "table name must be non-empty")
   require(keyCols.nonEmpty, "key columns must be non-empty (Kudu tables are keyed)")
   require(buckets >= 0, "buckets must be >= 0")
@@ -39,6 +55,10 @@ final case class TableDef(
     s"hash columns must be a subset of the key columns: $hashCols vs $keyCols")
   require(Set("month", "day").contains(rangeGranularity),
     s"rangeGranularity must be month or day: $rangeGranularity")
+  require(rangeSubCols.isEmpty || rangeCol.isDefined,
+    "rangeSubCols require a rangeCol (the time dimension is the outermost level)")
+  require(rangeCol.forall(rc => !rangeSubCols.contains(rc)),
+    s"rangeSubCols must not repeat the range column: $rangeSubCols")
   /** effective bucketing columns */
   def effectiveHashCols: Seq[String] = if (hashCols.nonEmpty) hashCols else keyCols
 }
@@ -124,12 +144,11 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   //     never block each other but are fenced out of schema changes),
   //     cross-process an OS file lock (released automatically if the
   //     holder dies, so a crashed writer never wedges the table).
-  //
-  // Remaining caveat (documented contract): a schema-changing DDL in one
-  // PROCESS concurrent with a mutation writer in ANOTHER process is not
-  // fenced (the file lock is exclusive-only; in-process the shared mode
-  // covers it). Run DDL from the process that owns ingest, or quiesce
-  // writers first.
+  //     Mutation writers hold the SAME file SHARED-mode (refcounted per
+  //     process — java.nio forbids overlapping in-JVM locks), so a
+  //     schema-changing DDL in one process serializes against mutation
+  //     writers in ANOTHER process too: DDL's exclusive lock waits out
+  //     every shared holder, and mutations wait out a running DDL.
 
   private def jvmLock(name: String) =
     KuduLikeCatalog.tableLocks.computeIfAbsent(
@@ -177,14 +196,33 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   }
 
   /** Shared per-table lock for mutation-layer writers (upsert / delete /
-    * changeset): concurrent with each other, fenced out of DDL/compact in
-    * this process. Cross-process safety of the layer COMMIT itself comes
-    * from [[reserveDeltaSeq]], not from here.
+    * changeset): concurrent with each other, fenced out of DDL/compact —
+    * in this process via the JVM read lock, CROSS-process via a SHARED
+    * OS file lock on the same `.write_lock` file DDL locks exclusively
+    * (round-10 item 5: previously a remote DDL could interleave a meta
+    * swap with a remote mutation writer). The shared OS lock is
+    * refcounted per (root, table) because java.nio forbids overlapping
+    * locks within one JVM — the first in-process mutation writer acquires
+    * it, the last releases it; the JVM read/write lock guarantees no
+    * in-process DDL can be spinning on the exclusive lock while the
+    * refcount is non-zero, so the two modes can never deadlock in-JVM.
+    * Cross-process safety of the layer COMMIT itself still comes from
+    * [[reserveDeltaSeq]]; this fence only serializes mutations against
+    * schema-changing DDL.
     */
   private def withTableSharedLock[T](name: String)(body: => T): T = {
     val l = jvmLock(name).readLock()
     l.lock()
-    try body finally l.unlock()
+    try {
+      if (!Files.isDirectory(tableDir(name))) body // callee throws its own error
+      else {
+        val st = KuduLikeCatalog.sharedFileLocks.computeIfAbsent(
+          Paths.get(root).toAbsolutePath.normalize.toString + "|" + name,
+          _ => new KuduLikeCatalog.SharedFileLock)
+        st.acquire(tableDir(name).resolve(".write_lock"), lockTimeoutMs, name)
+        try body finally st.release()
+      }
+    } finally l.unlock()
   }
 
   /** Reserve the next mutation-layer sequence by ATOMIC directory creation:
@@ -315,9 +353,9 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val dropped = droppedRangesOf(name)
     if (dropped.isEmpty) files
     else {
-      val rx = "__range=([^/]+)".r
+      val nSub = rangeSubColsOf(name).size
       files.filterNot(f =>
-        rx.findFirstMatchIn(f).exists(m => dropped.contains(m.group(1))))
+        rangeIdOfPath(f, nSub).exists(id => dropped.exists(droppedCovers(_, id))))
     }
   }
 
@@ -370,10 +408,12 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       throw new CatalogException(
         s"DROP RANGE PARTITION $name '$value': pending delta layers overlay " +
           s"every range — run compact(\"$name\") first so the cut is exact")
-    val rx = "__range=([^/]+)".r
+    val nSub = rangeSubColsOf(name).size
     val existing = liveBaseFiles(name)
-      .flatMap(f => rx.findFirstMatchIn(f).map(_.group(1))).distinct
-    if (!existing.contains(value))
+      .flatMap(f => rangeIdOfPath(f, nSub)).distinct
+    // a prefix value ('2024-01' on a (month, tenant) table) drops every
+    // covered composite partition — the whole-month retention cut
+    if (!existing.exists(droppedCovers(value, _)))
       throw new CatalogException(
         s"DROP RANGE PARTITION $name: no live partition '$value' " +
           s"(have: ${existing.sorted.mkString(", ")})")
@@ -412,10 +452,10 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     if (!exists(name)) throw new CatalogException(s"table $name does not exist")
     rangeColOf(name).getOrElse(throw new CatalogException(
       s"ADD RANGE PARTITION $name: table is not range-partitioned"))
-    val rx = "__range=([^/]+)".r
+    val nSub = rangeSubColsOf(name).size
     val live = liveBaseFiles(name)
-      .flatMap(f => rx.findFirstMatchIn(f).map(_.group(1))).distinct
-    if (live.contains(value))
+      .flatMap(f => rangeIdOfPath(f, nSub)).distinct
+    if (live.exists(droppedCovers(value, _)))
       throw new CatalogException(
         s"ADD RANGE PARTITION $name: range '$value' already exists")
     if (!droppedRangesOf(name).contains(value)) return // declarative no-op
@@ -429,10 +469,11 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     scala.util.Using.resource(Files.walk(oldBase)) { stream =>
       stream.iterator().asScala
         .filter(Files.isRegularFile(_))
-        // EXACT segment match, same contract as liveBaseFiles — substring
-        // containment would also exclude values this one merely prefixes
+        // EXACT composite-id match (prefix = covered sub-partitions), same
+        // contract as liveBaseFiles — raw substring containment would also
+        // exclude values this one merely prefixes lexically
         .filterNot(f =>
-          rx.findFirstMatchIn(f.toString).exists(_.group(1) == value))
+          rangeIdOfPath(f.toString, nSub).exists(droppedCovers(value, _)))
         .foreach { f =>
           val dest = staged.resolve(oldBase.relativize(f))
           Files.createDirectories(dest.getParent)
@@ -462,10 +503,17 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     if (dropped.isEmpty) df
     else {
       val rc = rangeColOf(name).get
+      val subs = rangeSubColsOf(name)
       val pinned = df.localCheckpoint(true)
-      val hit = pinned
-        .filter(date_format(col(rc), rangePattern(name)).isin(dropped: _*))
-        .limit(1).count() > 0
+      // per dropped entry: match each '/'-separated part against its range
+      // level (a 1-part entry on a composite table covers every sub-value)
+      val cond = dropped.map { entry =>
+        val parts = entry.split("/", -1).toSeq
+        val head = date_format(col(rc), rangePattern(name)) === parts.head
+        parts.tail.zip(subs).map { case (v, c) => col(c).cast("string") === v }
+          .foldLeft(head)(_ && _)
+      }.reduce(_ || _)
+      val hit = pinned.filter(cond).limit(1).count() > 0
       if (hit) throw new CatalogException(
         s"$name: write targets dropped range partition(s) " +
           s"${dropped.mkString(", ")} — compact() folds the drop into the " +
@@ -530,9 +578,14 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
         if (!d.schema.fieldNames.contains(rc))
           throw new CatalogException(s"range column $rc not present in schema")
       }
+      (d.rangeSubCols ++ d.bloomCols).foreach { c =>
+        if (!d.schema.fieldNames.contains(c))
+          throw new CatalogException(s"range/bloom column $c not present in schema")
+      }
       writePartitioned(empty, d.keyCols, d.buckets, d.rangeCol,
         dataDir(d.name), SaveMode.Overwrite, hashCols = d.hashCols,
-        rangeFmt = if (d.rangeGranularity == "day") "yyyy-MM-dd" else "yyyy-MM")
+        rangeFmt = if (d.rangeGranularity == "day") "yyyy-MM-dd" else "yyyy-MM",
+        rangeSubCols = d.rangeSubCols, bloomCols = d.bloomCols)
       Files.writeString(metaFile(d.name),
         metaJson(d, normalized, d.rangeCol.map(_ => sessionZone)))
     } catch {
@@ -574,7 +627,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * removed.
     */
   def table(name: String): DataFrame =
-    effective(name).drop(BucketCol, RangeCol)
+    effective(name).drop(internalCols(name): _*)
 
   /** Snapshot read at a mutation version (Kudu READ_AT_SNAPSHOT analog):
     * version 0 = the compacted base, version v = base + delta layers ≤ v.
@@ -584,7 +637,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     */
   def tableAsOf(name: String, version: Int): DataFrame = {
     requireVersionReadable(name, version)
-    effective(name, Some(version)).drop(BucketCol, RangeCol)
+    effective(name, Some(version)).drop(internalCols(name): _*)
   }
 
   /** A snapshot version is readable iff it is not stale on either side:
@@ -682,7 +735,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       seqs.map { q =>
         readDelta(name, q)
           .withColumn("version", lit(q))
-          .drop(BucketCol, RangeCol)
+          .drop(internalCols(name): _*)
           .withColumnRenamed(OpCol, "op")
           .select((schema.fieldNames.toSeq :+ "op" :+ "version").map(col): _*)
       }.reduce(_ unionByName _)
@@ -740,7 +793,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       if (b > 0) effective(name)
         .filter(col(BucketCol) === pmod(hash(hashLits: _*), lit(b)))
       else effective(name)
-    base.filter(keyFilter).drop(BucketCol, RangeCol)
+    base.filter(keyFilter).drop(internalCols(name): _*)
   }
 
   /** Time-range scan on a range-partitioned table: prunes to the month
@@ -768,20 +821,39 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     effective(name)
       .filter(col(RangeCol) >= fromMonth && col(RangeCol) <= toMonth)
       .filter(col(rc) >= lit(from) && col(rc) < lit(to))
-      .drop(BucketCol, RangeCol)
+      .drop(internalCols(name): _*)
   }
+
+  /** Internal layout columns a logical read must shed: directory-partition
+    * levels plus the composite-range sub-levels (`drop` ignores absentees,
+    * so this is safe on every table shape).
+    */
+  private def internalCols(name: String): Seq[String] =
+    Seq(BucketCol, RangeCol) ++
+      rangeSubColsOf(name).indices.map(i => s"$RangeCol${i + 2}")
 
   private def rawTable(name: String): DataFrame = {
     if (!exists(name)) throw new CatalogException(s"table $name does not exist")
     var schema = readSchema(name)
-    if (rangeColOf(name).isDefined) schema = schema.add(StructField(RangeCol, StringType))
+    val subs = rangeSubColsOf(name)
+    if (rangeColOf(name).isDefined) {
+      schema = schema.add(StructField(RangeCol, StringType))
+      subs.indices.foreach(i =>
+        schema = schema.add(StructField(s"$RangeCol${i + 2}", StringType)))
+    }
     if (bucketsOf(name) > 0) schema = schema.add(StructField(BucketCol, IntegerType))
     val df = spark.read.schema(schema).parquet(dataDir(name))
-    // dropped range partitions: the filter is on a DIRECTORY column, so
+    // dropped range partitions: the filter is on DIRECTORY columns, so
     // Spark prunes those partitions at planning — the DataFrame twin of
-    // liveBaseFiles' path exclusion
+    // liveBaseFiles' path exclusion (composite entries match each level)
     val dropped = droppedRangesOf(name)
-    if (dropped.isEmpty) df else df.filter(!col(RangeCol).isin(dropped: _*))
+    if (dropped.isEmpty) df
+    else df.filter(!dropped.map { entry =>
+      val parts = entry.split("/", -1).toSeq
+      val head = col(RangeCol) === parts.head
+      parts.tail.zipWithIndex.map { case (v, i) => col(s"$RangeCol${i + 2}") === v }
+        .foldLeft(head)(_ && _)
+    }.reduce(_ || _))
   }
 
   /** Shared partitioned-write path: range dirs (month granularity) outer,
@@ -821,12 +893,19 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       sortCols: Seq[String] = Seq.empty,
       sortExprs: Seq[Column] = Seq.empty,
       hashCols: Seq[String] = Seq.empty,
-      rangeFmt: String = "yyyy-MM"): Unit = {
+      rangeFmt: String = "yyyy-MM",
+      rangeSubCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Unit = {
     var out = df
     val parts = scala.collection.mutable.ArrayBuffer[String]()
     rangeCol.foreach { rc =>
       out = out.withColumn(RangeCol, date_format(col(rc), rangeFmt))
       if (!rangeAsData) parts += RangeCol
+      // composite sub-levels: identity-valued (string) nested directories
+      rangeSubCols.zipWithIndex.foreach { case (c, i) =>
+        out = out.withColumn(s"$RangeCol${i + 2}", col(c).cast("string"))
+        if (!rangeAsData) parts += s"$RangeCol${i + 2}"
+      }
     }
     if (buckets > 0) {
       // hash EXACTLY the declared hash columns (a PK subset when one was
@@ -841,6 +920,19 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val sort: Seq[Column] =
       if (sortExprs.nonEmpty) sortExprs
       else (if (sortCols.nonEmpty) sortCols else keys).map(col)
+    // Parquet bloom filters on declared columns: the write-side half of the
+    // non-key point-lookup index (read-side: the connector's row-group
+    // pruner and Spark's vectorized reader both consult them via
+    // parquet-mr). Spark's documented per-column option key; parquet-mr's
+    // adaptive sizing picks the filter size from the observed NDV.
+    // graft.parquet.block.size (session conf) bounds row-group size —
+    // smaller groups sharpen both stats and bloom pruning granularity.
+    def withOpts(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) = {
+      val b = bloomCols.foldLeft(w)((w, c) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+      spark.conf.getOption("graft.parquet.block.size")
+        .fold(b)(v => b.option("parquet.block.size", v))
+    }
     if (parts.nonEmpty) {
       // partition dirs FIRST in the sort: FileFormatWriter requires rows
       // ordered by the partition columns and inserts its own (unstable)
@@ -850,9 +942,9 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       // (cluster columns, then keys) reaches the parquet row groups.
       val clustered = out.repartition(parts.toSeq.map(col): _*)
         .sortWithinPartitions(parts.toSeq.map(col) ++ sort: _*)
-      clustered.write.partitionBy(parts.toSeq: _*).mode(mode).parquet(dir)
+      withOpts(clustered.write.partitionBy(parts.toSeq: _*).mode(mode)).parquet(dir)
     } else
-      out.sortWithinPartitions(sort: _*).write.mode(mode).parquet(dir)
+      withOpts(out.sortWithinPartitions(sort: _*).write.mode(mode)).parquet(dir)
     // Record the EFFECTIVE in-file sort (underscore file — invisible to
     // file listings): the connector's SupportsReportOrdering claims
     // key-ordered streams only when this marker proves the files were
@@ -990,7 +1082,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       staged.toString, SaveMode.Overwrite,
       sortCols = clusterBy ++ keys.filterNot(clusterBy.contains),
       sortExprs = sortExprs, hashCols = hashColsOf(name),
-      rangeFmt = rangePattern(name))
+      rangeFmt = rangePattern(name), rangeSubCols = rangeSubColsOf(name),
+      bloomCols = bloomColsOf(name))
     FaultInjection.cut("compact.staged")
     // the folded base was built from the exclusion-filtered snapshot, so
     // dropped range partitions are physically gone — the list clears in
@@ -1004,6 +1097,46 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val meta = Files.readString(metaFile(name))
     """"rangeCol":"([^"]+)"""".r.findFirstMatchIn(meta).map(_.group(1))
   }
+
+  /** Composite-range sub-columns (nested `__range2=`, `__range3=`, … dir
+    * levels under the time-derived `__range`); empty on single-column
+    * range tables.
+    */
+  def rangeSubColsOf(name: String): Seq[String] = {
+    val meta = Files.readString(metaFile(name))
+    """"rangeSubCols":\[([^\]]*)\]""".r.findFirstMatchIn(meta)
+      .map(_.group(1).split(",").iterator
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+  }
+
+  /** Columns whose base parquet files carry bloom filters (non-key
+    * point-lookup pruning); empty when none were declared.
+    */
+  def bloomColsOf(name: String): Seq[String] = {
+    val meta = Files.readString(metaFile(name))
+    """"bloomCols":\[([^\]]*)\]""".r.findFirstMatchIn(meta)
+      .map(_.group(1).split(",").iterator
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+  }
+
+  /** Composite range id of a base file path: the `__range=` value joined
+    * with each `__rangeN=` sub-level by '/'. None for unpartitioned files.
+    */
+  private def rangeIdOfPath(f: String, nSub: Int): Option[String] =
+    "__range=([^/]+)".r.findFirstMatchIn(f).map(_.group(1)).map { v0 =>
+      val subs = (0 until nSub).flatMap(i =>
+        s"__range${i + 2}=([^/]+)".r.findFirstMatchIn(f).map(_.group(1)))
+      (v0 +: subs).mkString("/")
+    }
+
+  /** A dropped-range entry covers a composite id when it equals the id or
+    * is a '/'-separated PREFIX of it — dropping '2024-01' covers every
+    * tenant sub-partition of that month.
+    */
+  private def droppedCovers(entry: String, id: String): Boolean =
+    id == entry || id.startsWith(entry + "/")
 
   /** Range directory granularity: "month" (default) or "day". */
   def rangeGranularityOf(name: String): String = {
@@ -1186,7 +1319,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       val obs = org.apache.spark.sql.Observation()
       writePartitioned(toInsert.observe(obs, count(lit(1)).as("n")),
         keys, bucketsOf(name), rangeColOf(name), dataDir(name), SaveMode.Append,
-        hashCols = hashColsOf(name), rangeFmt = rangePattern(name))
+        hashCols = hashColsOf(name), rangeFmt = rangePattern(name),
+        rangeSubCols = rangeSubColsOf(name), bloomCols = bloomColsOf(name))
       // `toInsert`'s anti-join re-evaluates against the file listing captured
       // at DataFrame creation (before the append), so the fallback recount is
       // consistent with what was just written.
@@ -1346,7 +1480,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       if (keyColsOf(name).contains(column))
         throw new CatalogException(
           s"cannot drop key column $column (recreate the table to change its key)")
-      if (rangeColOf(name).contains(column))
+      if (rangeColOf(name).contains(column) || rangeSubColsOf(name).contains(column))
         throw new CatalogException(
           s"cannot drop range-partition column $column (the table's layout depends on it)")
     }
@@ -1403,7 +1537,9 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     writePartitioned(folded, ren(keys), bucketsOf(name),
       rangeColOf(name).map(c => if (c == from) to else c),
       staged.toString, SaveMode.Overwrite, sortCols = ren(keys),
-      hashCols = ren(hashColsOf(name)), rangeFmt = rangePattern(name))
+      hashCols = ren(hashColsOf(name)), rangeFmt = rangePattern(name),
+      rangeSubCols = ren(rangeSubColsOf(name)),
+      bloomCols = ren(bloomColsOf(name)))
     val newSchema = StructType(
       schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
     val d = TableDef(name, newSchema, ren(keys), bucketsOf(name),
@@ -1411,7 +1547,9 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       hashCols = {
         val h = ren(hashColsOf(name)); if (h == ren(keys)) Seq.empty else h
       },
-      rangeGranularity = rangeGranularityOf(name))
+      rangeGranularity = rangeGranularityOf(name),
+      rangeSubCols = ren(rangeSubColsOf(name)),
+      bloomCols = ren(bloomColsOf(name)))
     val full = s"""{"dataDir":"$newDataName","deltaFloor":$floor,""" +
       metaJson(d, d.schema, zoneOf(name)).drop(1)
     FaultInjection.cut("rename.staged")
@@ -1436,7 +1574,10 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   private def rewriteSchemaMeta(name: String, newSchema: StructType): Unit = {
     val d = TableDef(name, newSchema, keyColsOf(name), bucketsOf(name), rangeColOf(name),
       hashCols = { val h = hashColsOf(name); if (h == keyColsOf(name)) Seq.empty else h },
-      rangeGranularity = rangeGranularityOf(name))
+      rangeGranularity = rangeGranularityOf(name),
+      rangeSubCols = rangeSubColsOf(name),
+      // a dropped column sheds its bloom declaration with it
+      bloomCols = bloomColsOf(name).filter(newSchema.fieldNames.contains))
     val (dd, fl, dr) = (dataDirNameOf(name), deltaFloorOf(name), droppedRangesOf(name))
     val base = metaJson(d, d.schema, zoneOf(name))
     val full =
@@ -1526,7 +1667,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val obs = org.apache.spark.sql.Observation()
     writePartitioned(deduped.observe(obs, count(lit(1)).as("n")),
       keys, bucketsOf(name), rangeColOf(name), staged.toString, SaveMode.Overwrite,
-      hashCols = hashColsOf(name), rangeFmt = rangePattern(name))
+      hashCols = hashColsOf(name), rangeFmt = rangePattern(name),
+      rangeSubCols = rangeSubColsOf(name), bloomCols = bloomColsOf(name))
     val n = obs.get("n").asInstanceOf[Long]
     FaultInjection.cut("overwrite.staged")
     val floor = rawDeltaSeqs(name).lastOption.getOrElse(0).max(deltaFloorOf(name))
@@ -1727,7 +1869,11 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
 
   private def readDelta(name: String, seq: Int): DataFrame = {
     var schema = readSchema(name).add(StructField(OpCol, StringType))
-    if (rangeColOf(name).isDefined) schema = schema.add(StructField(RangeCol, StringType))
+    if (rangeColOf(name).isDefined) {
+      schema = schema.add(StructField(RangeCol, StringType))
+      rangeSubColsOf(name).indices.foreach(i =>
+        schema = schema.add(StructField(s"$RangeCol${i + 2}", StringType)))
+    }
     if (bucketsOf(name) > 0) schema = schema.add(StructField(BucketCol, IntegerType))
     spark.read.schema(schema).parquet(deltasDir(name).resolve(seq.toString).toString)
   }
@@ -1760,7 +1906,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       writePartitioned(batch.observe(obs, count(lit(1)).as("n")),
         keyColsOf(name), bucketsOf(name), rangeColOf(name),
         tmp.toString, SaveMode.Overwrite, rangeAsData = true,
-        hashCols = hashColsOf(name), rangeFmt = rangePattern(name))
+        hashCols = hashColsOf(name), rangeFmt = rangePattern(name),
+        rangeSubCols = rangeSubColsOf(name), bloomCols = bloomColsOf(name))
       val n = observedCount(obs, "n", batch.count())
       FaultInjection.cut("delta.staged")
       if (n > 0)
@@ -1808,12 +1955,17 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       val z = zone.map(z => s"""\"zone\":\"$z\",""").getOrElse("")
       val g = if (d.rangeGranularity != "month")
         s"""\"rangeGranularity\":\"${d.rangeGranularity}\",""" else ""
-      s"""\"rangeCol\":\"$rc\",$g$z"""
+      val sub = if (d.rangeSubCols.isEmpty) ""
+        else s""""rangeSubCols":[${d.rangeSubCols.map(k => "\"" + k + "\"").mkString(",")}],"""
+      s"""\"rangeCol\":\"$rc\",$sub$g$z"""
     }.getOrElse("")
+    val bloom =
+      if (d.bloomCols.isEmpty) ""
+      else s""""bloomCols":[${d.bloomCols.map(k => "\"" + k + "\"").mkString(",")}],"""
     val hash =
       if (d.hashCols.isEmpty) ""
       else s""""hashCols":[${d.hashCols.map(k => "\"" + k + "\"").mkString(",")}],"""
-    s"""{"name":"${d.name}","buckets":${d.buckets},$range$hash"keyCols":[$keys],"schemaJson":${normalized.json}}"""
+    s"""{"name":"${d.name}","buckets":${d.buckets},$range$bloom$hash"keyCols":[$keys],"schemaJson":${normalized.json}}"""
   }
 
   private def deleteRecursively(p: Path): Unit =
@@ -1831,6 +1983,51 @@ object KuduLikeCatalog {
     */
   private val tableLocks = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.locks.ReentrantReadWriteLock]()
+
+  /** Refcounted SHARED OS file lock per (root, table): java.nio rejects
+    * overlapping locks inside one JVM, so in-process mutation writers
+    * share a single OS-level shared lock instead of each taking one.
+    * Closing the channel releases the lock (and the OS releases it if the
+    * process dies, so a crashed writer never wedges remote DDL).
+    */
+  private[graft] final class SharedFileLock {
+    private var count = 0
+    private var ch: java.nio.channels.FileChannel = null
+    def acquire(path: Path, timeoutMs: Long, table: String): Unit = synchronized {
+      if (count == 0) {
+        val c = java.nio.channels.FileChannel.open(path,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.READ,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          var fl: java.nio.channels.FileLock = null
+          val deadline = System.nanoTime + timeoutMs * 1000000L
+          while (fl == null) {
+            fl = c.tryLock(0L, Long.MaxValue, /*shared=*/ true)
+            if (fl == null) {
+              if (System.nanoTime > deadline) throw new CatalogException(
+                s"$table: timed out after ${timeoutMs}ms waiting for the shared " +
+                  "table lock (a DDL writer in another process holds it " +
+                  "exclusively). Tune graft.write.lock.timeout.ms if needed.")
+              Thread.sleep(50)
+            }
+          }
+        } catch { case e: Throwable => c.close(); throw e }
+        ch = c
+      }
+      count += 1
+    }
+    def release(): Unit = synchronized {
+      count -= 1
+      if (count == 0 && ch != null) {
+        try ch.close() catch { case _: Exception => () }
+        ch = null
+      }
+    }
+  }
+
+  private[graft] val sharedFileLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, SharedFileLock]()
 
   private[graft] val BucketCol = "__bucket"
   private[graft] val RangeCol = "__range"

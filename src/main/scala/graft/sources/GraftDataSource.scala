@@ -7,6 +7,7 @@ import org.apache.parquet.example.data.Group
 import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.filter2.compat.FilterCompat
 import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.filter2.bloomfilterlevel.BloomFilterImpl
 import org.apache.parquet.filter2.statisticslevel.StatisticsFilter
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -1573,6 +1574,20 @@ private[graft] object GraftVectorized {
     }
 }
 
+/** Row-group pruning counters for the connector's row path — test/diagnostic
+  * observability (local-mode: one JVM sees every task's increments). Not a
+  * correctness surface; results are identical with pruning off, only IO
+  * differs.
+  */
+object GraftScanStats {
+  val rowGroupsRead = new java.util.concurrent.atomic.LongAdder
+  val rowGroupsStatsSkipped = new java.util.concurrent.atomic.LongAdder
+  val rowGroupsBloomSkipped = new java.util.concurrent.atomic.LongAdder
+  def reset(): Unit = {
+    rowGroupsRead.reset(); rowGroupsStatsSkipped.reset(); rowGroupsBloomSkipped.reset()
+  }
+}
+
 /** Streaming parquet-mr reader for one file: projects `fields` (null-filling
   * columns the file predates — schema evolution via addColumn), converts
   * each Group to catalyst values, applies the convertible subset of
@@ -1638,15 +1653,32 @@ private[sources] final class GroupFileIterator(
   advance()
 
   /** Position `recordReader` on the next row group surviving the stats
-    * filter; false at file end. Skipped groups cost zero page IO.
+    * and bloom filters; false at file end. Skipped groups cost zero page
+    * IO. Bloom filters (written when the table declares
+    * `graft.bloom_columns`) prune point predicates min/max statistics
+    * cannot — a key-sorted file's NON-key columns interleave across every
+    * row group, so their stats ranges all overlap; the bloom filter
+    * answers "value definitely absent from this group" from
+    * footer-adjacent bytes (Kudu analog: the per-tablet key index,
+    * DesignDocument.md). Dictionary-level filtering is deliberately NOT
+    * consulted: it decodes a dictionary page per column chunk of every
+    * surviving group — page IO spent on every scan for the same skips
+    * bloom yields without touching pages; Spark's residual filters keep
+    * row-level exactness either way.
     */
   private def openNextGroup(): Boolean = {
     while (blockIdx < blocks.size()) {
       val block = blocks.get(blockIdx)
       blockIdx += 1
       if (filePred.exists(p => StatisticsFilter.canDrop(p, block.getColumns))) {
+        GraftScanStats.rowGroupsStatsSkipped.increment()
+        reader.skipNextRowGroup()
+      } else if (filePred.exists(p => BloomFilterImpl.canDrop(
+          p, block.getColumns, reader.getBloomFilterDataReader(block)))) {
+        GraftScanStats.rowGroupsBloomSkipped.increment()
         reader.skipNextRowGroup()
       } else {
+        GraftScanStats.rowGroupsRead.increment()
         val pages = reader.readNextRowGroup()
         if (pages != null) {
           recordReader = columnIO.getRecordReader(

@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Cross-round / cross-scale bench comparison (round-10 verdict item 8).
+
+Usage:
+  bench_diff.py OLD.json NEW.json [--threshold R] [--all]
+  git show <rev>:bench.json > /tmp/old.json && bench_diff.py /tmp/old.json bench.json
+
+Inputs are graft.Bench's bench.json shape: per-query sweep min in "queries",
+optional interference-free reruns in "queries_solo", raw sweep samples in
+"queries_samples". The estimator preference order per query is:
+
+  solo time (when present)  >  sweep min
+
+— solo reruns happen AFTER the sweep with nothing else running, so they are
+the only times comparable verdict-to-verdict without chasing sweep noise
+(round-10: a "+4.1 s regression" dissolved entirely once solo/sample
+distributions were consulted).
+
+A query is flagged as a REAL regression only if BOTH hold:
+  1. new_time > threshold * old_time (default 1.3), and
+  2. the sample ranges do not overlap (new min > old max) — overlapping
+     sweep distributions are noise by construction.
+Queries failing only (1) are listed as "noisy" unless --all hides nothing.
+
+With differing "sf" fields the report is labeled a SCALE comparison and the
+ratio column is the scale-up factor (e.g. sf1/sf0.1 ≈ 10 for perfectly
+linear operators; super-linear entries are what to chase).
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def best(d, q):
+    solo = d.get("queries_solo") or {}
+    if q in solo and solo[q] is not None and solo[q] >= 0:
+        return float(solo[q]), "solo"
+    v = d["queries"].get(q)
+    return (float(v), "sweep") if v is not None and v >= 0 else (None, "fail")
+
+
+def srange(d, q):
+    xs = [x for x in (d.get("queries_samples") or {}).get(q, []) if x >= 0]
+    return (min(xs), max(xs)) if xs else None
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thr = 1.3
+    show_all = "--all" in sys.argv
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            thr = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    old, new = load(args[0]), load(args[1])
+    scale_cmp = old.get("sf") != new.get("sf")
+    rows = []
+    for q in new["queries"]:
+        nv, nsrc = best(new, q)
+        ov, osrc = best(old, q)
+        if nv is None or ov is None or ov == 0:
+            rows.append((q, ov, nv, None, "FAIL" if nv is None else "new"))
+            continue
+        ratio = nv / ov
+        verdict = ""
+        if not scale_cmp and ratio > thr:
+            orng, nrng = srange(old, q), srange(new, q)
+            if orng and nrng and nrng[0] > orng[1]:
+                verdict = "REGRESSION"
+            else:
+                verdict = "noisy"
+        rows.append((q, ov, nv, ratio, verdict or f"{osrc}/{nsrc}"))
+    rows.sort(key=lambda r: -(r[3] or 0))
+    kind = "SCALE" if scale_cmp else "ROUND"
+    print(f"# bench_diff ({kind}): {args[0]} [{old.get('sf')}] -> {args[1]} [{new.get('sf')}]")
+    tot_o = sum(r[1] for r in rows if r[1]) or 1
+    tot_n = sum(r[2] for r in rows if r[2])
+    print(f"# totals: {tot_o:.2f}s -> {tot_n:.2f}s  (x{tot_n / tot_o:.2f})")
+    hdr = f"{'query':34s} {'old_s':>9s} {'new_s':>9s} {'ratio':>7s}  note"
+    print(hdr)
+    n_shown = 0
+    for q, ov, nv, ratio, note in rows:
+        interesting = note in ("REGRESSION", "noisy", "FAIL", "new") or scale_cmp
+        if not (show_all or interesting):
+            continue
+        n_shown += 1
+        print(f"{q:34s} {ov if ov is not None else -1:9.3f} "
+              f"{nv if nv is not None else -1:9.3f} "
+              f"{ratio if ratio is not None else -1:7.2f}  {note}")
+    if n_shown == 0:
+        print("(no regressions above threshold; rerun with --all for the full table)")
+    n_reg = sum(1 for r in rows if r[4] == "REGRESSION")
+    print(f"# {n_reg} real regression(s) at threshold {thr} "
+          f"(sample-range-disjoint); {sum(1 for r in rows if r[4] == 'noisy')} noisy")
+    sys.exit(1 if n_reg else 0)
+
+
+if __name__ == "__main__":
+    main()

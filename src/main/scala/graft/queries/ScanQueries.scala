@@ -618,5 +618,86 @@ object ScanQueries {
         Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "name").orderBy("id")
       },
       Some("SELECT * FROM (VALUES (1,'a'),(2,'b'),(3,'a')) AS t(id,name) ORDER BY id")),
+
+    // Non-key point lookup through the parquet-bloom index (round 11): the
+    // table is key-sorted on o_orderkey, so o_custkey values interleave
+    // across every row group and min/max stats can never prune a custkey
+    // probe — the declared bloom filter is what turns this into a
+    // row-group-skipping read (ParquetBloomSpec proves the skip; this
+    // query hash-gates the end-to-end answer THROUGH the connector).
+    QDef("s24_bloom_point_lookup",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s24_").toString
+        val cat = new KuduLikeCatalog(s, tmp)
+        val orders = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderpriority")
+        cat.createTable(TableDef("orders_b", orders.schema, Seq("o_orderkey"),
+          buckets = 4, bloomCols = Seq("o_custkey")))
+        cat.insert("orders_b", orders)
+        cat.compact("orders_b")
+        s.read.format("graft").option("root", tmp).load("orders_b")
+          .filter(col("o_custkey") === 42)
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderpriority
+             |FROM orders WHERE o_custkey = 42 ORDER BY o_orderkey""".stripMargin),
+      benchFn = Some { (s, dir) =>
+        val tmp = memoized(s"s24:$dir") { t =>
+          val cat = new KuduLikeCatalog(s, t)
+          val orders = Tables.load(s, dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderpriority")
+          cat.createTable(TableDef("orders_b", orders.schema, Seq("o_orderkey"),
+            buckets = 4, bloomCols = Seq("o_custkey")))
+          cat.insert("orders_b", orders)
+          cat.compact("orders_b")
+        }
+        s.read.format("graft").option("root", tmp).load("orders_b")
+          .filter(col("o_custkey") === 42)
+          .orderBy("o_orderkey")
+      }),
+
+    // Composite-range retention (round 11): events in a RANGE (day,
+    // event_type) table — Kudu's multi-column range shape. One tenant-day
+    // ('2024-01-15/click') and one whole day ('2024-01-20', a prefix
+    // covering every type) are dropped as METADATA; the readback must
+    // agree with an oracle that re-derives the exclusions algebraically
+    // over the raw table, so the retention cut is hash-gated, not just
+    // asserted on counts.
+    QDef("s25_composite_range_retention",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s25_").toString
+        val cat = new KuduLikeCatalog(s, tmp)
+        val events = Tables.load(s, dir, "events")
+          .select("event_id", "ts", "event_type")
+        cat.createTable(TableDef("events_r", events.schema, Seq("event_id"),
+          rangeCol = Some("ts"), rangeGranularity = "day",
+          rangeSubCols = Seq("event_type")))
+        cat.insert("events_r", events)
+        cat.dropRangePartition("events_r", "2024-01-15/click")
+        cat.dropRangePartition("events_r", "2024-01-20")
+        cat.table("events_r")
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n FROM events
+             |WHERE NOT (strftime(ts, '%Y-%m-%d') = '2024-01-15' AND event_type = 'click')
+             |  AND strftime(ts, '%Y-%m-%d') <> '2024-01-20'
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      benchFn = Some { (s, dir) =>
+        val tmp = memoized(s"s25:$dir") { t =>
+          val cat = new KuduLikeCatalog(s, t)
+          val events = Tables.load(s, dir, "events")
+            .select("event_id", "ts", "event_type")
+          cat.createTable(TableDef("events_r", events.schema, Seq("event_id"),
+            rangeCol = Some("ts"), rangeGranularity = "day",
+            rangeSubCols = Seq("event_type")))
+          cat.insert("events_r", events)
+          cat.dropRangePartition("events_r", "2024-01-15/click")
+          cat.dropRangePartition("events_r", "2024-01-20")
+        }
+        new KuduLikeCatalog(s, tmp).table("events_r")
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+          .orderBy("event_type")
+      }),
   )
 }

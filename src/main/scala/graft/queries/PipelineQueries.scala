@@ -850,6 +850,51 @@ object PipelineQueries {
              |WHERE i * 1.0 / ((za.sza + zb.szb - i) * 1.0) >= 0.05
              |ORDER BY a, b""".stripMargin)),
 
+    // The SCALE PATH for d26 (round 11): same cross-corpus Jaccard but
+    // through ngramJaccardPairsCrossAtScale's REQUIRED finite df cap.
+    // BENCH_sf1 measured why the pairing exists: d26's exact all-pairs
+    // definition is quadratic in shingle df, and the 10x-replicated sf1
+    // corpus inflates its TRUE output ~100x (7.7k -> 775.6k pairs, 59 s)
+    // — sublinear per output row, but the output itself is the blowup. A
+    // df cap bounds the per-shingle join fan-out, which is the only knob
+    // that keeps incremental-crawl dedup linear at 100 TB (the d9/d9b
+    // pairing, cross-corpus). The oracle reproduces the cap exactly:
+    // discriminative shingles are counted on the REFERENCE side, candidate
+    // pairs must share one, intersections then run over FULL shingle sets.
+    QDef("d26b_cross_corpus_dfcap",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.ngramJaccardPairsCrossAtScale(
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") === "src1"),
+          "text", "doc_id", dfMax = 50L, n = 2, tau = 0.05)
+          .select(col("a"), col("b"), col("inter"), dec4(col("jaccard")).as("jac"))
+          .orderBy("a", "b")
+      },
+      Some("""WITH sa AS (SELECT DISTINCT doc_id AS a, g FROM (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' '))),
+             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS g
+             |  FROM documents WHERE source = 'src0') t),
+             |sb AS (SELECT DISTINCT doc_id AS b, g FROM (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' '))),
+             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS g
+             |  FROM documents WHERE source = 'src1') t),
+             |disc AS (SELECT g FROM sb GROUP BY g HAVING count(*) <= 50),
+             |cand AS (SELECT DISTINCT a, b FROM sa JOIN sb USING (g)
+             |         WHERE g IN (SELECT g FROM disc)),
+             |za AS (SELECT a, count(*) AS sza FROM sa GROUP BY 1),
+             |zb AS (SELECT b, count(*) AS szb FROM sb GROUP BY 1),
+             |inter AS (SELECT c.a, c.b, count(*) AS i
+             |          FROM cand c
+             |          JOIN sa x ON x.a = c.a
+             |          JOIN sb y ON y.b = c.b AND y.g = x.g
+             |          GROUP BY 1, 2)
+             |SELECT a, b, i AS inter,
+             |  CAST(i * 1.0 / ((za.sza + zb.szb - i) * 1.0) AS DECIMAL(38,4)) AS jac
+             |FROM inter JOIN za USING (a) JOIN zb USING (b)
+             |WHERE i * 1.0 / ((za.sza + zb.szb - i) * 1.0) >= 0.05
+             |ORDER BY a, b""".stripMargin)),
+
     // Corpus TF-IDF: top-3 characteristic terms per doc, df over the FULL
     // corpus. Rational idf (N+1)/(df+1) — a standard no-log idf variant,
     // chosen because integer-count division is bit-deterministic across

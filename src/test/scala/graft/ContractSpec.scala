@@ -31,7 +31,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the survey ledger claim") {
-    assert(SparkEntry.all.size === 152, s"ledger says 152, found ${SparkEntry.all.size}")
+    assert(SparkEntry.all.size === 153, s"ledger says 153, found ${SparkEntry.all.size}")
   }
 
   test("driver-side collect() stays confined to the documented bounded sites") {

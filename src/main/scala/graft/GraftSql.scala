@@ -63,6 +63,7 @@ object GraftSql {
     else if (upper.startsWith("TRUNCATE TABLE")) truncate(spark, cat, stmt)
     else if (upper.startsWith("OPTIMIZE ")) optimize(spark, cat, stmt)
     else if (upper.startsWith("VACUUM ")) vacuum(spark, cat, stmt)
+    else if (upper.startsWith("ANALYZE TABLE")) analyzeTable(spark, cat, stmt)
     else { registerViews(spark, cat); spark.sql(stmt) }
   }
 
@@ -326,7 +327,8 @@ object GraftSql {
   }
 
   private val UpdateHead =
-    """(?is)^UPDATE\s+`?([\w.]+)`?\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$""".r
+    """(?is)^UPDATE\s+`?([\w.]+)`?\s+SET\s+(.+)$""".r
+  private val TopWhere = """(?i)\bWHERE\b""".r
 
   /** `UPDATE t SET c = expr, … [WHERE cond]` — the remaining row-level DML
     * verb after DELETE and MERGE. Compiles onto the catalog's upsert: one
@@ -337,17 +339,24 @@ object GraftSql {
     * HiveKuduTableOutputFormat.java:155-312). Snapshot semantics are free —
     * the projection evaluates against the pre-update snapshot, nothing
     * mutates until the layer's atomic rename, so `SET a = b WHERE a < b`
-    * cannot observe itself. Dialect-router caveat (as MERGE): a `WHERE`
-    * keyword inside a SET expression string literal would mis-split.
+    * cannot observe itself. The SET/WHERE cut is [[topLevelMatches]]-anchored,
+    * so a `WHERE` inside a string literal, a subquery, or a CASE expression
+    * is SET content, not the predicate boundary.
     */
   private def update(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame =
     stmt match {
-      case UpdateHead(name, sets, cond) if cat.exists(name) =>
+      case UpdateHead(name, setsAndWhere) if cat.exists(name) =>
         registerViews(spark, cat)
+        val (sets, cond) = topLevelMatches(setsAndWhere, TopWhere).headOption match {
+          case Some(m) =>
+            (setsAndWhere.substring(0, m.start).trim,
+             Some(setsAndWhere.substring(m.end).trim))
+          case None => (setsAndWhere.trim, None)
+        }
         val schema = cat.schemaOf(name)
         val keys = cat.keyColsOf(name)
         val proj = setProjection(name, schema, keys, name, sets, "UPDATE")
-        val w = Option(cond).map(c => s" WHERE $c").getOrElse("")
+        val w = cond.map(c => s" WHERE $c").getOrElse("")
         val rows = spark.sql(s"SELECT $proj FROM `$name`$w")
         val n = cat.upsert(name, rows)
         registerViews(spark, cat)
@@ -360,12 +369,29 @@ object GraftSql {
   private val SourceAliasOn =
     """(?is)^\s*(?:(?:AS\s+)?(?!ON\b)(\w+)\s+)?ON\s+(.*)$""".r
   private val WhenSplit = """(?i)\bWHEN\s+(?:NOT\s+)?MATCHED\b""".r
-  private val UpdateClause =
-    """(?is)^WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+)$""".r
-  private val DeleteClause =
-    """(?is)^WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*$""".r
-  private val InsertClause =
-    """(?is)^WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT\s+(.+)$""".r
+  private val TopThen = """(?i)\bTHEN\b""".r
+  private val ClauseHead =
+    """(?is)^WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+))?$""".r
+  private val UpdateAction = """(?is)^UPDATE\s+SET\s+(.+)$""".r
+  private val InsertAction = """(?is)^INSERT\s+(.+)$""".r
+
+  /** A merge clause split at its top-level THEN: `matched`/optional guard
+    * from the head, the action verb text after. The THEN anchor comes from
+    * [[topLevelMatches]], so a THEN inside a guard's CASE expression, a
+    * parenthesized subquery, or a string literal cannot end the guard —
+    * the failure mode the old first-THEN regexes documented as a caveat.
+    */
+  private def parseMergeClause(name: String, c: String): (Boolean, Option[String], String) = {
+    val thenM = topLevelMatches(c, TopThen).headOption.getOrElse(
+      throw new CatalogException(s"MERGE INTO $name: clause has no THEN: $c"))
+    val action = c.substring(thenM.end).trim
+    c.substring(0, thenM.start).trim match {
+      case ClauseHead(not, guard) =>
+        (not == null, Option(guard).map(_.trim), action)
+      case head =>
+        throw new CatalogException(s"MERGE INTO $name: cannot parse clause: $head")
+    }
+  }
 
   /** `MERGE INTO t USING src ON cond WHEN …` — the one DML verb a Hive/Kudu
     * user reaches for that the V2 catalog seam rejects (it would need
@@ -395,8 +421,10 @@ object GraftSql {
     * Several source rows hitting one target key resolve last-wins through
     * the catalog's in-batch dedup (standard SQL raises a cardinality error;
     * Kudu's upsert — the semantic this catalog mirrors — takes last-wins).
-    * Dialect-router caveat: guard conditions containing `CASE … THEN` are
-    * not supported (the clause splitter anchors on the first THEN).
+    * Clause anchoring (WHEN/THEN cuts) is [[topLevelMatches]]-based: a
+    * `WHEN MATCHED` or `THEN` inside a string literal, a parenthesized
+    * subquery, or a guard's CASE expression is expression content, not a
+    * clause boundary.
     */
   private def merge(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame = {
     val m = MergeHead.findFirstMatchIn(stmt).getOrElse(
@@ -419,7 +447,7 @@ object GraftSql {
     val sAlias = Option(am.group(1)).orElse(srcName).getOrElse(
       throw new CatalogException(s"MERGE INTO $name: a subquery source needs an alias"))
     val rest = am.group(2)
-    val whenStarts = WhenSplit.findAllMatchIn(rest).map(_.start).toList
+    val whenStarts = topLevelMatches(rest, WhenSplit).map(_.start)
     if (whenStarts.isEmpty)
       throw new CatalogException(s"MERGE INTO $name: no WHEN clauses")
     val cond = rest.substring(0, whenStarts.head).trim
@@ -440,22 +468,22 @@ object GraftSql {
 
     var matchedPriors = Vector.empty[String]
     var notMatchedPriors = Vector.empty[String]
-    val actions: Seq[(String, DataFrame)] = clauses.map {
-      case UpdateClause(guard, sets) =>
+    val actions: Seq[(String, DataFrame)] = clauses.map(parseMergeClause(name, _)).map {
+      case (true, guard, UpdateAction(sets)) =>
         val proj = setProjection(name, schema, keys, tAlias, sets, "MERGE INTO")
-        val w = where(Option(guard).map(_.trim), matchedPriors)
-        matchedPriors :+= Option(guard).map(_.trim).getOrElse("true")
+        val w = where(guard, matchedPriors)
+        matchedPriors :+= guard.getOrElse("true")
         "update" -> spark.sql(s"SELECT $proj $matchedFrom $w")
-      case DeleteClause(guard) =>
+      case (true, guard, action) if action.equalsIgnoreCase("DELETE") =>
         // full target row, not just keys: the matched join already holds
         // the payload the tombstone must carry, so DELETE costs no second
         // scan + semi-join against the table
         val proj = schema.fields.map(f =>
           s"`$tAlias`.`${f.name}` AS `${f.name}`").mkString(", ")
-        val w = where(Option(guard).map(_.trim), matchedPriors)
-        matchedPriors :+= Option(guard).map(_.trim).getOrElse("true")
+        val w = where(guard, matchedPriors)
+        matchedPriors :+= guard.getOrElse("true")
         "delete" -> spark.sql(s"SELECT $proj $matchedFrom $w")
-      case InsertClause(guard, insSpec) =>
+      case (false, guard, InsertAction(insSpec)) =>
         val spec = insSpec.trim
         val proj =
           if (spec == "*")
@@ -487,11 +515,13 @@ object GraftSql {
               }
             }.mkString(", ")
           }
-        val w = where(Option(guard).map(_.trim), notMatchedPriors)
-        notMatchedPriors :+= Option(guard).map(_.trim).getOrElse("true")
+        val w = where(guard, notMatchedPriors)
+        notMatchedPriors :+= guard.getOrElse("true")
         "insert" -> spark.sql(s"SELECT $proj $antiFrom $w")
-      case c =>
-        throw new CatalogException(s"MERGE INTO $name: cannot parse clause: $c")
+      case (matched, _, action) =>
+        throw new CatalogException(
+          s"MERGE INTO $name: WHEN ${if (matched) "MATCHED" else "NOT MATCHED"} " +
+            s"cannot take action: $action")
     }
 
     // Single-changeset application: every branch row-set lands in ONE
@@ -529,6 +559,53 @@ object GraftSql {
     val total = cat.applyChangeset(name, changeset)
     registerViews(spark, cat)
     status(spark, "MERGE INTO", name, total)
+  }
+
+  /** Occurrences of keyword regex `kw` in `s` that sit at paren depth 0,
+    * CASE depth 0, and outside string literals — the anchor discipline the
+    * DML clause cuts (UPDATE's WHERE, MERGE's WHEN/THEN) need and a bare
+    * regex cannot enforce. Literal quoting rules match [[balancedParen]]:
+    * `''` and `\'` are content. CASE depth treats `CASE … END` as one
+    * opaque expression so its internal WHEN/THEN never read as clause
+    * keywords; a stray END outside any CASE is left to Spark's parser to
+    * reject in the compiled statement.
+    */
+  private def topLevelMatches(
+      s: String, kw: scala.util.matching.Regex): List[scala.util.matching.Regex.Match] = {
+    val all = kw.findAllMatchIn(s).toList
+    if (all.isEmpty) return Nil
+    val valid = new Array[Boolean](s.length)
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    def isToken(i: Int, w: String) =
+      s.regionMatches(true, i, w, 0, w.length) &&
+        (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+        (i + w.length >= s.length || !isWordChar(s.charAt(i + w.length)))
+    var depth = 0
+    var caseDepth = 0
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        if (c == '\\') i += 1
+        else if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
+          else inQuote = false
+        }
+      } else {
+        valid(i) = depth == 0 && caseDepth == 0
+        c match {
+          case '\'' => inQuote = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+            if (isToken(i, "CASE")) caseDepth += 1
+            else if (caseDepth > 0 && isToken(i, "END")) caseDepth -= 1
+        }
+      }
+      i += 1
+    }
+    all.filter(m => m.start < s.length && valid(m.start))
   }
 
   /** Split on `sep` at paren depth 0 outside string literals. */
@@ -684,7 +761,14 @@ object GraftSql {
                 ("# Storage Information", "", ""),
                 ("Num Buckets:", if (buckets > 0) buckets.toString else "-1", ""),
                 ("Bucket Columns:",
-                  if (buckets > 0) keys.mkString("[", ", ", "]") else "[]", ""))
+                  if (buckets > 0) keys.mkString("[", ", ", "]") else "[]", "")) ++
+              // Hive surfaces numRows under Table Parameters after ANALYZE;
+              // shown here only while the record is provably fresh
+              cat.statsOf(name).toSeq.flatMap(st => Seq(
+                ("", "", ""),
+                ("# Statistics (ANALYZE)", "", ""),
+                ("", "numRows", st.numRows.toString),
+                ("", "analyzedAtVersion", st.analyzedAtVersion.toString)))
           }
         rows.toDF("col_name", "data_type", "comment")
       case _ => { registerViews(spark, cat); spark.sql(stmt) }
@@ -852,10 +936,30 @@ object GraftSql {
       case _ => throw new CatalogException(s"cannot parse VACUUM: $stmt")
     }
 
-  private val OptimizeHead =
-    """(?is)^OPTIMIZE\s+`?([\w.]+)`?(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,`]+?)\s*\))?$""".r
+  private val AnalyzeHead =
+    """(?is)^ANALYZE\s+TABLE\s+`?([\w.]+)`?\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+ALL\s+COLUMNS)?$""".r
 
-  /** `OPTIMIZE t` (compaction: fold deltas, rewrite sized files) and
+  /** `ANALYZE TABLE t COMPUTE STATISTICS [FOR ALL COLUMNS]` — the Hive/
+    * Impala stats verb (Impala's COMPUTE STATS is how a Kudu table feeds
+    * its planner). One scan; always computes column-level stats — at this
+    * schema width the split verb buys nothing. Result feeds Catalyst CBO
+    * through the connector until the next mutation stales it
+    * ([[KuduLikeCatalog.analyze]]).
+    */
+  private def analyzeTable(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame =
+    stmt match {
+      case AnalyzeHead(name) if cat.exists(name) =>
+        val st = cat.analyze(name)
+        status(spark, "ANALYZE TABLE", name, st.numRows)
+      case _ => { registerViews(spark, cat); spark.sql(stmt) }
+    }
+
+  private val OptimizeHead =
+    """(?is)^OPTIMIZE\s+`?([\w.]+)`?(?:\s+(INCREMENTAL)|\s+ZORDER\s+BY\s*\(\s*([\w\s,`]+?)\s*\))?$""".r
+
+  /** `OPTIMIZE t` (compaction: fold deltas, rewrite sized files),
+    * `OPTIMIZE t INCREMENTAL` (fold deltas touching only the range
+    * partitions they hit — [[KuduLikeCatalog.compactIncremental]]), and
     * `OPTIMIZE t ZORDER BY (a, b)` (multi-dimensional clustering — the
     * Delta-dialect face of [[KuduLikeCatalog.compactZOrdered]]). A single
     * linear cluster column routes to plain clustered compaction (z-order
@@ -863,21 +967,26 @@ object GraftSql {
     */
   private def optimize(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame =
     stmt match {
-      case OptimizeHead(name, cols) =>
+      case OptimizeHead(name, incremental, cols) =>
         if (!cat.exists(name))
           throw new CatalogException(s"OPTIMIZE $name: table does not exist")
         val zorder = Option(cols).map(
           _.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq)
           .getOrElse(Seq.empty)
-        zorder match {
+        if (incremental != null) cat.compactIncremental(name)
+        else zorder match {
           case Seq() => cat.compact(name)
           case Seq(one) => cat.compact(name, Seq(one))
           case many => cat.compactZOrdered(name, many)
         }
         registerViews(spark, cat)
-        status(spark, if (zorder.size >= 2) "OPTIMIZE ZORDER" else "OPTIMIZE", name, 0L)
+        val verb =
+          if (incremental != null) "OPTIMIZE INCREMENTAL"
+          else if (zorder.size >= 2) "OPTIMIZE ZORDER"
+          else "OPTIMIZE"
+        status(spark, verb, name, 0L)
       case _ =>
         throw new CatalogException(
-          s"cannot parse OPTIMIZE (expected: OPTIMIZE t [ZORDER BY (c1, c2…)]): $stmt")
+          s"cannot parse OPTIMIZE (expected: OPTIMIZE t [INCREMENTAL | ZORDER BY (c1, c2…)]): $stmt")
     }
 }

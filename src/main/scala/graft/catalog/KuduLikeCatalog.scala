@@ -718,6 +718,108 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       .orderBy("version")
   }
 
+  /** Fingerprint of the logical table state statistics describe: the meta
+    * manifest (schema, base pointer, delta floor, dropped ranges — every
+    * DDL and maintenance commit rewrites it) plus the current mutation
+    * version (plain INSERT/UPSERT/DELETE layers never touch the manifest).
+    * Any committed change to table CONTENT or SHAPE moves this value, so a
+    * stats record stamped with an old fingerprint is provably stale.
+    * Directory renames (ALTER TABLE RENAME) keep it — content unchanged.
+    * The base epoch is part of the triple because a delta-free INSERT is a
+    * base-file append that bumps neither the manifest nor the mutation
+    * version — exactly the changelog-staleness hole `base_epoch` exists
+    * to close, and stats would fall into the same hole without it.
+    */
+  def statsFingerprint(name: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(Files.readAllBytes(metaFile(name)))
+    md.update(s":${currentVersion(name)}:${baseEpoch(name)}".getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def statsFile(name: String): Path = tableDir(name).resolve("_stats.json")
+
+  /** ANALYZE TABLE: one aggregate pass over the live table computing exact
+    * row count and per-column null count, HLL++ NDV (register-max merge —
+    * deterministic under any partitioning), min/max for range-comparable
+    * types, and byte lengths for strings/binary. ONE scan + one map-side-
+    * combined aggregate regardless of column count, so the cost at 100 TB
+    * is the scan, not the statistics. Persisted atomically (tmp +
+    * ATOMIC_MOVE, the manifest discipline) stamped with
+    * [[statsFingerprint]]; the connector's `estimateStatistics` feeds the
+    * record to Catalyst CBO only while the stamp still matches.
+    */
+  def analyze(name: String): TableStats = {
+    if (!exists(name)) throw new CatalogException(s"table $name does not exist")
+    val fp = statsFingerprint(name)
+    val df = table(name)
+    val schema = df.schema
+    val statCols = schema.fields.filter(f => f.dataType match {
+      case _: ArrayType | _: MapType | _: StructType => false
+      case _ => true
+    })
+    val aggs = Seq(count(lit(1)).as("__n")) ++ statCols.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        approx_count_distinct(c).as(s"__ndv_${f.name}"),
+        count(c).as(s"__nn_${f.name}")) ++
+        (if (ColStats.rangeComparable(f.dataType))
+           Seq(min(c).as(s"__min_${f.name}"), max(c).as(s"__max_${f.name}"))
+         else Nil) ++
+        (f.dataType match {
+          case StringType | BinaryType =>
+            Seq(avg(octet_length(c)).as(s"__avglen_${f.name}"),
+              max(octet_length(c)).as(s"__maxlen_${f.name}"))
+          case _ => Nil
+        })
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def idx(n: String): Int = row.fieldIndex(n)
+    val numRows = row.getLong(idx("__n"))
+    val cols = statCols.map { f =>
+      val minV =
+        if (ColStats.rangeComparable(f.dataType) && !row.isNullAt(idx(s"__min_${f.name}")))
+          ColStats.encode(row.get(idx(s"__min_${f.name}")), f.dataType)
+        else None
+      val maxV =
+        if (ColStats.rangeComparable(f.dataType) && !row.isNullAt(idx(s"__max_${f.name}")))
+          ColStats.encode(row.get(idx(s"__max_${f.name}")), f.dataType)
+        else None
+      val (avgLen, maxLen) = f.dataType match {
+        case StringType | BinaryType =>
+          val a = if (row.isNullAt(idx(s"__avglen_${f.name}"))) None
+            else Some(math.ceil(row.getDouble(idx(s"__avglen_${f.name}"))).toLong)
+          val m = if (row.isNullAt(idx(s"__maxlen_${f.name}"))) None
+            else Some(row.getInt(idx(s"__maxlen_${f.name}")).toLong)
+          (a, m)
+        case _ => (None, None)
+      }
+      f.name -> ColStats(
+        ndv = row.getLong(idx(s"__ndv_${f.name}")),
+        nullCount = numRows - row.getLong(idx(s"__nn_${f.name}")),
+        min = minV, max = maxV, avgLen = avgLen, maxLen = maxLen)
+    }.toMap
+    val stats = TableStats(fp, numRows, currentVersion(name), cols)
+    val tmp = tableDir(name).resolve(".stats_tmp")
+    Files.writeString(tmp, stats.toJson)
+    Files.move(tmp, statsFile(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    stats
+  }
+
+  /** The persisted statistics record IF it still describes the live table
+    * (fingerprint match) — None when absent or stale, so planners can never
+    * consume statistics from before a mutation, DDL, or maintenance op.
+    */
+  def statsOf(name: String): Option[TableStats] = {
+    if (!exists(name) || !Files.exists(statsFile(name))) return None
+    val parsed =
+      try TableStats.fromJson(Files.readString(statsFile(name)))
+      catch { case _: Exception => return None }
+    if (parsed.fingerprint == statsFingerprint(name)) Some(parsed) else None
+  }
+
   /** Change feed (CDC): every mutation row applied in versions
     * (fromVersion, toVersion] with its operation ("upsert"/"delete") and
     * version — downstream incremental consumers read this instead of
@@ -1039,6 +1141,116 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     compactImpl(name, zorderBy, zorder = true)
   }
 
+  /** INCREMENTAL compaction — fold pending deltas touching only the range
+    * partitions they hit (Kudu compacts per tablet, never the whole
+    * table; this is that locality re-expressed over the range layout):
+    *
+    *  1. Touched range ids come from the delta ROWS' materialized
+    *     `__range` columns (layers store them as data — a column-pruned
+    *     scan of pending-mutation-sized files, then a bounded collect of
+    *     DISTINCT PARTITION ids, metadata-scale by definition).
+    *  2. Untouched live range subtrees HARDLINK into the new base
+    *     generation (zero data movement, the [[addRangePartition]]
+    *     mechanic); dropped subtrees are excluded, so retention folds
+    *     physically at O(file-count) instead of O(table).
+    *  3. Touched ranges rewrite from the connector's merge-on-read scan,
+    *     base files pruned to those ranges at PLANNING time
+    *     (`graft.include_ranges`) — the fold reads touched data + deltas,
+    *     never the 100-TB untouched remainder.
+    *  4. Same one-swap commit as [[compact]]: base repoint + delta floor +
+    *     cleared drop list in one atomic meta move (cut points
+    *     `icompact.staged` / `icompact.committed`).
+    *
+    * SOUNDNESS REQUIRES every range column to be a KEY column (checked
+    * loudly): a range id is then a pure function of the key, so a
+    * mutation can never move a key across ranges and leave its superseded
+    * base row behind in an unfolded partition. Kudu imposes exactly this
+    * (partition columns must come from the primary key); this catalog is
+    * otherwise more lenient, so the lenient tables keep the O(table)
+    * [[compact]]. In-file key order within rewritten partitions matches
+    * [[compact]]'s; any whole-base clustering marker is conservatively
+    * dropped (mixed generations must not claim one layout).
+    */
+  def compactIncremental(name: String): Unit = withTableWriteLock(name) {
+    if (!exists(name)) throw new CatalogException(s"table $name does not exist")
+    assertZone(name)
+    val rc = rangeColOf(name).getOrElse(throw new CatalogException(
+      s"incremental compact $name: table is not range-partitioned — use compact"))
+    val subCols = rangeSubColsOf(name)
+    val keys = keyColsOf(name)
+    val nonKey = (rc +: subCols).filterNot(keys.contains)
+    if (nonKey.nonEmpty)
+      throw new CatalogException(
+        s"incremental compact $name: range column(s) ${nonKey.mkString(", ")} are " +
+          "not key columns, so a mutation could move a key across ranges and leave " +
+          "its old version behind in an unfolded partition — use compact")
+    val layers = deltaLayers(name)
+    if (layers.isEmpty && droppedRangesOf(name).isEmpty) return // nothing pending
+    val floor = rawDeltaSeqs(name).lastOption.getOrElse(0).max(deltaFloorOf(name))
+    val nSub = subCols.size
+    val touched: Seq[String] =
+      if (layers.isEmpty) Seq.empty
+      else {
+        val ridCols = (RangeCol +: (0 until nSub).map(i => s"$RangeCol${i + 2}")).map(col)
+        // one read per layer dir: multi-path partition inference trips over
+        // the layers' `__bucket=` subdirectories (each layer is its own
+        // partition-discovery root); the union stays metadata-scale
+        layers.map { case (_, p) =>
+          spark.read.parquet(p).select(concat_ws("/", ridCols: _*).as("rid"))
+        }.reduce(_ unionByName _)
+          .distinct().collect().map(_.getString(0)).toSeq.sorted
+      }
+    bumpBaseEpoch(name)
+    val oldDataName = dataDirNameOf(name)
+    val newDataName = s"data_${baseEpoch(name)}"
+    sweepDeadLitter(name, keep = Set(oldDataName, newDataName))
+    val oldBase = Paths.get(dataDir(name))
+    val staged = tableDir(name).resolve(newDataName)
+    val dropped = droppedRangesOf(name)
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.walk(oldBase)) { stream =>
+      stream.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .filter { f =>
+          // data files of live, untouched ranges only: touched ranges are
+          // rewritten below, dropped ranges fold away, and underscore
+          // markers (_SUCCESS, sort claims) must not carry across a
+          // mixed-generation rebuild
+          rangeIdOfPath(f.toString, nSub).exists(id =>
+            !touched.exists(droppedCovers(_, id)) &&
+              !dropped.exists(droppedCovers(_, id)))
+        }
+        .foreach { f =>
+          val dest = staged.resolve(oldBase.relativize(f))
+          Files.createDirectories(dest.getParent)
+          Files.createLink(dest, f)
+        }
+    }
+    if (touched.nonEmpty) {
+      val rid = concat_ws("/",
+        date_format(col(rc), rangePattern(name)) +:
+          subCols.map(c => col(c).cast("string")): _*)
+      val merged = spark.read.format("graft")
+        .option("root", root)
+        .option("graft.include_ranges",
+          touched.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(","))
+        .load(name)
+        .select(readSchema(name).fieldNames.map(col).toSeq: _*)
+        // belt-and-braces residual: the planning-time base pruning already
+        // restricts to touched ranges; this keeps any overlay row outside
+        // them (impossible under the exclusive lock) out of the rewrite
+        .where(rid.isin(touched: _*))
+      writePartitioned(merged, keys, bucketsOf(name), rangeColOf(name),
+        staged.toString, SaveMode.Append, hashCols = hashColsOf(name),
+        rangeFmt = rangePattern(name), rangeSubCols = subCols,
+        bloomCols = bloomColsOf(name))
+    }
+    FaultInjection.cut("icompact.staged")
+    patchMeta(name, newDataName, floor, Nil) // COMMIT
+    FaultInjection.cut("icompact.committed")
+    Files.deleteIfExists(tableDir(name).resolve("dropped_ranges")) // legacy file
+  }
+
   private def compactImpl(name: String, clusterBy: Seq[String], zorder: Boolean): Unit = withTableWriteLock(name) {
     if (!exists(name)) throw new CatalogException(s"table $name does not exist")
     assertZone(name)
@@ -1124,7 +1336,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   /** Composite range id of a base file path: the `__range=` value joined
     * with each `__rangeN=` sub-level by '/'. None for unpartitioned files.
     */
-  private def rangeIdOfPath(f: String, nSub: Int): Option[String] =
+  private[graft] def rangeIdOfPath(f: String, nSub: Int): Option[String] =
     "__range=([^/]+)".r.findFirstMatchIn(f).map(_.group(1)).map { v0 =>
       val subs = (0 until nSub).flatMap(i =>
         s"__range${i + 2}=([^/]+)".r.findFirstMatchIn(f).map(_.group(1)))
@@ -1135,7 +1347,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * is a '/'-separated PREFIX of it — dropping '2024-01' covers every
     * tenant sub-partition of that month.
     */
-  private def droppedCovers(entry: String, id: String): Boolean =
+  private[graft] def droppedCovers(entry: String, id: String): Boolean =
     id == entry || id.startsWith(entry + "/")
 
   /** Range directory granularity: "month" (default) or "day". */

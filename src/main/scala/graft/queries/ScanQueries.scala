@@ -699,5 +699,61 @@ object ScanQueries {
           .groupBy("event_type").agg(count(lit(1)).as("n"))
           .orderBy("event_type")
       }),
+
+    // s26: INCREMENTAL compaction end-to-end — mutations confined to two
+    // (day, type) partitions, folded by compactIncremental (hardlinked
+    // untouched subtrees + range-restricted rewrite), then aggregated.
+    // The oracle re-derives the post-mutation table algebraically. cents
+    // rides an order-free BIGINT sum (floor(value*100) is deterministic
+    // per row in both engines; double summation order would not be).
+    QDef("s26_incremental_compact",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s26_").toString
+        val cat = new KuduLikeCatalog(s, tmp)
+        s26Build(s, dir, cat)
+        s26Read(cat)
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  sum(CAST(floor((CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-15' AND event_type = 'click'
+             |                       THEN value + 1000.0 ELSE value END) * 100) AS BIGINT)) AS cents
+             |FROM events
+             |WHERE NOT (strftime(ts, '%Y-%m-%d') = '2024-01-16' AND event_type = 'view')
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      benchFn = Some { (s, dir) =>
+        val tmp = memoized(s"s26:$dir") { t =>
+          s26Build(s, dir, new KuduLikeCatalog(s, t))
+        }
+        s26Read(new KuduLikeCatalog(s, tmp))
+      }),
   )
+
+  /** s26's table: events keyed on (event_id, ts, event_type) so the range
+    * columns are key columns — the incremental fold's soundness gate.
+    */
+  private def s26Build(s: org.apache.spark.sql.SparkSession, dir: String,
+      cat: KuduLikeCatalog): Unit = {
+    val events = Tables.load(s, dir, "events")
+      .select("event_id", "ts", "event_type", "value")
+    cat.createTable(TableDef("events_ic", events.schema,
+      Seq("event_id", "ts", "event_type"),
+      rangeCol = Some("ts"), rangeGranularity = "day",
+      rangeSubCols = Seq("event_type")))
+    cat.insert("events_ic", events)
+    cat.upsert("events_ic", cat.table("events_ic")
+      .where(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-15" &&
+        col("event_type") === "click")
+      .withColumn("value", col("value") + lit(1000.0))
+      .select("event_id", "ts", "event_type", "value"))
+    cat.delete("events_ic",
+      date_format(col("ts"), "yyyy-MM-dd") === "2024-01-16" &&
+        col("event_type") === "view")
+    cat.compactIncremental("events_ic") // O(touched ranges), not O(table)
+  }
+
+  private def s26Read(cat: KuduLikeCatalog): org.apache.spark.sql.DataFrame =
+    cat.table("events_ic")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("cents"))
+      .orderBy("event_type")
 }

@@ -262,7 +262,17 @@ private[sources] final class GraftTable(root: String, tableName: String,
     // reaches getTable via properties AND the scan via options); a
     // VERSION AS OF table from the catalog plugin has it only in the field
     val optAsOf = GraftDataSource.asOfOf(options.asCaseSensitiveMap().asScala.toMap)
-    new GraftScanBuilder(root, tableName, tableSchema, changelog, asOf.orElse(optAsOf))
+    // graft.include_ranges (INTERNAL, maintenance plumbing): URL-encoded
+    // comma-joined composite range ids restricting which BASE files plan —
+    // deltas are never pruned (the overlay owns suppression). Sound only
+    // when range columns are key columns; the one producer
+    // (KuduLikeCatalog.compactIncremental) enforces that loudly.
+    val includeRanges = Option(options.get("graft.include_ranges"))
+      .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty)
+        .map(java.net.URLDecoder.decode(_, "UTF-8")).toSeq)
+      .filter(_.nonEmpty)
+    new GraftScanBuilder(root, tableName, tableSchema, changelog,
+      asOf.orElse(optAsOf), includeRanges)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -404,7 +414,8 @@ private[sources] final class GraftWriteBuilder(root: String, tableName: String,
 
 private[sources] final class GraftScanBuilder(root: String, tableName: String,
     fullSchema: StructType, changelog: Boolean = false,
-    asOf: Option[Int] = None) extends ScanBuilder
+    asOf: Option[Int] = None,
+    includeRanges: Option[Seq[String]] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -521,7 +532,7 @@ private[sources] final class GraftScanBuilder(root: String, tableName: String,
   override def build(): Scan =
     new GraftScan(root, tableName, fullSchema,
       if (aggSpec.nonEmpty) GraftAggFunc.schema(aggSpec) else required,
-      pushed, changelog, asOf, aggSpec)
+      pushed, changelog, asOf, aggSpec, includeRanges)
 }
 
 /** A pushed footer-answerable aggregate function. */
@@ -547,7 +558,8 @@ private[sources] object GraftAggFunc {
 private[sources] final class GraftScan(root: String, tableName: String,
     fullSchema: StructType, required: StructType,
     pushed: Array[sources.Filter], changelog: Boolean = false,
-    asOf: Option[Int] = None, aggSpec: Seq[GraftAggFunc] = Seq.empty)
+    asOf: Option[Int] = None, aggSpec: Seq[GraftAggFunc] = Seq.empty,
+    includeRanges: Option[Seq[String]] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsReportPartitioning with SupportsRuntimeFiltering
   with SupportsReportOrdering {
@@ -591,9 +603,18 @@ private[sources] final class GraftScan(root: String, tableName: String,
     * and every such join would pay a full shuffle. The reference's planner
     * had the same information channel in tablet size estimates
     * (HiveKuduTableInputFormat.java:148-223 — one split per tablet with
-    * known bounds). Row count stays unreported: pushed filters make any
-    * footer-derived count an overestimate, and size alone drives the
-    * broadcast decision.
+    * known bounds).
+    *
+    * Row count and per-column stats (NDV, null count, min/max, lengths)
+    * come from the catalog's persisted ANALYZE record
+    * ([[graft.catalog.KuduLikeCatalog.analyze]]) — but ONLY for a
+    * whole-table scan of the live version with no pushed predicates: any
+    * pushdown makes the scan's output a subset the record does not
+    * describe, and `statsOf` itself returns nothing once the table moved
+    * past the analyzed fingerprint. Catalyst CBO picks these up through
+    * `DataSourceV2Relation.transformV2Stats`, turning join reorder and
+    * filter selectivity from defaultSizeInBytes guesses into estimates a
+    * 1000-executor plan can stand on.
     */
   override def estimateStatistics(): Statistics = {
     val files = plannedPartitions.iterator.flatMap {
@@ -609,11 +630,50 @@ private[sources] final class GraftScan(root: String, tableName: String,
       if (fullSchema.isEmpty) 1.0
       else math.max(1, required.size).toDouble / fullSchema.size
     val estimate = math.max(1L, (totalBytes * colFraction).toLong)
+    val analyzed =
+      if (changelog || asOf.nonEmpty || aggSpec.nonEmpty || pushed.nonEmpty ||
+          includeRanges.nonEmpty) None
+      else new KuduLikeCatalog(SparkSession.active, root).statsOf(tableName)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(estimate)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+        analyzed.fold(java.util.OptionalLong.empty())(s =>
+          java.util.OptionalLong.of(s.numRows))
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        for {
+          st <- analyzed.toSeq
+          f <- required.fields
+          cs <- st.cols.get(f.name)
+        } m.put(
+          org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(cs.ndv)
+            override def nullCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(cs.nullCount)
+            override def min(): java.util.Optional[Object] =
+              cs.internalMin(f.dataType)
+                .fold(java.util.Optional.empty[Object]())(v =>
+                  java.util.Optional.of(v.asInstanceOf[Object]))
+            override def max(): java.util.Optional[Object] =
+              cs.internalMax(f.dataType)
+                .fold(java.util.Optional.empty[Object]())(v =>
+                  java.util.Optional.of(v.asInstanceOf[Object]))
+            override def avgLen(): java.util.OptionalLong =
+              cs.avgLen.fold(java.util.OptionalLong.empty())(
+                java.util.OptionalLong.of)
+            override def maxLen(): java.util.OptionalLong =
+              cs.maxLen.fold(java.util.OptionalLong.empty())(
+                java.util.OptionalLong.of)
+          })
+        m
+      }
     }
   }
 
@@ -784,8 +844,19 @@ private[sources] final class GraftScan(root: String, tableName: String,
     // by range would resurrect the old version.
     // liveBaseFiles excludes dropped range partitions — the connector must
     // agree with the catalog read path or dropped rows resurrect here
-    val baseFiles = catalog.liveBaseFiles(tableName)
+    val baseFiles0 = catalog.liveBaseFiles(tableName)
       .filter(GraftScan.rangePruner(catalog, tableName, pushed))
+    // maintenance-plumbing base restriction (graft.include_ranges): keep
+    // only base files whose composite range id one of the ids covers
+    // (exact or prefix — the dropped-range matching contract). Deltas
+    // below stay unpruned, as always.
+    val baseFiles = includeRanges match {
+      case Some(ids) =>
+        val nSub = catalog.rangeSubColsOf(tableName).size
+        baseFiles0.filter(f => catalog.rangeIdOfPath(f, nSub)
+          .exists(id => ids.exists(catalog.droppedCovers(_, id))))
+      case None => baseFiles0
+    }
     // snapshot read: plan only layers ≤ asOf — free with merge-on-read,
     // the overlay just stops at the version. Validated against the delta
     // floor (compacted-away history fails loudly) and the current version.

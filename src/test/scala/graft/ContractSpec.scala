@@ -31,7 +31,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the survey ledger claim") {
-    assert(SparkEntry.all.size === 153, s"ledger says 153, found ${SparkEntry.all.size}")
+    assert(SparkEntry.all.size === 154, s"ledger says 154, found ${SparkEntry.all.size}")
   }
 
   test("driver-side collect() stays confined to the documented bounded sites") {
@@ -47,10 +47,15 @@ class ContractSpec extends AnyFunSuite {
     //    regardless of corpus size) for the driver-side merge loop
     //  - Similarity.scala: pqTopK's codebook-training sample (bounded by
     //    maxFit vectors — same sampled-fit contract as ivfTopK's KMeans)
+    //  - KuduLikeCatalog.scala: compactIncremental's DISTINCT touched
+    //    range-partition ids (metadata-scale by definition — bounded by
+    //    partition count, never rows; the scan it feeds reads only
+    //    pending-mutation-sized delta layers, column-pruned)
     //  - Smoke/Explain/Bench/Verify mains: driver tools, not operators
     val allowed = Set("AsOfJoin.scala", "IncrementalAgg.scala",
       "StreamingIngest.scala", "Bpe.scala", "Similarity.scala", "Smoke.scala",
-      "Explain.scala", "Bench.scala", "Verify.scala", "SoloQ.scala")
+      "Explain.scala", "Bench.scala", "Verify.scala", "SoloQ.scala",
+      "KuduLikeCatalog.scala")
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     val offenders = scala.util.Using.resource(java.nio.file.Files.walk(root)) { stream =>

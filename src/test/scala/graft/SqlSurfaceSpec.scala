@@ -147,6 +147,38 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(e.getMessage.contains("key column"))
   }
 
+  test("DML clause cuts ignore WHERE/THEN/WHEN inside literals, CASE, subqueries") {
+    val (cat, sql) = fresh()
+    sql("""CREATE TABLE q (id INT, a INT, tag STRING)
+          |TBLPROPERTIES('kudu.key_columns'='id')""".stripMargin)
+    sql("INSERT INTO q VALUES (1,1,'x'),(2,2,'y'),(3,3,'z')")
+    // a WHERE inside a SET string literal is content, not the predicate cut
+    sql("UPDATE q SET tag = 'a WHERE b' WHERE id = 1")
+    assert(cat.table("q").where("id = 1").head().getString(2) === "a WHERE b")
+    assert(cat.table("q").where("id = 2").head().getString(2) === "y")
+    // CASE … THEN … END in a SET expression: its WHERE-free THENs must not
+    // confuse the cut, and the real WHERE after END still applies
+    sql("UPDATE q SET a = CASE WHEN a >= 2 THEN a * 10 ELSE -1 END WHERE id <= 2")
+    assert(cat.table("q").orderBy("id").collect().map(_.getInt(1)).toSeq
+      === Seq(-1, 20, 3))
+    // a scalar subquery carrying its own WHERE stays inside the SET
+    sql("UPDATE q SET a = (SELECT max(id) FROM q WHERE id < 3) WHERE id = 3")
+    assert(cat.table("q").where("id = 3").head().getInt(1) === 2)
+    // MERGE: CASE in a guard (its THEN must not end the guard), THEN/WHEN
+    // keywords inside string literals in SET and INSERT values
+    sql("""MERGE INTO q USING (SELECT * FROM VALUES (2, 5), (9, 9) AS v(id, n)) AS s
+          |ON q.id = s.id
+          |WHEN MATCHED AND CASE WHEN s.n > 4 THEN true ELSE false END
+          |  THEN UPDATE SET tag = 'x THEN y'
+          |WHEN NOT MATCHED AND s.n IN (SELECT n FROM VALUES (9) AS w(n) WHERE 'WHEN MATCHED' = 'WHEN MATCHED')
+          |  THEN INSERT (id, a, tag) VALUES (s.id, s.n, 'WHEN NOT MATCHED')
+          |""".stripMargin)
+    val rows = cat.table("q").collect().map(r => r.getInt(0) -> r.getString(2)).toMap
+    assert(rows(2) === "x THEN y")
+    assert(rows(9) === "WHEN NOT MATCHED")
+    assert(cat.table("q").where("id = 9").head().getInt(1) === 9)
+  }
+
   test("INSERT INTO … SELECT reads other views, casts positionally") {
     val (_, sql) = fresh()
     sql("""CREATE TABLE regions (rid BIGINT, rname STRING)

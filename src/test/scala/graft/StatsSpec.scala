@@ -1,0 +1,149 @@
+package graft
+
+import graft.catalog.KuduLikeCatalog
+import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, DataSourceV2ScanRelation}
+import org.apache.spark.sql.connector.read.SupportsReportStatistics
+import org.apache.spark.sql.functions._
+
+/** ANALYZE TABLE / persisted statistics: exactness of the one-pass
+  * computation, the fingerprint stale-safety discipline (a stale NDV may
+  * cost plan quality, never correctness), and the full DSv2 → Catalyst CBO
+  * propagation path (reference analog: Impala COMPUTE STATS feeding the
+  * planner for a Kudu table; the reference repo itself delegated all
+  * planning to hive-exec, pom.xml:28-31).
+  */
+class StatsSpec extends SparkSpec {
+
+  private def fresh(): (KuduLikeCatalog, String, String => org.apache.spark.sql.DataFrame) = {
+    val root = tmpDir("graft_stats_")
+    val cat = new KuduLikeCatalog(spark, root)
+    (cat, root, (s: String) => GraftSql.execute(spark, cat, s))
+  }
+
+  private def v2Stats(root: String, table: String) = {
+    val df = spark.read.format("graft").option("root", root).load(table)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.asInstanceOf[SupportsReportStatistics]
+    }.get
+    scan.estimateStatistics()
+  }
+
+  test("analyze computes exact rowcount, nullcount, min/max, lengths; HLL ndv sane") {
+    val (cat, _, sql) = fresh()
+    sql("""CREATE TABLE t (id INT, v DOUBLE, tag STRING, d TIMESTAMP)
+          |TBLPROPERTIES('kudu.key_columns'='id')""".stripMargin)
+    sql("""INSERT INTO t VALUES
+          |(1, 1.5, 'aa',   TIMESTAMP'2024-01-01 00:00:00'),
+          |(2, 2.5, 'bbbb', TIMESTAMP'2024-02-01 00:00:00'),
+          |(3, NULL, 'aa',  NULL),
+          |(4, 4.0, NULL,   TIMESTAMP'2024-01-15 00:00:00')""".stripMargin)
+    val st = cat.analyze("t")
+    assert(st.numRows === 4L)
+    val id = st.cols("id")
+    assert(id.ndv === 4L && id.nullCount === 0L)
+    assert(id.min === Some("1") && id.max === Some("4"))
+    val v = st.cols("v")
+    assert(v.nullCount === 1L && v.min === Some("1.5") && v.max === Some("4.0"))
+    val tag = st.cols("tag")
+    assert(tag.nullCount === 1L && tag.ndv === 2L)
+    assert(tag.maxLen === Some(4L) && tag.avgLen === Some(3L)) // ceil((2+4+2)/3)
+    assert(tag.min.isEmpty && tag.max.isEmpty) // strings: no range stats
+    val d = st.cols("d")
+    // TIMESTAMP min/max stored catalyst-internal: epoch MICROS (UTC — the
+    // suite session zone), so the connector hands them back without
+    // timezone or formatting round-trips
+    def micros(s: String): String =
+      (java.sql.Timestamp.valueOf(s).getTime * 1000L).toString
+    assert(d.min === Some(micros("2024-01-01 00:00:00")))
+    assert(d.max === Some(micros("2024-02-01 00:00:00")))
+    // readback path
+    assert(cat.statsOf("t") === Some(st))
+  }
+
+  test("any mutation or DDL stales the record; re-analyze refreshes") {
+    val (cat, _, sql) = fresh()
+    sql("""CREATE TABLE m (id INT, v INT)
+          |TBLPROPERTIES('kudu.key_columns'='id')""".stripMargin)
+    sql("INSERT INTO m VALUES (1, 10), (2, 20)")
+    sql("ANALYZE TABLE m COMPUTE STATISTICS")
+    assert(cat.statsOf("m").map(_.numRows) === Some(2L))
+    // plain insert (no manifest write — version bump must be enough)
+    sql("INSERT INTO m VALUES (3, 30)")
+    assert(cat.statsOf("m") === None)
+    sql("ANALYZE TABLE m COMPUTE STATISTICS")
+    assert(cat.statsOf("m").map(_.numRows) === Some(3L))
+    // DESCRIBE FORMATTED surfaces the fresh record
+    val desc = sql("DESCRIBE FORMATTED m").collect()
+      .map(r => (r.getString(1), r.getString(2))).toMap
+    assert(desc.get("numRows") === Some("3"))
+    // DDL (manifest rewrite) stales too
+    sql("ALTER TABLE m ADD COLUMN extra STRING")
+    assert(cat.statsOf("m") === None)
+    val st = cat.analyze("m")
+    assert(st.cols.contains("extra") && st.cols("extra").nullCount === 3L)
+    // compact (maintenance commit) stales as well
+    sql("ANALYZE TABLE m COMPUTE STATISTICS")
+    assert(cat.statsOf("m").isDefined)
+    cat.compact("m")
+    assert(cat.statsOf("m") === None)
+  }
+
+  test("connector reports analyzed rowcount + column stats; none once stale or filtered") {
+    val (cat, root, sql) = fresh()
+    sql("""CREATE TABLE c (id INT, name STRING)
+          |TBLPROPERTIES('kudu.key_columns'='id')""".stripMargin)
+    sql("INSERT INTO c VALUES (1,'x'),(2,'y'),(3,'z')")
+    // before analyze: size-only estimate
+    assert(!v2Stats(root, "c").numRows().isPresent)
+    sql("ANALYZE TABLE c COMPUTE STATISTICS")
+    val st = v2Stats(root, "c")
+    assert(st.numRows().getAsLong === 3L)
+    val byName = st.columnStats()
+    assert(byName.size() === 2)
+    import scala.jdk.CollectionConverters._
+    val m = byName.asScala.map { case (k, v) => k.describe() -> v }
+    assert(m("id").distinctCount().getAsLong === 3L)
+    assert(m("id").min().get() === 1 && m("id").max().get() === 3)
+    assert(m("name").maxLen().getAsLong === 1L)
+    // a pushed predicate makes the record not describe the scan output
+    val filtered = spark.read.format("graft").option("root", root).load("c")
+      .where(col("id") > 1)
+    val fScan = filtered.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.asInstanceOf[SupportsReportStatistics]
+    }.get
+    assert(!fScan.estimateStatistics().numRows().isPresent)
+    // mutation → connector silently falls back to size-only
+    sql("INSERT INTO c VALUES (4,'w')")
+    assert(!v2Stats(root, "c").numRows().isPresent)
+  }
+
+  test("CBO consumes the stats: logical plan rowCount and attribute ndv present") {
+    val (_, root, sql) = fresh()
+    sql("""CREATE TABLE cb (id INT, grp STRING)
+          |TBLPROPERTIES('kudu.key_columns'='id')""".stripMargin)
+    sql("INSERT INTO cb VALUES (1,'a'),(2,'a'),(3,'b'),(4,'b'),(5,'c')")
+    sql("ANALYZE TABLE cb COMPUTE STATISTICS")
+    withCbo {
+      val df = spark.read.format("graft").option("root", root).load("cb")
+      val rel = df.queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r
+      }.get
+      val stats = rel.stats
+      assert(stats.rowCount === Some(BigInt(5)))
+      val ndvById = stats.attributeStats.toSeq.map { case (a, cs) =>
+        a.name -> cs.distinctCount
+      }.toMap
+      assert(ndvById("id") === Some(BigInt(5)))
+      assert(ndvById("grp") === Some(BigInt(3)))
+    }
+  }
+
+  private def withCbo(f: => Unit): Unit = {
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try f finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+}

@@ -60,6 +60,7 @@ object GraftSql {
     else if (upper == "SHOW TABLES") showTables(spark, cat)
     else if (upper.startsWith("SHOW CREATE TABLE")) showCreate(spark, cat, stmt)
     else if (upper.startsWith("SHOW PARTITIONS")) showPartitions(spark, cat, stmt)
+    else if (upper.startsWith("SHOW COLUMN STATS")) showColumnStats(spark, cat, stmt)
     else if (upper.startsWith("TRUNCATE TABLE")) truncate(spark, cat, stmt)
     else if (upper.startsWith("OPTIMIZE ")) optimize(spark, cat, stmt)
     else if (upper.startsWith("VACUUM ")) vacuum(spark, cat, stmt)
@@ -952,6 +953,42 @@ object GraftSql {
         val st = cat.analyze(name)
         status(spark, "ANALYZE TABLE", name, st.numRows)
       case _ => { registerViews(spark, cat); spark.sql(stmt) }
+    }
+
+  private val ShowColStatsHead =
+    """(?is)^SHOW\s+COLUMN\s+STATS\s+`?([\w.]+)`?$""".r
+
+  /** `SHOW COLUMN STATS t` — Impala's per-column statistics listing, the
+    * read face of ANALYZE. One row per analyzed column in schema order
+    * (ndv, nulls, min/max decoded from their catalyst-internal storage,
+    * byte lengths; blanks where a stat does not apply to the type).
+    * Refuses loudly when no FRESH record exists: silently showing stats
+    * from before a mutation is exactly what the fingerprint discipline
+    * is there to prevent.
+    */
+  private def showColumnStats(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame =
+    stmt match {
+      case ShowColStatsHead(name) if cat.exists(name) =>
+        val rec = cat.statsOf(name).getOrElse(throw new CatalogException(
+          s"SHOW COLUMN STATS $name: no fresh statistics — run " +
+            s"ANALYZE TABLE $name COMPUTE STATISTICS (the table has been " +
+            "mutated or altered since the last analyze, or never analyzed)"))
+        val schema = cat.schemaOf(name)
+        val rows = schema.fields.toSeq.flatMap { f =>
+          rec.cols.get(f.name).map { cs =>
+            (f.name, f.dataType.simpleString, cs.ndv, cs.nullCount,
+              cs.min.getOrElse(""), cs.max.getOrElse(""),
+              cs.avgLen.map(_.toString).getOrElse(""),
+              cs.maxLen.map(_.toString).getOrElse(""))
+          }
+        }
+        import spark.implicits._
+        rows.toDF("column", "type", "ndv", "nulls", "min_internal",
+          "max_internal", "avg_len", "max_len")
+      case ShowColStatsHead(name) =>
+        throw new CatalogException(s"SHOW COLUMN STATS $name: table does not exist")
+      case _ =>
+        throw new CatalogException(s"cannot parse SHOW COLUMN STATS: $stmt")
     }
 
   private val OptimizeHead =

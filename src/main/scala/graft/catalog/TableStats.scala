@@ -42,7 +42,8 @@ object ColStats {
   /** Types that get min/max: those CBO range-estimates over. */
   def rangeComparable(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
-        DoubleType | DateType | TimestampType | BooleanType => true
+        DoubleType | DateType | TimestampType | TimestampNTZType |
+        BooleanType => true
     case _: DecimalType => true
     case _ => false
   }
@@ -59,7 +60,7 @@ object ColStats {
     case ByteType => Some(s.toByte)
     case ShortType => Some(s.toShort)
     case IntegerType | DateType => Some(s.toInt)
-    case LongType | TimestampType => Some(s.toLong)
+    case LongType | TimestampType | TimestampNTZType => Some(s.toLong)
     case FloatType => Some(s.toFloat)
     case DoubleType => Some(s.toDouble)
     case BooleanType => Some(s.toBoolean)

@@ -725,6 +725,38 @@ object ScanQueries {
         }
         s26Read(new KuduLikeCatalog(s, tmp))
       }),
+
+    // s27: ANALYZE TABLE exactness against an independent engine — the
+    // Spark side reads the PERSISTED stats record (one aggregate pass at
+    // ANALYZE time, JSON round-trip, fingerprint-fresh readback), while
+    // DuckDB re-aggregates the raw parquet directly. Every emitted field
+    // is exact (rowcount, nullcount, min/max, byte lengths) — HLL NDV is
+    // approximate by design and stays out of the oracle contract.
+    // Timestamps cross the dialect boundary as epoch-millis (the stored
+    // catalyst-internal micros are ms-precision in this fixture).
+    QDef("s27_analyze_stats",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s27_").toString
+        val cat = new KuduLikeCatalog(s, tmp)
+        s27Build(s, dir, cat)
+        s27Read(s, cat)
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  min(o_orderkey) AS key_min, max(o_orderkey) AS key_max,
+             |  count(*) - count(nullif(o_orderstatus, 'O')) AS st_nulls,
+             |  CAST(ceil(avg(strlen(nullif(o_orderstatus, 'O')))) AS BIGINT) AS st_avglen,
+             |  CAST(max(strlen(nullif(o_orderstatus, 'O'))) AS BIGINT) AS st_maxlen,
+             |  min(o_totalprice) AS price_min, max(o_totalprice) AS price_max,
+             |  count(*) - count(o_totalprice) AS price_nulls,
+             |  epoch_ms(min(o_orderdate)) AS odate_min_ms,
+             |  epoch_ms(max(o_orderdate)) AS odate_max_ms
+             |FROM orders""".stripMargin),
+      benchFn = Some { (s, dir) =>
+        val tmp = memoized(s"s27:$dir") { t =>
+          s27Build(s, dir, new KuduLikeCatalog(s, t))
+        }
+        s27Read(s, new KuduLikeCatalog(s, tmp))
+      }),
   )
 
   /** s26's table: events keyed on (event_id, ts, event_type) so the range
@@ -756,4 +788,44 @@ object ScanQueries {
       .agg(count(lit(1)).as("n"),
         sum(floor(col("value") * 100).cast("long")).as("cents"))
       .orderBy("event_type")
+
+  /** s27's table: orders with a synthesized-nullable status column (the
+    * fixtures carry no natural NULLs), keyed on o_orderkey, ANALYZEd once.
+    */
+  private def s27Build(s: org.apache.spark.sql.SparkSession, dir: String,
+      cat: KuduLikeCatalog): Unit = {
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("nullif(o_orderstatus, 'O')").as("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+    cat.createTable(TableDef("orders_an", orders.schema, Seq("o_orderkey")))
+    cat.insert("orders_an", orders)
+    cat.analyze("orders_an")
+  }
+
+  /** Emit the PERSISTED record's exact fields as one typed row. Stored
+    * min/max are catalyst-internal strings; [[graft.catalog.ColStats]]
+    * decodes them back (timestamps: epoch micros → emitted as millis).
+    */
+  private def s27Read(s: org.apache.spark.sql.SparkSession,
+      cat: KuduLikeCatalog): org.apache.spark.sql.DataFrame = {
+    val rec = cat.statsOf("orders_an").getOrElse(
+      throw new IllegalStateException("s27: analyzed record missing or stale"))
+    val schema = cat.schemaOf("orders_an")
+    def cs(n: String) = rec.cols(n)
+    def minOf(n: String) = cs(n).internalMin(schema(n).dataType).get
+    def maxOf(n: String) = cs(n).internalMax(schema(n).dataType).get
+    import s.implicits._
+    Seq((rec.numRows,
+      minOf("o_orderkey").asInstanceOf[Long], maxOf("o_orderkey").asInstanceOf[Long],
+      cs("o_orderstatus").nullCount, cs("o_orderstatus").avgLen.get,
+      cs("o_orderstatus").maxLen.get,
+      minOf("o_totalprice").asInstanceOf[Double], maxOf("o_totalprice").asInstanceOf[Double],
+      cs("o_totalprice").nullCount,
+      minOf("o_orderdate").asInstanceOf[Long] / 1000L,
+      maxOf("o_orderdate").asInstanceOf[Long] / 1000L))
+      .toDF("n_rows", "key_min", "key_max", "st_nulls", "st_avglen",
+        "st_maxlen", "price_min", "price_max", "price_nulls",
+        "odate_min_ms", "odate_max_ms")
+  }
 }

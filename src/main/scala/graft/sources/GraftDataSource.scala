@@ -630,10 +630,30 @@ private[sources] final class GraftScan(root: String, tableName: String,
       if (fullSchema.isEmpty) 1.0
       else math.max(1, required.size).toDouble / fullSchema.size
     val estimate = math.max(1L, (totalBytes * colFraction).toLong)
+    // IsNotNull is the one pushed predicate the record can account for
+    // EXACTLY (every equi-join pushes one onto each join key — dropping
+    // stats there would blind CBO on precisely the plans that need them):
+    // surviving rows = numRows - nullCount, and the column's nullCount
+    // becomes 0 so the residual Filter's selectivity estimate does not
+    // double-apply. Multiple IsNotNull columns subtract the LARGEST null
+    // count (null sets may overlap — the result is a safe upper bound).
+    // Any other pushed predicate makes the record not describe the scan.
+    val notNullCols = pushed.collect { case sources.IsNotNull(c) => c }.toSet
     val analyzed =
-      if (changelog || asOf.nonEmpty || aggSpec.nonEmpty || pushed.nonEmpty ||
-          includeRanges.nonEmpty) None
+      if (changelog || asOf.nonEmpty || aggSpec.nonEmpty ||
+          includeRanges.nonEmpty ||
+          !pushed.forall(_.isInstanceOf[sources.IsNotNull])) None
       else new KuduLikeCatalog(SparkSession.active, root).statsOf(tableName)
+        .map { st =>
+          if (notNullCols.isEmpty) st
+          else {
+            val drop = notNullCols.flatMap(st.cols.get(_).map(_.nullCount))
+              .foldLeft(0L)(math.max)
+            st.copy(numRows = st.numRows - drop,
+              cols = st.cols.map { case (n, c) =>
+                n -> (if (notNullCols(n)) c.copy(nullCount = 0L) else c) })
+          }
+        }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(estimate)

@@ -92,7 +92,7 @@ class StatsSpec extends SparkSpec {
     val (cat, root, sql) = fresh()
     sql("""CREATE TABLE c (id INT, name STRING)
           |TBLPROPERTIES('kudu.key_columns'='id')""".stripMargin)
-    sql("INSERT INTO c VALUES (1,'x'),(2,'y'),(3,'z')")
+    sql("INSERT INTO c VALUES (1,'x'),(2,'y'),(3,NULL)")
     // before analyze: size-only estimate
     assert(!v2Stats(root, "c").numRows().isPresent)
     sql("ANALYZE TABLE c COMPUTE STATISTICS")
@@ -105,13 +105,25 @@ class StatsSpec extends SparkSpec {
     assert(m("id").distinctCount().getAsLong === 3L)
     assert(m("id").min().get() === 1 && m("id").max().get() === 3)
     assert(m("name").maxLen().getAsLong === 1L)
-    // a pushed predicate makes the record not describe the scan output
-    val filtered = spark.read.format("graft").option("root", root).load("c")
-      .where(col("id") > 1)
-    val fScan = filtered.queryExecution.executedPlan.collectFirst {
-      case b: BatchScanExec => b.scan.asInstanceOf[SupportsReportStatistics]
-    }.get
-    assert(!fScan.estimateStatistics().numRows().isPresent)
+    assert(m("name").nullCount().getAsLong === 1L)
+    def scanStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b.scan.asInstanceOf[SupportsReportStatistics]
+      }.get.estimateStatistics()
+    // a pushed predicate makes the record not describe the scan output...
+    val fScan = scanStats(spark.read.format("graft").option("root", root)
+      .load("c").where(col("id") > 1))
+    assert(!fScan.numRows().isPresent)
+    // ...EXCEPT IsNotNull, which the record accounts for exactly: the
+    // surviving-row count drops by the column's known null count and the
+    // column's reported nullCount becomes 0 (so the residual Filter's
+    // selectivity does not double-apply)
+    val nnScan = scanStats(spark.read.format("graft").option("root", root)
+      .load("c").where(col("name").isNotNull))
+    assert(nnScan.numRows().getAsLong === 2L)
+    val nnName = nnScan.columnStats().asScala
+      .map { case (k, v) => k.describe() -> v }.apply("name")
+    assert(nnName.nullCount().getAsLong === 0L)
     // mutation → connector silently falls back to size-only
     sql("INSERT INTO c VALUES (4,'w')")
     assert(!v2Stats(root, "c").numRows().isPresent)
@@ -135,6 +147,50 @@ class StatsSpec extends SparkSpec {
       }.toMap
       assert(ndvById("id") === Some(BigInt(5)))
       assert(ndvById("grp") === Some(BigInt(3)))
+    }
+  }
+
+  test("SHOW COLUMN STATS lists the record in schema order; refuses stale loudly") {
+    val (_, _, sql) = fresh()
+    sql("""CREATE TABLE sc (id INT, name STRING)
+          |TBLPROPERTIES('kudu.key_columns'='id')""".stripMargin)
+    sql("INSERT INTO sc VALUES (1,'xx'),(2,'yyyy'),(3,NULL)")
+    // never analyzed → loud refusal, not silent emptiness
+    val e = intercept[graft.catalog.CatalogException](sql("SHOW COLUMN STATS sc"))
+    assert(e.getMessage.contains("no fresh statistics"))
+    sql("ANALYZE TABLE sc COMPUTE STATISTICS")
+    val rows = sql("SHOW COLUMN STATS sc").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("id", "name")) // schema order
+    val byCol = rows.map(r => r.getString(0) -> r).toMap
+    assert(byCol("id").getLong(2) === 3L && byCol("id").getLong(3) === 0L)
+    assert(byCol("id").getString(4) === "1" && byCol("id").getString(5) === "3")
+    assert(byCol("name").getLong(3) === 1L) // one NULL
+    assert(byCol("name").getString(7) === "4") // max byte length
+    // a mutation stales the record → the verb refuses again
+    sql("INSERT INTO sc VALUES (4,'w')")
+    val e2 = intercept[graft.catalog.CatalogException](sql("SHOW COLUMN STATS sc"))
+    assert(e2.getMessage.contains("no fresh statistics"))
+  }
+
+  test("CBO join cardinality: ndv-based estimate |A||B|/max(ndv), not a blind product") {
+    val (_, root, sql) = fresh()
+    sql("""CREATE TABLE fact (id INT, k INT)
+          |TBLPROPERTIES('kudu.key_columns'='id')""".stripMargin)
+    sql("""CREATE TABLE dim (k INT, label STRING)
+          |TBLPROPERTIES('kudu.key_columns'='k')""".stripMargin)
+    // 50 fact rows over 5 distinct keys; 5 dim rows — HLL is exact at this
+    // cardinality, so the estimate is deterministic: 50*5/max(5,5) = 50
+    sql("INSERT INTO fact SELECT id, CAST(id % 5 AS INT) AS k FROM " +
+      "(SELECT explode(sequence(1, 50)) AS id)")
+    sql("INSERT INTO dim SELECT k, concat('v', k) FROM " +
+      "(SELECT explode(sequence(0, 4)) AS k)")
+    sql("ANALYZE TABLE fact COMPUTE STATISTICS")
+    sql("ANALYZE TABLE dim COMPUTE STATISTICS")
+    withCbo {
+      val fact = spark.read.format("graft").option("root", root).load("fact")
+      val dim = spark.read.format("graft").option("root", root).load("dim")
+      val joined = fact.join(dim, "k")
+      assert(joined.queryExecution.optimizedPlan.stats.rowCount === Some(BigInt(50)))
     }
   }
 

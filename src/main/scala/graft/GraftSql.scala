@@ -46,7 +46,8 @@ object GraftSql {
     // BY / kudu.* properties) — plain Spark CREATE (USING/CTAS) falls through
     val isCatalogCreate = upper.startsWith("CREATE TABLE") &&
       (upper.contains("STORED BY") || upper.contains("KUDU.KEY_COLUMNS"))
-    if (isCatalogCreate) create(spark, cat, stmt)
+    if (CloneHead.matches(stmt)) cloneTable(spark, cat, stmt)
+    else if (isCatalogCreate) create(spark, cat, stmt)
     else if (upper.startsWith("DROP TABLE")) drop(spark, cat, stmt)
     else if (upper.startsWith("INSERT OVERWRITE")) overwriteInto(spark, cat, stmt)
     else if (upper.startsWith("INSERT INTO") || upper.startsWith("UPSERT INTO"))
@@ -935,6 +936,22 @@ object GraftSql {
         cat.vacuum(name)
         status(spark, "VACUUM", name, 0L)
       case _ => throw new CatalogException(s"cannot parse VACUUM: $stmt")
+    }
+
+  private val CloneHead =
+    """(?is)^CREATE\s+TABLE\s+`?([\w.]+)`?\s+CLONE\s+`?([\w.]+)`?$""".r
+
+  /** `CREATE TABLE dst CLONE src` — the zero-copy snapshot-clone verb
+    * (Delta SHALLOW CLONE's shape, hardlink-backed here; see
+    * [[KuduLikeCatalog.cloneTable]]).
+    */
+  private def cloneTable(spark: SparkSession, cat: KuduLikeCatalog,
+      stmt: String): DataFrame =
+    stmt match {
+      case CloneHead(dst, src) =>
+        cat.cloneTable(src, dst)
+        status(spark, "CREATE TABLE CLONE", dst, 0L)
+      case _ => throw new CatalogException(s"cannot parse CLONE: $stmt")
     }
 
   private val AnalyzeHead =

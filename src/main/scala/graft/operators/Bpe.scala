@@ -206,11 +206,31 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
   @transient private lazy val ranks: Map[(String, String), Int] =
     merges.zipWithIndex.toMap
 
+  // Per-thread bounded LRU memo of word → encoded tokens: encodeWord is
+  // pure and natural-language corpora are Zipfian (the same head words
+  // re-encode millions of times), so memoization is exact and removes the
+  // greedy merge replay from almost every call. ThreadLocal because local
+  // mode can run partitions of one deserialized plan on many threads;
+  // 64k entries of short token arrays bound the footprint to a few MB.
+  @transient private lazy val memo: ThreadLocal[java.util.LinkedHashMap[String, Array[Any]]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.LinkedHashMap[String, Array[Any]](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[Any]]): Boolean = size() > 65536
+      })
+
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
+    val m = memo.get()
     val out = mutable.ArrayBuffer.empty[Any]
     Bpe.words(text).foreach { w =>
-      Bpe.encodeWord(w, ranks).foreach(t => out += UTF8String.fromString(t))
+      var toks = m.get(w)
+      if (toks == null) {
+        toks = Bpe.encodeWord(w, ranks)
+          .map(t => UTF8String.fromString(t): Any).toArray
+        m.put(w, toks)
+      }
+      toks.foreach(out += _)
     }
     new GenericArrayData(out.toArray)
   }
@@ -233,11 +253,25 @@ case class BpeEncodeIdsExpr(child: Expression, merges: Seq[(String, String)])
   @transient private lazy val ranks: Map[(String, String), Int] =
     merges.zipWithIndex.toMap
 
+  // same per-thread word memo as BpeEncodeExpr, holding the final id arrays
+  @transient private lazy val memo: ThreadLocal[java.util.LinkedHashMap[String, Array[Int]]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.LinkedHashMap[String, Array[Int]](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[Int]]): Boolean = size() > 65536
+      })
+
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
+    val m = memo.get()
     val out = mutable.ArrayBuffer.empty[Int]
     Bpe.words(text).foreach { w =>
-      Bpe.encodeWord(w, ranks).foreach(t => out += model.vocab.getOrElse(t, 0))
+      var ids = m.get(w)
+      if (ids == null) {
+        ids = Bpe.encodeWord(w, ranks).map(t => model.vocab.getOrElse(t, 0)).toArray
+        m.put(w, ids)
+      }
+      ids.foreach(out += _)
     }
     new GenericArrayData(out.toArray)
   }

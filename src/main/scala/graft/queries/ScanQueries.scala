@@ -757,7 +757,129 @@ object ScanQueries {
         }
         s27Read(s, new KuduLikeCatalog(s, tmp))
       }),
+
+    // s28: LIMIT pushdown through the connector (round 11) — a bare
+    // `LIMIT n` on a compacted table plans only the file PREFIX whose
+    // footer row counts cover n (LimitPushdownSpec pins the file count;
+    // this hash-gates the end-to-end answer). count(*) over the limit is
+    // the deterministic face of a non-deterministic row pick: both engines
+    // must agree the limit bites exactly.
+    QDef("s28_limit_pushdown",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s28_").toString
+        s28Build(s, dir, new KuduLikeCatalog(s, tmp))
+        s28Read(s, tmp)
+      },
+      Some("SELECT count(*) AS n FROM (SELECT * FROM orders LIMIT 1000) t"),
+      benchFn = Some { (s, dir) =>
+        val tmp = memoized(s"s28:$dir") { t =>
+          s28Build(s, dir, new KuduLikeCatalog(s, t))
+        }
+        s28Read(s, tmp)
+      }),
+
+    // s29: TopN pushdown (round 11) — `ORDER BY ts, event_id LIMIT 50` on
+    // a day-ranged events table keeps only the earliest files whose
+    // [min,max] ts can intersect the top-50 (θ-bound over chunk stats).
+    // Fully deterministic: (ts, event_id) is a total order, so the oracle
+    // gates VALUES, not just the count. ts crosses the dialect boundary as
+    // epoch-millis (the s27 convention).
+    QDef("s29_topn_pushdown",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s29_").toString
+        s29Build(s, dir, new KuduLikeCatalog(s, tmp))
+        s29Read(s, tmp)
+      },
+      Some("""SELECT event_id, epoch_ms(ts) AS ts_ms
+             |FROM events ORDER BY ts, event_id LIMIT 50""".stripMargin),
+      benchFn = Some { (s, dir) =>
+        val tmp = memoized(s"s29:$dir") { t =>
+          s29Build(s, dir, new KuduLikeCatalog(s, t))
+        }
+        s29Read(s, tmp)
+      }),
+
+    // s30: zero-copy CLONE as a SNAPSHOT — `CREATE TABLE docs_branch CLONE
+    // docs_main`, then delete/upsert the ORIGINAL; the branch must keep
+    // serving the pre-mutation state from the shared (hardlinked) inodes.
+    // The oracle is simply the raw fixture: if any post-clone mutation
+    // leaks through the shared storage, the per-source counts and key
+    // checksum diverge. CloneSpec pins inode identity and both isolation
+    // directions; this gates the end-to-end read THROUGH the connector.
+    QDef("s30_clone_snapshot",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s30_").toString
+        s30Build(s, dir, new KuduLikeCatalog(s, tmp))
+        s30Read(s, tmp)
+      },
+      Some("""SELECT source, count(*) AS n, sum(doc_id) AS key_sum
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+      benchFn = Some { (s, dir) =>
+        val tmp = memoized(s"s30:$dir") { t =>
+          s30Build(s, dir, new KuduLikeCatalog(s, t))
+        }
+        s30Read(s, tmp)
+      }),
   )
+
+  /** s30's tables: documents keyed on doc_id, cloned, then the ORIGINAL is
+    * mutated — the branch must not see any of it.
+    */
+  private def s30Build(s: org.apache.spark.sql.SparkSession, dir: String,
+      cat: KuduLikeCatalog): Unit = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "source")
+    cat.createTable(TableDef("docs_main", docs.schema, Seq("doc_id"), buckets = 4))
+    cat.insert("docs_main", docs)
+    graft.GraftSql.execute(s, cat, "CREATE TABLE docs_branch CLONE docs_main")
+    cat.delete("docs_main", col("doc_id") % 3 === 0)
+    cat.upsert("docs_main",
+      docs.filter(col("doc_id") % 7 === 1).withColumn("source", lit("mutated")))
+  }
+
+  private def s30Read(s: org.apache.spark.sql.SparkSession,
+      tmp: String): org.apache.spark.sql.DataFrame =
+    s.read.format("graft").option("root", tmp).load("docs_branch")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("key_sum"))
+      .orderBy("source")
+
+  /** s28's table: orders in 4 hash buckets, compacted so the base files are
+    * the whole truth (the limit-pushdown contract).
+    */
+  private def s28Build(s: org.apache.spark.sql.SparkSession, dir: String,
+      cat: KuduLikeCatalog): Unit = {
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    cat.createTable(TableDef("orders_lim", orders.schema, Seq("o_orderkey"),
+      buckets = 4))
+    cat.insert("orders_lim", orders)
+    cat.compact("orders_lim")
+  }
+
+  private def s28Read(s: org.apache.spark.sql.SparkSession,
+      tmp: String): org.apache.spark.sql.DataFrame =
+    s.read.format("graft").option("root", tmp).load("orders_lim")
+      .limit(1000)
+      .agg(count(lit(1)).as("n"))
+
+  /** s29's table: events day-range-partitioned on ts — each day directory
+    * is ts-disjoint from the others, which is what the TopN θ-bound prunes
+    * on.
+    */
+  private def s29Build(s: org.apache.spark.sql.SparkSession, dir: String,
+      cat: KuduLikeCatalog): Unit = {
+    val events = Tables.load(s, dir, "events").select("event_id", "ts")
+    cat.createTable(TableDef("events_top", events.schema, Seq("event_id"),
+      rangeCol = Some("ts"), rangeGranularity = "day"))
+    cat.insert("events_top", events)
+  }
+
+  private def s29Read(s: org.apache.spark.sql.SparkSession,
+      tmp: String): org.apache.spark.sql.DataFrame =
+    s.read.format("graft").option("root", tmp).load("events_top")
+      .orderBy("ts", "event_id")
+      .limit(50)
+      .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"))
 
   /** s26's table: events keyed on (event_id, ts, event_type) so the range
     * columns are key columns — the incremental fold's soundness gate.

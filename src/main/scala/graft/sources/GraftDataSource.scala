@@ -417,11 +417,82 @@ private[sources] final class GraftScanBuilder(root: String, tableName: String,
     asOf: Option[Int] = None,
     includeRanges: Option[Seq[String]] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var required: StructType = fullSchema
   private var pushed: Array[sources.Filter] = Array.empty
   private var aggSpec: Seq[GraftAggFunc] = Seq.empty
+  private var pushedLimit: Option[Int] = None
+  private var topNCol: Option[(String, Boolean)] = None // (first sort col, asc)
+
+  /** Types whose parquet chunk statistics are EXACT (never truncated):
+    * shared gate for min/max aggregate pushdown and TopN file pruning.
+    * String/binary stay out — parquet may store truncated bounds for them.
+    */
+  private def statExact(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | BooleanType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _ => false
+  }
+
+  /** LIMIT pushdown (`SELECT … LIMIT n` with no residual filters — Spark
+    * only offers the limit then): accepted when the base files are the
+    * whole truth, i.e. NO pending delta layers (merge-on-read suppression
+    * could shrink a truncated file prefix below n rows; compaction
+    * re-enables the pushdown — the same contract as footer aggregates).
+    * The scan then plans only a PREFIX of the base files whose footer row
+    * counts cover n: at 100 TB, `LIMIT 10` reads one footer and scans one
+    * file instead of listing a full-table scan. Always partial — Spark
+    * keeps its own Limit on top, so over-planning is harmless and
+    * under-planning is impossible (the prefix is chosen to cover n).
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    if (changelog || asOf.isDefined || includeRanges.isDefined ||
+      aggSpec.nonEmpty || limit <= 0) return false
+    val cat = new KuduLikeCatalog(SparkSession.active, root)
+    if (cat.deltaLayers(tableName).nonEmpty) return false
+    pushedLimit = Some(limit)
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
+  /** TopN pushdown (`ORDER BY c … LIMIT n` directly over the scan): the
+    * same delta-free contract as [[pushLimit]], plus the FIRST sort column
+    * must carry exact parquet statistics. Planning then keeps only files
+    * whose [min,max] range can intersect the top-n: files sorted by
+    * min(c) (ascending sort; max(c) descending) are accumulated until
+    * their row counts cover n — every surviving top-n row is then bounded
+    * by θ = the worst bound among those files, and any file strictly
+    * beyond θ is pruned. Sound with nulls and missing stats by falling
+    * back to the full file list at planning time (Spark re-sorts and
+    * re-limits on top either way — partial pushdown). Only the first sort
+    * column matters for file candidacy: ties broken by later columns stay
+    * inside the kept files by the θ bound on the first component.
+    */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    if (changelog || asOf.isDefined || includeRanges.isDefined ||
+      aggSpec.nonEmpty || limit <= 0 || orders.isEmpty) return false
+    val first = orders.head
+    val col = first.expression() match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        fullSchema.fields.find(_.name == r.fieldNames.head)
+      case _ => None
+    }
+    col match {
+      case Some(f) if statExact(f.dataType) =>
+        val cat = new KuduLikeCatalog(SparkSession.active, root)
+        if (cat.deltaLayers(tableName).nonEmpty) return false
+        pushedLimit = Some(limit)
+        topNCol = Some((f.name, first.direction() == SortDirection.ASCENDING))
+        true
+      case _ => false
+    }
+  }
 
   /** Metadata-only aggregate pushdown: COUNT(*) / MIN / MAX answered from
     * parquet footers (row counts + column chunk statistics) without
@@ -454,12 +525,6 @@ private[sources] final class GraftScanBuilder(root: String, tableName: String,
           fullSchema.fields.find(_.name == r.fieldNames.head)
         case _ => None
       }
-    def statExact(dt: DataType): Boolean = dt match {
-      case ByteType | ShortType | IntegerType | LongType | FloatType |
-           DoubleType | BooleanType | DateType | TimestampType |
-           TimestampNTZType => true
-      case _ => false
-    }
     val specs: Seq[Option[GraftAggFunc]] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(GraftCountStar)
       case c: org.apache.spark.sql.connector.expressions.aggregate.Count
@@ -532,7 +597,7 @@ private[sources] final class GraftScanBuilder(root: String, tableName: String,
   override def build(): Scan =
     new GraftScan(root, tableName, fullSchema,
       if (aggSpec.nonEmpty) GraftAggFunc.schema(aggSpec) else required,
-      pushed, changelog, asOf, aggSpec, includeRanges)
+      pushed, changelog, asOf, aggSpec, includeRanges, pushedLimit, topNCol)
 }
 
 /** A pushed footer-answerable aggregate function. */
@@ -559,7 +624,9 @@ private[sources] final class GraftScan(root: String, tableName: String,
     fullSchema: StructType, required: StructType,
     pushed: Array[sources.Filter], changelog: Boolean = false,
     asOf: Option[Int] = None, aggSpec: Seq[GraftAggFunc] = Seq.empty,
-    includeRanges: Option[Seq[String]] = None)
+    includeRanges: Option[Seq[String]] = None,
+    pushedLimit: Option[Int] = None,
+    topNCol: Option[(String, Boolean)] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsReportPartitioning with SupportsRuntimeFiltering
   with SupportsReportOrdering {
@@ -579,7 +646,11 @@ private[sources] final class GraftScan(root: String, tableName: String,
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     val parts = plannedPartitions
-    val perBucket = !changelog && aggSpec.isEmpty && parts.nonEmpty &&
+    // a limited/TopN scan may plan a file SUBSET, so the full per-bucket
+    // claim (every bucket present and complete) no longer holds — report
+    // Unknown (no join sits above a pushed limit anyway)
+    val perBucket = !changelog && aggSpec.isEmpty && pushedLimit.isEmpty &&
+      parts.nonEmpty &&
       parts.forall {
         case p: GraftInputPartition => p.bucket >= 0
         case _ => false
@@ -703,6 +774,11 @@ private[sources] final class GraftScan(root: String, tableName: String,
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
       (if (aggSpec.nonEmpty) s"PushedAggregates: ${aggSpec.mkString("[", ", ", "]")}, "
        else "") +
+      pushedLimit.fold("")(n => topNCol match {
+        case Some((c, asc)) =>
+          s"PushedTopN: ORDER BY $c ${if (asc) "ASC" else "DESC"} LIMIT $n, "
+        case None => s"PushedLimit: $n, "
+      }) +
       s"ReadSchema: ${required.catalogString}"
 
   override def toBatch: Batch = this
@@ -886,6 +962,22 @@ private[sources] final class GraftScan(root: String, tableName: String,
       .map { case (seq, dir) => (seq, GraftScan.listParquet(dir)) }
       .filter(_._2.nonEmpty)
 
+    // LIMIT / TopN file pruning. The pushdown was accepted on a delta-free
+    // table, but a writer may have raced a layer in since — re-proven here:
+    // any pending delta disables the pruning (merge-on-read suppression
+    // could shrink a truncated prefix below n rows) and the scan degrades
+    // to a planning no-op, with Spark's retained Limit/Sort keeping the
+    // result exact either way (partial-pushdown contract).
+    val prunedBase: Seq[String] =
+      if (deltaLayers.nonEmpty) baseFiles
+      else (pushedLimit, topNCol) match {
+        case (Some(n), None) =>
+          GraftScan.limitFilePrefix(baseFiles.sorted, n)
+        case (Some(n), Some((c, asc))) =>
+          GraftScan.topNFilePrune(baseFiles, c, asc, n)
+        case _ => baseFiles
+      }
+
     // tablet routing: equality on EVERY hash column (the declared PK
     // subset, or the full key) pins the one bucket that can hold the key
     // (planning-time partition pruning)
@@ -912,7 +1004,7 @@ private[sources] final class GraftScan(root: String, tableName: String,
       catch { case _: Exception => Array.empty[String] }
 
     if (buckets > 0) {
-      val baseByBucket = baseFiles.groupBy(bucketIdOf)
+      val baseByBucket = prunedBase.groupBy(bucketIdOf)
       val deltaByBucket = deltaLayers.flatMap { case (seq, files) =>
         files.map(f => (bucketIdOf(f), seq, f))
       }.groupBy(_._1)
@@ -928,7 +1020,7 @@ private[sources] final class GraftScan(root: String, tableName: String,
     } else if (deltaLayers.isEmpty) {
       // unbucketed, no pending mutations: embarrassingly parallel, one
       // partition per base file
-      baseFiles.map(f =>
+      prunedBase.map(f =>
         GraftInputPartition(-1, Seq(f), Seq.empty, emitOverlay = false, hosts): InputPartition)
         .toArray
     } else {
@@ -1048,6 +1140,94 @@ private[graft] object GraftScan {
       finally s.close()
     }
   }
+
+  /** Per-file footer digest for LIMIT/TopN planning: total rows, plus the
+    * raw parquet min/max/nullCount for one column when every chunk carries
+    * usable statistics. Footer reads are metadata-only (no data pages).
+    */
+  private final case class FileStat(file: String, rows: Long,
+      min: Comparable[Any], max: Comparable[Any], statsOk: Boolean)
+
+  private def fileStat(f: String, col: Option[String]): FileStat = {
+    val footer = ParquetFileReader.readFooter(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), new Configuration()),
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    var rows = 0L
+    var mn: Comparable[Any] = null
+    var mx: Comparable[Any] = null
+    var ok = true
+    footer.getBlocks.asScala.foreach { block =>
+      rows += block.getRowCount
+      col.foreach { c =>
+        val st = block.getColumns.asScala.find(_.getPath.toDotString == c)
+          .map(_.getStatistics).orNull
+        // nulls anywhere make file candidacy undecidable from min/max
+        // (NULLS FIRST/LAST sort outside the value range) — mark unusable
+        if (st == null || !st.isNumNullsSet || st.getNumNulls > 0 ||
+          !st.hasNonNullValue) ok = false
+        else {
+          val lo = st.genericGetMin.asInstanceOf[Comparable[Any]]
+          val hi = st.genericGetMax.asInstanceOf[Comparable[Any]]
+          if (mn == null || lo.compareTo(mn) < 0) mn = lo
+          if (mx == null || hi.compareTo(mx) > 0) mx = hi
+        }
+      }
+    }
+    FileStat(f, rows, mn, mx, ok && (col.isEmpty || mn != null))
+  }
+
+  /** Shortest file PREFIX (in the given order) whose footer row counts
+    * cover `n` — `LIMIT n` reads footers until satisfied and plans only
+    * that prefix. Any footer failure keeps the full list (over-scan safe).
+    */
+  def limitFilePrefix(files: Seq[String], n: Int): Seq[String] =
+    try {
+      var acc = 0L
+      val it = files.iterator
+      val kept = Vector.newBuilder[String]
+      while (it.hasNext && acc < n) {
+        val f = it.next()
+        kept += f
+        acc += fileStat(f, None).rows
+      }
+      if (acc >= n) kept.result() else files
+    } catch { case _: Exception => files }
+
+  /** Files that can intersect the top-n by `col` (asc/desc): files sorted
+    * by their best bound are accumulated until their rows cover n, giving
+    * a bound θ that the n-th value cannot exceed; every file strictly
+    * beyond θ is pruned. Requires exact stats and zero nulls in EVERY
+    * file's chunks for the column — otherwise the full list is kept
+    * (Spark's retained Sort+Limit make over-keeping merely un-optimized,
+    * never wrong).
+    */
+  def topNFilePrune(files: Seq[String], col: String, asc: Boolean,
+      n: Int): Seq[String] =
+    try {
+      if (files.isEmpty) return files
+      val stats = files.map(f => fileStat(f, Some(col)))
+      if (stats.exists(!_.statsOk)) return files
+      // best bound first: min for ascending (file could start earliest),
+      // max for descending (file could reach highest)
+      val ordered = stats.sortWith { (a, b) =>
+        if (asc) a.min.compareTo(b.min) < 0 else a.max.compareTo(b.max) > 0
+      }
+      var acc = 0L
+      var theta: Comparable[Any] = null
+      val it = ordered.iterator
+      while (it.hasNext && acc < n) {
+        val s = it.next()
+        acc += s.rows
+        val bound = if (asc) s.max else s.min
+        if (theta == null || (asc && bound.compareTo(theta) > 0) ||
+          (!asc && bound.compareTo(theta) < 0)) theta = bound
+      }
+      if (acc < n || theta == null) return files // n exceeds the table
+      val keptSet = stats.filter { s =>
+        if (asc) s.min.compareTo(theta) <= 0 else s.max.compareTo(theta) >= 0
+      }.map(_.file).toSet
+      files.filter(keptSet)
+    } catch { case _: Exception => files }
 }
 
 private[graft] final case class GraftDeltaSlice(seq: Int, files: Seq[String])

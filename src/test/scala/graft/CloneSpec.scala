@@ -1,0 +1,130 @@
+package graft
+
+import graft.catalog.{CatalogException, KuduLikeCatalog, TableDef}
+
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+/** Zero-copy CLONE TABLE: hardlink-backed snapshot branch. The contract —
+  * O(file count) cost with BYTES shared (hardlinks proven by inode
+  * identity), then full independence: mutations, compaction, vacuum, and
+  * DROP on either side never change what the other reads, because every
+  * catalog write path creates new files and every delete path is an
+  * unlink the filesystem refcounts.
+  */
+class CloneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newCat(): (KuduLikeCatalog, String) = {
+    val root = tmpDir("graft_clone_")
+    (new KuduLikeCatalog(spark, root), root)
+  }
+
+  private def build(cat: KuduLikeCatalog, n: Int = 200): Unit = {
+    val df = (0 until n).map(i => (i.toLong, s"v$i", i % 5)).toDF("id", "payload", "grp")
+    cat.createTable(TableDef("t", df.schema, Seq("id"), buckets = 2))
+    cat.insert("t", df)
+  }
+
+  private def fileKeys(dir: String): Map[String, Object] = {
+    val walk = Files.walk(Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map { p =>
+          val rel = p.toString.stripPrefix(dir)
+          rel -> Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+        }.toMap
+    } finally walk.close()
+  }
+
+  test("clone reads identically and shares every data inode (zero-copy)") {
+    val (cat, root) = newCat()
+    build(cat)
+    cat.upsert("t", Seq((1L, "patched", 9)).toDF("id", "payload", "grp"))
+    cat.cloneTable("t", "t2")
+
+    val a = cat.table("t").orderBy("id").collect().map(_.toSeq).toSeq
+    val b = cat.table("t2").orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    // merge-on-read state came along: pending delta visible through the clone
+    assert(cat.table("t2").where(col("id") === 1).head().getString(1) === "patched")
+
+    // every parquet file in the clone is the SAME inode as the source's
+    val src = fileKeys(s"$root/t")
+    val dst = fileKeys(s"$root/t2")
+    assert(dst.nonEmpty && dst.keySet === src.keySet)
+    dst.foreach { case (rel, key) =>
+      assert(key === src(rel), s"$rel must be a hardlink of the source file")
+    }
+  }
+
+  test("clone and source evolve independently after the branch") {
+    val (cat, _) = newCat()
+    build(cat)
+    cat.cloneTable("t", "t2")
+
+    cat.delete("t", col("id") < 150) // mutate SOURCE
+    cat.insert("t2", Seq((1000L, "new", 0)).toDF("id", "payload", "grp")) // grow CLONE
+    cat.upsert("t2", Seq((0L, "clone-side", 0)).toDF("id", "payload", "grp"))
+
+    assert(cat.table("t").count() === 50)
+    assert(cat.table("t2").count() === 201)
+    assert(cat.table("t2").where(col("id") === 0).head().getString(1) === "clone-side")
+    assert(cat.table("t").where(col("id") === 150).head().getString(1) === "v150")
+  }
+
+  test("compact + vacuum on the source cannot starve the clone") {
+    val (cat, _) = newCat()
+    build(cat)
+    cat.upsert("t", Seq((5L, "x", 1)).toDF("id", "payload", "grp"))
+    cat.cloneTable("t", "t2")
+    val before = cat.table("t2").orderBy("id").collect().map(_.toSeq).toSeq
+
+    cat.delete("t", col("id") >= 0) // empty the source...
+    cat.compact("t") // ...fold it...
+    cat.vacuum("t") // ...and unlink every displaced generation and layer
+    assert(cat.table("t").count() === 0)
+
+    assert(cat.table("t2").orderBy("id").collect().map(_.toSeq).toSeq === before,
+      "the clone must keep serving its snapshot from the shared inodes")
+
+    // and the mirror direction: dropping the CLONE leaves the source whole
+    cat.cloneTable("t2", "t3")
+    cat.dropTable("t2")
+    assert(cat.table("t3").orderBy("id").collect().map(_.toSeq).toSeq === before)
+  }
+
+  test("clone carries schema evolution state and dropped ranges") {
+    val (cat, _) = newCat()
+    val df = (0 until 120).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-${i % 3 + 1}%02d-05 00:00:00"), s"p$i")
+    }.toDF("id", "ts", "payload")
+    cat.createTable(TableDef("r", df.schema, Seq("id"), rangeCol = Some("ts")))
+    cat.insert("r", df)
+    cat.dropRangePartition("r", "2024-02")
+    cat.addColumn("r", org.apache.spark.sql.types.StructField("extra",
+      org.apache.spark.sql.types.LongType))
+    cat.cloneTable("r", "r2")
+
+    assert(cat.table("r2").count() === 80, "dropped range stays dropped in the clone")
+    assert(cat.schemaOf("r2").fieldNames.contains("extra"))
+    assert(cat.table("r2").where(date_format(col("ts"), "yyyy-MM") === "2024-02").count() === 0)
+  }
+
+  test("SQL verb: CREATE TABLE dst CLONE src; errors are loud") {
+    val (cat, _) = newCat()
+    build(cat, n = 50)
+    GraftSql.execute(spark, cat, "CREATE TABLE t_branch CLONE t")
+    assert(cat.table("t_branch").count() === 50)
+
+    val eDup = intercept[CatalogException] {
+      GraftSql.execute(spark, cat, "CREATE TABLE t_branch CLONE t")
+    }
+    assert(eDup.getMessage.contains("already exists"))
+    val eMissing = intercept[CatalogException] { cat.cloneTable("nope", "x") }
+    assert(eMissing.getMessage.contains("does not exist"))
+  }
+}

@@ -955,19 +955,22 @@ object GraftSql {
     }
 
   private val AnalyzeHead =
-    """(?is)^ANALYZE\s+TABLE\s+`?([\w.]+)`?\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+ALL\s+COLUMNS)?$""".r
+    """(?is)^ANALYZE\s+TABLE\s+`?([\w.]+)`?\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+ALL\s+COLUMNS)?(\s+WITH\s+HISTOGRAM)?$""".r
 
-  /** `ANALYZE TABLE t COMPUTE STATISTICS [FOR ALL COLUMNS]` — the Hive/
-    * Impala stats verb (Impala's COMPUTE STATS is how a Kudu table feeds
-    * its planner). One scan; always computes column-level stats — at this
-    * schema width the split verb buys nothing. Result feeds Catalyst CBO
-    * through the connector until the next mutation stales it
+  /** `ANALYZE TABLE t COMPUTE STATISTICS [FOR ALL COLUMNS] [WITH
+    * HISTOGRAM]` — the Hive/Impala stats verb (Impala's COMPUTE STATS is
+    * how a Kudu table feeds its planner). One scan; always computes
+    * column-level stats — at this schema width the split verb buys
+    * nothing. WITH HISTOGRAM adds equi-height histograms for every
+    * ordered-type column (two extra scans — see
+    * [[KuduLikeCatalog.histogramsOf]]'s cost note). Result feeds Catalyst
+    * CBO through the connector until the next mutation stales it
     * ([[KuduLikeCatalog.analyze]]).
     */
   private def analyzeTable(spark: SparkSession, cat: KuduLikeCatalog, stmt: String): DataFrame =
     stmt match {
-      case AnalyzeHead(name) if cat.exists(name) =>
-        val st = cat.analyze(name)
+      case AnalyzeHead(name, hist) if cat.exists(name) =>
+        val st = cat.analyze(name, withHistogram = hist != null)
         status(spark, "ANALYZE TABLE", name, st.numRows)
       case _ => { registerViews(spark, cat); spark.sql(stmt) }
     }

@@ -801,7 +801,10 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * [[statsFingerprint]]; the connector's `estimateStatistics` feeds the
     * record to Catalyst CBO only while the stamp still matches.
     */
-  def analyze(name: String): TableStats = {
+  def analyze(name: String): TableStats = analyze(name, withHistogram = false)
+
+  def analyze(name: String, withHistogram: Boolean,
+      histogramBins: Int = 32): TableStats = {
     if (!exists(name)) throw new CatalogException(s"table $name does not exist")
     val fp = statsFingerprint(name)
     val df = table(name)
@@ -851,13 +854,112 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
         nullCount = numRows - row.getLong(idx(s"__nn_${f.name}")),
         min = minV, max = maxV, avgLen = avgLen, maxLen = maxLen)
     }.toMap
-    val stats = TableStats(fp, numRows, currentVersion(name), cols)
+    val colsH =
+      if (!withHistogram) cols
+      else {
+        val hists = histogramsOf(df,
+          statCols.filter(f => histogramType(f.dataType)).toSeq,
+          cols, numRows, histogramBins)
+        cols.map { case (n, cs) =>
+          n -> hists.get(n).fold(cs)(h => cs.copy(histogram = Some(h)))
+        }
+      }
+    val stats = TableStats(fp, numRows, currentVersion(name), colsH)
     val tmp = tableDir(name).resolve(".stats_tmp")
     Files.writeString(tmp, stats.toJson)
     Files.move(tmp, statsFile(name),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     stats
+  }
+
+  /** Types that get an equi-height histogram: the ordered types CBO
+    * range-estimates over, minus boolean (2 values — min/max+NDV already
+    * say everything a histogram could).
+    */
+  private def histogramType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+        DoubleType | DateType | TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Equi-height histograms — Spark's own two-pass ANALYZE shape
+    * (`spark.sql.statistics.histogram.enabled`), re-expressed for the
+    * catalog: ONE aggregate pass computes approximate percentiles
+    * (`bins+1` equi-height endpoints) for EVERY eligible column at once,
+    * then ONE interval-NDV aggregate pass (ApproxCountDistinctForIntervals
+    * — HLL++ per bin) fills every column's per-bin distinct counts. Height
+    * is (nonNull / bins) BY CONSTRUCTION of equi-height bounds. Endpoints
+    * are stored as doubles of the catalyst-internal value (date → epoch
+    * days, timestamp → epoch micros) — the representation catalyst's
+    * HistogramBin and the DSv2 colstats seam both use. Cost: exactly TWO
+    * extra scans regardless of column count — which is why histograms are
+    * opt-in (`WITH HISTOGRAM`) and the base verb keeps its one-pass
+    * contract. What they buy at 100 TB: range-filter selectivity on
+    * SKEWED columns stops assuming uniformity between min and max, so
+    * join-order and broadcast decisions downstream of a skewed filter
+    * stand on the actual mass distribution.
+    */
+  private def histogramsOf(df: DataFrame, fields: Seq[StructField],
+      base: Map[String, ColStats], numRows: Long,
+      bins: Int): Map[String, ColHistogram] = {
+    val eligible = fields.filter(f =>
+      numRows - base(f.name).nullCount > 0 && bins > 0)
+    if (eligible.isEmpty) return Map.empty
+    val pcts = (0 to bins).map(_.toDouble / bins)
+    // pass 1: all columns' equi-height endpoints in one aggregate
+    val pctAggs = eligible.map(f =>
+      percentile_approx(col(f.name), lit(pcts.toArray), lit(10000))
+        .as(s"__p_${f.name}"))
+    val prow = df.agg(pctAggs.head, pctAggs.tail: _*).head()
+    val endpointsByCol: Seq[(StructField, Seq[Any])] = eligible.flatMap { f =>
+      val i = prow.fieldIndex(s"__p_${f.name}")
+      if (prow.isNullAt(i)) None
+      else {
+        val eps = prow.getSeq[Any](i)
+        if (eps.length == bins + 1 && !eps.contains(null)) Some(f -> eps)
+        else None
+      }
+    }
+    if (endpointsByCol.isEmpty) return Map.empty
+
+    // pass 2: all columns' per-bin NDVs in one aggregate
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.ApproxCountDistinctForIntervals
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val ndvAggs = endpointsByCol.map { case (f, eps) =>
+      val agg = new ApproxCountDistinctForIntervals(
+        ColumnBridge.expression(col(f.name)),
+        Literal.create(eps, ArrayType(f.dataType)), Literal(0.05d))
+      ColumnBridge.column(agg.toAggregateExpression()).as(s"__ndv_${f.name}")
+    }
+    val nrow = df.agg(ndvAggs.head, ndvAggs.tail: _*).head()
+
+    def dbl(v: Any): Double = v match {
+      case d: java.sql.Date => d.toLocalDate.toEpochDay.toDouble
+      case t: java.sql.Timestamp =>
+        t.getTime * 1000.0 + (t.getNanos % 1000000) / 1000.0
+      case t: java.time.Instant =>
+        t.getEpochSecond * 1e6 + t.getNano / 1000.0
+      case t: java.time.LocalDateTime =>
+        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1e6 + t.getNano / 1000.0
+      case b: java.math.BigDecimal => b.doubleValue()
+      case b: scala.math.BigDecimal => b.doubleValue
+      case n: Number => n.doubleValue()
+      case other => throw new CatalogException(s"bad histogram endpoint: $other")
+    }
+    endpointsByCol.flatMap { case (f, eps) =>
+      val ndvs = nrow.getSeq[Long](nrow.fieldIndex(s"__ndv_${f.name}"))
+      if (ndvs.length != bins) None
+      else {
+        val bounds = eps.map(dbl)
+        Some(f.name -> ColHistogram(
+          height = (numRows - base(f.name).nullCount).toDouble / bins,
+          bins = bounds.init.lazyZip(bounds.tail).lazyZip(ndvs)
+            .map((lo, hi, n) => (lo, hi, n)).toSeq))
+      }
+    }.toMap
   }
 
   /** The persisted statistics record IF it still describes the live table

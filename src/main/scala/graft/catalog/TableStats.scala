@@ -23,13 +23,23 @@ import org.json4s.jackson.JsonMethods
   * (date → epoch days, timestamp → epoch micros), so the connector can
   * hand them back without timezone or formatting round-trips.
   */
+/** Equi-height histogram for one column (Spark's catalyst shape: height =
+  * non-null rows per bin by construction; each bin [lo, hi] carries its own
+  * NDV). Endpoints are stored as DOUBLES of the catalyst-internal value
+  * (date → epoch days, timestamp → epoch micros) — exactly what both the
+  * DSv2 `colstats.Histogram` interface and catalyst's `HistogramBin` hold,
+  * so the connector hands them back without conversion.
+  */
+final case class ColHistogram(height: Double, bins: Seq[(Double, Double, Long)])
+
 final case class ColStats(
     ndv: Long,
     nullCount: Long,
     min: Option[String],
     max: Option[String],
     avgLen: Option[Long],
-    maxLen: Option[Long]) {
+    maxLen: Option[Long],
+    histogram: Option[ColHistogram] = None) {
 
   /** Decode the stored min/max string back to the catalyst-internal value
     * Spark's `ColumnStat` expects for `dt` (None for unsupported types).
@@ -84,7 +94,12 @@ final case class TableStats(
         c.min.map(v => "min" -> (JString(v): JValue)).toList ++
         c.max.map(v => "max" -> (JString(v): JValue)).toList ++
         c.avgLen.map(v => "avgLen" -> (JLong(v): JValue)).toList ++
-        c.maxLen.map(v => "maxLen" -> (JLong(v): JValue)).toList)
+        c.maxLen.map(v => "maxLen" -> (JLong(v): JValue)).toList ++
+        c.histogram.map(h => "histogram" -> (JObject(
+          "height" -> JDouble(h.height),
+          "bins" -> JArray(h.bins.toList.map { case (lo, hi, ndv) =>
+            JArray(List(JDouble(lo), JDouble(hi), JLong(ndv)))
+          })): JValue)).toList)
     })
     JsonMethods.compact(JsonMethods.render(JObject(
       "fingerprint" -> JString(fingerprint),
@@ -109,13 +124,32 @@ object TableStats {
     val JString(fp) = j \ "fingerprint"
     val cols = (j \ "cols") match {
       case JObject(fields) => fields.map { case (n, c) =>
+        def dbl(v: JValue): Double = v match {
+          case JDouble(x) => x
+          case JLong(x) => x.toDouble
+          case JInt(x) => x.toDouble
+          case other => throw new CatalogException(s"bad stats number: $other")
+        }
+        val hist = (c \ "histogram") match {
+          case JObject(_) =>
+            val bins = (c \ "histogram" \ "bins") match {
+              case JArray(bs) => bs.map {
+                case JArray(List(lo, hi, ndv)) => (dbl(lo), dbl(hi), long(ndv))
+                case other => throw new CatalogException(s"bad histogram bin: $other")
+              }
+              case _ => Nil
+            }
+            Some(ColHistogram(dbl(c \ "histogram" \ "height"), bins))
+          case _ => None
+        }
         n -> ColStats(
           ndv = long(c \ "ndv"),
           nullCount = long(c \ "nullCount"),
           min = optStr(c \ "min"),
           max = optStr(c \ "max"),
           avgLen = optLong(c \ "avgLen"),
-          maxLen = optLong(c \ "maxLen"))
+          maxLen = optLong(c \ "maxLen"),
+          histogram = hist)
       }.toMap
       case _ => Map.empty[String, ColStats]
     }

@@ -712,7 +712,7 @@ private[sources] final class GraftScan(root: String, tableName: String,
     val notNullCols = pushed.collect { case sources.IsNotNull(c) => c }.toSet
     val analyzed =
       if (changelog || asOf.nonEmpty || aggSpec.nonEmpty ||
-          includeRanges.nonEmpty ||
+          includeRanges.nonEmpty || pushedLimit.nonEmpty ||
           !pushed.forall(_.isInstanceOf[sources.IsNotNull])) None
       else new KuduLikeCatalog(SparkSession.active, root).statsOf(tableName)
         .map { st =>
@@ -762,6 +762,28 @@ private[sources] final class GraftScan(root: String, tableName: String,
             override def maxLen(): java.util.OptionalLong =
               cs.maxLen.fold(java.util.OptionalLong.empty())(
                 java.util.OptionalLong.of)
+            // equi-height histogram (ANALYZE … WITH HISTOGRAM):
+            // transformV2Stats converts these bins 1:1 into catalyst's
+            // Histogram, which FilterEstimation consults for range
+            // selectivity on skewed columns
+            override def histogram(): java.util.Optional[
+                org.apache.spark.sql.connector.read.colstats.Histogram] =
+              cs.histogram.fold(java.util.Optional.empty[
+                  org.apache.spark.sql.connector.read.colstats.Histogram]()) { h =>
+                java.util.Optional.of(
+                  new org.apache.spark.sql.connector.read.colstats.Histogram {
+                    override def height(): Double = h.height
+                    override def bins(): Array[
+                        org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                      h.bins.map { case (l, u, n) =>
+                        new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                          override def lo(): Double = l
+                          override def hi(): Double = u
+                          override def ndv(): Long = n
+                        }
+                      }.toArray
+                  })
+              }
           })
         m
       }

@@ -194,6 +194,85 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("WITH HISTOGRAM: equi-height record shape, eligibility, and round trip") {
+    val (cat, _, sql) = fresh()
+    sql("""CREATE TABLE h (id INT, v BIGINT, tag STRING)
+          |TBLPROPERTIES('kudu.key_columns'='id')""".stripMargin)
+    // 90% of v mass at 0, a sparse tail spread over (0, 1000]
+    sql("""INSERT INTO h SELECT id,
+          |  CAST(CASE WHEN id % 10 = 0 THEN id * 2 ELSE 0 END AS BIGINT) AS v,
+          |  concat('t', id % 3) AS tag
+          |FROM (SELECT explode(sequence(1, 500)) AS id)""".stripMargin)
+    sql("ANALYZE TABLE h COMPUTE STATISTICS WITH HISTOGRAM")
+    val st = cat.statsOf("h").get
+    val hv = st.cols("v").histogram.get
+    assert(hv.bins.length === 32)
+    assert(hv.height === 500.0 / 32) // nonNull / bins BY CONSTRUCTION
+    // endpoints non-decreasing, spanning exactly [min, max]
+    assert(hv.bins.head._1 === 0.0 && hv.bins.last._2 === 1000.0)
+    hv.bins.foreach { case (lo, hi, _) => assert(lo <= hi) }
+    hv.bins.sliding(2).foreach { case Seq(a, b) => assert(a._2 === b._1); case _ => }
+    // the skew is VISIBLE: most bins collapse onto the heavy value 0
+    assert(hv.bins.count { case (lo, hi, _) => lo == 0.0 && hi == 0.0 } >= 16)
+    // strings never get histograms; the key column does
+    assert(st.cols("tag").histogram.isEmpty)
+    assert(st.cols("id").histogram.isDefined)
+    // plain ANALYZE stays one-pass and histogram-free
+    sql("ANALYZE TABLE h COMPUTE STATISTICS")
+    assert(cat.statsOf("h").get.cols("v").histogram.isEmpty)
+  }
+
+  test("histogram reaches catalyst and sharpens skewed range selectivity") {
+    val (cat, root, sql) = fresh()
+    sql("""CREATE TABLE sk (id INT, v BIGINT)
+          |TBLPROPERTIES('kudu.key_columns'='id')""".stripMargin)
+    // 900 rows of v=0, 100 rows spread over (0, 1000]: a `v > 500`
+    // filter truly keeps ~50 rows; the uniform min/max assumption says 500
+    sql("""INSERT INTO sk SELECT id,
+          |  CAST(CASE WHEN id % 10 = 0 THEN id ELSE 0 END AS BIGINT) AS v
+          |FROM (SELECT explode(sequence(1, 1000)) AS id)""".stripMargin)
+    def estimate(): BigInt = withCboEstimate {
+      // v > 500 OR v = -1: the Or keeps the predicate OUT of the scan's
+      // pushed set (estimateStatistics only reports the record for
+      // unfiltered scans), so FilterEstimation sees the full column stats
+      val df = spark.read.format("graft").option("root", root).load("sk")
+        .filter(col("v") > 500L || col("v") === -1L)
+      df.queryExecution.optimizedPlan.stats.rowCount.get
+    }
+    sql("ANALYZE TABLE sk COMPUTE STATISTICS")
+    val uniform = estimate()
+    sql("ANALYZE TABLE sk COMPUTE STATISTICS WITH HISTOGRAM")
+    // histogram flows through the connector's columnStats
+    withCboEstimate {
+      val rel = spark.read.format("graft").option("root", root).load("sk")
+        .queryExecution.optimizedPlan.collectFirst {
+          case r: DataSourceV2ScanRelation => r
+        }.get
+      val hist = rel.stats.attributeStats.collectFirst {
+        case (a, cs) if a.name == "v" => cs.histogram
+      }.flatten
+      assert(hist.isDefined, "catalyst ColumnStat must carry the histogram")
+      assert(hist.get.bins.length === 32)
+      BigInt(0)
+    }
+    val sharpened = estimate()
+    // uniform assumption: ~ (1000-500)/1000 of rows ≈ 500; with the
+    // histogram the estimate follows the actual mass (~50). Demand a 3x
+    // improvement, not exact values — approx percentiles may wobble.
+    assert(uniform > sharpened * 3,
+      s"histogram must sharpen the skewed estimate: uniform=$uniform hist=$sharpened")
+    assert(sharpened < BigInt(200), s"mass-based estimate too high: $sharpened")
+  }
+
+  private def withCboEstimate(f: => BigInt): BigInt = {
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try f finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   private def withCbo(f: => Unit): Unit = {
     val prev = spark.conf.getOption("spark.sql.cbo.enabled")
     spark.conf.set("spark.sql.cbo.enabled", "true")

@@ -10,6 +10,21 @@ import org.apache.spark.sql.Row
 final case class UserSession(
     user_id: Long, start_ms: Long, end_ms: Long, n_events: Int, total_value: Double)
 
+/** One (doc, band) decision from [[StreamingIngest.nearDupFilterStream]]:
+  * `rep` is the bucket's standing representative (== doc_id when this doc
+  * claimed the empty bucket), `est_sim` the MinHash-estimated Jaccard
+  * against it, `matched` whether it clears the near-dup threshold. A doc is
+  * a near-duplicate iff ANY of its bands matched.
+  */
+final case class NearDupVerdict(
+    doc_id: Long, band: Int, rep: Long, est_sim: Double, matched: Boolean)
+
+/** LSH bucket state: the first-admitted doc and its full signature. */
+final case class NearDupBucket(id: Long, sig: Seq[String])
+
+private[streaming] final case class NearDupIn(
+    key: String, band: Int, doc_id: Long, sig: Seq[String])
+
 /** Structured Streaming ingest (SURVEY.md §2.9).
   *
   * The reference has no streaming surface; Kudu's role there is the mutable
@@ -146,6 +161,79 @@ object StreamingIngest {
     docs.filter(!arrays_overlap(
       array_distinct(TextFunctions.wordShingles(col(textCol), n)),
       typedlit(evalShingles)))
+  }
+
+  /** Streaming MinHash/LSH near-dup filter — the incremental-crawl face of
+    * [[graft.operators.Dedup.minhashLshCandidates]]: is each arriving doc a
+    * near-duplicate of anything ALREADY ADMITTED? Each doc projects its
+    * numHashes-value MinHash signature (narrow), explodes into `bands`
+    * band-signature bucket keys, and `flatMapGroupsWithState` keeps ONE
+    * representative per occupied bucket: the first-admitted doc and its
+    * full signature (KBs per bucket, the same bound batch LSH gets from
+    * banding). An arriving doc in an occupied bucket is verified IN the
+    * bucket — estimated Jaccard = matching signature components / numHashes
+    * ≥ tau — so false bucket collisions are rejected exactly like the batch
+    * operator's verify stage, with no second pass.
+    *
+    * Scale + semantics notes:
+    *  - State is bounded by DISTINCT band signatures of admitted docs, not
+    *    stream length; `stateTtlMs > 0` adds a processing-time TTL so
+    *    buckets quiet for the horizon evict (dedup against the RECENT
+    *    corpus — the retention contract an endless crawl needs).
+    *  - Within a micro-batch, bucket members process in doc-id order, so a
+    *    batch cut can never change verdicts (StreamingSpec proves 1-batch
+    *    == 3-batch equivalence).
+    *  - Reps may chain (a doc novel in ITS bands can still match a doc
+    *    that was itself a dup elsewhere) — same transitivity as batch LSH
+    *    candidates; canonical survivor resolution stays the batch CC
+    *    operator's job ([[graft.operators.Dedup]]).
+    */
+  def nearDupFilterStream(docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, bands: Int = 4, tau: Double = 0.5,
+      stateTtlMs: Long = 0L): Dataset[NearDupVerdict] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    import graft.functions.TextFunctions
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    val sig = (0 until numHashes).map(i => TextFunctions.minhash(col(textCol), i))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*).as("bsig"))
+    }
+    val exploded = docs
+      .select(col(idCol).cast("long").as("doc_id"), array(sig: _*).as("sig"),
+        explode(array(bandCols: _*)).as("bs"))
+      .select(
+        concat_ws("#", col("bs.band"), col("bs.bsig")).as("key"),
+        col("bs.band").as("band"), col("doc_id"), col("sig"))
+      .as[NearDupIn]
+
+    def fold(key: String, it: Iterator[NearDupIn],
+        state: GroupState[NearDupBucket]): Iterator[NearDupVerdict] = {
+      if (!it.hasNext && state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val out = scala.collection.mutable.ArrayBuffer[NearDupVerdict]()
+      var rep = state.getOption.orNull
+      it.toSeq.sortBy(_.doc_id).foreach { d =>
+        if (rep == null) {
+          rep = NearDupBucket(d.doc_id, d.sig)
+          out += NearDupVerdict(d.doc_id, d.band, d.doc_id, 1.0, matched = false)
+        } else if (d.doc_id != rep.id) { // replays of the rep emit nothing new
+          val est = d.sig.lazyZip(rep.sig).count { case (a, b) => a == b }
+            .toDouble / numHashes
+          out += NearDupVerdict(d.doc_id, d.band, rep.id, est, est >= tau)
+        }
+      }
+      if (rep != null) {
+        state.update(rep)
+        if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+      }
+      out.iterator
+    }
+    exploded.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fold)
   }
 
   /** Gap-based sessionization with custom state (§2.9 /

@@ -476,4 +476,65 @@ class StreamingSpec extends SparkSpec {
       .collect().map(key).toSet
     assert(streamed === batch && streamed.nonEmpty)
   }
+
+  /** Corpus for the streaming near-dup filter: 1↔2 and 5↔6 are heavy
+    * near-dups (one token changed out of 20), the rest pairwise distinct.
+    */
+  private def nearDupDocs(): Seq[StreamDoc] = {
+    def words(tag: String) = (0 until 20).map(i => s"$tag$i")
+    Seq(
+      StreamDoc(1L, words("a").mkString(" ")),
+      StreamDoc(2L, (words("a").dropRight(1) :+ "CHANGED").mkString(" ")),
+      StreamDoc(3L, words("q").mkString(" ")),
+      StreamDoc(4L, words("r").mkString(" ")),
+      StreamDoc(5L, words("s").mkString(" ")),
+      StreamDoc(6L, (words("s").dropRight(1) :+ "OTHER").mkString(" ")))
+  }
+
+  private def runNearDup(batches: Seq[Seq[StreamDoc]], name: String): Map[Long, Long] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamDoc]
+    val filtered = StreamingIngest.nearDupFilterStream(
+      stream.toDF(), "text", "doc_id", numHashes = 16, bands = 4, tau = 0.5)
+    val q = filtered.toDF().writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    // doc → matched representative (min across its bands), dups only
+    spark.table(name).where(col("matched"))
+      .groupBy("doc_id").agg(min("rep").as("rep"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("streaming near-dup filter: catches within- and cross-batch dups, passes novel docs") {
+    val docs = nearDupDocs()
+    // 1 and 5 arrive first (admitted); 2 dups 1 cross-batch, 6 dups 5 in-batch
+    val dups = runNearDup(
+      Seq(Seq(docs(0), docs(2)), Seq(docs(1), docs(3)), Seq(docs(4), docs(5))),
+      "neardup_out")
+    assert(dups === Map(2L -> 1L, 6L -> 5L))
+  }
+
+  test("streaming near-dup filter: micro-batch cuts cannot change verdicts") {
+    val docs = nearDupDocs()
+    val oneBatch = runNearDup(Seq(docs), "neardup_one")
+    val threeBatch = runNearDup(docs.grouped(2).toSeq, "neardup_three")
+    assert(oneBatch === threeBatch && oneBatch === Map(2L -> 1L, 6L -> 5L))
+    // ground truth: every flagged pair really is signature-similar, and
+    // estimated Jaccard of the flagged pairs clears tau in BATCH too
+    import spark.implicits._
+    val sig = (0 until 16).map(i =>
+      graft.functions.TextFunctions.minhash(col("text"), i))
+    val sigs = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), array(sig: _*).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    oneBatch.foreach { case (d, r) =>
+      val est = sigs(d).zip(sigs(r)).count { case (a, b) => a == b } / 16.0
+      assert(est >= 0.5, s"flagged pair ($d,$r) must be truly similar, est=$est")
+    }
+    val novel = Seq(3L, 4L)
+    novel.foreach(d => assert(!oneBatch.contains(d), s"doc $d is novel"))
+  }
 }

@@ -653,8 +653,10 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     withTableWriteLock(src) {
       deleteRecursively(stage) // stale crashed attempt for the same dst
       linkTree(tableDir(src), stage)
+      FaultInjection.cut("clone.staged")
       Files.move(stage, tableDir(dst),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      FaultInjection.cut("clone.committed")
     }
   }
 

@@ -223,4 +223,29 @@ class CrashSpec extends SparkSpec {
       assert(cat.table("t").count() === (before.size + writers * 50L))
     }
   }
+
+  test("clone: crash at every cut point is all-or-nothing; retry converges") {
+    val (cat, root) = freshTable()
+    cat.upsert("t", df(cat, Seq((5L, ts("2024-01-10 00:00:00"), "mutated"))))
+    val before = state(cat)
+
+    // staged-crash: no table, only dot-litter; the source is untouched
+    crash("clone.staged")(cat.cloneTable("t", "t2"))
+    assert(!cat.exists("t2"), "a crashed clone must never be a table")
+    assert(new java.io.File(root).listFiles()
+      .exists(_.getName == ".clone_tmp_t2"), "staged clone litter present")
+    assert(state(cat) === before, "source unchanged by the crashed clone")
+
+    // retry converges — and sweeps the stale staged attempt first
+    cat.cloneTable("t", "t2")
+    assert(cat.exists("t2"))
+    assert(cat.table("t2").collect().map(r => (r.getLong(0), r.getString(2))).toSet === before)
+    assert(!new java.io.File(root).listFiles().exists(_.getName == ".clone_tmp_t2"),
+      "retry consumed the staged attempt")
+
+    // committed-crash: the rename already landed — the clone IS a table
+    crash("clone.committed")(cat.cloneTable("t", "t3"))
+    assert(cat.exists("t3"), "post-rename crash leaves a complete clone")
+    assert(cat.table("t3").collect().map(r => (r.getLong(0), r.getString(2))).toSet === before)
+  }
 }

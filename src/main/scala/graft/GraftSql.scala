@@ -939,17 +939,19 @@ object GraftSql {
     }
 
   private val CloneHead =
-    """(?is)^CREATE\s+TABLE\s+`?([\w.]+)`?\s+CLONE\s+`?([\w.]+)`?$""".r
+    """(?is)^CREATE\s+TABLE\s+`?([\w.]+)`?\s+CLONE\s+`?([\w.]+)`?(?:\s+VERSION\s+AS\s+OF\s+(\d+))?$""".r
 
-  /** `CREATE TABLE dst CLONE src` — the zero-copy snapshot-clone verb
-    * (Delta SHALLOW CLONE's shape, hardlink-backed here; see
-    * [[KuduLikeCatalog.cloneTable]]).
+  /** `CREATE TABLE dst CLONE src [VERSION AS OF v]` — the zero-copy
+    * snapshot-clone verb (Delta SHALLOW CLONE's shape, hardlink-backed
+    * here; see [[KuduLikeCatalog.cloneTable]]). The VERSION form pins the
+    * branch to a mutation version — time travel materialized as a
+    * writable table.
     */
   private def cloneTable(spark: SparkSession, cat: KuduLikeCatalog,
       stmt: String): DataFrame =
     stmt match {
-      case CloneHead(dst, src) =>
-        cat.cloneTable(src, dst)
+      case CloneHead(dst, src, v) =>
+        cat.cloneTable(src, dst, Option(v).map(_.toInt))
         status(spark, "CREATE TABLE CLONE", dst, 0L)
       case _ => throw new CatalogException(s"cannot parse CLONE: $stmt")
     }

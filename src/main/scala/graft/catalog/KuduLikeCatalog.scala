@@ -644,15 +644,37 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * Dot-entries (lock files, sequence reservations, staging dirs) are
     * transient coordination state of the SOURCE and stay behind.
     */
-  def cloneTable(src: String, dst: String): Unit = {
+  def cloneTable(src: String, dst: String): Unit =
+    cloneTable(src, dst, asOfVersion = None)
+
+  /** Version-pinned clone (`CREATE TABLE dst CLONE src VERSION AS OF v`):
+    * the snapshot-branch form — the staged tree simply drops every delta
+    * layer ABOVE v before the commit rename, so the clone IS the
+    * historical state, served as a first-class writable table (where
+    * [[tableAsOf]] is a read). Same validity window as every snapshot
+    * read: v must be at or above the delta floor (compacted-away history
+    * fails loudly) — enforced by [[requireVersionReadable]].
+    */
+  def cloneTable(src: String, dst: String, asOfVersion: Option[Int]): Unit = {
     if (!exists(src)) throw new CatalogException(s"table $src does not exist")
     if (exists(dst) || Files.exists(tableDir(dst)))
       throw new CatalogException(s"table $dst already exists")
     require(dst.nonEmpty && dst.matches("[\\w.]+"), s"invalid table name: $dst")
+    asOfVersion.foreach(v => requireVersionReadable(src, v))
     val stage = Paths.get(root, s".clone_tmp_$dst")
     withTableWriteLock(src) {
       deleteRecursively(stage) // stale crashed attempt for the same dst
       linkTree(tableDir(src), stage)
+      asOfVersion.foreach { v =>
+        val dd = stage.resolve("deltas").toFile.listFiles()
+        if (dd != null) dd.foreach { f =>
+          // same digits-only name discipline as the readers: litter that
+          // is not a committed layer stays untouched
+          if (f.isDirectory && f.getName.nonEmpty && f.getName.length <= 9 &&
+            f.getName.forall(_.isDigit) && f.getName.toInt > v)
+            deleteRecursively(f.toPath)
+        }
+      }
       FaultInjection.cut("clone.staged")
       Files.move(stage, tableDir(dst),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)

@@ -114,6 +114,39 @@ class CloneSpec extends SparkSpec {
     assert(cat.table("r2").where(date_format(col("ts"), "yyyy-MM") === "2024-02").count() === 0)
   }
 
+  test("version-pinned clone: the branch IS the historical state, writable") {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val (cat, _) = newCat()
+    build(cat) // version 0: 200 base rows
+    cat.upsert("t", Seq((0L, "v1", 9)).toDF("id", "payload", "grp")) // version 1
+    cat.delete("t", col("id") >= 100) // version 2
+    cat.upsert("t", Seq((1L, "v3", 9)).toDF("id", "payload", "grp")) // version 3
+
+    GraftSql.execute(spark, cat, "CREATE TABLE t_v1 CLONE t VERSION AS OF 1")
+    val expected = cat.tableAsOf("t", 1).orderBy("id").collect().map(_.toSeq).toSeq
+    assert(cat.table("t_v1").orderBy("id").collect().map(_.toSeq).toSeq === expected)
+    assert(cat.table("t_v1").count() === 200) // the delete (v2) never happened here
+    assert(cat.table("t_v1").where(col("id") === 0).head().getString(1) === "v1")
+    assert(cat.table("t_v1").where(col("id") === 1).head().getString(1) === "v1") // not "v3"
+
+    // the branch is writable and independent
+    cat.delete("t_v1", col("id") < 10)
+    assert(cat.table("t_v1").count() === 190)
+    assert(cat.table("t").count() === 100)
+
+    // compacted-away history refuses loudly, exactly like tableAsOf
+    cat.compact("t")
+    val e = intercept[CatalogException] { cat.cloneTable("t", "t_v0", Some(1)) }
+    assert(e.getMessage.contains("compacted"))
+
+    // schema evolution between versions rides the manifest, so a clone at
+    // a pre-evolution version keeps the CURRENT schema (manifest is one
+    // file) — document by assertion
+    cat.addColumn("t", StructField("extra", LongType))
+    cat.cloneTable("t", "t_now", None)
+    assert(cat.schemaOf("t_now").fieldNames.contains("extra"))
+  }
+
   test("SQL verb: CREATE TABLE dst CLONE src; errors are loud") {
     val (cat, _) = newCat()
     build(cat, n = 50)

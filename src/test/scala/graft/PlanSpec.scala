@@ -199,6 +199,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
   }
 
+  test("S28/S29: LIMIT and TopN reach the connector scan as pushdowns") {
+    // the declared queries themselves, not just LimitPushdownSpec's
+    // synthetic tables — a regression that silently stops offering the
+    // pushdown turns LIMIT 10 back into a full-scan plan at 100 TB
+    val p28 = planOf("s28_limit_pushdown")
+    assert(p28.contains("PushedLimit: 1000"), p28)
+    val p29 = planOf("s29_topn_pushdown")
+    assert(p29.contains("PushedTopN: ORDER BY ts ASC LIMIT 50"), p29)
+  }
+
   test("Q21: EXISTS/NOT EXISTS compile to semi/anti joins — no subquery re-scan per row") {
     val p = planOf("tpch_q21")
     assert(p.contains("LeftSemi"), p)

@@ -65,6 +65,7 @@ object GraftSql {
     else if (upper.startsWith("TRUNCATE TABLE")) truncate(spark, cat, stmt)
     else if (upper.startsWith("OPTIMIZE ")) optimize(spark, cat, stmt)
     else if (upper.startsWith("VACUUM ")) vacuum(spark, cat, stmt)
+    else if (upper.startsWith("RESTORE TABLE")) restoreTable(spark, cat, stmt)
     else if (upper.startsWith("ANALYZE TABLE")) analyzeTable(spark, cat, stmt)
     else { registerViews(spark, cat); spark.sql(stmt) }
   }
@@ -954,6 +955,20 @@ object GraftSql {
         cat.cloneTable(src, dst, Option(v).map(_.toInt))
         status(spark, "CREATE TABLE CLONE", dst, 0L)
       case _ => throw new CatalogException(s"cannot parse CLONE: $stmt")
+    }
+
+  private val RestoreHead =
+    """(?is)^RESTORE\s+TABLE\s+`?([\w.]+)`?\s+VERSION\s+AS\s+OF\s+(\d+)$""".r
+
+  /** `RESTORE TABLE t VERSION AS OF v` — in-place history truncation (the
+    * write-back face of time travel; see [[KuduLikeCatalog.restoreTable]]).
+    */
+  private def restoreTable(spark: SparkSession, cat: KuduLikeCatalog,
+      stmt: String): DataFrame =
+    stmt match {
+      case RestoreHead(name, v) =>
+        status(spark, "RESTORE TABLE", name, cat.restoreTable(name, v.toInt))
+      case _ => throw new CatalogException(s"cannot parse RESTORE: $stmt")
     }
 
   private val AnalyzeHead =

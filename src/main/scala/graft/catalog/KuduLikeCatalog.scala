@@ -682,6 +682,46 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     }
   }
 
+  /** RESTORE TABLE t VERSION AS OF v — time travel written back IN PLACE
+    * (Delta RESTORE's role): a metadata-only truncation that deletes every
+    * delta layer above v, so the live table IS the snapshot ([[tableAsOf]]
+    * is the read form, [[cloneTable]]'s VERSION form the branch form).
+    * O(truncated layers), never O(table). Same validity window as every
+    * snapshot read: v at or above the delta floor, enforced loudly.
+    *
+    * Two disciplines make the truncation safe:
+    *  - the doomed sequence numbers are BURNED FIRST (`.rsv_<s>` markers,
+    *    the reservation protocol's own litter shape) so a post-restore
+    *    mutation can never reuse a truncated version id — changelog
+    *    consumers key on layer sequence, and a reused id would silently
+    *    alias two different change sets;
+    *  - layers delete HIGHEST-FIRST, so every prefix of completed
+    *    deletions is a legal snapshot at some version ≥ v — a crashed
+    *    restore leaves a readable table and a retry converges to v
+    *    (CrashSpec proves both).
+    *
+    * History above v is GONE (git-reset semantics): mid-stream changelog
+    * consumers past v must re-sync — the same caveat Delta documents for
+    * RESTORE. Returns the number of truncated layers.
+    */
+  def restoreTable(name: String, version: Int): Long = {
+    if (!exists(name)) throw new CatalogException(s"table $name does not exist")
+    withTableWriteLock(name) {
+      requireVersionReadable(name, version)
+      val doomed = deltaLayers(name).filter(_._1 > version)
+      doomed.foreach { case (s, _) =>
+        try Files.createDirectory(deltasDir(name).resolve(s".rsv_$s"))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+      FaultInjection.cut("restore.burned")
+      doomed.sortBy(-_._1).foreach { case (_, dir) =>
+        deleteRecursively(Paths.get(dir))
+        FaultInjection.cut("restore.step")
+      }
+      doomed.size.toLong
+    }
+  }
+
   /** Mirror `from` into `to`: directories recreated, files hardlinked,
     * dot-entries skipped (transient coordination state, never table data).
     */

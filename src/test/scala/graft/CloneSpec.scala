@@ -147,6 +147,22 @@ class CloneSpec extends SparkSpec {
     assert(cat.schemaOf("t_now").fieldNames.contains("extra"))
   }
 
+  test("restore on the source cannot rewrite a clone's history (shared inodes, independent trees)") {
+    val (cat, _) = newCat()
+    build(cat) // v0 base: id 2's payload is "v2"
+    cat.upsert("t", Seq((1L, "first", 9)).toDF("id", "payload", "grp")) // v1
+    cat.upsert("t", Seq((2L, "second", 9)).toDF("id", "payload", "grp")) // v2
+    cat.cloneTable("t", "t2")
+    cat.restoreTable("t", 1) // truncates v2 IN THE SOURCE only
+
+    // source: v2's upsert is gone, base payload back in force
+    assert(cat.table("t").where(col("id") === 2).head().getString(1) === "v2")
+    assert(cat.currentVersion("t") === 1)
+    // clone: full history intact, including time travel to both versions
+    assert(cat.table("t2").where(col("id") === 2).head().getString(1) === "second")
+    assert(cat.tableAsOf("t2", 1).where(col("id") === 2).head().getString(1) === "v2")
+  }
+
   test("SQL verb: CREATE TABLE dst CLONE src; errors are loud") {
     val (cat, _) = newCat()
     build(cat, n = 50)

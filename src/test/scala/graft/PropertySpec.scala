@@ -63,7 +63,7 @@ class PropertySpec extends SparkSpec {
       val snapshots = scala.collection.mutable.ArrayBuffer[(Int, Map[Int, String])]()
 
       (1 to 12).foreach { step =>
-        rnd.nextInt(9) match {
+        rnd.nextInt(11) match {
           case 0 => // INSERT: only keys not live land; in-batch survivor = min v
             val b = batch()
             val newRows = b.groupBy(_._1).collect {
@@ -97,7 +97,7 @@ class PropertySpec extends SparkSpec {
             deltasExist = false // layers discarded with the old contents
             snapshots.clear() // version numbering re-baselines
           case 5 => // Z-ORDER COMPACT: layout-only, same model effect as compact
-            cat.compactZOrdered("t", Seq("id", "v"))
+            cat.compactZOrdered("t", Seq("id", vName))
             deltasExist = false
             snapshots.clear()
           case 6 => // VACUUM: reclaims dead storage, state invariant
@@ -114,6 +114,24 @@ class PropertySpec extends SparkSpec {
             assert(cat.schemaOf("t").fieldNames.toSeq === Seq("id", vName))
             deltasExist = false
             snapshots.clear()
+          case 9 => // RESTORE: truncate history to a recorded stable snapshot —
+            // the model rolls back with it; later snapshots become history
+            // that never happened
+            if (snapshots.nonEmpty) {
+              val (v, m) = snapshots(rnd.nextInt(snapshots.size))
+              cat.restoreTable("t", v)
+              model = m
+              snapshots.filterInPlace(_._1 <= v)
+              // the restored-to snapshot was recorded with pending deltas,
+              // so layers ≤ v survive the truncation
+            }
+          case 10 => // CLONE: zero-copy branch equals the model; source invariant
+            val dst = s"branch_$step"
+            cat.cloneTable("t", dst)
+            val got = cat.table(dst).collect()
+              .map(x => (x.getInt(0), x.getString(1))).toSet
+            assert(got === model.toSet, s"iter $iter step $step clone state")
+            cat.dropTable(dst)
         }
         if (deltasExist) snapshots += ((cat.currentVersion("t"), model))
         val got = cat.table("t").collect().map(x => (x.getInt(0), x.getString(1))).toSet

@@ -143,6 +143,24 @@ class LimitPushdownSpec extends SparkSpec {
     assert(q.collect().map(_.toSeq).toSeq === expected.toSeq)
   }
 
+  test("catalog-plugin SQL route: LIMIT reaches the same pushdown") {
+    val root = tmpDir("graft_limit_sql_")
+    val nFull = buildMultiFile(root)
+    spark.conf.set("spark.sql.catalog.graftl",
+      classOf[graft.sources.GraftCatalogPlugin].getName)
+    spark.conf.set("spark.sql.catalog.graftl.root", root)
+    try {
+      val df = spark.sql("SELECT * FROM graftl.t LIMIT 5")
+      val scan = scanOf(df)
+      assert(scan.scan.description().contains("PushedLimit: 5"))
+      assert(scan.partitions.length < nFull)
+      assert(df.count() === 5)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graftl.root")
+      spark.conf.unset("spark.sql.catalog.graftl")
+    }
+  }
+
   test("bucketed table: LIMIT prunes and the merge semantics survive compact") {
     import spark.implicits._
     val root = tmpDir("graft_limit_bucket_")

@@ -537,4 +537,38 @@ class StreamingSpec extends SparkSpec {
     val novel = Seq(3L, 4L)
     novel.foreach(d => assert(!oneBatch.contains(d), s"doc $d is novel"))
   }
+
+  test("incremental-crawl pipeline: near-dup filter feeds the keyed dup-ignore ingest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = nearDupDocs()
+    val root = tmpDir("graft_crawl_")
+    val cat = new KuduLikeCatalog(spark, root)
+    cat.createTable(TableDef("admitted",
+      Seq((0L, 0L)).toDF("doc_id", "n_bands").schema, Seq("doc_id")))
+
+    val stream = MemoryStream[StreamDoc]
+    val verdicts = StreamingIngest.nearDupFilterStream(
+      stream.toDF(), "text", "doc_id", numHashes = 16, bands = 4, tau = 0.5)
+    // a doc's bands all ride one input row, so each micro-batch carries
+    // every verdict for its docs: novel = no matched band in this batch
+    val q = verdicts.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val novel = batch.groupBy("doc_id")
+          .agg(max(col("matched")).as("dup"), count(lit(1)).as("n_bands"))
+          .where(!col("dup")).select("doc_id", "n_bands")
+        cat.insert("admitted", novel): Unit
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    stream.addData(Seq(docs(0), docs(2))); q.processAllAvailable()
+    stream.addData(Seq(docs(1), docs(3))); q.processAllAvailable()
+    stream.addData(Seq(docs(4), docs(5))); q.processAllAvailable()
+    // a replayed batch must not double-admit (the keyed insert dup-ignores)
+    stream.addData(Seq(docs(3))); q.processAllAvailable()
+    q.stop()
+
+    val admitted = cat.table("admitted").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(admitted === Seq(1L, 3L, 4L, 5L), "dups 2 and 6 filtered, novels admitted once")
+  }
 }

@@ -56,8 +56,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     checkFixturePreconditions(spark, sfDir)
-    // per query: output fields in Spark order, flagged decimal-or-not
-    val outFields = scala.collection.mutable.Map.empty[String, Seq[(String, Boolean)]]
+    // per query: output fields in Spark order, flagged (isDecimal, isLong)
+    val outFields = scala.collection.mutable.Map.empty[String, Seq[(String, Boolean, Boolean)]]
     SparkEntry.all.filter(q => only.isEmpty || only(q.name)).foreach { q =>
       try {
         val raw0 = q.fn(spark, sfDir)
@@ -84,7 +84,8 @@ object Verify {
               " — emit fewer significant digits (e.g. fixed-point BIGINT units)")
         }
         val fields = raw.schema.fields
-          .map(f => f.name -> f.dataType.isInstanceOf[DecimalType]).toSeq
+          .map(f => (f.name, f.dataType.isInstanceOf[DecimalType],
+            f.dataType == org.apache.spark.sql.types.LongType)).toSeq
         QDef.castDecimalOutputs(raw).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/${q.name}")
         if (decFields.nonEmpty) raw.unpersist()
@@ -104,14 +105,26 @@ object Verify {
         } catch { case _: Throwable => () }
       }
     }
+    // Dialect adapter (round-1 DECIMAL, round-11 HUGEINT): the driver hashes
+    // DuckDB cells by their DuckDB type, so any oracle column DuckDB widens
+    // past the Spark type hash-mismatches even when every value is equal.
+    // Two known wideners: Spark DECIMAL vs DuckDB DECIMAL repr (cast both
+    // sides to DOUBLE), and DuckDB sum(INTEGER/BIGINT) -> HUGEINT/INT128
+    // where Spark emits INT64 (cast the oracle column to BIGINT — a no-op
+    // when the oracle is already BIGINT, a lossless narrowing otherwise
+    // since Spark computed the same value in 64 bits). Driven by the
+    // SPARK-side schema, so a newly-added bare `sum(x)` oracle can never
+    // reach the driver un-adapted.
     def wrapOracle(name: String, sql: String): String =
       outFields.get(name) match {
-        case Some(fields) if fields.exists(_._2) =>
-          val proj = fields.map { case (n, isDec) =>
+        case Some(fields) if fields.exists(f => f._2 || f._3) =>
+          val proj = fields.map { case (n, isDec, isLong) =>
             val qn = "\"" + n + "\""
-            if (isDec) s"CAST($qn AS DOUBLE) AS $qn" else qn
+            if (isDec) s"CAST($qn AS DOUBLE) AS $qn"
+            else if (isLong) s"CAST($qn AS BIGINT) AS $qn"
+            else qn
           }.mkString(", ")
-          s"SELECT $proj FROM (\n$sql\n) graft_decimal_adapter"
+          s"SELECT $proj FROM (\n$sql\n) graft_dialect_adapter"
         case _ => sql
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -822,10 +822,15 @@ object PipelineQueries {
     // src1 (standing corpus) doc — incremental-ingest dedup. Exact
     // filter-and-verify with shingle-join candidates; dfMax vacuous here so
     // the oracle is the literal quadratic cross Jaccard (the cap's scale
-    // behavior is gated in ScaleOpsSpec, same argument as d9).
+    // behavior is gated in ScaleOpsSpec, same argument as d9). Bounded
+    // baseline (round-11 verdict, the d12 pattern): the uncapped exact
+    // definition is quadratic in shingle df, so the declared input is the
+    // FIXED slice doc_id < 5000 — a no-op at sf<=0.1 (max doc_id 4999, so
+    // the oracle contract is bit-identical) that freezes the baseline's
+    // cost at larger sf. d26b is the unbounded-corpus scale face.
     QDef("d26_cross_corpus_neardup",
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
+        val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 5000)
         Dedup.ngramJaccardPairsCross(
           docs.filter(col("source") === "src0"),
           docs.filter(col("source") === "src1"),
@@ -836,11 +841,11 @@ object PipelineQueries {
       Some("""WITH sa AS (SELECT DISTINCT doc_id AS a, g FROM (
              |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' '))),
              |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS g
-             |  FROM documents WHERE source = 'src0') t),
+             |  FROM documents WHERE source = 'src0' AND doc_id < 5000) t),
              |sb AS (SELECT DISTINCT doc_id AS b, g FROM (
              |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' '))),
              |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS g
-             |  FROM documents WHERE source = 'src1') t),
+             |  FROM documents WHERE source = 'src1' AND doc_id < 5000) t),
              |za AS (SELECT a, count(*) AS sza FROM sa GROUP BY 1),
              |zb AS (SELECT b, count(*) AS szb FROM sb GROUP BY 1),
              |inter AS (SELECT a, b, count(*) AS i FROM sa JOIN sb USING (g) GROUP BY 1, 2)

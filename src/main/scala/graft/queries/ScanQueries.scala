@@ -714,8 +714,8 @@ object ScanQueries {
         s26Read(cat)
       },
       Some("""SELECT event_type, count(*) AS n,
-             |  sum(CAST(floor((CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-15' AND event_type = 'click'
-             |                       THEN value + 1000.0 ELSE value END) * 100) AS BIGINT)) AS cents
+             |  CAST(sum(CAST(floor((CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-15' AND event_type = 'click'
+             |                       THEN value + 1000.0 ELSE value END) * 100) AS BIGINT)) AS BIGINT) AS cents
              |FROM events
              |WHERE NOT (strftime(ts, '%Y-%m-%d') = '2024-01-16' AND event_type = 'view')
              |GROUP BY 1 ORDER BY 1""".stripMargin),
@@ -812,7 +812,7 @@ object ScanQueries {
         s30Build(s, dir, new KuduLikeCatalog(s, tmp))
         s30Read(s, tmp)
       },
-      Some("""SELECT source, count(*) AS n, sum(doc_id) AS key_sum
+      Some("""SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS key_sum
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
       benchFn = Some { (s, dir) =>
         val tmp = memoized(s"s30:$dir") { t =>

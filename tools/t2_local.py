@@ -55,11 +55,31 @@ def decimal_cols(select_sql):
     rows = con.execute(f"DESCRIBE {select_sql}").fetchall()
     return [r[0] for r in rows if "DECIMAL" in str(r[1]).upper()]
 
+def hugeint_cols(select_sql):
+    """Column names DuckDB widens to HUGEINT/INT128 (e.g. bare sum(BIGINT)).
+
+    Round-11 driver finding: the driver hashes HUGEINT cells differently
+    from Spark's INT64 even when every value is equal, so a bare integer
+    sum in an oracle silently fails hash_match. Verify's dialect adapter
+    now casts every Spark-LongType output column to BIGINT in the oracle;
+    this gate catches any path that bypasses the adapter (hand-run SQL,
+    non-long Spark outputs paired with widening oracles).
+    """
+    rows = con.execute(f"DESCRIBE {select_sql}").fetchall()
+    return [r[0] for r in rows
+            if any(t in str(r[1]).upper() for t in ("HUGEINT", "INT128"))]
+
 n_pass = n_fail = 0
 for name in sorted(oracle):
     if only and name not in only:
         continue
     try:
+        ohuge = hugeint_cols(oracle[name])
+        if ohuge:
+            print(f"FAIL {name}: HUGEINT in oracle output (driver hash "
+                  f"asymmetry vs INT64): {ohuge} — CAST(... AS BIGINT)")
+            n_fail += 1
+            continue
         cur = con.execute(oracle[name])
         ocols = [d[0] for d in cur.description]
         orows = cur.fetchall()

@@ -1188,8 +1188,26 @@ private[graft] object GraftScan {
         if (st == null || !st.isNumNullsSet || st.getNumNulls > 0 ||
           !st.hasNonNullValue) ok = false
         else {
-          val lo = st.genericGetMin.asInstanceOf[Comparable[Any]]
-          val hi = st.genericGetMax.asInstanceOf[Comparable[Any]]
+          // Float/double bounds: parquet chunk stats live under the
+          // IEEE-754 total order (Double.compare: -0.0 < 0.0) while Spark
+          // SQL sorts -0.0 == 0.0, so a θ of -0.0 would wrongly prune a
+          // file whose min is +0.0 even though its rows TIE the n-th
+          // value. Normalize both zeros to +0.0 before any comparison;
+          // a NaN bound (possible under a foreign writer) marks the file
+          // undecidable rather than trusting stats written around NaNs.
+          def zNorm(v: Any): Comparable[Any] = (v match {
+            case d: java.lang.Double =>
+              if (d.isNaN) { ok = false; d }
+              else if (d.doubleValue() == 0.0d) java.lang.Double.valueOf(0.0d)
+              else d
+            case f: java.lang.Float =>
+              if (f.isNaN) { ok = false; f }
+              else if (f.floatValue() == 0.0f) java.lang.Float.valueOf(0.0f)
+              else f
+            case other => other
+          }).asInstanceOf[Comparable[Any]]
+          val lo = zNorm(st.genericGetMin)
+          val hi = zNorm(st.genericGetMax)
           if (mn == null || lo.compareTo(mn) < 0) mn = lo
           if (mx == null || hi.compareTo(mx) > 0) mx = hi
         }
@@ -1198,21 +1216,55 @@ private[graft] object GraftScan {
     FileStat(f, rows, mn, mx, ok && (col.isEmpty || mn != null))
   }
 
+  /** Planning-time footer budget for LIMIT/TopN pruning. The sweep runs on
+    * the driver before the scan launches; past this many base files the
+    * O(files) metadata pass costs more than the pruning saves (the
+    * aggregate pushdown, by contrast, distributes footer reads to
+    * executors), so the optimization degrades to the full list — merely
+    * un-optimized, never wrong.
+    */
+  private def footerCap: Int =
+    sys.props.get("graft.prune.footer.cap").map(_.toInt).getOrElse(8192)
+
+  /** Bounded-pool parallel footer digests: footer reads are independent
+    * small metadata IOs, so a serial loop leaves the driver latency-bound
+    * at many-file scale.
+    */
+  private def fileStats(files: Seq[String], col: Option[String]): Seq[FileStat] = {
+    if (files.lengthCompare(4) <= 0) return files.map(f => fileStat(f, col))
+    val par = math.min(files.size, math.max(2,
+      Runtime.getRuntime.availableProcessors()))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    try {
+      val futs = files.map { f =>
+        pool.submit(new java.util.concurrent.Callable[FileStat] {
+          override def call(): FileStat = fileStat(f, col)
+        })
+      }
+      futs.map(_.get())
+    } finally pool.shutdownNow()
+  }
+
   /** Shortest file PREFIX (in the given order) whose footer row counts
     * cover `n` — `LIMIT n` reads footers until satisfied and plans only
     * that prefix. Any footer failure keeps the full list (over-scan safe).
+    * Footers are consulted in parallel batches so a large prefix does not
+    * serialize the driver, while a small LIMIT still reads only a handful.
     */
   def limitFilePrefix(files: Seq[String], n: Int): Seq[String] =
     try {
+      if (files.lengthCompare(footerCap) > 0) return files
       var acc = 0L
-      val it = files.iterator
-      val kept = Vector.newBuilder[String]
-      while (it.hasNext && acc < n) {
-        val f = it.next()
-        kept += f
-        acc += fileStat(f, None).rows
+      var taken = 0
+      val batch = math.max(2, Runtime.getRuntime.availableProcessors())
+      while (taken < files.size && acc < n) {
+        val slice = files.slice(taken, math.min(files.size, taken + batch))
+        val stats = fileStats(slice, None)
+        // consume the batch in order, stopping at the file that covers n
+        val it = stats.iterator
+        while (it.hasNext && acc < n) { acc += it.next().rows; taken += 1 }
       }
-      if (acc >= n) kept.result() else files
+      if (acc >= n) files.take(taken) else files
     } catch { case _: Exception => files }
 
   /** Files that can intersect the top-n by `col` (asc/desc): files sorted
@@ -1226,8 +1278,8 @@ private[graft] object GraftScan {
   def topNFilePrune(files: Seq[String], col: String, asc: Boolean,
       n: Int): Seq[String] =
     try {
-      if (files.isEmpty) return files
-      val stats = files.map(f => fileStat(f, Some(col)))
+      if (files.isEmpty || files.lengthCompare(footerCap) > 0) return files
+      val stats = fileStats(files, Some(col))
       if (stats.exists(!_.statsOk)) return files
       // best bound first: min for ascending (file could start earliest),
       // max for descending (file could reach highest)

@@ -143,6 +143,35 @@ class LimitPushdownSpec extends SparkSpec {
     assert(q.collect().map(_.toSeq).toSeq === expected.toSeq)
   }
 
+  test("TopN over doubles: ±0.0 straddling a file boundary stays exact") {
+    import spark.implicits._
+    val root = tmpDir("graft_topn_zero_")
+    val cat = new KuduLikeCatalog(spark, root)
+    // file A: 8 negatives + two -0.0 rows at HIGH ids; file B: two +0.0
+    // rows at LOW ids + positives. Spark sorts -0.0 == 0.0 (ties broken by
+    // id), so the exact top-10 ends ... B.id=1, B.id=2 — but IEEE total
+    // order puts -0.0 < +0.0, so a θ of -0.0 (A covers all 10 rows) would
+    // prune file B and silently answer with A's -0.0 rows. parquet-mr
+    // happens to write conservative ±0 bounds itself (PARQUET-1222: min
+    // recorded as -0.0, max as +0.0), which masks the hazard for our own
+    // files; the planner's zNorm makes pruning writer-independent, and
+    // this test pins the end-to-end contract either way.
+    val fileA = ((0 until 8).map(i => (100L + i, -9.0 + i)) ++
+      Seq((108L, -0.0), (109L, -0.0))).toDF("id", "v")
+    val fileB = (Seq((1L, 0.0), (2L, 0.0)) ++
+      (0 until 8).map(i => (200L + i, 1.0 + i))).toDF("id", "v")
+    cat.createTable(TableDef("z", fileA.schema, Seq("id")))
+    cat.insert("z", fileA)
+    cat.insert("z", fileB)
+
+    val q = read(root, "z").orderBy("v", "id").limit(10)
+    assert(scanOf(q).scan.description().contains("PushedTopN"))
+    val got = q.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // exact: 8 negatives then the zero tie resolved by id — B's 1 and 2
+    assert(got.map(_._1).toSeq === ((100L until 108L) ++ Seq(1L, 2L)).toSeq,
+      s"±0.0 boundary must not prune the +0.0 file; got ${got.toSeq}")
+  }
+
   test("catalog-plugin SQL route: LIMIT reaches the same pushdown") {
     val root = tmpDir("graft_limit_sql_")
     val nFull = buildMultiFile(root)

@@ -144,7 +144,12 @@ object GraftSql {
       rangeGranularity = props.get("graft.range_granularity")
         .map(_.trim.toLowerCase).getOrElse("month"),
       rangeSubCols = if (rangeCols.nonEmpty) rangeCols.tail else Seq.empty,
-      bloomCols = list("graft.bloom_columns"))
+      bloomCols = list("graft.bloom_columns"),
+      // Kudu-style numeric ranges: 'graft.range_bounds'='0:1000,1000:2000'
+      // (lower:upper pairs, lower <= VALUES < upper)
+      rangeBounds = props.get("graft.range_bounds")
+        .map(s => graft.catalog.KuduLikeCatalog.decodeBounds(s.trim))
+        .getOrElse(Seq.empty))
   }
 
   private def requiredKeyCols(name: String, props: Map[String, String]): Seq[String] =
@@ -679,6 +684,21 @@ object GraftSql {
         cat.addRangePartition(name, value)
         registerViews(spark, cat)
         status(spark, "ALTER TABLE ADD RANGE PARTITION", name, 1L)
+      // Kudu bound-pair forms on numeric-bounds range tables: ADD declares
+      // a new `lower <= VALUES < upper` range (or re-opens a dropped one);
+      // DROP excludes it after validating the pair matches the declaration
+      case AlterAddRangeBoundsHead(name, lo, hi) if cat.exists(name) =>
+        cat.addRangePartitionBounds(name, lo.toLong, hi.toLong)
+        registerViews(spark, cat)
+        status(spark, "ALTER TABLE ADD RANGE PARTITION", name, 1L)
+      case AlterDropRangeBoundsHead(name, lo, hi) if cat.exists(name) =>
+        if (!cat.rangeBoundsOf(name).contains((lo.toLong, hi.toLong)))
+          throw new CatalogException(
+            s"DROP RANGE PARTITION $name: no declared range " +
+              s"[$lo,$hi) (have ${graft.catalog.KuduLikeCatalog.encodeBounds(cat.rangeBoundsOf(name))})")
+        cat.dropRangePartition(name, lo)
+        registerViews(spark, cat)
+        status(spark, "ALTER TABLE DROP RANGE PARTITION", name, 1L)
       // RENAME COLUMN: the honest O(table) fold+rewrite (no field-ID
       // indirection in this layout — KuduLikeCatalog.renameColumn)
       case AlterRenameColHead(name, from, to) if cat.exists(name) =>
@@ -699,6 +719,13 @@ object GraftSql {
 
   private val AlterAddRangeHead =
     """(?is)^ALTER\s+TABLE\s+`?([\w.]+)`?\s+ADD\s+RANGE\s+PARTITION\s+'([^']+)'$""".r
+
+  // Kudu's own bound-pair syntax: ... RANGE PARTITION 0 <= VALUES < 1000
+  private val AlterAddRangeBoundsHead =
+    """(?is)^ALTER\s+TABLE\s+`?([\w.]+)`?\s+ADD\s+RANGE\s+PARTITION\s+(-?\d+)\s*<=\s*VALUES\s*<\s*(-?\d+)$""".r
+
+  private val AlterDropRangeBoundsHead =
+    """(?is)^ALTER\s+TABLE\s+`?([\w.]+)`?\s+DROP\s+RANGE\s+PARTITION\s+(-?\d+)\s*<=\s*VALUES\s*<\s*(-?\d+)$""".r
 
   private val AlterRenameColHead =
     """(?is)^ALTER\s+TABLE\s+`?([\w.]+)`?\s+RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?$""".r
@@ -756,6 +783,10 @@ object GraftSql {
                 else ("", "graft.range_columns", (rc +: subs).mkString(","))
               }.toSeq ++
               cat.zoneOf(name).map(z => ("", "graft.range_zone", z)).toSeq ++
+              (if (cat.rangeBoundsOf(name).nonEmpty)
+                 Seq(("", "graft.range_bounds",
+                   graft.catalog.KuduLikeCatalog.encodeBounds(cat.rangeBoundsOf(name))))
+               else Nil) ++
               (if (cat.bloomColsOf(name).nonEmpty)
                  Seq(("", "graft.bloom_columns", cat.bloomColsOf(name).mkString(",")))
                else Nil) ++
@@ -886,8 +917,12 @@ object GraftSql {
             if (subs.isEmpty) s"'graft.range_column' = '$rc'"
             else s"'graft.range_columns' = '${(rc +: subs).mkString(",")}'"
           } ++
-          (if (cat.rangeColOf(name).isDefined && cat.rangeGranularityOf(name) != "month")
+          (if (cat.rangeColOf(name).isDefined && cat.rangeBoundsOf(name).isEmpty &&
+               cat.rangeGranularityOf(name) != "month")
              Seq(s"'graft.range_granularity' = '${cat.rangeGranularityOf(name)}'")
+           else Nil) ++
+          (if (cat.rangeBoundsOf(name).nonEmpty)
+             Seq(s"'graft.range_bounds' = '${graft.catalog.KuduLikeCatalog.encodeBounds(cat.rangeBoundsOf(name))}'")
            else Nil) ++
           (if (cat.bloomColsOf(name).nonEmpty)
              Seq(s"'graft.bloom_columns' = '${cat.bloomColsOf(name).mkString(",")}'")

@@ -47,7 +47,8 @@ final case class TableDef(
     hashCols: Seq[String] = Seq.empty,
     rangeGranularity: String = "month",
     rangeSubCols: Seq[String] = Seq.empty,
-    bloomCols: Seq[String] = Seq.empty) {
+    bloomCols: Seq[String] = Seq.empty,
+    rangeBounds: Seq[(Long, Long)] = Seq.empty) {
   require(name.nonEmpty, "table name must be non-empty")
   require(keyCols.nonEmpty, "key columns must be non-empty (Kudu tables are keyed)")
   require(buckets >= 0, "buckets must be >= 0")
@@ -59,6 +60,22 @@ final case class TableDef(
     "rangeSubCols require a rangeCol (the time dimension is the outermost level)")
   require(rangeCol.forall(rc => !rangeSubCols.contains(rc)),
     s"rangeSubCols must not repeat the range column: $rangeSubCols")
+  // Arbitrary Kudu-style `lower <= VALUES < upper` ranges on an INTEGER
+  // range column (DesignDocument.md:8 partitioning goal; the
+  // granularity-id ranges above model the time-retention shape, these the
+  // numeric-key shape). Pairs must be well-formed and pairwise disjoint;
+  // rows outside every declared range are REJECTED at write time, exactly
+  // Kudu's "row not in any range partition".
+  require(rangeBounds.isEmpty || rangeCol.isDefined,
+    "rangeBounds require a rangeCol")
+  require(rangeBounds.isEmpty || rangeSubCols.isEmpty,
+    "rangeBounds and composite rangeSubCols are mutually exclusive")
+  require(rangeBounds.forall { case (l, u) => l < u },
+    s"every range bound must satisfy lower < upper: $rangeBounds")
+  require(rangeBounds.sortBy(_._1).sliding(2).forall {
+      case Seq((_, u1), (l2, _)) => u1 <= l2
+      case _ => true
+    }, s"range bounds must not overlap: $rangeBounds")
   /** effective bucketing columns */
   def effectiveHashCols: Seq[String] = if (hashCols.nonEmpty) hashCols else keyCols
 }
@@ -411,9 +428,15 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val nSub = rangeSubColsOf(name).size
     val existing = liveBaseFiles(name)
       .flatMap(f => rangeIdOfPath(f, nSub)).distinct
+    if (droppedRangesOf(name).contains(value))
+      throw new CatalogException(
+        s"DROP RANGE PARTITION $name: range '$value' is already dropped")
     // a prefix value ('2024-01' on a (month, tenant) table) drops every
-    // covered composite partition — the whole-month retention cut
-    if (!existing.exists(droppedCovers(value, _)))
+    // covered composite partition — the whole-month retention cut. On a
+    // bounds table a DECLARED pair may be dropped while still empty (no
+    // file ever written): the drop is then the pure metadata exclusion.
+    if (!existing.exists(droppedCovers(value, _)) &&
+        !rangeBoundsOf(name).exists(_._1.toString == value))
       throw new CatalogException(
         s"DROP RANGE PARTITION $name: no live partition '$value' " +
           s"(have: ${existing.sorted.mkString(", ")})")
@@ -449,6 +472,38 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * "new range partition conflicts with existing one".
     */
   def addRangePartition(name: String, value: String): Unit = withTableWriteLock(name) {
+    addRangePartitionLocked(name, value)
+  }
+
+  /** ADD RANGE PARTITION `lower <= VALUES < upper` on a numeric-bounds
+    * table: a pair already declared re-opens EMPTY if dropped (the
+    * hardlink generation swap above); a NEW pair extends the manifest's
+    * bound list in one atomic meta write — zero data movement, the
+    * directory materializes on first write (Kudu pre-creates the tablet;
+    * we don't need to). Overlap with any declared pair is a loud caller
+    * bug, Kudu's "new range partition conflicts with existing one".
+    */
+  def addRangePartitionBounds(name: String, lower: Long, upper: Long): Unit =
+    withTableWriteLock(name) {
+      if (!exists(name)) throw new CatalogException(s"table $name does not exist")
+      val bounds = rangeBoundsOf(name)
+      if (bounds.isEmpty) throw new CatalogException(
+        s"ADD RANGE PARTITION $name: table declares no numeric range bounds")
+      if (lower >= upper) throw new CatalogException(
+        s"ADD RANGE PARTITION $name: lower must be < upper ($lower, $upper)")
+      if (bounds.contains((lower, upper)))
+        addRangePartitionLocked(name, lower.toString) // re-open if dropped
+      else {
+        bounds.find { case (l, u) => lower < u && l < upper }.foreach { p =>
+          throw new CatalogException(
+            s"ADD RANGE PARTITION $name: [$lower,$upper) overlaps " +
+              s"existing [${p._1},${p._2})")
+        }
+        writeRangeBounds(name, (bounds :+ (lower, upper)).sortBy(_._1))
+      }
+    }
+
+  private def addRangePartitionLocked(name: String, value: String): Unit = {
     if (!exists(name)) throw new CatalogException(s"table $name does not exist")
     rangeColOf(name).getOrElse(throw new CatalogException(
       s"ADD RANGE PARTITION $name: table is not range-partitioned"))
@@ -509,7 +564,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       // level (a 1-part entry on a composite table covers every sub-value)
       val cond = dropped.map { entry =>
         val parts = entry.split("/", -1).toSeq
-        val head = date_format(col(rc), rangePattern(name)) === parts.head
+        val head = rangeIdExpr(name, rc) === parts.head
         parts.tail.zip(subs).map { case (v, c) => col(c).cast("string") === v }
           .foldLeft(head)(_ && _)
       }.reduce(_ || _)
@@ -577,6 +632,16 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       d.rangeCol.foreach { rc =>
         if (!d.schema.fieldNames.contains(rc))
           throw new CatalogException(s"range column $rc not present in schema")
+        // numeric bounds require an integer range column (Kudu range
+        // bounds compare under the column type; our lower:upper pairs are
+        // longs, so fractional types would mis-bucket boundary values)
+        if (d.rangeBounds.nonEmpty && !(d.schema(rc).dataType match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          }))
+          throw new CatalogException(
+            s"range bounds require an integer range column; $rc is " +
+              d.schema(rc).dataType.simpleString)
       }
       (d.rangeSubCols ++ d.bloomCols).foreach { c =>
         if (!d.schema.fieldNames.contains(c))
@@ -585,7 +650,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       writePartitioned(empty, d.keyCols, d.buckets, d.rangeCol,
         dataDir(d.name), SaveMode.Overwrite, hashCols = d.hashCols,
         rangeFmt = if (d.rangeGranularity == "day") "yyyy-MM-dd" else "yyyy-MM",
-        rangeSubCols = d.rangeSubCols, bloomCols = d.bloomCols)
+        rangeSubCols = d.rangeSubCols, bloomCols = d.bloomCols,
+        rangeBounds = d.rangeBounds)
       Files.writeString(metaFile(d.name),
         metaJson(d, normalized, d.rangeCol.map(_ => sessionZone)))
     } catch {
@@ -656,23 +722,42 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * fails loudly) — enforced by [[requireVersionReadable]].
     */
   def cloneTable(src: String, dst: String, asOfVersion: Option[Int]): Unit = {
-    if (!exists(src)) throw new CatalogException(s"table $src does not exist")
     if (exists(dst) || Files.exists(tableDir(dst)))
       throw new CatalogException(s"table $dst already exists")
     require(dst.nonEmpty && dst.matches("[\\w.]+"), s"invalid table name: $dst")
-    asOfVersion.foreach(v => requireVersionReadable(src, v))
     val stage = Paths.get(root, s".clone_tmp_$dst")
     withTableWriteLock(src) {
+      // source-state checks INSIDE the lock (restoreTable's discipline): a
+      // concurrent compact/overwrite between an outside check and the lock
+      // could raise the delta floor past v, after which the staged tree has
+      // no layers above v to drop and the clone would silently materialize
+      // HEAD content labeled as version v.
+      if (!exists(src)) throw new CatalogException(s"table $src does not exist")
+      asOfVersion.foreach(v => requireVersionReadable(src, v))
       deleteRecursively(stage) // stale crashed attempt for the same dst
       linkTree(tableDir(src), stage)
       asOfVersion.foreach { v =>
-        val dd = stage.resolve("deltas").toFile.listFiles()
+        val stagedDeltas = stage.resolve("deltas")
+        val dd = stagedDeltas.toFile.listFiles()
         if (dd != null) dd.foreach { f =>
           // same digits-only name discipline as the readers: litter that
           // is not a committed layer stays untouched
           if (f.isDirectory && f.getName.nonEmpty && f.getName.length <= 9 &&
-            f.getName.forall(_.isDigit) && f.getName.toInt > v)
+            f.getName.forall(_.isDigit) && f.getName.toInt > v) {
+            // BURN the dropped sequence id in the stage (restore's .rsv
+            // discipline) BEFORE deleting it: the hardlinked _stats.json is
+            // stamped with MD5(manifest, currentVersion, baseEpoch) and no
+            // table identity, so if the clone's own mutations could re-reach
+            // the source's analyzed version number the stale record would
+            // alias as fresh while describing different content. With the
+            // burn, reserveDeltaSeq skips every dropped id, the aliasing
+            // version is unreachable, and the stats record survives exactly
+            // when it is genuinely valid (analyzed at a version <= v).
+            try Files.createDirectory(
+              stagedDeltas.resolve(s".rsv_${f.getName}"))
+            catch { case _: java.nio.file.FileAlreadyExistsException => () }
             deleteRecursively(f.toPath)
+          }
         }
       }
       FaultInjection.cut("clone.staged")
@@ -1215,11 +1300,13 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       hashCols: Seq[String] = Seq.empty,
       rangeFmt: String = "yyyy-MM",
       rangeSubCols: Seq[String] = Seq.empty,
-      bloomCols: Seq[String] = Seq.empty): Unit = {
+      bloomCols: Seq[String] = Seq.empty,
+      rangeBounds: Seq[(Long, Long)] = Seq.empty): Unit = {
     var out = df
     val parts = scala.collection.mutable.ArrayBuffer[String]()
     rangeCol.foreach { rc =>
-      out = out.withColumn(RangeCol, date_format(col(rc), rangeFmt))
+      out = out.withColumn(RangeCol,
+        KuduLikeCatalog.rangeIdColumn(col(rc), rangeFmt, rangeBounds, rc))
       if (!rangeAsData) parts += RangeCol
       // composite sub-levels: identity-valued (string) nested directories
       rangeSubCols.zipWithIndex.foreach { case (c, i) =>
@@ -1446,7 +1533,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     }
     if (touched.nonEmpty) {
       val rid = concat_ws("/",
-        date_format(col(rc), rangePattern(name)) +:
+        rangeIdExpr(name, rc) +:
           subCols.map(c => col(c).cast("string")): _*)
       val merged = spark.read.format("graft")
         .option("root", root)
@@ -1461,7 +1548,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       writePartitioned(merged, keys, bucketsOf(name), rangeColOf(name),
         staged.toString, SaveMode.Append, hashCols = hashColsOf(name),
         rangeFmt = rangePattern(name), rangeSubCols = subCols,
-        bloomCols = bloomColsOf(name))
+        bloomCols = bloomColsOf(name), rangeBounds = rangeBoundsOf(name))
     }
     FaultInjection.cut("icompact.staged")
     patchMeta(name, newDataName, floor, Nil) // COMMIT
@@ -1513,7 +1600,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       sortCols = clusterBy ++ keys.filterNot(clusterBy.contains),
       sortExprs = sortExprs, hashCols = hashColsOf(name),
       rangeFmt = rangePattern(name), rangeSubCols = rangeSubColsOf(name),
-      bloomCols = bloomColsOf(name))
+      bloomCols = bloomColsOf(name), rangeBounds = rangeBoundsOf(name))
     FaultInjection.cut("compact.staged")
     // the folded base was built from the exclusion-filtered snapshot, so
     // dropped range partitions are physically gone — the list clears in
@@ -1579,6 +1666,44 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   def rangePattern(name: String): String =
     if (rangeGranularityOf(name) == "day") "yyyy-MM-dd" else "yyyy-MM"
 
+  /** Declared `lower <= VALUES < upper` pairs of a numeric-bounds range
+    * table (empty on granularity tables). Persisted in the manifest as the
+    * flat string `"rangeBounds":"l:u,l:u"`, sorted by lower bound.
+    */
+  def rangeBoundsOf(name: String): Seq[(Long, Long)] = {
+    val meta = Files.readString(metaFile(name))
+    """"rangeBounds":"([^"]+)"""".r.findFirstMatchIn(meta)
+      .map(m => KuduLikeCatalog.decodeBounds(m.group(1))).getOrElse(Seq.empty)
+  }
+
+  /** Replace the manifest's bound list (ADD RANGE PARTITION of a NEW
+    * range) — tmp + ATOMIC_MOVE, the manifest discipline. Caller holds the
+    * table write lock.
+    */
+  private def writeRangeBounds(name: String, pairs: Seq[(Long, Long)]): Unit = {
+    val meta = Files.readString(metaFile(name))
+    val enc = KuduLikeCatalog.encodeBounds(pairs)
+    val patched = meta.replaceFirst(
+      """"rangeBounds":"[^"]+"""",
+      java.util.regex.Matcher.quoteReplacement(s""""rangeBounds":"$enc""""))
+    val tmp = tableDir(name).resolve(".meta_tmp")
+    Files.writeString(tmp, patched)
+    Files.move(tmp, metaFile(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The row → `__range` directory-id expression, shared by every write
+    * path and the dropped-range write fence so they can never disagree:
+    * granularity tables format the time column, bounds tables emit the
+    * decimal LOWER bound of the containing pair — and RAISE for a row
+    * outside every declared range (Kudu: no owning tablet for the row),
+    * which keeps the rejection row-exact with zero extra passes.
+    */
+  private def rangeIdExpr(name: String, rc: String): Column =
+    KuduLikeCatalog.rangeIdColumn(col(rc), rangePattern(name),
+      rangeBoundsOf(name), name)
+
   /** Timezone the `__range` partition values were (and must keep being)
     * formatted under — recorded at CREATE time. Absent on non-range tables
     * and tables created before zones were recorded.
@@ -1596,7 +1721,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * pruning would silently drop boundary rows.
     */
   private def assertZone(name: String): Unit =
-    if (rangeColOf(name).isDefined)
+    if (rangeColOf(name).isDefined && rangeBoundsOf(name).isEmpty)
       zoneOf(name) match {
         case Some(z) =>
           if (z != sessionZone)
@@ -1750,7 +1875,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       writePartitioned(toInsert.observe(obs, count(lit(1)).as("n")),
         keys, bucketsOf(name), rangeColOf(name), dataDir(name), SaveMode.Append,
         hashCols = hashColsOf(name), rangeFmt = rangePattern(name),
-        rangeSubCols = rangeSubColsOf(name), bloomCols = bloomColsOf(name))
+        rangeSubCols = rangeSubColsOf(name), bloomCols = bloomColsOf(name),
+        rangeBounds = rangeBoundsOf(name))
       // `toInsert`'s anti-join re-evaluates against the file listing captured
       // at DataFrame creation (before the append), so the fallback recount is
       // consistent with what was just written.
@@ -1969,7 +2095,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       staged.toString, SaveMode.Overwrite, sortCols = ren(keys),
       hashCols = ren(hashColsOf(name)), rangeFmt = rangePattern(name),
       rangeSubCols = ren(rangeSubColsOf(name)),
-      bloomCols = ren(bloomColsOf(name)))
+      bloomCols = ren(bloomColsOf(name)), rangeBounds = rangeBoundsOf(name))
     val newSchema = StructType(
       schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
     val d = TableDef(name, newSchema, ren(keys), bucketsOf(name),
@@ -2098,7 +2224,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     writePartitioned(deduped.observe(obs, count(lit(1)).as("n")),
       keys, bucketsOf(name), rangeColOf(name), staged.toString, SaveMode.Overwrite,
       hashCols = hashColsOf(name), rangeFmt = rangePattern(name),
-      rangeSubCols = rangeSubColsOf(name), bloomCols = bloomColsOf(name))
+      rangeSubCols = rangeSubColsOf(name), bloomCols = bloomColsOf(name),
+      rangeBounds = rangeBoundsOf(name))
     val n = obs.get("n").asInstanceOf[Long]
     FaultInjection.cut("overwrite.staged")
     val floor = rawDeltaSeqs(name).lastOption.getOrElse(0).max(deltaFloorOf(name))
@@ -2337,7 +2464,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
         keyColsOf(name), bucketsOf(name), rangeColOf(name),
         tmp.toString, SaveMode.Overwrite, rangeAsData = true,
         hashCols = hashColsOf(name), rangeFmt = rangePattern(name),
-        rangeSubCols = rangeSubColsOf(name), bloomCols = bloomColsOf(name))
+        rangeSubCols = rangeSubColsOf(name), bloomCols = bloomColsOf(name),
+        rangeBounds = rangeBoundsOf(name))
       val n = observedCount(obs, "n", batch.count())
       FaultInjection.cut("delta.staged")
       if (n > 0)
@@ -2382,12 +2510,17 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   private def metaJson(d: TableDef, normalized: StructType, zone: Option[String]): String = {
     val keys = d.keyCols.map(k => "\"" + k + "\"").mkString(",")
     val range = d.rangeCol.map { rc =>
-      val z = zone.map(z => s"""\"zone\":\"$z\",""").getOrElse("")
+      // bounds tables derive ids from numbers, not clocks: no zone stamp
+      // (assertZone's clock discipline is vacuous there)
+      val z = zone.filter(_ => d.rangeBounds.isEmpty)
+        .map(z => s"""\"zone\":\"$z\",""").getOrElse("")
       val g = if (d.rangeGranularity != "month")
         s"""\"rangeGranularity\":\"${d.rangeGranularity}\",""" else ""
       val sub = if (d.rangeSubCols.isEmpty) ""
         else s""""rangeSubCols":[${d.rangeSubCols.map(k => "\"" + k + "\"").mkString(",")}],"""
-      s"""\"rangeCol\":\"$rc\",$sub$g$z"""
+      val b = if (d.rangeBounds.isEmpty) ""
+        else s""""rangeBounds":"${KuduLikeCatalog.encodeBounds(d.rangeBounds)}","""
+      s"""\"rangeCol\":\"$rc\",$sub$g$b$z"""
     }.getOrElse("")
     val bloom =
       if (d.bloomCols.isEmpty) ""
@@ -2408,6 +2541,38 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   * column names are part of the storage contract.
   */
 object KuduLikeCatalog {
+  /** `l:u,l:u` ⇄ pairs — the manifest wire form of numeric range bounds. */
+  private[graft] def encodeBounds(pairs: Seq[(Long, Long)]): String =
+    pairs.sortBy(_._1).map { case (l, u) => s"$l:$u" }.mkString(",")
+
+  private[graft] def decodeBounds(s: String): Seq[(Long, Long)] =
+    s.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { p =>
+      val i = p.indexOf(':')
+      require(i > 0, s"malformed range bound '$p' (expect lower:upper)")
+      (p.substring(0, i).trim.toLong, p.substring(i + 1).trim.toLong)
+    }.toSeq.sortBy(_._1)
+
+  /** Row → `__range` id column. Bounds tables: a when-chain over the
+    * declared pairs emitting the decimal lower bound, with `raise_error`
+    * as the final otherwise — a row outside every range fails the WRITE
+    * JOB at first contact (Kudu's "row not in any range partition"),
+    * codegen-friendly and with no extra validation pass. Granularity
+    * tables: date_format, the original convention.
+    */
+  private[graft] def rangeIdColumn(rc: Column, fmt: String,
+      bounds: Seq[(Long, Long)], table: String): Column =
+    if (bounds.isEmpty) org.apache.spark.sql.functions.date_format(rc, fmt)
+    else {
+      import org.apache.spark.sql.functions.{concat, lit, raise_error, when}
+      val reject = raise_error(concat(
+        lit(s"$table: row not in any range partition (value "),
+        rc.cast("string"),
+        lit(s", declared ${encodeBounds(bounds)})"))).cast("string")
+      bounds.sortBy(_._1).foldRight(reject) { case ((l, u), els) =>
+        when(rc >= lit(l) && rc < lit(u), lit(l.toString)).otherwise(els)
+      }
+    }
+
   /** Per-(root, table) in-process locks — keyed globally so two catalog
     * instances over the same root share one lock.
     */

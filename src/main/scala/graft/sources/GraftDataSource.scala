@@ -1105,6 +1105,8 @@ private[graft] object GraftScan {
       pushed: Array[sources.Filter]): String => Boolean =
     catalog.rangeColOf(tableName) match {
       case None => _ => true
+      case Some(rc) if catalog.rangeBoundsOf(tableName).nonEmpty =>
+        numericRangePruner(rc, catalog.rangeBoundsOf(tableName), pushed)
       case Some(rc) =>
         val zone = java.time.ZoneId.of(catalog.zoneOf(tableName).getOrElse("UTC"))
         val fmt = java.time.format.DateTimeFormatter
@@ -1146,6 +1148,67 @@ private[graft] object GraftScan {
             case None => true
           }
     }
+
+  private val NumRangeDirRx = "__range=(-?[0-9]+)".r
+
+  /** Bounds-table variant of the planner's `__range` pruning: pushed
+    * predicates on the range column tighten an inclusive [lo, hi] LONG
+    * window; a file is kept iff its partition's declared
+    * `lower <= VALUES < upper` pair intersects the window. Ids not in the
+    * declared list (foreign litter, mid-lifecycle states) are never pruned
+    * — same over-keep-only safety as the month pruner, with Spark's
+    * residual filter restoring row-level exactness.
+    */
+  private def numericRangePruner(rc: String, bounds: Seq[(Long, Long)],
+      pushed: Array[sources.Filter]): String => Boolean = {
+    def asLong(v: Any): Option[Long] = v match {
+      case b: java.lang.Byte => Some(b.longValue())
+      case s: java.lang.Short => Some(s.longValue())
+      case i: java.lang.Integer => Some(i.longValue())
+      case l: java.lang.Long => Some(l.longValue())
+      case _ => None
+    }
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    var bounded = false
+    def tightenLo(v: Long): Unit = { if (v > lo) lo = v; bounded = true }
+    def tightenHi(v: Long): Unit = { if (v < hi) hi = v; bounded = true }
+    GraftFilters.flattenAnd(pushed).foreach {
+      case sources.EqualTo(a, v) if a == rc =>
+        asLong(v).foreach { x => tightenLo(x); tightenHi(x) }
+      case sources.GreaterThan(a, v) if a == rc =>
+        asLong(v).foreach(x => if (x < Long.MaxValue) tightenLo(x + 1))
+      case sources.GreaterThanOrEqual(a, v) if a == rc =>
+        asLong(v).foreach(tightenLo)
+      case sources.LessThan(a, v) if a == rc =>
+        asLong(v).foreach(x => if (x > Long.MinValue) tightenHi(x - 1))
+      case sources.LessThanOrEqual(a, v) if a == rc =>
+        asLong(v).foreach(tightenHi)
+      case sources.In(a, vs) if a == rc && vs != null && vs.nonEmpty =>
+        val xs = vs.toSeq.map(asLong)
+        // prune only when EVERY branch is a convertible value — one
+        // unconvertible makes the disjunction unbounded
+        if (xs.forall(_.isDefined)) {
+          val sorted = xs.flatten.sorted
+          tightenLo(sorted.head); tightenHi(sorted.last)
+        }
+      case _ => ()
+    }
+    if (!bounded) _ => true
+    else {
+      val upperOf = bounds.map { case (l, u) => (l, u) }.toMap
+      path => NumRangeDirRx.findFirstMatchIn(path) match {
+        case Some(m) =>
+          val l = m.group(1).toLong
+          upperOf.get(l) match {
+            // [l, u) intersects [lo, hi] iff l <= hi and u > lo
+            case Some(u) => l <= hi && u > lo
+            case None => true
+          }
+        case None => true
+      }
+    }
+  }
 
   def listParquet(dir: String): Seq[String] = {
     val p = Paths.get(dir)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.catalog.{CatalogException, KuduLikeCatalog, TableDef}
+import graft.catalog.{CatalogException, FaultInjection, KuduLikeCatalog, TableDef}
 
 import org.apache.spark.sql.functions._
 
@@ -161,6 +161,86 @@ class CloneSpec extends SparkSpec {
     // clone: full history intact, including time travel to both versions
     assert(cat.table("t2").where(col("id") === 2).head().getString(1) === "second")
     assert(cat.tableAsOf("t2", 1).where(col("id") === 2).head().getString(1) === "v2")
+  }
+
+  test("pinned clone burns dropped layer ids: stale stats can never alias as fresh") {
+    val (cat, _) = newCat()
+    build(cat) // v0
+    cat.upsert("t", Seq((1L, "a", 9)).toDF("id", "payload", "grp")) // v1
+    cat.upsert("t", Seq((2L, "b", 9)).toDF("id", "payload", "grp")) // v2
+    cat.analyze("t") // fingerprint stamped at currentVersion = 2
+    assert(cat.statsOf("t").isDefined)
+
+    cat.cloneTable("t", "tb", Some(1)) // drops layer 2, burns its id
+    // the hardlinked record is stale on the branch (analyzed at v2, branch at v1)
+    assert(cat.statsOf("tb").isEmpty)
+
+    // one branch mutation: without the burn it would COMMIT as layer 2 and
+    // re-reach the analyzed version number under the same manifest and base
+    // epoch — aliasing the source's stats record as fresh for DIFFERENT
+    // content. The burn makes the dropped id unreachable.
+    cat.upsert("tb", Seq((3L, "c", 9)).toDF("id", "payload", "grp"))
+    assert(cat.currentVersion("tb") === 3, "dropped ids must stay burned")
+    assert(cat.statsOf("tb").isEmpty)
+    // the branch's own ANALYZE serves fresh stats as usual
+    cat.analyze("tb")
+    assert(cat.statsOf("tb").isDefined)
+  }
+
+  test("pinned clone keeps stats exactly when genuinely valid (analyzed at or below the pin)") {
+    val (cat, _) = newCat()
+    build(cat) // v0
+    cat.upsert("t", Seq((1L, "a", 9)).toDF("id", "payload", "grp")) // v1
+    cat.analyze("t") // stamped at v1
+    cat.upsert("t", Seq((2L, "b", 9)).toDF("id", "payload", "grp")) // v2: source record now stale
+    assert(cat.statsOf("t").isEmpty)
+    cat.cloneTable("t", "tb", Some(1))
+    // the branch content IS the analyzed state — record valid there
+    assert(cat.statsOf("tb").isDefined)
+  }
+
+  test("pinned clone validates the version INSIDE the source lock (no TOCTOU vs compact)") {
+    val (cat, root) = newCat()
+    build(cat) // v0
+    cat.upsert("t", Seq((1L, "a", 9)).toDF("id", "payload", "grp")) // v1
+    cat.upsert("t", Seq((2L, "b", 9)).toDF("id", "payload", "grp")) // v2
+
+    val inCompact = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    // blocking (non-throwing) hook: pause compact at its staged cut point,
+    // INSIDE the write lock, so the clone's schedule is deterministic
+    FaultInjection.arm { p =>
+      if (p == "compact.staged") { inCompact.countDown(); release.await() }
+      false
+    }
+    try {
+      @volatile var cloneResult: Option[Throwable] = null
+      val compactor = new Thread(() => cat.compact("t"))
+      compactor.start()
+      assert(inCompact.await(120, java.util.concurrent.TimeUnit.SECONDS))
+      // compact holds the source write lock, paused pre-commit. The clone
+      // must WAIT for the lock and re-validate INSIDE it: with the old
+      // outside-the-lock check, exactly this schedule passed validation at
+      // floor 0, then staged post-compact content (no layers left to drop)
+      // and committed HEAD rows labeled as version 1.
+      val cloner = new Thread(() => {
+        cloneResult =
+          try { cat.cloneTable("t", "t_pin", Some(1)); None }
+          catch { case e: Throwable => Some(e) }
+      })
+      cloner.start()
+      cloner.join(500)
+      assert(cloneResult == null, "clone must block on the source write lock")
+      release.countDown()
+      compactor.join(120000); cloner.join(120000)
+      assert(cloneResult != null, "clone must finish once the lock releases")
+      assert(cloneResult.isDefined, "clone of a compacted-away version must fail")
+      assert(cloneResult.get.getMessage.contains("compacted"))
+      assert(!Files.exists(Paths.get(root, "t_pin")), "no half-made table")
+    } finally {
+      FaultInjection.disarm()
+      release.countDown()
+    }
   }
 
   test("SQL verb: CREATE TABLE dst CLONE src; errors are loud") {

@@ -820,6 +820,31 @@ object ScanQueries {
         }
         s30Read(s, tmp)
       }),
+
+    // s31: RESTORE VERSION AS OF end-to-end under the driver's hash — the
+    // storage-verb companion to s30 (CLONE): mutate twice, restore to v1
+    // (undoing the delete), then mutate AGAIN post-restore and read through
+    // the connector. The oracle re-derives the final state algebraically:
+    // base rows + the v1 edit + the post-restore edit, the v2 delete gone.
+    // The post-restore upsert also exercises the burned-id discipline on
+    // the driver's gate (its layer must not alias the truncated v2).
+    QDef("s31_restore_version",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s31_").toString
+        s31Build(s, dir, new KuduLikeCatalog(s, tmp))
+        s31Read(s, tmp)
+      },
+      Some("""SELECT CASE WHEN doc_id % 11 = 2 THEN 'post'
+             |            WHEN doc_id % 7 = 1 THEN 'edited'
+             |            ELSE source END AS src,
+             |  count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS key_sum
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+      benchFn = Some { (s, dir) =>
+        val tmp = memoized(s"s31:$dir") { t =>
+          s31Build(s, dir, new KuduLikeCatalog(s, t))
+        }
+        s31Read(s, tmp)
+      }),
   )
 
   /** s30's tables: documents keyed on doc_id, cloned, then the ORIGINAL is
@@ -842,6 +867,30 @@ object ScanQueries {
       .groupBy("source")
       .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("key_sum"))
       .orderBy("source")
+
+  /** s31's table: documents keyed on doc_id; two mutations, an SQL RESTORE
+    * back to version 1 (the delete undone, git-reset semantics), then one
+    * POST-restore mutation whose layer id must not reuse the truncated v2.
+    */
+  private def s31Build(s: org.apache.spark.sql.SparkSession, dir: String,
+      cat: KuduLikeCatalog): Unit = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "source")
+    cat.createTable(TableDef("docs_rst", docs.schema, Seq("doc_id"), buckets = 4))
+    cat.insert("docs_rst", docs)
+    cat.upsert("docs_rst", // v1: kept by the restore
+      docs.filter(col("doc_id") % 7 === 1).withColumn("source", lit("edited")))
+    cat.delete("docs_rst", col("doc_id") % 3 === 0) // v2: undone by it
+    graft.GraftSql.execute(s, cat, "RESTORE TABLE docs_rst VERSION AS OF 1")
+    cat.upsert("docs_rst", // post-restore history continues cleanly
+      docs.filter(col("doc_id") % 11 === 2).withColumn("source", lit("post")))
+  }
+
+  private def s31Read(s: org.apache.spark.sql.SparkSession,
+      tmp: String): org.apache.spark.sql.DataFrame =
+    s.read.format("graft").option("root", tmp).load("docs_rst")
+      .groupBy(col("source").as("src"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("key_sum"))
+      .orderBy("src")
 
   /** s28's table: orders in 4 hash buckets, compacted so the base files are
     * the whole truth (the limit-pushdown contract).

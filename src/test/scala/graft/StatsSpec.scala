@@ -264,6 +264,72 @@ class StatsSpec extends SparkSpec {
     assert(sharpened < BigInt(200), s"mass-based estimate too high: $sharpened")
   }
 
+  test("ANALYZE stats FLIP a plan: CBO reorders a 3-way join only when stats exist") {
+    val (_, root, sql) = fresh()
+    // star shape where the WRITTEN order is suboptimal: fact(10k) joins
+    // wide dim d1 (1000 rows, FK 1:10 — join keeps all 10k) before
+    // selective dim d2 (2 of fact's 10 k2 values — join keeps ~2k).
+    sql("""CREATE TABLE fact (id INT, k1 INT, k2 INT)
+          |TBLPROPERTIES('kudu.key_columns'='id')""".stripMargin)
+    sql("""CREATE TABLE d1 (k1 INT, a STRING)
+          |TBLPROPERTIES('kudu.key_columns'='k1')""".stripMargin)
+    sql("""CREATE TABLE d2 (k2 INT, b STRING)
+          |TBLPROPERTIES('kudu.key_columns'='k2')""".stripMargin)
+    sql("INSERT INTO fact SELECT id, CAST(id % 1000 AS INT), CAST(id % 10 AS INT) " +
+      "FROM (SELECT explode(sequence(1, 10000)) AS id)")
+    sql("INSERT INTO d1 SELECT k1, concat('a', k1) FROM " +
+      "(SELECT explode(sequence(0, 999)) AS k1)")
+    sql("INSERT INTO d2 SELECT k2, concat('b', k2) FROM " +
+      "(SELECT explode(sequence(0, 1)) AS k2)")
+
+    def leafOrder(): Seq[String] = {
+      val fact = spark.read.format("graft").option("root", root).load("fact")
+      val da = spark.read.format("graft").option("root", root).load("d1")
+      val db = spark.read.format("graft").option("root", root).load("d2")
+      val q = fact.join(da, "k1").join(db, "k2")
+        .groupBy("b").agg(count(lit(1)).as("n"))
+      q.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation =>
+          // identify the leaf by the scan's own description (column sets
+          // are unreliable here — pruning strips non-join columns)
+          "table=(\\w+)".r.findFirstMatchIn(r.scan.description())
+            .map(_.group(1)).getOrElse("?")
+      }
+    }
+
+    withCboReorder {
+      // stats absent: rowCount is unreported, CostBasedJoinReorder cannot
+      // engage, the join tree stays exactly as written — d1 before d2
+      val unanalyzed = leafOrder()
+      assert(unanalyzed === Seq("fact", "d1", "d2"),
+        s"without stats the written order must survive: $unanalyzed")
+
+      sql("ANALYZE TABLE fact COMPUTE STATISTICS")
+      sql("ANALYZE TABLE d1 COMPUTE STATISTICS")
+      sql("ANALYZE TABLE d2 COMPUTE STATISTICS")
+
+      // stats present: the ndv-based cardinalities (fact⋈d2 ≈ 2k vs
+      // fact⋈d1 = 10k) make the selective join cheaper first — the
+      // optimizer must REORDER, proving stats change real decisions
+      val analyzed = leafOrder()
+      assert(analyzed !== unanalyzed,
+        s"ANALYZE must flip the join order: still $analyzed")
+      assert(analyzed.indexOf("d2") < analyzed.indexOf("d1"),
+        s"the selective dim must join first with stats present: $analyzed")
+    }
+  }
+
+  /** cbo + joinReorder on, both restored after. */
+  private def withCboReorder(f: => Unit): Unit = {
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "true"))
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   private def withCboEstimate(f: => BigInt): BigInt = {
     val prev = spark.conf.getOption("spark.sql.cbo.enabled")
     spark.conf.set("spark.sql.cbo.enabled", "true")

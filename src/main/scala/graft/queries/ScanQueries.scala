@@ -845,6 +845,30 @@ object ScanQueries {
         }
         s31Read(s, tmp)
       }),
+
+    // s32: NUMERIC range bounds end-to-end — orders keyed+ranged on
+    // o_orderkey under three `lower <= VALUES < upper` pairs; the window
+    // read crosses one pair boundary, so planning prunes the third
+    // partition's files (NumericRangeSpec pins the pruning itself; this
+    // gates the bounds WRITE path + connector read under the driver's
+    // hash). The oracle mirrors the fixed key slice on the raw table.
+    QDef("s32_numeric_range_bounds",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s32_").toString
+        s32Build(s, dir, new KuduLikeCatalog(s, tmp))
+        s32Read(s, tmp)
+      },
+      Some("""SELECT CAST(floor(o_orderkey / 10000) AS INT) AS range_id,
+             |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders
+             |WHERE o_orderkey < 30000 AND o_orderkey >= 5000 AND o_orderkey < 15000
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      benchFn = Some { (s, dir) =>
+        val tmp = memoized(s"s32:$dir") { t =>
+          s32Build(s, dir, new KuduLikeCatalog(s, t))
+        }
+        s32Read(s, tmp)
+      }),
   )
 
   /** s30's tables: documents keyed on doc_id, cloned, then the ORIGINAL is
@@ -891,6 +915,31 @@ object ScanQueries {
       .groupBy(col("source").as("src"))
       .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("key_sum"))
       .orderBy("src")
+
+  /** s32's table: orders keyed AND numeric-range-bounded on o_orderkey —
+    * three `lower <= VALUES < upper` pairs of width 10000 over the fixed
+    * key slice `o_orderkey < 30000` (sf-independent coverage; the bounds
+    * REJECT out-of-range rows, so the slice and the declaration must
+    * agree by construction).
+    */
+  private def s32Build(s: org.apache.spark.sql.SparkSession, dir: String,
+      cat: KuduLikeCatalog): Unit = {
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .filter(col("o_orderkey") < 30000)
+    cat.createTable(TableDef("orders_nb", orders.schema, Seq("o_orderkey"),
+      rangeCol = Some("o_orderkey"),
+      rangeBounds = Seq((0L, 10000L), (10000L, 20000L), (20000L, 30000L))))
+    cat.insert("orders_nb", orders)
+  }
+
+  private def s32Read(s: org.apache.spark.sql.SparkSession,
+      tmp: String): org.apache.spark.sql.DataFrame =
+    s.read.format("graft").option("root", tmp).load("orders_nb")
+      .filter(col("o_orderkey") >= 5000 && col("o_orderkey") < 15000)
+      .groupBy(floor(col("o_orderkey") / 10000).cast("int").as("range_id"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+      .orderBy("range_id")
 
   /** s28's table: orders in 4 hash buckets, compacted so the base files are
     * the whole truth (the limit-pushdown contract).

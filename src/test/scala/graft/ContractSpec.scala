@@ -31,7 +31,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the survey ledger claim") {
-    assert(SparkEntry.all.size === 159, s"ledger says 159, found ${SparkEntry.all.size}")
+    assert(SparkEntry.all.size === 160, s"ledger says 160, found ${SparkEntry.all.size}")
   }
 
   test("driver-side collect() stays confined to the documented bounded sites") {

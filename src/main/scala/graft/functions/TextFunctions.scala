@@ -243,4 +243,43 @@ object TextFunctions {
   /** Declarative HOF formulation of [[fingerprint]] (reference spec). */
   def fingerprintHof(text: Column): Column =
     array_min(transform(charShingles(text, 8), g => md5(g)))
+
+  /** Count of the most frequent element of a string array — a sorted-run
+    * maximum: `array_sort`, then one fold carrying (prev, run, best). All
+    * per-row codegen HOF work, zero shuffle — the Gopher-repetition-rule
+    * building block ("fraction of instances that are the top n-gram",
+    * Rae et al. 2021, arXiv:2112.11446 §A1.1) without exploding the corpus
+    * into an n-gram row stream.
+    */
+  def maxRunCount(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"), st.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+
+  /** Count of array elements whose value occurs at least twice (instances
+    * in duplicated runs) — same sorted-run fold, with an end-of-fold flush
+    * for the final run. Gopher's "fraction of instances in duplicate
+    * n-grams" numerator.
+    */
+  def dupElemCount(arr: Column): Column = {
+    def flush(run: Column): Column = when(run >= 2, run).otherwise(lit(0))
+    aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("dup")),
+      (st, x) => {
+        val same = x === st.getField("prev")
+        val run = when(same, st.getField("run") + 1).otherwise(lit(1))
+        val dup = when(same, st.getField("dup"))
+          .otherwise(st.getField("dup") + flush(st.getField("run")))
+        struct(x.as("prev"), run.as("run"), dup.as("dup"))
+      },
+      st => st.getField("dup") + flush(st.getField("run")))
+  }
 }

@@ -49,4 +49,15 @@ object VectorFunctions {
         "(acc, v) -> acc + v)"
     s"(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}))"
   }
+
+  /** DuckDB SQL for [[graft.operators.KMeans.l2sq]]'s squared-L2 fold —
+    * identical element order and operation tree, so distances (and any
+    * argmin over them) agree bit-exactly across engines.
+    */
+  def oracleL2sqSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(list_zip($a, $b), p -> " +
+      s"(CAST(struct_extract(p, 1) AS DOUBLE) - CAST(struct_extract(p, 2) AS DOUBLE)) * " +
+      s"(CAST(struct_extract(p, 1) AS DOUBLE) - CAST(struct_extract(p, 2) AS DOUBLE)))), " +
+      "(acc, v) -> acc + v)"
 }

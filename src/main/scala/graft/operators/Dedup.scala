@@ -510,4 +510,57 @@ object Dedup {
       .agg(
         expr(s"max_by($idCol, struct($scoreCol, -$idCol))").as("keep_id"),
         count(lit(1)).as("members"))
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster embeddings with k-means, then prune WITHIN each cluster — a
+    * row is dropped iff some lower-id row in the SAME cluster has cosine
+    * ≥ `tau` with it (keep-lowest-id, the d1/exact-dedup survivor rule made
+    * order-free: "exists a smaller near-identical neighbor" needs no greedy
+    * scan order).
+    *
+    * The scale argument IS the clustering: pairing is cluster-local (one
+    * equi-join on `cell`), so the quadratic term is Σ|cell|², bounded by
+    * the operator's k — SemDeDup's own knob (k grows with corpus size so
+    * cells stay bounded). No cross-cluster pair is ever materialized; the
+    * all-pairs baseline this replaces is d21's documented bounded slice.
+    *
+    * Returns every input row with its `cell` and a `dropped` flag, so
+    * callers can either filter survivors or audit the prune rate.
+    */
+  def semanticDedup(
+      vecs: DataFrame, idCol: String, embCol: String,
+      cents: Seq[Seq[Float]], tau: Double): DataFrame =
+    semanticCore(
+      KMeans.assign(vecs.select(col(idCol), col(embCol)), embCol, cents),
+      idCol, embCol, tau)
+
+  /** [[semanticDedup]] with the centroids as a `seeds(cell, centroid)`
+    * DataFrame (collect-free; seeds are broadcast) — the form the declared
+    * d43 query uses, with seed rows picked straight from the corpus.
+    */
+  def semanticDedupSeeds(
+      vecs: DataFrame, idCol: String, embCol: String,
+      seeds: DataFrame, tau: Double): DataFrame =
+    semanticCore(
+      KMeans.assignBySeeds(
+        vecs.select(col(idCol), col(embCol)), idCol, embCol, seeds),
+      idCol, embCol, tau)
+
+  private def semanticCore(
+      assigned: DataFrame, idCol: String, embCol: String,
+      tau: Double): DataFrame = {
+    val a = assigned.select(
+      col("cell"), col(idCol).as("a"), col(embCol).as("ea"))
+    val b = assigned.select(
+      col("cell"), col(idCol).as("b"), col(embCol).as("eb"))
+    val droppedIds = a.join(b, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .filter(graft.functions.VectorFunctions.cosine(col("ea"), col("eb")) >= tau)
+      .select(col("b").as(idCol))
+      .distinct()
+      .withColumn("__drop", lit(true))
+    assigned.join(droppedIds, Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(col("__drop"), lit(false)).as("dropped"))
+  }
 }

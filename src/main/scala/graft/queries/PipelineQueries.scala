@@ -4,7 +4,7 @@ import graft.{QDef, Tables}
 import graft.QDef._
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.multimodal.Multimodal
-import graft.operators.{Chunker, Dedup, Quantize, Similarity}
+import graft.operators.{Chunker, Dedup, NgramLm, Quantize, Similarity}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1095,5 +1095,136 @@ object PipelineQueries {
              |  CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_unique_texts,
              |  CAST(count(*) - count(DISTINCT sha256(text)) AS BIGINT) AS n_dup_docs
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Gopher repetition rules (Rae et al. 2021 §A1.1): per-doc fraction of
+    // bigram instances that are the single most common bigram, and fraction
+    // of trigram instances in duplicated trigrams. The Spark side never
+    // explodes — both numerators are sorted-run folds over the per-row
+    // shingle array (TF.maxRunCount / dupElemCount), pure codegen HOF work
+    // with ZERO shuffle at any scale; the oracle recomputes them as the
+    // per-doc group-by counts they summarize.
+    QDef("d40_gopher_repetition",
+      (s, dir) => {
+        val toks = TF.tokens(col("text"))
+        Tables.parallel(Tables.load(s, dir, "documents"))
+          .select(col("doc_id"),
+            TF.wordShinglesOf(toks, 2).as("bi"),
+            TF.wordShinglesOf(toks, 3).as("tri"))
+          .select(col("doc_id"),
+            TF.maxRunCount(col("bi")).as("top2"),
+            size(col("bi")).as("total_bi"),
+            TF.dupElemCount(col("tri")).as("dup3"),
+            size(col("tri")).as("total_tri"))
+          .withColumn("top2_frac",
+            dec4(col("top2").cast("double") / col("total_bi").cast("double")))
+          .withColumn("dup3_frac",
+            dec4(col("dup3").cast("double") / col("total_tri").cast("double")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+             |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(s)),
+             |         i -> s[i] || ' ' || s[i+1])) AS g FROM tk),
+             |tri AS (SELECT doc_id, unnest(list_transform(range(1, len(s) - 1),
+             |         i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS g FROM tk),
+             |bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+             |tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+             |bs AS (SELECT doc_id, CAST(max(c) AS INTEGER) AS top2,
+             |         CAST(sum(c) AS INTEGER) AS total_bi FROM bc GROUP BY 1),
+             |ts AS (SELECT doc_id,
+             |         CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS INTEGER) AS dup3,
+             |         CAST(sum(c) AS INTEGER) AS total_tri FROM tc GROUP BY 1)
+             |SELECT doc_id, top2, total_bi, dup3, total_tri,
+             |  CAST(CAST(top2 AS DOUBLE) / CAST(total_bi AS DOUBLE) AS DECIMAL(38,4)) AS top2_frac,
+             |  CAST(CAST(dup3 AS DOUBLE) / CAST(total_tri AS DOUBLE) AS DECIMAL(38,4)) AS dup3_frac
+             |FROM bs JOIN ts USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // Corpus-trained bigram-LM predictability (the CCNet perplexity filter
+    // in exact integer-ratio form — operators/NgramLm.scala has the full
+    // determinism and scale argument). Counts tables are vocabulary-sized;
+    // the two scoring joins broadcast at these SFs and hash-join at web
+    // scale. Low scores = gibberish/shuffled-boilerplate candidates.
+    QDef("d41_bigram_predictability",
+      (s, dir) => {
+        NgramLm.bigramPredictability(
+          Tables.parallel(Tables.load(s, dir, "documents")), "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(NgramLm.oracleBigramPredictabilitySql(
+        "documents", "doc_id", "text") + " ORDER BY doc_id")),
+
+    // One distributed Lloyd iteration end-to-end under the driver's hash:
+    // RNG-free md5 top-k seeds → full-corpus argmin assignment → exact
+    // (DECIMAL-cast) component means → reassignment against the moved
+    // centroids. Proves operators/KMeans.scala's distributed fit step
+    // cell-for-cell against an oracle that re-derives the same iteration
+    // in SQL (KMeansSpec proves multi-iteration convergence/determinism;
+    // this pins the per-iteration math cross-engine). The k×64 centroid
+    // matrix is the only driver-resident state.
+    QDef("d42_kmeans_iter",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val m = graft.operators.KMeans.fit(
+          e, "embedding", "vec_id", k = 4, maxIter = 1)
+        graft.operators.KMeans.assign(
+            e, "embedding", m.centroids.map(_.toSeq).toSeq)
+          .select(col("vec_id"), col("cell"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH sd AS (SELECT vec_id, embedding FROM embeddings
+              |  ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+              |seeds AS (SELECT embedding, row_number() OVER (
+              |    ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+              |  FROM sd),
+              |a0 AS (SELECT vec_id, embedding, cell FROM (
+              |  SELECT e.vec_id, e.embedding, s.cell,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ${VF.oracleL2sqSql("e.embedding", "s.embedding")}, s.cell) AS rn
+              |  FROM embeddings e CROSS JOIN seeds s) t WHERE rn = 1),
+              |cm AS (SELECT cell, i,
+              |    CAST(CAST(sum(CAST(embedding[i] AS DECIMAL(28,8))) AS DOUBLE)
+              |         / count(*) AS FLOAT) AS c
+              |  FROM a0 CROSS JOIN range(1, 65) AS t(i) GROUP BY cell, i),
+              |cagg AS (SELECT cell, list(c ORDER BY i) AS centroid FROM cm GROUP BY cell),
+              |cents AS (SELECT s.cell, coalesce(c.centroid, s.embedding) AS centroid
+              |  FROM seeds s LEFT JOIN cagg c USING (cell))
+              |SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM (
+              |  SELECT e.vec_id, c.cell,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ${VF.oracleL2sqSql("e.embedding", "c.centroid")}, c.cell) AS rn
+              |  FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1
+              |ORDER BY vec_id""".stripMargin)),
+
+    // SemDeDup semantic dedup (Abbas et al. 2023): cluster embeddings to
+    // seed centroids, prune within clusters — a row drops iff a LOWER-ID
+    // row in the SAME cell has cosine >= tau (order-free survivor rule).
+    // Pairing is cluster-local by construction — the quadratic term is
+    // Σ|cell|², governed by k (SemDeDup's own scale knob) — and the
+    // declared input is the d12-pattern fixed slice so the baseline's cost
+    // is frozen while the oracle contract stays exact at every tested SF.
+    QDef("d43_semantic_dedup",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 5000)
+        val seeds = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("cell"),
+            col("embedding").as("centroid"))
+        Dedup.semanticDedupSeeds(e, "vec_id", "embedding", seeds, tau = 0.35)
+          .select(col("vec_id"), col("cell"),
+            col("dropped").cast("int").as("dropped"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5000),
+              |seeds AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS centroid
+              |  FROM e WHERE vec_id < 8),
+              |asg AS (SELECT vec_id, embedding, cell FROM (
+              |  SELECT e.vec_id, e.embedding, s.cell,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ${VF.oracleL2sqSql("e.embedding", "s.centroid")}, s.cell) AS rn
+              |  FROM e CROSS JOIN seeds s) t WHERE rn = 1),
+              |drp AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+              |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+              |  WHERE ${VF.oracleCosineSql("a.embedding", "b.embedding")} >= 0.35)
+              |SELECT a.vec_id, a.cell,
+              |  CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS dropped
+              |FROM asg a LEFT JOIN drp d USING (vec_id) ORDER BY a.vec_id""".stripMargin)),
   )
 }

@@ -240,15 +240,22 @@ class PlanSpec extends SparkSpec {
     //    operator);
     //  - one-row scalar broadcasts: a global aggregate riding back as a
     //    1-row broadcast instead of a driver collect (tpch_q11/q22 global
-    //    thresholds, d27's corpus count for idf) — the no-collect pattern
-    //    the dedicated pins above assert.
+    //    thresholds, d27's corpus count for idf, d41's vocabulary size) —
+    //    the no-collect pattern the dedicated pins above assert;
+    //  - k-row centroid broadcasts: KMeans.assignBySeeds joins every row to
+    //    ALL k seed centroids to take an argmin (d43) — k·dim is
+    //    metadata-sized by construction, and the per-row k-scan IS the
+    //    assignment's intrinsic cost (identical to the literal-centroid
+    //    fold), so the BNLJ shape is the correct plan, not an accident.
     // SET EQUALITY (not subset) keeps the list honest in both directions: a
     // new accidental cross join fails loudly, and an entry whose plan stops
     // being non-equi must be removed.
     val documented = Set(
       "j6_cross_theta_join", "d12_knn_bruteforce", "d21_embedding_neardup",
       "d3_cosine_topk", "j10_similarity_self_join", // bounded brute-force
-      "tpch_q11", "tpch_q22", "d27_tfidf_topk" // 1-row scalar broadcasts
+      "tpch_q11", "tpch_q22", "d27_tfidf_topk", // 1-row scalar broadcasts
+      "d41_bigram_predictability", // 1-row vocabulary-size broadcast
+      "d43_semantic_dedup" // k-row centroid broadcast (argmin assignment)
     )
     // the three write-path queries EXECUTE real ingest work inside q.fn
     // (catalog inserts / CTAS / overwrite) before returning the readback

@@ -48,26 +48,42 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       cells: Int = 16, nprobe: Int = 4,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      idCol: String = "vec_id", embCol: String = "embedding",
+      trainer: String = "ml"): DataFrame = {
     val spark = corpus.sparkSession
-    // Fit the coarse quantizer on a bounded SAMPLE, never the full corpus:
-    // KMeans is maxIter full passes over its input, and 16 centroids need
-    // ~1e5 vectors, not 100 TB. Deterministic seed; the exact fraction only
-    // shifts centroid positions, not the operator contract (recall is gated
-    // by the nprobe probe set, ScaleOpsSpec).
-    val maxFit = 100000L
-    val n = corpus.count()
-    val sampled =
-      if (n <= maxFit) corpus
-      else corpus.sample(withReplacement = false, maxFit.toDouble / n, seed = 42L)
-    val train = sampled.select(array_to_vector(
-      transform(col(embCol), x => x.cast("double"))).as("features"))
-    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10).fit(train)
-    val centroids = spark.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-        .toIndexedSeq).toDF("cell", "centroid")
+    val centroidRows: Seq[(Int, Array[Float])] = trainer match {
+      case "ml" =>
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        // Fit the coarse quantizer on a bounded SAMPLE, never the full
+        // corpus: KMeans is maxIter full passes over its input, and 16
+        // centroids need ~1e5 vectors, not 100 TB. Deterministic seed; the
+        // exact fraction only shifts centroid positions, not the operator
+        // contract (recall is gated by the nprobe probe set, ScaleOpsSpec).
+        val maxFit = 100000L
+        val n = corpus.count()
+        val sampled =
+          if (n <= maxFit) corpus
+          else corpus.sample(withReplacement = false, maxFit.toDouble / n, seed = 42L)
+        val train = sampled.select(array_to_vector(
+          transform(col(embCol), x => x.cast("double"))).as("features"))
+        val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10).fit(train)
+        model.clusterCenters.zipWithIndex
+          .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toIndexedSeq
+      case "graft" =>
+        // full-corpus distributed Lloyd (operators/KMeans.scala): one
+        // map-side-combined aggregate per iteration, bit-deterministic
+        // decimal sums — the trainer for pipelines that need reproducible
+        // cell boundaries (a re-run must route every vector identically or
+        // incremental index maintenance diverges)
+        val m = graft.operators.KMeans.fit(
+          corpus, embCol, idCol, k = cells, maxIter = 10)
+        m.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toIndexedSeq
+      case other =>
+        throw new IllegalArgumentException(
+          s"ivfTopK trainer must be 'ml' or 'graft', got '$other'")
+    }
+    val centroids = spark.createDataFrame(centroidRows).toDF("cell", "centroid")
 
     def assign(df: DataFrame, id: String, emb: String, keep: Int): DataFrame = {
       val scoredCells = df.join(broadcast(centroids))

@@ -111,6 +111,23 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK with the graft full-corpus trainer keeps the recall gate") {
+    import graft.operators.Similarity
+    val queries = emb.filter(col("vec_id") < 20)
+    val ivf = Similarity.ivfTopK(queries, emb, k = 5, cells = 8, nprobe = 3,
+      trainer = "graft")
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+    val exactSet = exact.select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = ivf.select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).count(exactSet)
+    val recall = hits.toDouble / exactSet.size
+    assert(recall >= 0.3, s"graft-trained IVF recall $recall too low")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(queries, emb, k = 5, trainer = "bogus")
+    }
+  }
+
   test("fit: training beats the un-trained seed quantizer (inertia drops)") {
     // the 1-iteration model's inertia is measured AGAINST its moved
     // centroids; re-measuring the raw seed centroids as a quantizer must be

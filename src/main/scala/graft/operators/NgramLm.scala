@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{TextFunctions => TF}
 
@@ -17,9 +16,21 @@ import graft.functions.{TextFunctions => TF}
   * where c(·) are corpus-wide counts and V the corpus vocabulary size.
   * Low scores mark gibberish/boilerplate-shuffled text exactly like high
   * perplexity does (score is a monotone transform of per-bigram
-  * probability), but stays in integer-ratio arithmetic — no `log`/`exp`,
-  * whose libm implementations differ across engines and would break the
-  * cell-exact oracle contract.
+  * probability), but needs no `log`/`exp` — and in fact no floating point
+  * AT ALL: the score is emitted in fixed 1e-8 units (`pred_e8`, the d37
+  * nano-unit discipline) computed with pure BIGINT arithmetic,
+  *
+  *   p_e8     = (2·1e8·(c_bg+1) + den) div (2·den)   [round-half-up],
+  *              den = c_head + V
+  *   pred_e8  = sum(p_e8) div n_bigrams              [floor]
+  *
+  * so both engines agree bit-for-bit by construction. (The first cut
+  * rounded an IEEE division to DECIMAL(38,8); at sf1, ~1e-4 of documents
+  * landed within the two engines' double→decimal tie-handling disagreement
+  * window — integer arithmetic removes the class, not the instance.)
+  * Overflow headroom: the multiply bounds c_bg < ~4.6e10 (2^63 / 2e8) —
+  * a single bigram occurring 46 billion times; corpora past that reduce
+  * counts first.
   *
   * Scale shape: training is ONE map-side-combined groupBy over exploded
   * bigram instances (counts tables are vocabulary-sized, V and V²-bounded —
@@ -27,19 +38,15 @@ import graft.functions.{TextFunctions => TF}
   * instance stream to the two counts tables on (bigram) and (head word) —
   * equi-joins that AQE broadcasts when the vocabulary fits (it does at
   * every tested SF) and hash-joins otherwise. Nothing is ever collected.
-  *
-  * Determinism: each per-instance probability is two exact BIGINT sums
-  * under an IEEE double division — bit-identical across engines — then
-  * rounded to DECIMAL(38,8); the per-doc mean sums those decimals (exact,
-  * order-free) before one final double division. Same discipline as the
-  * SURVEY §2 legend's decimal-cast-inputs rule for float aggregates.
   */
 object NgramLm {
 
-  /** Per-document bigram predictability: (idCol, n_bigrams, predictability).
-    * Documents with fewer than 2 tokens have no bigram instances and are
-    * absent from the output (nothing to score — callers keep them by a
-    * left join, the same convention as d9's pair queries).
+  /** Per-document bigram predictability: (idCol, n_bigrams, pred_e8).
+    * `pred_e8` is the mean smoothed conditional probability in 1e-8 units
+    * (e.g. 3377139 ≡ 0.03377139). Documents with fewer than 2 tokens have
+    * no bigram instances and are absent from the output (nothing to
+    * score — callers keep them by a left join, the same convention as
+    * d9's pair queries).
     */
   def bigramPredictability(
       docs: DataFrame, textCol: String, idCol: String): DataFrame = {
@@ -55,23 +62,21 @@ object NgramLm {
     val vocab = toks.select(explode(col("toks")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
 
-    val p = ((col("c_bg") + 1).cast("double") /
-      (col("c_head") + col("v")).cast("double")).cast(DecimalType(38, 8))
-
     inst
       .join(cBg, "bg")
       .join(cHead, "head")
       .crossJoin(broadcast(vocab))
-      .select(col(idCol), p.as("p"))
+      .select(col(idCol),
+        expr("(200000000L * (c_bg + 1) + (c_head + v)) DIV (2 * (c_head + v))")
+          .as("p_e8"))
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_bigrams"),
-        (sum(col("p")).cast("double") / count(lit(1)).cast("double"))
-          .cast(DecimalType(38, 8)).as("predictability"))
+        expr("sum(p_e8) DIV count(1)").as("pred_e8"))
   }
 
   /** DuckDB SQL computing [[bigramPredictability]] over table `tbl` —
-    * identical count, smoothing, rounding, and mean structure.
+    * identical counts, smoothing, and integer round/floor structure.
     */
   def oracleBigramPredictabilitySql(
       tbl: String, idCol: String, textCol: String): String =
@@ -84,11 +89,10 @@ object NgramLm {
        |v AS (SELECT count(DISTINCT w) AS v
        |      FROM (SELECT unnest(s) AS w FROM tk)),
        |term AS (SELECT $idCol,
-       |    CAST(CAST(cbg.c_bg + 1 AS DOUBLE)
-       |         / CAST(chead.c_head + v.v AS DOUBLE) AS DECIMAL(38,8)) AS p
+       |    (200000000 * (cbg.c_bg + 1) + (chead.c_head + v.v))
+       |      // (2 * (chead.c_head + v.v)) AS p_e8
        |  FROM inst JOIN cbg USING (bg) JOIN chead USING (head) CROSS JOIN v)
        |SELECT $idCol, count(*) AS n_bigrams,
-       |  CAST(CAST(sum(p) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-       |       AS DECIMAL(38,8)) AS predictability
+       |  CAST(sum(p_e8) // count(*) AS BIGINT) AS pred_e8
        |FROM term GROUP BY 1""".stripMargin
 }

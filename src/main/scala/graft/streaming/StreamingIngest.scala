@@ -25,6 +25,20 @@ final case class NearDupBucket(id: Long, sig: Seq[String])
 private[streaming] final case class NearDupIn(
     key: String, band: Int, doc_id: Long, sig: Seq[String])
 
+/** One decision from [[StreamingIngest.semanticDedupStream]]: `rep` is the
+  * admitted representative the arrival matched (== vec_id on admission),
+  * `cos` the cosine against it (1.0 on admission), `dropped` whether it was
+  * pruned as a semantic near-duplicate.
+  */
+final case class SemDedupVerdict(
+    vec_id: Long, cell: Int, rep: Long, cos: Double, dropped: Boolean)
+
+/** Per-cell state: admitted representatives in admission order (capped). */
+final case class SemCellState(reps: Seq[(Long, Seq[Float])])
+
+private[streaming] final case class SemDedupIn(
+    cell: Int, vec_id: Long, emb: Seq[Float])
+
 /** Structured Streaming ingest (SURVEY.md §2.9).
   *
   * The reference has no streaming surface; Kudu's role there is the mutable
@@ -231,6 +245,97 @@ object StreamingIngest {
       out.iterator
     }
     exploded.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fold)
+  }
+
+  /** Streaming SemDeDup — the semantic companion to
+    * [[nearDupFilterStream]]: is each arriving EMBEDDING a semantic
+    * near-duplicate (cosine ≥ tau) of anything already admitted? The batch
+    * operator ([[graft.operators.Dedup.semanticDedup]]) answers this for a
+    * standing corpus; an endless crawl needs the one-pass greedy form —
+    * which is SemDeDup's own published semantics: compare each candidate to
+    * the KEPT set, admit iff no kept neighbor clears tau (dropped docs are
+    * not representatives, so chains through dropped docs do not propagate —
+    * the documented delta vs the batch "any lower-id neighbor" rule).
+    *
+    * Shape: assignment to a FIXED centroid matrix (trained offline by
+    * [[graft.operators.KMeans.fit]] on a bootstrap corpus) is a narrow
+    * per-row argmin — the same literal-fold expression as batch, no join —
+    * then `flatMapGroupsWithState` keyed by cell holds the cell's admitted
+    * representatives in admission order.
+    *
+    * Scale + semantics notes:
+    *  - Comparisons are CELL-LOCAL (SemDeDup's fence against the all-pairs
+    *    quadratic); each arrival costs |cell reps| cosines, never corpus.
+    *  - State is admitted-survivors-sized, not stream-sized (duplicates add
+    *    nothing) — and `maxRepsPerCell` hard-caps it: past the cap, new
+    *    admissions are still emitted but no longer retained as
+    *    representatives (later arrivals can no longer be deduped against
+    *    them — a documented bounded-memory approximation; size the cap to
+    *    the survivor count a cell is expected to hold, or shard cells by
+    *    growing k offline). `stateTtlMs` adds the same recent-corpus
+    *    retention horizon as the MinHash filter.
+    *  - Within a micro-batch, arrivals process in vec_id order, so a batch
+    *    cut can never change verdicts (StreamingSpec proves 1-batch ==
+    *    3-batch equivalence).
+    */
+  def semanticDedupStream(vecs: DataFrame, idCol: String, embCol: String,
+      cents: Seq[Seq[Float]], tau: Double, maxRepsPerCell: Int = 1024,
+      stateTtlMs: Long = 0L): Dataset[SemDedupVerdict] = {
+    require(cents.nonEmpty, "semanticDedupStream: empty centroid matrix")
+    require(maxRepsPerCell >= 1, "maxRepsPerCell must be >= 1")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+
+    def fold(cell: Int, it: Iterator[SemDedupIn],
+        state: GroupState[SemCellState]): Iterator[SemDedupVerdict] = {
+      if (!it.hasNext && state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val out = scala.collection.mutable.ArrayBuffer[SemDedupVerdict]()
+      var reps = state.getOption.map(_.reps.toVector).getOrElse(Vector.empty)
+      val seen = scala.collection.mutable.Set(reps.map(_._1): _*)
+      it.toSeq.sortBy(_.vec_id).foreach { d =>
+        if (!seen.contains(d.vec_id)) { // replays of an admitted rep are no-ops
+          // first admitted rep clearing tau, in admission order — greedy
+          // SemDeDup, deterministic because admission order is
+          val hit = reps.iterator.map(r => (r, cos(d.emb, r._2)))
+            .find(_._2 >= tau)
+          hit match {
+            case Some(((repId, _), c)) =>
+              out += SemDedupVerdict(d.vec_id, cell, repId, c, dropped = true)
+            case None =>
+              out += SemDedupVerdict(d.vec_id, cell, d.vec_id, 1.0, dropped = false)
+              if (reps.size < maxRepsPerCell) {
+                reps = reps :+ (d.vec_id -> d.emb)
+                seen += d.vec_id
+              }
+          }
+        }
+      }
+      if (reps.nonEmpty) {
+        state.update(SemCellState(reps))
+        if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+      }
+      out.iterator
+    }
+
+    vecs
+      .select(
+        graft.operators.KMeans.cell(col(embCol), cents).as("cell"),
+        col(idCol).cast("long").as("vec_id"),
+        col(embCol).cast("array<float>").as("emb"))
+      .as[SemDedupIn]
+      .groupByKey(_.cell)
       .flatMapGroupsWithState(OutputMode.Append,
         if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
         else GroupStateTimeout.NoTimeout)(fold)

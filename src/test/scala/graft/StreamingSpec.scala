@@ -571,4 +571,72 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(admitted === Seq(1L, 3L, 4L, 5L), "dups 2 and 6 filtered, novels admitted once")
   }
+
+  // ---- streaming SemDeDup (semantic near-dup filter over embeddings) ----
+
+  private val semCents: Seq[Seq[Float]] =
+    Seq(Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f))
+
+  // planted geometry (tau = 0.9): 1 admits cell 0; 2 ~ 1 (cos .998) drops;
+  // 3 admits cell 1; 4 ~ 3 (cos .999) drops; 5 lands cell 0 (distance tie →
+  // lowest cell) but cos(5,1) = .707 < tau → admits; 7 ~ 5 (cos .9999)
+  private def semVecs(): Seq[SemVec] = Seq(
+    SemVec(1L, Seq(1f, 0f, 0f, 0f)),
+    SemVec(2L, Seq(0.9f, 0.05f, 0f, 0f)),
+    SemVec(3L, Seq(0.1f, 1f, 0f, 0f)),
+    SemVec(4L, Seq(0.05f, 0.9f, 0f, 0f)),
+    SemVec(5L, Seq(0.7f, 0.7f, 0f, 0f)),
+    SemVec(7L, Seq(0.72f, 0.7f, 0f, 0f)))
+
+  private def runSemDedup(batches: Seq[Seq[SemVec]], name: String,
+      maxReps: Int = 1024): Map[Long, (Long, Boolean)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[SemVec]
+    val verdicts = StreamingIngest.semanticDedupStream(
+      stream.toDF(), "vec_id", "embedding", semCents, tau = 0.9,
+      maxRepsPerCell = maxReps)
+    val q = verdicts.toDF().writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    spark.table(name).select("vec_id", "rep", "dropped")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+  }
+
+  test("streaming SemDeDup: cell-local greedy prune, batch-cut-invariant, " +
+    "matches the batch operator on chain-free data") {
+    val vecs = semVecs()
+    val expected = Map(
+      1L -> (1L, false), 2L -> (1L, true), 3L -> (3L, false),
+      4L -> (3L, true), 5L -> (5L, false), 7L -> (5L, true))
+    val oneBatch = runSemDedup(Seq(vecs), "semdedup_one")
+    val threeBatch = runSemDedup(vecs.grouped(2).toSeq, "semdedup_three")
+    assert(oneBatch === expected, "greedy verdicts with planted geometry")
+    assert(threeBatch === oneBatch, "micro-batch cuts cannot change verdicts")
+
+    // chain-free data (every dropped doc matches an ADMITTED rep, so the
+    // batch any-lower-id rule and the streaming kept-set rule coincide)
+    import spark.implicits._
+    val batch = graft.operators.Dedup.semanticDedup(
+      vecs.toDF(), "vec_id", "embedding", semCents, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(batch === oneBatch.map { case (id, (_, d)) => id -> d },
+      "stream == batch dropped set on chain-free input")
+  }
+
+  test("streaming SemDeDup: the rep cap bounds state and is an honest " +
+    "approximation (past-cap admissions stop deduping later arrivals)") {
+    val vecs = semVecs()
+    val capped = runSemDedup(Seq(vecs), "semdedup_cap", maxReps = 1)
+    // cell 0 keeps only rep 1; 5 is still admitted (novel vs rep 1) but not
+    // retained, so 7 — a near-dup of 5, not of 1 — is admitted too
+    assert(capped(5L) === (5L, false))
+    assert(capped(7L) === (7L, false),
+      "past-cap arrival must pass (documented bounded-state approximation)")
+    assert(capped(2L) === (1L, true), "the retained rep still dedupes")
+  }
 }
+
+case class SemVec(vec_id: Long, embedding: Seq[Float])

@@ -1226,5 +1226,50 @@ object PipelineQueries {
               |SELECT a.vec_id, a.cell,
               |  CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS dropped
               |FROM asg a LEFT JOIN drp d USING (vec_id) ORDER BY a.vec_id""".stripMargin)),
+
+    // Capstone for the round-12 signals (the d29 pattern: composed FROM the
+    // library operators, not re-derived): a FineWeb-recipe curation pass —
+    // Gopher top-bigram repetition gate (≤ 8% of instances, in exact 1e-4
+    // units) AND bigram-LM predictability gate (≥ 0.033 in 1e-8 units) AND
+    // exact-dup survivorship. Every signal and threshold is INTEGER
+    // arithmetic end to end — the whole pipeline has no floating point, so
+    // the gate is exact at any scale by construction. One narrow scan
+    // computes the repetition fold; the LM joins are the d41 shape; dedup
+    // is one hash aggregate.
+    QDef("d44_curation_pipeline",
+      (s, dir) => {
+        val docs = Tables.parallel(Tables.load(s, dir, "documents"))
+        val toks = TF.tokens(col("text"))
+        val rep = docs.select(
+          col("doc_id"),
+          TF.maxRunCount(TF.wordShinglesOf(toks, 2)).cast("long").as("top2"),
+          (size(TF.wordShinglesOf(toks, 2))).cast("long").as("total_bi"))
+          .select(col("doc_id"),
+            expr("(top2 * 10000) DIV total_bi").as("top2_e4"))
+        val lm = NgramLm.bigramPredictability(docs, "text", "doc_id")
+          .select(col("doc_id"), col("pred_e8"))
+        val survivors = Dedup.exactIds(docs, "text", "doc_id").select("doc_id")
+        docs.select("doc_id", "lang")
+          .join(rep, "doc_id")
+          .join(lm, "doc_id")
+          .join(survivors, Seq("doc_id"), "left_semi")
+          .filter(col("top2_e4") <= 800 && col("pred_e8") >= 3300000L)
+          .select("doc_id", "lang", "top2_e4", "pred_e8")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+              |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(s)),
+              |         i -> s[i] || ' ' || s[i+1])) AS g FROM tk),
+              |bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+              |rep AS (SELECT doc_id, (max(c) * 10000) // sum(c) AS top2_e4
+              |        FROM bc GROUP BY 1),
+              |lm AS (${NgramLm.oracleBigramPredictabilitySql(
+                         "documents", "doc_id", "text").replace("\n", "\n  ")}),
+              |surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text))
+              |SELECT d.doc_id, d.lang, CAST(rep.top2_e4 AS BIGINT) AS top2_e4, lm.pred_e8
+              |FROM documents d
+              |JOIN rep USING (doc_id) JOIN lm USING (doc_id) JOIN surv USING (doc_id)
+              |WHERE rep.top2_e4 <= 800 AND lm.pred_e8 >= 3300000
+              |ORDER BY d.doc_id""".stripMargin)),
   )
 }

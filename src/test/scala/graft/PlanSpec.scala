@@ -255,6 +255,7 @@ class PlanSpec extends SparkSpec {
       "d3_cosine_topk", "j10_similarity_self_join", // bounded brute-force
       "tpch_q11", "tpch_q22", "d27_tfidf_topk", // 1-row scalar broadcasts
       "d41_bigram_predictability", // 1-row vocabulary-size broadcast
+      "d44_curation_pipeline", // composes d41 → same 1-row vocab broadcast
       "d43_semantic_dedup" // k-row centroid broadcast (argmin assignment)
     )
     // the three write-path queries EXECUTE real ingest work inside q.fn

@@ -109,7 +109,8 @@ object KMeans {
     * collect lint).
     */
   def fit(df: DataFrame, embCol: String, idCol: String, k: Int,
-      maxIter: Int = 10, tol: Double = 1e-6, exact: Boolean = true): Model = {
+      maxIter: Int = 10, tol: Double = 1e-6, exact: Boolean = true,
+      withInertia: Boolean = true): Model = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
 
@@ -161,10 +162,13 @@ object KMeans {
 
     // exact mode rounds each row's (deterministic) distance to DECIMAL
     // before the cross-partition sum, so the reported inertia is as
-    // partition-order-free as the centroids it describes
+    // partition-order-free as the centroids it describes; withInertia=false
+    // skips the extra pass for callers that only need the centroids (e.g.
+    // d42's single-iteration gate)
     val dCol = array_min(distances(col(embCol), cents.map(_.toSeq).toSeq))
     val inertia =
-      if (exact)
+      if (!withInertia) Double.NaN
+      else if (exact)
         df.select(dCol.cast("decimal(28,8)").as("d")).agg(sum(col("d")))
           .collect()(0).getDecimal(0).doubleValue()
       else

@@ -1164,7 +1164,7 @@ object PipelineQueries {
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
         val m = graft.operators.KMeans.fit(
-          e, "embedding", "vec_id", k = 4, maxIter = 1)
+          e, "embedding", "vec_id", k = 4, maxIter = 1, withInertia = false)
         graft.operators.KMeans.assign(
             e, "embedding", m.centroids.map(_.toSeq).toSeq)
           .select(col("vec_id"), col("cell"))

@@ -111,6 +111,23 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("fit: exact=false (raw-double throughput mode) lands within noise " +
+    "of the exact centroids; withInertia=false skips the pass") {
+    val a = KMeans.fit(emb, "embedding", "vec_id", k = 4, maxIter = 4)
+    val b = KMeans.fit(emb, "embedding", "vec_id", k = 4, maxIter = 4,
+      exact = false)
+    a.centroids.zip(b.centroids).foreach { case (ca, cb) =>
+      ca.zip(cb).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-4,
+          s"double-sum centroid drifted past noise: $x vs $y")
+      }
+    }
+    val m = KMeans.fit(emb, "embedding", "vec_id", k = 4, maxIter = 1,
+      withInertia = false)
+    assert(m.inertia.isNaN, "withInertia=false must not compute inertia")
+    assert(m.centroids.length === 4)
+  }
+
   test("ivfTopK with the graft full-corpus trainer keeps the recall gate") {
     import graft.operators.Similarity
     val queries = emb.filter(col("vec_id") < 20)

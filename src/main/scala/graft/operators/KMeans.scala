@@ -85,6 +85,12 @@ object KMeans {
     * are themselves a DataFrame (e.g. seed rows picked by a query). The
     * seed side is broadcast (k·dim — always tiny); the nearest cell is the
     * row_number-1 pick over (distance, cell), the ivfTopK assign shape.
+    *
+    * Cost note: the per-row argmin over the k-expanded join needs ONE hash
+    * shuffle on `idCol` (the window's partitioning); [[assign]]'s literal
+    * fold is shuffle-free — prefer it whenever the centroids are already
+    * driver-resident (a fitted [[Model]]), and this form only when they
+    * must stay a DataFrame.
     */
   def assignBySeeds(df: DataFrame, idCol: String, embCol: String,
       seeds: DataFrame): DataFrame = {

@@ -546,6 +546,37 @@ object Dedup {
         vecs.select(col(idCol), col(embCol)), idCol, embCol, seeds),
       idCol, embCol, tau)
 
+  /** Cross-document duplicated-span mining — the span-level face of exact
+    * dedup (the signal RefinedWeb/Lee-et-al-style pipelines use to find
+    * boilerplate that document-level dedup misses: navigation chrome,
+    * license blocks, templated headers repeated across otherwise-distinct
+    * pages). A span is an n-token window; a span is REPORTED when its
+    * fingerprint occurs in at least `minDocs` distinct documents.
+    *
+    * Returns (fp, n_docs, n_occurrences, min_doc) for every such span.
+    * Shape at 100 TB: explode to (fingerprint, doc) pairs → ONE map-side-
+    * combined groupBy on the fingerprint — the count-distinct rides the
+    * same shuffle (partial aggregation on (fp, doc) pairs); no joins, no
+    * second corpus pass. Callers wanting "the worst offenders" compose a
+    * top-k (TakeOrdered) on the result, as d45 does; the full result is
+    * n-gram-vocabulary-sized, the same bound as every shingle table here.
+    */
+  def dupSpans(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 2, s"span width must be >= 2 tokens, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    docs
+      .select(col(idCol), explode(
+        graft.functions.TextFunctions.wordShingles(col(textCol), n)).as("g"))
+      .select(col(idCol), md5(col("g")).as("fp"))
+      .groupBy("fp")
+      .agg(
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col(idCol)).as("min_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   private def semanticCore(
       assigned: DataFrame, idCol: String, embCol: String,
       tau: Double): DataFrame = {

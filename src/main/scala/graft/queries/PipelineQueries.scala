@@ -1271,5 +1271,30 @@ object PipelineQueries {
               |JOIN rep USING (doc_id) JOIN lm USING (doc_id) JOIN surv USING (doc_id)
               |WHERE rep.top2_e4 <= 800 AND lm.pred_e8 >= 3300000
               |ORDER BY d.doc_id""".stripMargin)),
+
+    // Cross-document duplicated spans (Dedup.dupSpans): 6-token windows
+    // whose fingerprint recurs in >= 2 distinct docs — the boilerplate
+    // signal document-level dedup misses. One map-side-combined groupBy on
+    // the span fingerprint; the declared face is the worst-100 offenders
+    // by (n_docs, n_occurrences) with the fingerprint as the deterministic
+    // tie-break, which plans as a TakeOrdered, never a total sort.
+    QDef("d45_dup_spans",
+      (s, dir) => {
+        Dedup.dupSpans(
+          Tables.parallel(Tables.load(s, dir, "documents")),
+          "text", "doc_id", n = 6)
+          .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("fp"))
+          .limit(100)
+      },
+      Some("""WITH sp AS (SELECT doc_id, md5(g) AS fp FROM (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(s) - 4),
+             |    i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' ||
+             |         s[i+3] || ' ' || s[i+4] || ' ' || s[i+5])) AS g
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) t))
+             |SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  CAST(count(*) AS BIGINT) AS n_occurrences,
+             |  CAST(min(doc_id) AS BIGINT) AS min_doc
+             |FROM sp GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+             |ORDER BY n_docs DESC, n_occurrences DESC, fp LIMIT 100""".stripMargin)),
   )
 }

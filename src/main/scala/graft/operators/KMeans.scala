@@ -127,7 +127,11 @@ object KMeans {
       .limit(k)
       .select(col(embCol))
       .collect()
-    require(seedRows.nonEmpty, "kmeans: empty training set")
+    // Loud, not clamped: a caller that sized downstream structures for k
+    // cells (an IVF cell table, a SemDeDup centroid matrix) would silently
+    // cover a smaller id range if fit returned fewer centroids than asked.
+    require(seedRows.length == k,
+      s"kmeans: need >= $k training rows for k = $k, got ${seedRows.length}")
     var cents: Array[Array[Float]] =
       seedRows.map(_.getSeq[Float](0).toArray)
     val dim = cents.head.length

@@ -1102,7 +1102,13 @@ object PipelineQueries {
     // explodes — both numerators are sorted-run folds over the per-row
     // shingle array (TF.maxRunCount / dupElemCount), pure codegen HOF work
     // with ZERO shuffle at any scale; the oracle recomputes them as the
-    // per-doc group-by counts they summarize.
+    // per-doc group-by counts they summarize. Contract: docs with fewer
+    // than 3 tokens have no trigram (and possibly no bigram) instances, so
+    // neither fraction is defined — they are EXCLUDED on both sides (the
+    // Spark filter below mirrors the oracle's inner join, which drops any
+    // doc_id absent from the bigram or trigram count tables). Gopher itself
+    // never scores such docs: its length gate (>= 50 words) runs first.
+    // Pinned by TextEdgeSpec "gopher repetition excludes sub-trigram docs".
     QDef("d40_gopher_repetition",
       (s, dir) => {
         val toks = TF.tokens(col("text"))
@@ -1115,6 +1121,7 @@ object PipelineQueries {
             size(col("bi")).as("total_bi"),
             TF.dupElemCount(col("tri")).as("dup3"),
             size(col("tri")).as("total_tri"))
+          .filter(col("total_bi") >= 1 && col("total_tri") >= 1)
           .withColumn("top2_frac",
             dec4(col("top2").cast("double") / col("total_bi").cast("double")))
           .withColumn("dup3_frac",
@@ -1180,10 +1187,12 @@ object PipelineQueries {
               |    row_number() OVER (PARTITION BY e.vec_id
               |      ORDER BY ${VF.oracleL2sqSql("e.embedding", "s.embedding")}, s.cell) AS rn
               |  FROM embeddings e CROSS JOIN seeds s) t WHERE rn = 1),
+              |dims AS (SELECT unnest(range(1, len(embedding) + 1)) AS i
+              |  FROM (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)),
               |cm AS (SELECT cell, i,
               |    CAST(CAST(sum(CAST(embedding[i] AS DECIMAL(28,8))) AS DOUBLE)
               |         / count(*) AS FLOAT) AS c
-              |  FROM a0 CROSS JOIN range(1, 65) AS t(i) GROUP BY cell, i),
+              |  FROM a0 CROSS JOIN dims GROUP BY cell, i),
               |cagg AS (SELECT cell, list(c ORDER BY i) AS centroid FROM cm GROUP BY cell),
               |cents AS (SELECT s.cell, coalesce(c.centroid, s.embedding) AS centroid
               |  FROM seeds s LEFT JOIN cagg c USING (cell))

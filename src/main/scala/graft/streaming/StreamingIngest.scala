@@ -277,9 +277,15 @@ object StreamingIngest {
     *    the survivor count a cell is expected to hold, or shard cells by
     *    growing k offline). `stateTtlMs` adds the same recent-corpus
     *    retention horizon as the MinHash filter.
-    *  - Within a micro-batch, arrivals process in vec_id order, so a batch
-    *    cut can never change verdicts (StreamingSpec proves 1-batch ==
-    *    3-batch equivalence).
+    *  - Within a micro-batch, arrivals process in vec_id order, so FOR
+    *    ID-ORDERED ARRIVAL a batch cut can never change verdicts
+    *    (StreamingSpec proves 1-batch == 3-batch equivalence). For
+    *    out-of-order arrival the verdict SET is cut-sensitive at symmetric
+    *    near-dup pairs — [2,1] in one batch sorts and admits 1, while the
+    *    cut [2],[1] admits 2 and drops 1 against it (first-writer-wins,
+    *    the standard streaming-dedup semantics; exactly ONE member of the
+    *    pair survives either way, which side depends on the cut).
+    *    StreamingSpec pins both behaviors.
     */
   def semanticDedupStream(vecs: DataFrame, idCol: String, embCol: String,
       cents: Seq[Seq[Float]], tau: Double, maxRepsPerCell: Int = 1024,

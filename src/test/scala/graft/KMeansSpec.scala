@@ -38,6 +38,16 @@ class KMeansSpec extends SparkSpec {
     assert(cells.length === 4, s"degenerate clustering: cells ${cells.toSeq}")
   }
 
+  test("fit refuses k greater than the training-set row count (loud, not clamped)") {
+    import spark.implicits._
+    val pts = Seq((1L, Seq(0f, 0f)), (2L, Seq(1f, 1f))).toDF("id", "e")
+    val ex = intercept[IllegalArgumentException] {
+      KMeans.fit(pts, "e", "id", k = 5, maxIter = 1)
+    }
+    assert(ex.getMessage.contains("got 2"),
+      s"error must surface the actual row count: ${ex.getMessage}")
+  }
+
   test("fit: k exceeding distinct points keeps orphan seeds (empty cells)") {
     import spark.implicits._
     // two distinct values, k=3: at least one cell is a duplicate seed that

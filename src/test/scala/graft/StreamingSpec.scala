@@ -626,6 +626,26 @@ class StreamingSpec extends SparkSpec {
       "stream == batch dropped set on chain-free input")
   }
 
+  test("streaming SemDeDup: out-of-order arrival is first-writer-wins — " +
+    "batch cuts pick WHICH of a near-dup pair survives, never both") {
+    // Vectors 1 and 2 are symmetric near-dups (cos .998 >= tau). Arriving
+    // together (any order), the in-batch vec_id sort admits 1 and drops 2;
+    // arriving as [2] then [1], 2 is admitted first and 1 drops against it.
+    // This is the documented delta from the id-ordered invariant: exactly
+    // one survivor either way, identity decided by the cut.
+    val pair = semVecs().take(2)
+    val together = runSemDedup(Seq(pair.reverse), "semdedup_ooo_one")
+    assert(together === Map(1L -> (1L, false), 2L -> (1L, true)),
+      "single batch sorts by vec_id regardless of arrival order")
+    val split = runSemDedup(pair.reverse.map(Seq(_)), "semdedup_ooo_split")
+    assert(split === Map(2L -> (2L, false), 1L -> (2L, true)),
+      "cut before the lower id: the earlier arrival wins the cell")
+    // invariant that DOES hold under any cut: one survivor per dup pair
+    Seq(together, split).foreach { m =>
+      assert(m.values.count(!_._2) === 1 && m.values.count(_._2) === 1)
+    }
+  }
+
   test("streaming SemDeDup: the rep cap bounds state and is an honest " +
     "approximation (past-cap admissions stop deduping later arrivals)") {
     val vecs = semVecs()

@@ -130,6 +130,30 @@ class TextEdgeSpec extends SparkSpec {
     assert(sky.toSeq === Seq(1L, 3L))
   }
 
+  test("gopher repetition excludes sub-trigram docs on BOTH engine sides") {
+    // The d40 oracle's `bs JOIN ts USING (doc_id)` inner join drops any doc
+    // with zero bigram or zero trigram instances; the Spark side must apply
+    // the same exclusion (filter total_bi >= 1 AND total_tri >= 1) instead
+    // of emitting null fractions from 0/0. Pin it with docs of 1, 2, 3 and
+    // 5 tokens — the fixture corpora contain no such short docs, so only
+    // this test guards the declared contract.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one"),                 // 0 bigrams, 0 trigrams -> excluded
+      (2L, "two tokens"),          // 1 bigram,  0 trigrams -> excluded
+      (3L, "three token doc"),     // 2 bigrams, 1 trigram  -> kept
+      (4L, "a b a b a"))           // kept; top bigram "a b" x2 of 4
+      .toDF("doc_id", "text")
+    val dir = tmpDir("graft_d40_short_")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d40_gopher_repetition")(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(3L, 4L),
+      "sub-trigram docs must be excluded, matching the oracle inner join")
+    assert(out.forall(r => !r.anyNull), "no null fractions may survive")
+    val d4 = out.find(_.getLong(0) == 4L).get
+    assert(d4.getInt(1) === 2 && d4.getInt(2) === 4) // top2=2 of total_bi=4
+  }
+
   test("dedup operators handle edge corpora (empty strings, dup empties)") {
     val df = textsDf(Seq("", "", "a", "a", "b"))
     val ids = graft.operators.Dedup.exactIds(df, "text", "doc_id")

@@ -577,6 +577,57 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** C4/RefinedWeb-style duplicated-chunk survivorship (Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better"; Raffel et
+    * al. 2020 §2.2 dedupe exact three-sentence spans; Penedo et al. 2023
+    * line-level dedup): split each doc into consecutive NON-overlapping
+    * `width`-token chunks (the corpus has no newline structure, so fixed
+    * token blocks stand in for C4's sentences / RefinedWeb's lines),
+    * fingerprint each chunk, and keep a chunk instance only in the LOWEST-id
+    * doc that contains it anywhere in the corpus (first-occurrence-wins —
+    * the rule that deletes boilerplate from every doc but its first carrier).
+    * Emits per doc: total/kept chunk counts, the kept fraction in exact
+    * basis points (BIGINT floor division, no floating point), and a
+    * `survives` verdict (kept >= half). Docs shorter than `width` tokens
+    * have no chunks and are excluded — C4 drops sub-sentence pages the same
+    * way (and the d46 oracle's join cannot see them either).
+    *
+    * This is the REMOVAL face of the span machinery: [[dupSpans]] MINES the
+    * worst overlapping offender spans for inspection; chunkDedup decides,
+    * per doc, how much text survives span-level dedup — the number a
+    * curation pipeline thresholds on.
+    *
+    * Scale shape: explode yields ~tokens/width rows; one wide shuffle
+    * partitions them by the 32-hex chunk fingerprint (payload is (hash, id)
+    * pairs only — never text) for a window-min owner resolution, then one
+    * doc-keyed agg. No join of two corpus-sized relations, no quadratic
+    * term at any dup rate: a chunk duplicated across a million docs is one
+    * window partition, and the min is a single pass.
+    */
+  def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
+      width: Int = 10): DataFrame = {
+    require(width >= 2, s"chunk width must be >= 2 tokens, got $width")
+    val toks = TextFunctions.tokens(col(textCol))
+    val nblk = floor(size(toks) / width).cast("int")
+    // sequence(0, n-1) would generate a DESCENDING range for n = 0 — guard
+    // zero-chunk docs to an empty array (explode then drops them).
+    val chunks = when(nblk >= 1,
+      transform(sequence(lit(0), nblk - 1),
+        i => md5(concat_ws(" ", slice(toks, i * width + 1, lit(width))))))
+      .otherwise(array().cast("array<string>"))
+    val inst = docs.select(col(idCol), explode(chunks).as("fp"))
+    val owned = inst.withColumn("owner",
+      min(col(idCol)).over(Window.partitionBy("fp")))
+    owned.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("total_chunks"),
+        sum(when(col("owner") === col(idCol), 1L).otherwise(0L))
+          .cast("int").as("kept_chunks"))
+      .withColumn("kept_bp",
+        expr("CAST(kept_chunks * 10000L div total_chunks AS INT)"))
+      .withColumn("survives", col("kept_chunks") * 2 >= col("total_chunks"))
+  }
+
   private def semanticCore(
       assigned: DataFrame, idCol: String, embCol: String,
       tau: Double): DataFrame = {

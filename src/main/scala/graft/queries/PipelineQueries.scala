@@ -1305,5 +1305,66 @@ object PipelineQueries {
              |  CAST(min(doc_id) AS BIGINT) AS min_doc
              |FROM sp GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
              |ORDER BY n_docs DESC, n_occurrences DESC, fp LIMIT 100""".stripMargin)),
+
+    // Duplicated-chunk REMOVAL verdicts (Dedup.chunkDedup — the C4 §2.2 /
+    // RefinedWeb line-dedup rule over non-overlapping 10-token chunks,
+    // first-occurrence-wins): d45 mines the offender spans; this decides
+    // per doc how much text survives span-level dedup, in exact basis
+    // points, and whether the doc clears the keep-half gate. One fingerprint
+    // shuffle (window min = owner), one doc agg — no corpus-sized join.
+    QDef("d46_chunk_dedup",
+      (s, dir) => {
+        Dedup.chunkDedup(
+          Tables.parallel(Tables.load(s, dir, "documents")),
+          "text", "doc_id", width = 10)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+             |ch AS (SELECT doc_id, unnest(list_transform(range(0, len(s) // 10),
+             |         i -> md5(array_to_string(s[i*10+1 : i*10+10], ' ')))) AS fp
+             |       FROM tk),
+             |ow AS (SELECT fp, min(doc_id) AS owner FROM ch GROUP BY 1)
+             |SELECT doc_id,
+             |  CAST(count(*) AS INTEGER) AS total_chunks,
+             |  CAST(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS INTEGER)
+             |    AS kept_chunks,
+             |  CAST(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) * 10000
+             |       // count(*) AS INTEGER) AS kept_bp,
+             |  (sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) * 2 >= count(*))
+             |    AS survives
+             |FROM ch JOIN ow USING (fp)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // DSIR importance weights (Xie et al. 2023; operators/Dsir.scala has
+    // the published-recipe mapping and the exact-integer rationale): score
+    // every doc's hashed-bigram profile against the lang='en' target slice.
+    // The learned state is one 64-row bucket table (broadcast); weights are
+    // exact 1e-4-unit BIGINTs, so the gate is cell-exact cross-engine —
+    // the property the floating-point log-likelihood form cannot have.
+    QDef("d47_dsir_weights",
+      (s, dir) => {
+        graft.operators.Dsir.importanceWeights(
+          Tables.parallel(Tables.load(s, dir, "documents")),
+          "text", "doc_id", isTarget = col("lang") === "en", buckets = 64)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS s
+             |            FROM documents),
+             |gi AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(s)),
+             |         i -> s[i] || ' ' || s[i+1])) AS g FROM tk),
+             |gb AS (SELECT doc_id, lang,
+             |         CAST(('0x' || substring(md5(g), 1, 4)) AS INTEGER) % 64 AS b
+             |       FROM gi),
+             |bc AS (SELECT b, count(*) AS scnt,
+             |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tcnt
+             |       FROM gb GROUP BY 1),
+             |tot AS (SELECT sum(scnt) AS s_tot, sum(tcnt) AS t_tot FROM bc),
+             |r AS (SELECT b, (tcnt + 1) * (s_tot + 64) * 10000
+             |        // ((scnt + 1) * (t_tot + 64)) AS rb FROM bc, tot),
+             |ds AS (SELECT doc_id, count(*) AS n_grams, sum(rb) AS sr
+             |       FROM gb JOIN r USING (b) GROUP BY 1)
+             |SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+             |  CAST(sr // n_grams AS BIGINT) AS weight_1e4
+             |FROM ds ORDER BY doc_id""".stripMargin)),
   )
 }

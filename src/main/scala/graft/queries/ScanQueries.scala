@@ -869,6 +869,46 @@ object ScanQueries {
         }
         s32Read(s, tmp)
       }),
+
+    // s33: SQL `DELETE FROM … WHERE` under the driver's hash — the last
+    // catalog DML verb still gated only at spec level (s18 MERGE and s19
+    // UPDATE have had oracle rows since r10; cat.delete rides inside
+    // s20/s26/s30/s31 but never as the declared SQL verb itself). The
+    // predicate mixes a key-modulus and a payload comparison so the
+    // tombstone path must evaluate a real row expression, not a key list.
+    QDef("s33_delete_where",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s33_").toString
+        val cat = new KuduLikeCatalog(s, tmp)
+        Tables.registerAll(s, dir)
+        def sql(t: String) = graft.GraftSql.execute(s, cat, t)
+        sql("""CREATE TABLE docs_d STORED BY 'handler'
+              |TBLPROPERTIES('kudu.key_columns'='doc_id','graft.hash_buckets'='4')
+              |AS SELECT doc_id, source, n_chars FROM documents WHERE doc_id < 400""".stripMargin)
+        sql("DELETE FROM docs_d WHERE doc_id % 5 = 0 OR n_chars > 400")
+        cat.table("docs_d").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, n_chars FROM documents
+             |WHERE doc_id < 400 AND NOT (doc_id % 5 = 0 OR n_chars > 400)
+             |ORDER BY doc_id""".stripMargin),
+      // bench variant: pristine CTAS target restored per sample (the s19
+      // discipline — a DELETE consumes its target); timed lambda is the
+      // DELETE itself plus the readback.
+      benchFn = Some { (s, dir) =>
+        val pristine = memoized(s"s33:$dir") { t =>
+          val cat = new KuduLikeCatalog(s, t)
+          Tables.registerAll(s, dir)
+          graft.GraftSql.execute(s, cat,
+            """CREATE TABLE docs_d STORED BY 'handler'
+              |TBLPROPERTIES('kudu.key_columns'='doc_id','graft.hash_buckets'='4')
+              |AS SELECT doc_id, source, n_chars FROM documents WHERE doc_id < 400""".stripMargin)
+        }
+        val work = copiedFrom(pristine)
+        val cat = new KuduLikeCatalog(s, work)
+        graft.GraftSql.execute(s, cat,
+          "DELETE FROM docs_d WHERE doc_id % 5 = 0 OR n_chars > 400")
+        cat.table("docs_d").orderBy("doc_id")
+      }),
   )
 
   /** s30's tables: documents keyed on doc_id, cloned, then the ORIGINAL is

@@ -256,7 +256,8 @@ class PlanSpec extends SparkSpec {
       "tpch_q11", "tpch_q22", "d27_tfidf_topk", // 1-row scalar broadcasts
       "d41_bigram_predictability", // 1-row vocabulary-size broadcast
       "d44_curation_pipeline", // composes d41 → same 1-row vocab broadcast
-      "d43_semantic_dedup" // k-row centroid broadcast (argmin assignment)
+      "d43_semantic_dedup", // k-row centroid broadcast (argmin assignment)
+      "d47_dsir_weights" // 1-row gram-total broadcast onto the 64-row bucket table
     )
     // the three write-path queries EXECUTE real ingest work inside q.fn
     // (catalog inserts / CTAS / overwrite) before returning the readback

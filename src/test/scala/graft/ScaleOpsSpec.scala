@@ -312,6 +312,46 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("o_orderpriority"), "unused columns must not be scanned")
   }
 
+  test("chunkDedup: first-occurrence-wins on planted boilerplate, partitioning-independent") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")   // one exact chunk
+    val unique = (d: Int) => (1 to 10).map(i => s"u${d}_$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler ${unique(1)}"),        // owns the boilerplate chunk
+      (2L, s"$boiler ${unique(2)}"),        // loses it -> 1 of 2 kept
+      (3L, boiler),                         // all-boilerplate -> 0 kept, dropped
+      (4L, unique(4)),                      // untouched
+      (5L, "too short"))                    // < width tokens -> excluded
+      .toDF("doc_id", "text")
+    val expect = Map(
+      1L -> (2, 2, 10000, true), 2L -> (2, 1, 5000, true),
+      3L -> (1, 0, 0, false), 4L -> (1, 1, 10000, true))
+    Seq(docs, docs.repartition(7)).foreach { d =>
+      val got = Dedup.chunkDedup(d, "text", "doc_id", width = 10)
+        .collect().map(r => r.getLong(0) ->
+          (r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4))).toMap
+      assert(got === expect, "chunk survivorship must match the planted truth")
+    }
+  }
+
+  test("DSIR weights: target-like docs outscore off-target docs on a planted corpus") {
+    import spark.implicits._
+    // two disjoint vocabularies: target slice speaks A, the rest speak B;
+    // a probe doc per style — the A-speaker must land a higher weight
+    val aText = (1 to 40).map(i => s"alpha${i % 7}").mkString(" ")
+    val bText = (1 to 40).map(i => s"beta${i % 7}").mkString(" ")
+    val docs = ((1L to 20L).map(i => (i, aText, "en")) ++
+      (21L to 40L).map(i => (i, bText, "de"))).toDF("doc_id", "text", "lang")
+    val w = graft.operators.Dsir.importanceWeights(
+        docs, "text", "doc_id", isTarget = col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w(1L) > w(21L),
+      s"target-vocabulary doc must outweigh off-target: ${w(1L)} vs ${w(21L)}")
+    // weights are per-bucket ratios: every A doc identical, every B doc identical
+    assert((2L to 20L).forall(i => w(i) == w(1L)))
+    assert((22L to 40L).forall(i => w(i) == w(21L)))
+  }
+
   test("A9 companion: percentile_approx within 1% of exact median") {
     val li = Tables.load(spark, sf, "lineitem")
     val rows = li.groupBy("l_returnflag")

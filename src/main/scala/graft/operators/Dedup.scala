@@ -604,18 +604,28 @@ object Dedup {
     * term at any dup rate: a chunk duplicated across a million docs is one
     * window partition, and the min is a single pass.
     */
-  def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
-      width: Int = 10): DataFrame = {
-    require(width >= 2, s"chunk width must be >= 2 tokens, got $width")
-    val toks = TextFunctions.tokens(col(textCol))
+  /** The d46 chunk fingerprint array — md5 of each NON-overlapping
+    * `width`-token block. Shared by [[chunkDedup]] and the streaming filter
+    * ([[graft.streaming.StreamingIngest.chunkDedupStream]]) so the two
+    * faces cannot drift on tokenization or block boundaries.
+    */
+  private[graft] def chunkFingerprints(textCol: org.apache.spark.sql.Column,
+      width: Int): org.apache.spark.sql.Column = {
+    val toks = TextFunctions.tokens(textCol)
     val nblk = floor(size(toks) / width).cast("int")
     // sequence(0, n-1) would generate a DESCENDING range for n = 0 — guard
     // zero-chunk docs to an empty array (explode then drops them).
-    val chunks = when(nblk >= 1,
+    when(nblk >= 1,
       transform(sequence(lit(0), nblk - 1),
         i => md5(concat_ws(" ", slice(toks, i * width + 1, lit(width))))))
       .otherwise(array().cast("array<string>"))
-    val inst = docs.select(col(idCol), explode(chunks).as("fp"))
+  }
+
+  def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
+      width: Int = 10): DataFrame = {
+    require(width >= 2, s"chunk width must be >= 2 tokens, got $width")
+    val inst = docs.select(col(idCol),
+      explode(chunkFingerprints(col(textCol), width)).as("fp"))
     val owned = inst.withColumn("owner",
       min(col(idCol)).over(Window.partitionBy("fp")))
     owned.groupBy(col(idCol))

@@ -39,6 +39,16 @@ final case class SemCellState(reps: Seq[(Long, Seq[Float])])
 private[streaming] final case class SemDedupIn(
     cell: Int, vec_id: Long, emb: Seq[Float])
 
+/** One chunk-instance decision from [[StreamingIngest.chunkDedupStream]]:
+  * `owner` is the doc that first carried this chunk fingerprint (== doc_id
+  * when this doc claimed it), `kept` whether the instance survives in this
+  * doc. Per-doc kept fractions (the d46 batch face's output) are one
+  * doc-keyed aggregation over these verdicts downstream.
+  */
+final case class ChunkVerdict(doc_id: Long, fp: String, owner: Long, kept: Boolean)
+
+private[streaming] final case class ChunkIn(fp: String, doc_id: Long)
+
 /** Structured Streaming ingest (SURVEY.md §2.9).
   *
   * The reference has no streaming surface; Kudu's role there is the mutable
@@ -245,6 +255,65 @@ object StreamingIngest {
       out.iterator
     }
     exploded.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fold)
+  }
+
+  /** Streaming chunk dedup — the incremental-crawl face of
+    * [[graft.operators.Dedup.chunkDedup]] (the C4/RefinedWeb sub-document
+    * first-occurrence-wins rule): for each arriving doc, which of its
+    * `width`-token chunks are novel vs everything ALREADY ADMITTED? The
+    * chunk fingerprint expression is SHARED with the batch operator
+    * (Dedup.chunkFingerprints), so block boundaries and tokenization
+    * cannot drift between the two faces.
+    *
+    * Shape: explode each doc into chunk fingerprints (narrow),
+    * `flatMapGroupsWithState` keyed by the fingerprint holds ONE owner id
+    * per distinct chunk ever admitted — the minimal state that decides
+    * first-occurrence-wins. Every instance emits a [[ChunkVerdict]]; the
+    * batch face's per-doc kept fraction is one doc-keyed aggregation over
+    * the verdicts downstream (e.g. in foreachBatch).
+    *
+    * Scale + semantics notes:
+    *  - State is one long per DISTINCT admitted chunk — corpus-vocabulary
+    *    bounded, not stream bounded (replayed boilerplate adds nothing),
+    *    but an endless crawl still grows it: `stateTtlMs` gives the same
+    *    recent-corpus retention horizon as [[nearDupFilterStream]], and is
+    *    the knob to size state to the dedup window the pipeline wants.
+    *  - Within a micro-batch, instances process in doc-id order, so FOR
+    *    ID-ORDERED ARRIVAL batch cuts cannot change verdicts and the
+    *    verdicts equal the batch operator's (owner = global min id —
+    *    StreamingSpec proves both); out-of-order arrival is
+    *    first-writer-wins, the semanticDedupStream contract.
+    *  - Intra-doc repeats: every instance in the owner doc is kept
+    *    (including repeats), exactly the batch rule.
+    */
+  def chunkDedupStream(docs: DataFrame, textCol: String, idCol: String,
+      width: Int = 10, stateTtlMs: Long = 0L): Dataset[ChunkVerdict] = {
+    require(width >= 2, s"chunk width must be >= 2 tokens, got $width")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val inst = docs.select(
+      explode(graft.operators.Dedup.chunkFingerprints(col(textCol), width)).as("fp"),
+      col(idCol).cast("long").as("doc_id")).as[ChunkIn]
+
+    def fold(fp: String, it: Iterator[ChunkIn],
+        state: GroupState[Long]): Iterator[ChunkVerdict] = {
+      if (!it.hasNext && state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val out = scala.collection.mutable.ArrayBuffer[ChunkVerdict]()
+      var owner = state.getOption.getOrElse(-1L)
+      it.toSeq.sortBy(_.doc_id).foreach { c =>
+        if (owner < 0L) owner = c.doc_id
+        out += ChunkVerdict(c.doc_id, fp, owner, kept = c.doc_id == owner)
+      }
+      if (owner >= 0L) {
+        state.update(owner)
+        if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+      }
+      out.iterator
+    }
+    inst.groupByKey(_.fp)
       .flatMapGroupsWithState(OutputMode.Append,
         if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
         else GroupStateTimeout.NoTimeout)(fold)

@@ -626,6 +626,52 @@ class StreamingSpec extends SparkSpec {
       "stream == batch dropped set on chain-free input")
   }
 
+  private def chunkDocs(): Seq[StreamDoc] = {
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    def unique(d: Int) = (1 to 10).map(i => s"u${d}_$i").mkString(" ")
+    Seq(
+      StreamDoc(1L, s"$boiler ${unique(1)}"), // claims the boilerplate chunk
+      StreamDoc(2L, s"$boiler ${unique(2)}"), // loses it (cross- or in-batch)
+      StreamDoc(3L, boiler),                  // all boilerplate: 0 kept
+      StreamDoc(4L, unique(4)))               // fully novel
+  }
+
+  private def runChunkDedup(batches: Seq[Seq[StreamDoc]],
+      name: String): Map[Long, (Int, Int)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamDoc]
+    val verdicts = StreamingIngest.chunkDedupStream(
+      stream.toDF(), "text", "doc_id", width = 10)
+    val q = verdicts.toDF().writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    spark.table(name).groupBy("doc_id")
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("kept"), 1).otherwise(0)).as("kept"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1).toInt, r.getLong(2).toInt))
+      .toMap
+  }
+
+  test("streaming chunk dedup: first-occurrence-wins across batches, equals the " +
+    "batch operator for id-ordered arrival") {
+    val docs = chunkDocs()
+    val expected = Map( // (total chunks, kept chunks) per doc
+      1L -> (2, 2), 2L -> (2, 1), 3L -> (1, 0), 4L -> (1, 1))
+    val oneBatch = runChunkDedup(Seq(docs), "chunkdedup_one")
+    val perBatch = runChunkDedup(docs.map(Seq(_)), "chunkdedup_four")
+    assert(oneBatch === expected, "planted boilerplate truth table")
+    assert(perBatch === oneBatch, "id-ordered cuts cannot change verdicts")
+    // the batch face computes identical counts on the same corpus
+    import spark.implicits._
+    val batch = graft.operators.Dedup.chunkDedup(
+        docs.toDF("doc_id", "text"), "text", "doc_id", width = 10)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(batch === oneBatch, "stream == batch for id-ordered arrival")
+  }
+
   test("streaming SemDeDup: out-of-order arrival is first-writer-wins — " +
     "batch cuts pick WHICH of a near-dup pair survives, never both") {
     // Vectors 1 and 2 are symmetric near-dups (cos .998 >= tau). Arriving

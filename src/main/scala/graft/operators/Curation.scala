@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-balancing operators — the "don't let one domain eat the training
+  * mix" stage every web-scale curation pipeline runs between dedup and
+  * shuffle (RefinedWeb §3.1 URL/domain filtering; Dolma's per-domain caps;
+  * the temperature-weighted language/domain mixing of multilingual LM
+  * recipes, e.g. XLM-R's p_i^alpha resampling).
+  *
+  * Reference scope analog: the reference exposes only Hive DML over Kudu
+  * tables (reference: HiveKuduTableOutputFormat.java — row sink, no corpus
+  * ops); this family is part of the training-data surface this engine adds
+  * on top of the same storage verbs.
+  */
+object Curation {
+
+  /** Drop every row whose `domainCol` appears in `blocked` (one `domain`
+    * string column). Broadcast anti-join: real blocklists are ~10^5 domains
+    * (opt-out registries, NSFW lists) — literal-sized next to a 100-TB
+    * corpus, so the scan stays a single narrow pass with no shuffle.
+    */
+  def blocklistFilter(docs: DataFrame, domainCol: String,
+      blocked: DataFrame): DataFrame =
+    docs.join(broadcast(blocked.toDF("domain").distinct()),
+      docs(domainCol) === col("domain"), "left_anti")
+
+  /** Per-domain cap: keep at most `cap` rows per `domainCol` value,
+    * preferring high `rankCol` (ties broken by ascending `idCol` so the
+    * survivor set is deterministic). Output = the surviving rows plus their
+    * 1-based `keep_rank` within the domain.
+    *
+    * Scale shape: one shuffle on the domain key, then a per-domain TopN.
+    * `row_number` over a domain partition sorts only that domain's rows
+    * (external sort, spill-safe), and AQE's skew split does not apply to
+    * windows — so for the megadomain case (one host = 1% of a 100-TB crawl)
+    * the right call is this operator AFTER chunk/URL-level dedup has
+    * already collapsed the domain, or a pre-pass `filter` on a cheap
+    * per-domain threshold mined from a count agg. The window itself never
+    * materializes more than one domain per task.
+    */
+  def domainCap(docs: DataFrame, domainCol: String, rankCol: String,
+      idCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"domainCap: cap must be >= 1, got $cap")
+    docs
+      .withColumn("keep_rank", row_number().over(
+        Window.partitionBy(col(domainCol))
+          .orderBy(col(rankCol).desc, col(idCol).asc)))
+      .filter(col("keep_rank") <= cap)
+  }
+
+  /** Temperature-weighted mixture allocation at alpha = 0.5: give domain i
+    * a share of `budget` samples proportional to sqrt(n_i) — the standard
+    * "flatten the head, boost the tail" resampling exponent — rounded to
+    * integers by Hamilton's largest-remainder method so the allocations sum
+    * to EXACTLY `budget`.
+    *
+    * Output: (domain, n_docs BIGINT, weight_e6 BIGINT, alloc BIGINT),
+    * one row per domain.
+    *
+    * Why alpha is fixed at 0.5: IEEE 754 requires sqrt (and *, floor) to be
+    * correctly rounded, so `floor(sqrt(n) * 1e6)` is bit-identical in the
+    * JVM and DuckDB and the whole allocation is cross-engine exact BIGINT
+    * arithmetic. A general p^alpha needs `pow`, which libm implementations
+    * round differently — the same engine-divergence that pushed d41/d47 to
+    * integer units. A caller who wants other alphas resamples upstream.
+    *
+    * Scale shape: the corpus-sized work is ONE map-side-combined count per
+    * domain; everything after runs on #domains rows (10^6-10^7 for a full
+    * web crawl), where the two global windows (total weight, remainder
+    * rank) are a single-digit-MB sort — apportionment is inherently a
+    * global decision over the domain table, not the corpus.
+    */
+  def sqrtTemperatureAllocation(docs: DataFrame, domainCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"sqrtTemperatureAllocation: budget >= 0, got $budget")
+    val all = Window.partitionBy()
+    docs
+      .groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight_e6",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1e6)).cast("long"))
+      .withColumn("w_tot", sum(col("weight_e6")).over(all))
+      .withColumn("base", expr(s"$budget * weight_e6 div w_tot"))
+      .withColumn("rem", expr(s"$budget * weight_e6 % w_tot"))
+      .withColumn("seats", lit(budget) - sum(col("base")).over(all))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("rem").desc, col("domain").asc)))
+      .select(col("domain"), col("n_docs"), col("weight_e6"),
+        (col("base") + when(col("rn") <= col("seats"), 1L).otherwise(0L))
+          .cast("long").as("alloc"))
+  }
+}

@@ -1366,5 +1366,63 @@ object PipelineQueries {
              |SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
              |  CAST(sr // n_grams AS BIGINT) AS weight_1e4
              |FROM ds ORDER BY doc_id""".stripMargin)),
+
+    // Domain balancing (operators/Curation): blocklist anti-join, then keep
+    // at most 15 docs per source preferring the longest (ties by doc_id) —
+    // the RefinedWeb/Dolma "no domain eats the mix" stage. One broadcast
+    // anti-join + one shuffle on the domain key; the per-domain TopN window
+    // sorts only its own domain's rows.
+    QDef("d48_domain_cap",
+      (s, dir) => {
+        val blocked = s.createDataFrame(Seq("src7", "src13").map(Tuple1(_)))
+          .toDF("domain")
+        graft.operators.Curation.domainCap(
+          graft.operators.Curation.blocklistFilter(
+            Tables.parallel(Tables.load(s, dir, "documents")),
+            "source", blocked),
+          "source", "n_chars", "doc_id", cap = 15)
+          .groupBy("source")
+          .agg(count(lit(1)).as("kept"),
+            sum("n_chars").as("kept_chars"),
+            min("n_chars").as("cap_floor_chars"))
+          .orderBy("source")
+      },
+      Some("""WITH kept AS (
+             |  SELECT source, doc_id, n_chars,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id) AS keep_rank
+             |  FROM documents WHERE source NOT IN ('src7','src13'))
+             |SELECT source, CAST(count(*) AS BIGINT) AS kept,
+             |  CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+             |  CAST(min(n_chars) AS BIGINT) AS cap_floor_chars
+             |FROM kept WHERE keep_rank <= 15
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Temperature-weighted mixture allocation at alpha=0.5 with Hamilton
+    // largest-remainder rounding (operators/Curation): every domain's
+    // sample budget out of 1000, summing to exactly 1000. Exact BIGINT
+    // arithmetic end to end — IEEE requires sqrt/*/floor to be correctly
+    // rounded, so floor(sqrt(n)*1e6) is bit-identical cross-engine (the
+    // reason alpha is pinned at 0.5: libm `pow` is not).
+    QDef("d49_temperature_mix",
+      (s, dir) => graft.operators.Curation.sqrtTemperatureAllocation(
+        Tables.parallel(Tables.load(s, dir, "documents")),
+        "source", budget = 1000L)
+        .orderBy("domain"),
+      Some("""WITH c AS (SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs
+             |           FROM documents GROUP BY 1),
+             |w AS (SELECT domain, n_docs,
+             |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+             |          AS weight_e6 FROM c),
+             |t AS (SELECT CAST(sum(weight_e6) AS BIGINT) AS w_tot FROM w),
+             |b AS (SELECT domain, n_docs, weight_e6,
+             |        (1000 * weight_e6) // w_tot AS base,
+             |        (1000 * weight_e6) % w_tot AS rem FROM w, t),
+             |s AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS seats FROM b),
+             |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, domain) AS rn
+             |      FROM b)
+             |SELECT domain, n_docs, weight_e6,
+             |  CAST(base + CASE WHEN rn <= seats THEN 1 ELSE 0 END AS BIGINT) AS alloc
+             |FROM r, s ORDER BY domain""".stripMargin)),
   )
 }

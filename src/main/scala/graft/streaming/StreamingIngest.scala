@@ -49,6 +49,15 @@ final case class ChunkVerdict(doc_id: Long, fp: String, owner: Long, kept: Boole
 
 private[streaming] final case class ChunkIn(fp: String, doc_id: Long)
 
+/** One admission decision from [[StreamingIngest.domainQuotaStream]]:
+  * `rank` is the doc's 1-based admission rank within its domain (0 when
+  * rejected), `admitted` whether it fit under the per-domain quota.
+  */
+final case class QuotaVerdict(
+    doc_id: Long, domain: String, rank: Long, admitted: Boolean)
+
+private[streaming] final case class QuotaIn(domain: String, doc_id: Long)
+
 /** Structured Streaming ingest (SURVEY.md §2.9).
   *
   * The reference has no streaming surface; Kudu's role there is the mutable
@@ -317,6 +326,56 @@ object StreamingIngest {
       .flatMapGroupsWithState(OutputMode.Append,
         if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
         else GroupStateTimeout.NoTimeout)(fold)
+  }
+
+  /** Streaming per-domain quota — the incremental-crawl face of
+    * [[graft.operators.Curation.domainCap]]: admit each arriving doc iff
+    * its domain has admitted fewer than `cap` docs so far. A crawl frontier
+    * can't rank a domain's docs by length before seeing them all, so the
+    * streaming rule is necessarily first-`cap`-by-arrival — the documented
+    * delta vs the batch operator's best-`cap`-by-rank (run the batch cap
+    * over the admitted set afterwards to recover rank preference).
+    *
+    * Shape: `flatMapGroupsWithState` keyed by the domain holds ONE counter
+    * per domain — the minimal state that decides the quota. Every arrival
+    * emits a [[QuotaVerdict]] (admitted docs carry their admission rank).
+    *
+    * Scale + semantics notes:
+    *  - State is 8 bytes × |domains| (10^6-10^7 for a web crawl) — far
+    *    below the fingerprint- or representative-sized state of the dedup
+    *    filters; no TTL knob because a quota that forgets is not a quota
+    *    (re-crawl epochs should reset the checkpoint instead).
+    *  - Within a micro-batch, arrivals process in doc-id order, so FOR
+    *    ID-ORDERED ARRIVAL batch cuts cannot change verdicts (the counter
+    *    only ever increments; StreamingSpec proves 1-batch == 3-batch).
+    *    Out-of-order arrival is first-writer-wins on the quota slots —
+    *    exactly `cap` docs per domain are admitted either way, which docs
+    *    depends on the cut (the semanticDedupStream contract).
+    */
+  def domainQuotaStream(docs: DataFrame, domainCol: String, idCol: String,
+      cap: Int): Dataset[QuotaVerdict] = {
+    require(cap >= 1, s"domainQuotaStream: cap must be >= 1, got $cap")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val inst = docs.select(col(domainCol).as("domain"),
+      col(idCol).cast("long").as("doc_id")).as[QuotaIn]
+
+    def fold(domain: String, it: Iterator[QuotaIn],
+        state: GroupState[Long]): Iterator[QuotaVerdict] = {
+      val out = scala.collection.mutable.ArrayBuffer[QuotaVerdict]()
+      var admitted = state.getOption.getOrElse(0L)
+      it.toSeq.sortBy(_.doc_id).foreach { q =>
+        if (admitted < cap) {
+          admitted += 1
+          out += QuotaVerdict(q.doc_id, domain, admitted, admitted = true)
+        } else out += QuotaVerdict(q.doc_id, domain, 0L, admitted = false)
+      }
+      state.update(admitted)
+      out.iterator
+    }
+    inst.groupByKey(_.domain)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fold)
   }
 
   /** Streaming SemDeDup — the semantic companion to

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Corpus balancing (operators/Curation): blocklist anti-join, per-domain
+  * cap survivorship, and the Hamilton largest-remainder temperature
+  * allocation — planted-truth fixtures plus fixture-level invariants. The
+  * allocation arithmetic is additionally oracle-gated cross-engine by
+  * d49_temperature_mix; the cap by d48_domain_cap.
+  */
+class CurationSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+
+  test("blocklistFilter drops exactly the blocked domains") {
+    import spark.implicits._
+    val blocked = Seq("src1", "src3", "not_a_domain").toDF("domain")
+    val kept = Curation.blocklistFilter(docs, "source", blocked)
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    val all = docs.select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(kept === all -- Set("src1", "src3"))
+  }
+
+  test("domainCap keeps the top-cap by rank desc with ascending-id ties, " +
+    "independent of input partitioning") {
+    import spark.implicits._
+    val rows = Seq( // (id, domain, score): domain a has a 3-way tie at 9
+      (1L, "a", 9L), (2L, "a", 9L), (3L, "a", 9L), (4L, "a", 5L),
+      (5L, "b", 1L), (6L, "b", 2L))
+      .toDF("doc_id", "domain", "score")
+    def surv(parts: Int): Set[Long] =
+      Curation.domainCap(rows.repartition(parts), "domain", "score", "doc_id", cap = 2)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv(1) === Set(1L, 2L, 5L, 6L),
+      "ties at the cap boundary resolve by ascending id; b keeps all under cap")
+    assert(surv(7) === surv(1), "survivor set must not depend on partitioning")
+    val ranks = Curation.domainCap(rows, "domain", "score", "doc_id", cap = 2)
+      .select("domain", "keep_rank").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getInt(1)).sorted.toSeq).toMap
+    assert(ranks === Map("a" -> Seq(1, 2), "b" -> Seq(1, 2)))
+  }
+
+  test("sqrtTemperatureAllocation matches the hand-computed Hamilton " +
+    "apportionment, remainder ties broken by domain name") {
+    import spark.implicits._
+    // counts 100/25/4/1 -> weights 10/5/2/1 (x1e6), W=18e6, budget 10:
+    // bases 5/2/1/0 (sum 8), remainders b:14e6 > a:10e6 = d:10e6 > c:2e6,
+    // two leftover seats go to b and (tie, name order) a.
+    val rows = (1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 125).map(i => (i.toLong, "b")) ++
+      (126 to 129).map(i => (i.toLong, "c")) ++ Seq((130L, "d"))
+    val got = Curation.sqrtTemperatureAllocation(
+        rows.toDF("doc_id", "domain"), "domain", budget = 10L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      "a" -> (10000000L, 6L), "b" -> (5000000L, 3L),
+      "c" -> (2000000L, 1L), "d" -> (1000000L, 0L)))
+  }
+
+  test("allocation sums to exactly the budget and is monotone in domain size") {
+    val out = Curation.sqrtTemperatureAllocation(docs, "source", budget = 997L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(out.map(_._3).sum === 997L, "largest-remainder must hit the budget exactly")
+    assert(out.forall(_._3 >= 0L))
+    for ((_, ni, ai) <- out; (_, nj, aj) <- out if ni > nj)
+      assert(ai >= aj, s"bigger domain ($ni docs, $ai) out-allocated by ($nj docs, $aj)")
+  }
+
+  test("budget smaller than the domain count starves the weakest remainders") {
+    import spark.implicits._
+    val rows = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("doc_id", "domain")
+    val got = Curation.sqrtTemperatureAllocation(rows, "domain", budget = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got.values.sum === 2L)
+    assert(got.values.forall(a => a == 0L || a == 1L),
+      s"with budget < |domains| nobody gets 2: $got")
+  }
+}

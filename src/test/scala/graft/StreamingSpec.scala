@@ -703,6 +703,51 @@ class StreamingSpec extends SparkSpec {
       "past-cap arrival must pass (documented bounded-state approximation)")
     assert(capped(2L) === (1L, true), "the retained rep still dedupes")
   }
+
+  private def runDomainQuota(batches: Seq[Seq[QuotaDoc]],
+      name: String): Map[Long, (Long, Boolean)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[QuotaDoc]
+    val verdicts = StreamingIngest.domainQuotaStream(
+      stream.toDF(), "domain", "doc_id", cap = 2)
+    val q = verdicts.toDF().writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    spark.table(name).select("doc_id", "rank", "admitted")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+  }
+
+  test("streaming domain quota: first-cap-by-arrival, id-ordered cuts " +
+    "cannot change verdicts, counter survives across batches") {
+    val docs = Seq(QuotaDoc(1L, "a"), QuotaDoc(2L, "a"), QuotaDoc(3L, "a"),
+      QuotaDoc(4L, "b"), QuotaDoc(5L, "b"))
+    val expected = Map(
+      1L -> (1L, true), 2L -> (2L, true), 3L -> (0L, false),
+      4L -> (1L, true), 5L -> (2L, true))
+    val oneBatch = runDomainQuota(Seq(docs), "quota_one")
+    val perDoc = runDomainQuota(docs.map(Seq(_)), "quota_five")
+    assert(oneBatch === expected, "planted quota truth table")
+    assert(perDoc === oneBatch, "id-ordered cuts cannot change verdicts")
+  }
+
+  test("streaming domain quota: out-of-order arrival is first-writer-wins " +
+    "on the slots — exactly cap admitted per domain either way") {
+    val docs = Seq(QuotaDoc(3L, "a"), QuotaDoc(1L, "a"), QuotaDoc(2L, "a"))
+    // single batch: the in-batch doc_id sort admits 1,2 and rejects 3
+    val together = runDomainQuota(Seq(docs), "quota_ooo_one")
+    assert(together === Map(1L -> (1L, true), 2L -> (2L, true), 3L -> (0L, false)))
+    // cut before the lower ids: 3 claims the first slot
+    val split = runDomainQuota(docs.map(Seq(_)), "quota_ooo_split")
+    assert(split === Map(3L -> (1L, true), 1L -> (2L, true), 2L -> (0L, false)))
+    Seq(together, split).foreach { m =>
+      assert(m.values.count(_._2) === 2, "exactly cap admitted under any cut")
+    }
+  }
 }
+
+case class QuotaDoc(doc_id: Long, domain: String)
 
 case class SemVec(vec_id: Long, embedding: Seq[Float])

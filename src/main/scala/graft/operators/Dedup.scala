@@ -624,11 +624,18 @@ object Dedup {
   def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
       width: Int = 10): DataFrame = {
     require(width >= 2, s"chunk width must be >= 2 tokens, got $width")
-    val inst = docs.select(col(idCol),
-      explode(chunkFingerprints(col(textCol), width)).as("fp"))
-    val owned = inst.withColumn("owner",
-      min(col(idCol)).over(Window.partitionBy("fp")))
-    owned.groupBy(col(idCol))
+    chunkOwnershipVerdicts(docs.select(col(idCol),
+      explode(chunkFingerprints(col(textCol), width)).as("fp")), idCol)
+  }
+
+  /** Shared back half of [[chunkDedup]] / [[cdcChunkDedup]]: first-
+    * occurrence-wins ownership over exploded (id, fp) chunk instances,
+    * aggregated to per-doc survivorship verdicts.
+    */
+  private def chunkOwnershipVerdicts(inst: DataFrame, idCol: String): DataFrame =
+    inst
+      .withColumn("owner", min(col(idCol)).over(Window.partitionBy("fp")))
+      .groupBy(col(idCol))
       .agg(
         count(lit(1)).cast("int").as("total_chunks"),
         sum(when(col("owner") === col(idCol), 1L).otherwise(0L))
@@ -636,6 +643,61 @@ object Dedup {
       .withColumn("kept_bp",
         expr("CAST(kept_chunks * 10000L div total_chunks AS INT)"))
       .withColumn("survives", col("kept_chunks") * 2 >= col("total_chunks"))
+
+  /** Content-defined chunk fingerprints — boundaries from a 3-token rolling
+    * hash instead of fixed offsets: a boundary falls AFTER token i (i >= 3)
+    * iff `(th[i-2]*9176 + th[i-1]*97 + th[i]) mod divisor == 0`, where
+    * `th` is the engine-portable md5-prefix token hash (the d47 bucket
+    * hash, widened to 8 hex digits). The remainder past the last boundary
+    * is always a final chunk, so every non-empty doc has >= 1 chunk.
+    *
+    * Why content-defined: [[chunkFingerprints]]'s fixed-width blocks all
+    * SHIFT under a single token insertion — every downstream chunk changes
+    * and the dedup misses the unmodified 99% of the doc. CDC boundaries
+    * depend only on a 3-token neighborhood, so an edit perturbs at most
+    * the chunks it touches and everything after the next surviving
+    * boundary re-aligns (the rsync/LBFS/FastCDC argument, in token space).
+    * Expected chunk length is `divisor` tokens. Production CDC systems add
+    * min/max chunk clamps; the clamp is a sequential fold over boundary
+    * positions (each acceptance depends on the previous accepted one) and
+    * is deliberately left out of the declared face to keep the chunking a
+    * pure per-position predicate both engines compute identically.
+    */
+  private[graft] def cdcFingerprints(textCol: org.apache.spark.sql.Column,
+      divisor: Int): org.apache.spark.sql.Column = {
+    val toks = TextFunctions.tokens(textCol)
+    val th = transform(toks,
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val n = size(toks)
+    def cond(i: org.apache.spark.sql.Column) =
+      (element_at(th, (i - 2).cast("int")) * 9176L +
+        element_at(th, (i - 1).cast("int")) * 97L +
+        element_at(th, i.cast("int"))) % divisor === 0
+    val bnds = when(n >= 3, filter(sequence(lit(3), n), cond _))
+      .otherwise(array().cast("array<int>"))
+    val ends = when(coalesce(try_element_at(bnds, lit(-1)), lit(-1)) === n, bnds)
+      .otherwise(concat(bnds, array(n)))
+    val prevEnd = (j: org.apache.spark.sql.Column) =>
+      when(j === 1, 0).otherwise(element_at(ends, (j - 1).cast("int")))
+    when(n >= 1,
+      transform(sequence(lit(1), size(ends)),
+        j => md5(concat_ws(" ",
+          slice(toks, prevEnd(j) + 1, element_at(ends, j.cast("int")) - prevEnd(j))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** [[chunkDedup]] with content-defined boundaries ([[cdcFingerprints]]):
+    * same first-occurrence-wins ownership, same per-doc verdict schema,
+    * but robust to token insertion/deletion — the fixed-width face loses
+    * every post-edit chunk, this one only the edited neighborhood. Same
+    * scale shape: explode is narrow, one fingerprint-keyed shuffle of
+    * (hash, id) pairs, one doc agg.
+    */
+  def cdcChunkDedup(docs: DataFrame, textCol: String, idCol: String,
+      divisor: Int = 8): DataFrame = {
+    require(divisor >= 2, s"cdc divisor must be >= 2, got $divisor")
+    chunkOwnershipVerdicts(docs.select(col(idCol),
+      explode(cdcFingerprints(col(textCol), divisor)).as("fp")), idCol)
   }
 
   private def semanticCore(

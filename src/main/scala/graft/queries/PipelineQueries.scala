@@ -1424,5 +1424,47 @@ object PipelineQueries {
              |SELECT domain, n_docs, weight_e6,
              |  CAST(base + CASE WHEN rn <= seats THEN 1 ELSE 0 END AS BIGINT) AS alloc
              |FROM r, s ORDER BY domain""".stripMargin)),
+
+    // Content-defined chunk dedup (Dedup.cdcChunkDedup): d46 with rolling-
+    // hash boundaries instead of fixed offsets — a token insertion shifts
+    // every fixed-width chunk but only the edited neighborhood of CDC
+    // chunks (the rsync/FastCDC argument, in token space; CurationSpec
+    // proves the shift-robustness delta head to head). Same verdict schema
+    // and scale shape as d46: narrow explode, one fingerprint-keyed
+    // shuffle of (hash, id) pairs, one doc agg.
+    QDef("d50_cdc_chunk_dedup",
+      (s, dir) => graft.operators.Dedup.cdcChunkDedup(
+        Tables.parallel(Tables.load(s, dir, "documents")),
+        "text", "doc_id", divisor = 8)
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+             |hs AS (SELECT doc_id, s,
+             |         list_transform(s, t ->
+             |           CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)) AS th
+             |       FROM tk),
+             |bd AS (SELECT doc_id, s,
+             |         list_filter(range(3, len(s) + 1),
+             |           i -> (th[i-2]*9176 + th[i-1]*97 + th[i]) % 8 = 0) AS b
+             |       FROM hs),
+             |en AS (SELECT doc_id, s,
+             |         CASE WHEN len(b) > 0 AND b[-1] = len(s) THEN b
+             |              ELSE list_append(b, CAST(len(s) AS BIGINT)) END AS ends
+             |       FROM bd),
+             |ch AS (SELECT doc_id, unnest(list_transform(range(1, len(ends) + 1),
+             |         j -> md5(array_to_string(
+             |           s[(CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END):(ends[j])],
+             |           ' ')))) AS fp
+             |       FROM en),
+             |ow AS (SELECT fp, min(doc_id) AS owner FROM ch GROUP BY 1)
+             |SELECT doc_id,
+             |  CAST(count(*) AS INTEGER) AS total_chunks,
+             |  CAST(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS INTEGER)
+             |    AS kept_chunks,
+             |  CAST(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) * 10000
+             |       // count(*) AS INTEGER) AS kept_bp,
+             |  (sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) * 2 >= count(*))
+             |    AS survives
+             |FROM ch JOIN ow USING (fp)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

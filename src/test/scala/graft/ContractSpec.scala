@@ -31,7 +31,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the survey ledger claim") {
-    assert(SparkEntry.all.size === 171, s"ledger says 171, found ${SparkEntry.all.size}")
+    assert(SparkEntry.all.size === 172, s"ledger says 172, found ${SparkEntry.all.size}")
   }
 
   test("driver-side collect() stays confined to the documented bounded sites") {

@@ -644,7 +644,7 @@ object Dedup {
         expr("CAST(kept_chunks * 10000L div total_chunks AS INT)"))
       .withColumn("survives", col("kept_chunks") * 2 >= col("total_chunks"))
 
-  /** Content-defined chunk fingerprints — boundaries from a 3-token rolling
+  /** Content-defined chunk instances — boundaries from a 3-token rolling
     * hash instead of fixed offsets: a boundary falls AFTER token i (i >= 3)
     * iff `(th[i-2]*9176 + th[i-1]*97 + th[i]) mod divisor == 0`, where
     * `th` is the engine-portable md5-prefix token hash (the d47 bucket
@@ -662,31 +662,45 @@ object Dedup {
     * positions (each acceptance depends on the previous accepted one) and
     * is deliberately left out of the declared face to keep the chunking a
     * pure per-position predicate both engines compute identically.
+    *
+    * STAGED as withColumn projections, not one nested Column: higher-order
+    * functions are interpreted (no whole-stage codegen), so a nested
+    * expression tree re-evaluates the token-hash array inside EVERY lambda
+    * call — the single-Column form is O(tokens^3) md5 evaluations per doc
+    * (a first-cut d50 ran 20+ minutes at sf1 before being killed).
+    * Materializing `th`/`bnds`/`ends` as aliases makes each a per-row
+    * attribute; CollapseProject keeps non-cheap aliases referenced more
+    * than once as real projection stages, so each array is computed once
+    * per row and the whole chunking is linear in tokens.
     */
-  private[graft] def cdcFingerprints(textCol: org.apache.spark.sql.Column,
-      divisor: Int): org.apache.spark.sql.Column = {
-    val toks = TextFunctions.tokens(textCol)
-    val th = transform(toks,
-      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-    val n = size(toks)
+  private[graft] def cdcChunkInstances(docs: DataFrame, textCol: String,
+      idCol: String, divisor: Int): DataFrame = {
+    val n = size(col("__toks"))
     def cond(i: org.apache.spark.sql.Column) =
-      (element_at(th, (i - 2).cast("int")) * 9176L +
-        element_at(th, (i - 1).cast("int")) * 97L +
-        element_at(th, i.cast("int"))) % divisor === 0
-    val bnds = when(n >= 3, filter(sequence(lit(3), n), cond _))
-      .otherwise(array().cast("array<int>"))
-    val ends = when(coalesce(try_element_at(bnds, lit(-1)), lit(-1)) === n, bnds)
-      .otherwise(concat(bnds, array(n)))
+      (element_at(col("__th"), (i - 2).cast("int")) * 9176L +
+        element_at(col("__th"), (i - 1).cast("int")) * 97L +
+        element_at(col("__th"), i.cast("int"))) % divisor === 0
     val prevEnd = (j: org.apache.spark.sql.Column) =>
-      when(j === 1, 0).otherwise(element_at(ends, (j - 1).cast("int")))
-    when(n >= 1,
-      transform(sequence(lit(1), size(ends)),
-        j => md5(concat_ws(" ",
-          slice(toks, prevEnd(j) + 1, element_at(ends, j.cast("int")) - prevEnd(j))))))
-      .otherwise(array().cast("array<string>"))
+      when(j === 1, 0).otherwise(element_at(col("__ends"), (j - 1).cast("int")))
+    docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__th", transform(col("__toks"),
+        t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")))
+      .withColumn("__bnds", when(n >= 3, filter(sequence(lit(3), n), cond _))
+        .otherwise(array().cast("array<int>")))
+      .withColumn("__ends",
+        when(coalesce(try_element_at(col("__bnds"), lit(-1)), lit(-1)) === n,
+          col("__bnds"))
+        .otherwise(concat(col("__bnds"), array(n))))
+      .select(col(idCol), explode(
+        transform(sequence(lit(1), size(col("__ends"))),
+          j => md5(concat_ws(" ",
+            slice(col("__toks"), prevEnd(j) + 1,
+              element_at(col("__ends"), j.cast("int")) - prevEnd(j))))))
+        .as("fp"))
   }
 
-  /** [[chunkDedup]] with content-defined boundaries ([[cdcFingerprints]]):
+  /** [[chunkDedup]] with content-defined boundaries ([[cdcChunkInstances]]):
     * same first-occurrence-wins ownership, same per-doc verdict schema,
     * but robust to token insertion/deletion — the fixed-width face loses
     * every post-edit chunk, this one only the edited neighborhood. Same
@@ -696,8 +710,7 @@ object Dedup {
   def cdcChunkDedup(docs: DataFrame, textCol: String, idCol: String,
       divisor: Int = 8): DataFrame = {
     require(divisor >= 2, s"cdc divisor must be >= 2, got $divisor")
-    chunkOwnershipVerdicts(docs.select(col(idCol),
-      explode(cdcFingerprints(col(textCol), divisor)).as("fp")), idCol)
+    chunkOwnershipVerdicts(cdcChunkInstances(docs, textCol, idCol, divisor), idCol)
   }
 
   private def semanticCore(

@@ -1112,7 +1112,13 @@ object PipelineQueries {
     QDef("d40_gopher_repetition",
       (s, dir) => {
         val toks = TF.tokens(col("text"))
+        // sub-trigram exclusion as a CHEAP pre-filter: total_tri >= 1 (and
+        // a fortiori total_bi >= 1) iff the doc has >= 3 tokens. Filtering
+        // on the post-fold aliases instead lets predicate pushdown inline
+        // the expensive shingle folds into the Filter, recomputing them per
+        // row (r13 bench: 2.3x on this query).
         Tables.parallel(Tables.load(s, dir, "documents"))
+          .filter(size(toks) >= 3)
           .select(col("doc_id"),
             TF.wordShinglesOf(toks, 2).as("bi"),
             TF.wordShinglesOf(toks, 3).as("tri"))
@@ -1121,7 +1127,6 @@ object PipelineQueries {
             size(col("bi")).as("total_bi"),
             TF.dupElemCount(col("tri")).as("dup3"),
             size(col("tri")).as("total_tri"))
-          .filter(col("total_bi") >= 1 && col("total_tri") >= 1)
           .withColumn("top2_frac",
             dec4(col("top2").cast("double") / col("total_bi").cast("double")))
           .withColumn("dup3_frac",

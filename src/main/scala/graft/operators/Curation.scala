@@ -72,6 +72,12 @@ object Curation {
     * web crawl), where the two global windows (total weight, remainder
     * rank) are a single-digit-MB sort — apportionment is inherently a
     * global decision over the domain table, not the corpus.
+    *
+    * BIGINT bound: the apportionment computes `budget * weight_e6`, so
+    * budget x total weight must stay under 2^63 — safe through a
+    * billion-sample budget against a ~10^12-doc corpus (W ~ 3x10^12);
+    * past that, drop the weight scale to 1e3. Spark's ANSI mode fails
+    * loudly on the overflow rather than wrapping.
     */
   def sqrtTemperatureAllocation(docs: DataFrame, domainCol: String,
       budget: Long): DataFrame = {

@@ -67,6 +67,23 @@ class CurationSpec extends SparkSpec {
       assert(ai >= aj, s"bigger domain ($ni docs, $ai) out-allocated by ($nj docs, $aj)")
   }
 
+  test("degenerate budgets: zero allocates nothing, a single domain takes all") {
+    import spark.implicits._
+    val one = Seq((1L, "a"), (2L, "a")).toDF("doc_id", "domain")
+    val zero = Curation.sqrtTemperatureAllocation(one, "domain", budget = 0L)
+      .collect().map(_.getLong(3))
+    assert(zero.toSeq === Seq(0L))
+    val all = Curation.sqrtTemperatureAllocation(one, "domain", budget = 7L)
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(all.toSeq === Seq(("a", 7L)), "sole domain must absorb the budget")
+  }
+
+  test("empty blocklist is a no-op") {
+    import spark.implicits._
+    val blocked = Seq.empty[String].toDF("domain")
+    assert(Curation.blocklistFilter(docs, "source", blocked).count() === docs.count())
+  }
+
   test("budget smaller than the domain count starves the weakest remainders") {
     import spark.implicits._
     val rows = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))

@@ -17,34 +17,71 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Drop every row whose `domainCol` appears in `blocked` (one `domain`
-    * string column). Broadcast anti-join: real blocklists are ~10^5 domains
-    * (opt-out registries, NSFW lists) — literal-sized next to a 100-TB
-    * corpus, so the scan stays a single narrow pass with no shuffle.
+  /** Drop every row whose `domainCol` appears in `blocked` (a single
+    * string column, any name). Broadcast anti-join: real blocklists are
+    * ~10^5 domains (opt-out registries, NSFW lists) — literal-sized next to
+    * a 100-TB corpus, so the scan stays a single narrow pass with no
+    * shuffle. The blocklist column is renamed to a collision-proof
+    * sentinel before the join, so a docs frame whose domain column is
+    * literally named `domain` (the natural name) cannot make the join
+    * condition ambiguous.
+    *
+    * NULL semantics: a row with a NULL `domainCol` always SURVIVES —
+    * `NULL === x` is NULL, so the anti-join keeps it. That is the right
+    * default for curation (a missing domain is "unknown", not "blocked");
+    * callers who want NULL-domain rows gone filter them explicitly.
     */
   def blocklistFilter(docs: DataFrame, domainCol: String,
-      blocked: DataFrame): DataFrame =
-    docs.join(broadcast(blocked.toDF("domain").distinct()),
-      docs(domainCol) === col("domain"), "left_anti")
+      blocked: DataFrame): DataFrame = {
+    val b = broadcast(blocked.toDF("__graft_blocked_domain").distinct())
+    docs.join(b, docs(domainCol) === b("__graft_blocked_domain"), "left_anti")
+  }
 
   /** Per-domain cap: keep at most `cap` rows per `domainCol` value,
     * preferring high `rankCol` (ties broken by ascending `idCol` so the
     * survivor set is deterministic). Output = the surviving rows plus their
     * 1-based `keep_rank` within the domain.
     *
-    * Scale shape: one shuffle on the domain key, then a per-domain TopN.
-    * `row_number` over a domain partition sorts only that domain's rows
-    * (external sort, spill-safe), and AQE's skew split does not apply to
-    * windows — so for the megadomain case (one host = 1% of a 100-TB crawl)
-    * the right call is this operator AFTER chunk/URL-level dedup has
-    * already collapsed the domain, or a pre-pass `filter` on a cheap
-    * per-domain threshold mined from a count agg. The window itself never
-    * materializes more than one domain per task.
+    * Two-phase salted TopN, so a megadomain (one host = 1% of a 100-TB
+    * crawl → ~1 TB of rows under a single key) never lands on one task:
+    *
+    *  1. salt every row by `xxhash64(idCol) mod salts` and take the
+    *     per-(domain, salt) top-`cap` — each task sorts ~|domain|/salts
+    *     rows, and AQE's skew handling applies to the (domain, salt)
+    *     shuffle like any other;
+    *  2. take the global per-domain top-`cap` over the surviving
+    *     `<= cap * salts` rows per domain — a bounded window.
+    *
+    * Equivalence (CurationSpec proves it under planted 1%-megadomain
+    * skew): any row in a domain's true top-`cap` is a fortiori in the
+    * top-`cap` of its salt slice (dropping other rows can only improve its
+    * local rank), so phase 1's survivors are a superset of the true
+    * top-`cap`; and every row that globally precedes a true top-`cap` row
+    * is itself in the true top-`cap`, hence also a phase-1 survivor — so
+    * phase 2 assigns exactly the global `keep_rank`. Identical survivor
+    * set AND ranks, for any `salts >= 1`.
+    *
+    * `salts` sizes the skew headroom: phase 2 buffers `cap * salts` rows
+    * per domain, so keep `salts` modest (default 16) and raise it only for
+    * extreme single-domain skew. NULL domains form their own group (SQL
+    * window partitioning groups NULLs together) and are capped like any
+    * other — run [[blocklistFilter]] / a NULL filter first if they should
+    * not compete.
     */
   def domainCap(docs: DataFrame, domainCol: String, rankCol: String,
-      idCol: String, cap: Int): DataFrame = {
+      idCol: String, cap: Int, salts: Int = 16): DataFrame = {
     require(cap >= 1, s"domainCap: cap must be >= 1, got $cap")
-    docs
+    require(salts >= 1, s"domainCap: salts must be >= 1, got $salts")
+    val preCapped =
+      if (salts == 1) docs
+      else docs
+        .withColumn("__salt", pmod(xxhash64(col(idCol)), lit(salts)))
+        .withColumn("__salt_rank", row_number().over(
+          Window.partitionBy(col(domainCol), col("__salt"))
+            .orderBy(col(rankCol).desc, col(idCol).asc)))
+        .filter(col("__salt_rank") <= cap)
+        .drop("__salt", "__salt_rank")
+    preCapped
       .withColumn("keep_rank", row_number().over(
         Window.partitionBy(col(domainCol))
           .orderBy(col(rankCol).desc, col(idCol).asc)))
@@ -71,7 +108,10 @@ object Curation {
     * domain; everything after runs on #domains rows (10^6-10^7 for a full
     * web crawl), where the two global windows (total weight, remainder
     * rank) are a single-digit-MB sort — apportionment is inherently a
-    * global decision over the domain table, not the corpus.
+    * global decision over the domain table, not the corpus. These two
+    * windows are what logs Spark's `WindowExec: No Partition Defined`
+    * warning in bench runs: expected and safe here, because their input is
+    * the post-aggregation domain table (#domains rows), never the corpus.
     *
     * BIGINT bound: the apportionment computes `budget * weight_e6`, so
     * budget x total weight must stay under 2^63 — safe through a

@@ -646,7 +646,7 @@ object Dedup {
 
   /** Content-defined chunk instances — boundaries from a 3-token rolling
     * hash instead of fixed offsets: a boundary falls AFTER token i (i >= 3)
-    * iff `(th[i-2]*9176 + th[i-1]*97 + th[i]) mod divisor == 0`, where
+    * iff `(th[i-2]*9173 + th[i-1]*97 + th[i]) mod divisor == 0`, where
     * `th` is the engine-portable md5-prefix token hash (the d47 bucket
     * hash, widened to 8 hex digits). The remainder past the last boundary
     * is always a final chunk, so every non-empty doc has >= 1 chunk.
@@ -657,6 +657,11 @@ object Dedup {
     * depend only on a 3-token neighborhood, so an edit perturbs at most
     * the chunks it touches and everything after the next surviving
     * boundary re-aligns (the rsync/LBFS/FastCDC argument, in token space).
+    * The multipliers 9173 and 97 are primes, and [[cdcChunkDedup]] requires
+    * the divisor coprime with both — so no window position's coefficient
+    * vanishes mod the divisor and all 3 tokens genuinely steer every
+    * boundary (with an even multiplier like 9176, divisor=8 would zero the
+    * oldest token's term and silently shrink the window to 2).
     * Expected chunk length is `divisor` tokens. Production CDC systems add
     * min/max chunk clamps; the clamp is a sequential fold over boundary
     * positions (each acceptance depends on the previous accepted one) and
@@ -677,7 +682,7 @@ object Dedup {
       idCol: String, divisor: Int): DataFrame = {
     val n = size(col("__toks"))
     def cond(i: org.apache.spark.sql.Column) =
-      (element_at(col("__th"), (i - 2).cast("int")) * 9176L +
+      (element_at(col("__th"), (i - 2).cast("int")) * 9173L +
         element_at(col("__th"), (i - 1).cast("int")) * 97L +
         element_at(col("__th"), i.cast("int"))) % divisor === 0
     val prevEnd = (j: org.apache.spark.sql.Column) =>
@@ -710,6 +715,10 @@ object Dedup {
   def cdcChunkDedup(docs: DataFrame, textCol: String, idCol: String,
       divisor: Int = 8): DataFrame = {
     require(divisor >= 2, s"cdc divisor must be >= 2, got $divisor")
+    require(divisor % 9173 != 0 && divisor % 97 != 0,
+      s"cdc divisor must be coprime with the rolling-hash multipliers " +
+        s"9173 and 97 (both prime) so every window token steers the " +
+        s"boundary predicate; got $divisor")
     chunkOwnershipVerdicts(cdcChunkInstances(docs, textCol, idCol, divisor), idCol)
   }
 

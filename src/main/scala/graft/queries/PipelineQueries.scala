@@ -1433,7 +1433,7 @@ object PipelineQueries {
     // Content-defined chunk dedup (Dedup.cdcChunkDedup): d46 with rolling-
     // hash boundaries instead of fixed offsets — a token insertion shifts
     // every fixed-width chunk but only the edited neighborhood of CDC
-    // chunks (the rsync/FastCDC argument, in token space; CurationSpec
+    // chunks (the rsync/FastCDC argument, in token space; ScaleOpsSpec
     // proves the shift-robustness delta head to head). Same verdict schema
     // and scale shape as d46: narrow explode, one fingerprint-keyed
     // shuffle of (hash, id) pairs, one doc agg.
@@ -1449,7 +1449,7 @@ object PipelineQueries {
              |       FROM tk),
              |bd AS (SELECT doc_id, s,
              |         list_filter(range(3, len(s) + 1),
-             |           i -> (th[i-2]*9176 + th[i-1]*97 + th[i]) % 8 = 0) AS b
+             |           i -> (th[i-2]*9173 + th[i-1]*97 + th[i]) % 8 = 0) AS b
              |       FROM hs),
              |en AS (SELECT doc_id, s,
              |         CASE WHEN len(b) > 0 AND b[-1] = len(s) THEN b

@@ -78,6 +78,50 @@ class CurationSpec extends SparkSpec {
     assert(all.toSeq === Seq(("a", 7L)), "sole domain must absorb the budget")
   }
 
+  test("blocklistFilter works when the docs column is literally named " +
+    "'domain' (no ambiguous-column AnalysisException)") {
+    import spark.implicits._
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "domain")
+    val blocked = Seq("b").toDF("domain")
+    val kept = Curation.blocklistFilter(rows, "domain", blocked)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+  }
+
+  test("NULL-domain rows survive the blocklist and form their own cap group") {
+    import spark.implicits._
+    val rows = Seq((1L, Some("a"), 9L), (2L, None, 8L), (3L, None, 7L),
+      (4L, None, 6L), (5L, Some("a"), 5L))
+      .toDF("doc_id", "domain", "score")
+    val blocked = Seq("a").toDF("d")
+    val afterBlock = Curation.blocklistFilter(rows, "domain", blocked)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterBlock === Set(2L, 3L, 4L),
+      "NULL === blocked is NULL, so the anti-join must keep NULL domains")
+    val capped = Curation.domainCap(rows, "domain", "score", "doc_id", cap = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(capped === Set(1L, 5L, 2L, 3L),
+      "NULL domains compete in one group: top-2 by score = ids 2,3")
+  }
+
+  test("salted domainCap is survivor-and-rank identical to the unsalted " +
+    "window under planted megadomain skew, for every salt count") {
+    import spark.implicits._
+    // 1 megadomain with 2000 rows (incl. score ties) + 50 small domains.
+    val mega = (0 until 2000).map(i => (i.toLong, "mega", (i % 17).toLong))
+    val tail = (0 until 50).flatMap(d =>
+      (0 until 5).map(i => (10000L + d * 10 + i, s"dom$d", i.toLong)))
+    val rows = (mega ++ tail).toDF("doc_id", "domain", "score").repartition(13)
+    def run(salts: Int): Seq[(Long, Int)] =
+      Curation.domainCap(rows, "domain", "score", "doc_id", cap = 7, salts = salts)
+        .select("doc_id", "keep_rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val unsalted = run(1)
+    for (s <- Seq(2, 16, 64))
+      assert(run(s) === unsalted,
+        s"salts=$s must reproduce the exact unsalted survivor set and ranks")
+  }
+
   test("empty blocklist is a no-op") {
     import spark.implicits._
     val blocked = Seq.empty[String].toDF("domain")

@@ -1471,5 +1471,154 @@ object PipelineQueries {
              |    AS survives
              |FROM ch JOIN ow USING (fp)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Trainable quality classifier, frozen-weights inference face
+    // (operators/QualityClassifier + QualityModel): the fastText /
+    // FineWeb-Edu classifier stage beside the rule-based (d40), LM-based
+    // (d41) and importance-based (d47) filters. The 512-bucket logistic
+    // model was trained ONCE by QualityClassifier.train (spec-gated —
+    // logistic training needs exp, which is libm-divergent cross-engine)
+    // and shipped as 1e4 fixed-point literals, so inference is pure BIGINT
+    // arithmetic both engines compute identically: margin_sum = sum of
+    // per-gram bucket weights, margin = FLOOR(sum/n) spelled out as a CASE
+    // on BOTH sides — Spark `div` AND DuckDB `//` truncate toward zero on
+    // negatives, so neither bare operator is floor — and pass via an
+    // integer cross-multiply so no division can flip a verdict. Zero-join
+    // shape: weights ride the plan as an array literal, one narrow gram
+    // explode, one doc-keyed agg.
+    QDef("d51_quality_score",
+      (s, dir) => graft.operators.QualityClassifier.score(
+        Tables.parallel(Tables.load(s, dir, "documents")),
+        "text", "doc_id",
+        graft.operators.QualityModel.weights1e4,
+        graft.operators.QualityModel.bias1e4,
+        graft.operators.QualityModel.buckets)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT [
+             |    1514, 1371, 0, 0, 0, 0, -2441, 516, -156, -1578,
+             |    -1043, 0, -106, 0, -81, -227, -154, 3417, 3189, 5098,
+             |    3884, -3726, -2751, -540, -1779, -958, 4462, 0, -1313, -2027,
+             |    -804, -3988, -3879, -452, 0, 1239, 0, -2126, 902, 0,
+             |    953, -1788, 2310, -646, 1822, -2927, 1480, -1719, -1657, 995,
+             |    -65, 0, 115, 0, -1425, 5176, -3221, -1111, -5617, -846,
+             |    6242, -525, -540, 8635, 1308, -4236, 356, -2216, -261, 2961,
+             |    -943, -2642, 1191, -293, -4216, -61, -2891, 1397, 0, -1736,
+             |    1440, 0, -969, 1569, -1671, 1958, -1290, 0, -146, 863,
+             |    0, 0, 0, -761, -407, 0, -1427, 2077, 195, -3129,
+             |    0, -2909, -1741, 0, 1133, 15, 272, -1441, -1993, -2187,
+             |    -2197, 2491, -1864, 5325, 0, 1674, 1595, 946, -1079, 1464,
+             |    -918, -324, -732, 4636, 1646, 529, 1766, 333, -1442, 629,
+             |    0, 924, -1861, 0, -3014, -755, 0, 1396, 47, -1800,
+             |    -2327, 222, 3834, 3305, 0, 29, 0, 0, -522, 120,
+             |    -7024, 4659, 0, -4050, 0, -2249, 252, -2470, 599, 27,
+             |    -2186, -1638, -837, 0, 401, 0, -2890, 0, 199, 0,
+             |    -851, 1920, 0, -8000, 978, 710, 3720, -1286, 3151, -800,
+             |    -1805, -4635, 1922, -2923, -1645, 264, 258, 948, 1586, 40,
+             |    2147, -1808, 2719, 1572, 0, 2595, 0, 0, 625, -1106,
+             |    -866, 0, -1418, -66, -717, 0, -4367, 5075, 146, 2109,
+             |    678, 0, -1167, 1129, 3422, 909, 7169, 185, 0, 447,
+             |    0, 0, 198, 0, 1619, 1386, 2814, -5830, -1568, 1513,
+             |    -710, 1812, 1227, 2551, 0, 3325, -1450, 4753, 2725, -4045,
+             |    0, -1401, 894, 0, 2316, -3467, 2363, -1052, 3705, -2059,
+             |    0, -3410, 810, 0, -1586, -1893, 0, 1220, 2950, 0,
+             |    0, 3341, 2767, 4247, 2284, -2685, -5552, -2108, 2358, 871,
+             |    -1948, -113, 0, 1834, -1256, 2107, -2558, -1031, -1710, 8485,
+             |    1778, -2761, 528, -3065, -2963, 0, 0, 0, -520, 4570,
+             |    0, 4203, -1863, 880, -1604, 0, 2135, -1211, -5531, 0,
+             |    -3184, 0, 1744, 0, 1116, 3158, 188, 696, 0, -4916,
+             |    -525, -4055, 0, 1746, 407, 0, -58, 488, -3473, 0,
+             |    0, 0, 1151, -1550, 0, 2001, 1208, -243, 2741, 611,
+             |    -3798, -198, -2066, 2190, 2963, -638, 1362, -5209, 0, 1627,
+             |    2761, -4172, -1437, -848, -4485, 917, 1981, 0, -3491, 867,
+             |    1356, 4356, 2306, -2597, -3668, 0, -2114, -524, 2779, 0,
+             |    1773, 2419, -1687, 4037, -128, 0, 478, 0, -1421, -1739,
+             |    944, -75, 1026, 1245, 0, 334, -7029, 1266, -2377, 785,
+             |    664, -1493, -1371, 0, 1638, -2056, 748, -1317, 1868, 2861,
+             |    -451, 758, 671, -2087, -120, -388, -1945, -1580, 0, 551,
+             |    -3674, 0, 282, -793, 0, 2388, 2419, -2459, -1757, 0,
+             |    1635, -1748, 0, 1169, -1194, 2299, 3907, -275, -4322, -568,
+             |    576, 900, 1837, -2274, -1684, -3597, -1323, -1450, 0, 32,
+             |    0, 961, -1042, -926, -3502, -541, 565, 1142, 3009, 0,
+             |    4537, -1639, -2925, -576, 1847, 8147, 1146, -984, -1061, 0,
+             |    -177, 1586, 760, -5310, -1685, 0, -1381, -794, 0, -801,
+             |    0, 126, 2667, 525, 3650, 1072, 4556, -2116, 2363, 1689,
+             |    -188, -847, 1792, 0, 0, -1586, 1828, 2971, -364, 1044,
+             |    -327, -4062, -739, 0, 0, -2172, -3493, 532, -1308, -233,
+             |    0, 5492, -4068, 0, 203, 4466, 1600, 0, -3708, 76,
+             |    228, -167, -56, -2759, -731, 3838, -2747, -1080, 4262, 269,
+             |    214, 8670
+             |  ] AS wl),
+             |tk AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+             |gi AS (SELECT doc_id, unnest(list_transform(range(1, len(s)),
+             |         i -> s[i] || ' ' || s[i+1])) AS g FROM tk),
+             |gb AS (SELECT doc_id,
+             |         CAST(('0x' || substring(md5(g), 1, 4)) AS INTEGER) % 512 AS b
+             |       FROM gi),
+             |ds AS (SELECT doc_id, count(*) AS n_grams,
+             |         sum(wl[b + 1]) AS ms FROM gb, w GROUP BY doc_id)
+             |SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+             |  CAST(ms AS BIGINT) AS margin_sum_1e4,
+             |  CAST(CASE WHEN ms >= 0 THEN ms // n_grams
+             |       ELSE -((-ms + n_grams - 1) // n_grams) END AS BIGINT)
+             |    AS margin_1e4,
+             |  (ms + 64 * n_grams >= 0) AS pass
+             |FROM ds ORDER BY doc_id""".stripMargin)),
+
+    // URL -> registrable-domain canonicalization (operators/Urls): the glue
+    // between a raw crawl (URLs) and the domain-keyed balancing operators
+    // d48/d49 (clean domain column). URLs are constructed deterministically
+    // from the fixture (schemes, userinfo, subdomain chains, multi-label
+    // ccTLD suffixes, punycode TLDs, ports, and a malformed shape every
+    // 11th doc); the Spark side parses with try_parse_url + the bundled
+    // public-suffix reduction, the oracle mirrors the parse with a regexp.
+    // Pure per-row projection — zero shuffle at any corpus size.
+    QDef("d52_registrable_domain",
+      (s, dir) => {
+        val docs = Tables.parallel(Tables.load(s, dir, "documents"))
+        val url = expr(
+          """CASE WHEN doc_id % 11 = 0 THEN concat('not a url ', source)
+            |ELSE concat(
+            |  CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END,
+            |  CASE WHEN doc_id % 4 = 0 THEN 'crawler:secret@' ELSE '' END,
+            |  CASE WHEN doc_id % 3 = 0 THEN 'www.'
+            |       WHEN doc_id % 3 = 1 THEN 'cdn.assets.' ELSE '' END,
+            |  source,
+            |  CASE doc_id % 5 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com.au'
+            |       WHEN 2 THEN '.org' WHEN 3 THEN '.xn--p1ai'
+            |       ELSE '.com' END,
+            |  CASE WHEN doc_id % 7 = 0 THEN ':8443' ELSE '' END,
+            |  '/p/', CAST(doc_id AS STRING)) END""".stripMargin)
+        docs.select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"),
+            graft.operators.Urls.host(col("url")).as("host"))
+          .withColumn("domain",
+            graft.operators.Urls.registrableDomain(col("host")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 11 = 0 THEN 'not a url ' || source
+             |  ELSE
+             |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
+             |    (CASE WHEN doc_id % 4 = 0 THEN 'crawler:secret@' ELSE '' END) ||
+             |    (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+             |          WHEN doc_id % 3 = 1 THEN 'cdn.assets.' ELSE '' END) ||
+             |    source ||
+             |    (CASE doc_id % 5 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com.au'
+             |          WHEN 2 THEN '.org' WHEN 3 THEN '.xn--p1ai'
+             |          ELSE '.com' END) ||
+             |    (CASE WHEN doc_id % 7 = 0 THEN ':8443' ELSE '' END) ||
+             |    '/p/' || CAST(doc_id AS VARCHAR) END AS url
+             |  FROM documents),
+             |h AS (SELECT doc_id,
+             |  lower(nullif(regexp_extract(url,
+             |    '^[a-z]+://(?:[^/@]+@)?([^/:?#]+)', 1), '')) AS host FROM u),
+             |r AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM h)
+             |SELECT doc_id, host,
+             |  CASE WHEN host IS NULL THEN NULL
+             |       WHEN len(ls) <= 2 THEN host
+             |       WHEN array_to_string(ls[-2:], '.') IN ('co.uk', 'com.au')
+             |         THEN array_to_string(ls[-3:], '.')
+             |       ELSE array_to_string(ls[-2:], '.') END AS domain
+             |FROM r ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -31,7 +31,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the survey ledger claim") {
-    assert(SparkEntry.all.size === 172, s"ledger says 172, found ${SparkEntry.all.size}")
+    assert(SparkEntry.all.size === 174, s"ledger says 174, found ${SparkEntry.all.size}")
   }
 
   test("driver-side collect() stays confined to the documented bounded sites") {
@@ -50,6 +50,9 @@ class ContractSpec extends AnyFunSuite {
     //  - KMeans.scala: distributed fit's driver state — k seed rows at
     //    init, k aggregate rows (count + dim sums) per iteration, one
     //    inertia scalar; metadata-scale regardless of corpus size
+    //  - QualityClassifier.scala: per-epoch gradient rows — map-side-
+    //    combined to ≤ `buckets` rows before the collect, metadata-scale
+    //    at any corpus size (the learned state is one buckets-vector)
     //  - KuduLikeCatalog.scala: compactIncremental's DISTINCT touched
     //    range-partition ids (metadata-scale by definition — bounded by
     //    partition count, never rows; the scan it feeds reads only
@@ -58,7 +61,7 @@ class ContractSpec extends AnyFunSuite {
     val allowed = Set("AsOfJoin.scala", "IncrementalAgg.scala",
       "StreamingIngest.scala", "Bpe.scala", "Similarity.scala", "Smoke.scala",
       "Explain.scala", "Bench.scala", "Verify.scala", "SoloQ.scala",
-      "KuduLikeCatalog.scala", "KMeans.scala")
+      "KuduLikeCatalog.scala", "KMeans.scala", "QualityClassifier.scala")
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     val offenders = scala.util.Using.resource(java.nio.file.Files.walk(root)) { stream =>

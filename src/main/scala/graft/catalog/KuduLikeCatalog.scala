@@ -114,7 +114,8 @@ final class CatalogException(msg: String) extends RuntimeException(msg)
   * pruning reaches the parquet scan), so its cost is proportional to key
   * bytes, not row bytes.
   */
-final class KuduLikeCatalog(spark: SparkSession, root: String) {
+final class KuduLikeCatalog(spark: SparkSession, root: String,
+    private[graft] val storage: GraftStorage = NioStorage) {
 
   // Catalog storage writes timestamps as INT64 TIMESTAMP_MICROS, not
   // Spark's INT96 default: INT96 is deprecated in the parquet spec and
@@ -185,29 +186,11 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val l = jvmLock(name).writeLock()
     l.lock()
     try {
-      if (!Files.isDirectory(tableDir(name))) body // missing table: callee throws its own error
+      if (!storage.isDirectory(tableDir(name))) body // missing table: callee throws its own error
       else {
-        val ch = java.nio.channels.FileChannel.open(
-          tableDir(name).resolve(".write_lock"),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
-        try {
-          var fl: java.nio.channels.FileLock = null
-          val deadline = System.nanoTime + lockTimeoutMs * 1000000L
-          while (fl == null) {
-            fl = ch.tryLock()
-            if (fl == null) {
-              if (System.nanoTime > deadline) throw new CatalogException(
-                s"$name: timed out after ${lockTimeoutMs}ms waiting for the " +
-                  "table write lock (held by another writer process; OS file " +
-                  "locks release automatically when their holder exits — a " +
-                  "persistent hold means a live long-running writer, not a " +
-                  "crashed one). Tune graft.write.lock.timeout.ms if needed.")
-              Thread.sleep(50)
-            }
-          }
-          try body finally fl.release()
-        } finally ch.close()
+        val lease = storage.lockExclusive(
+          tableDir(name).resolve(".write_lock"), lockTimeoutMs, name)
+        try body finally lease.close()
       }
     } finally l.unlock()
   }
@@ -231,13 +214,11 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val l = jvmLock(name).readLock()
     l.lock()
     try {
-      if (!Files.isDirectory(tableDir(name))) body // callee throws its own error
+      if (!storage.isDirectory(tableDir(name))) body // callee throws its own error
       else {
-        val st = KuduLikeCatalog.sharedFileLocks.computeIfAbsent(
-          Paths.get(root).toAbsolutePath.normalize.toString + "|" + name,
-          _ => new KuduLikeCatalog.SharedFileLock)
-        st.acquire(tableDir(name).resolve(".write_lock"), lockTimeoutMs, name)
-        try body finally st.release()
+        val lease = storage.lockShared(
+          tableDir(name).resolve(".write_lock"), lockTimeoutMs, name)
+        try body finally lease.close()
       }
     } finally l.unlock()
   }
@@ -250,19 +231,19 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * number stays burned (candidates only grow), never blocking anyone.
     */
   private def reserveDeltaSeq(name: String): Int = {
-    Files.createDirectories(deltasDir(name))
+    storage.createDirectories(deltasDir(name))
     val rsvRx = "^\\.rsv_(\\d{1,9})$".r
     var attempts = 0
     while (attempts < 100000) {
-      val reserved = deltasDir(name).toFile.listFiles()
-        .flatMap(f => rsvRx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      val reserved = storage.list(deltasDir(name))
+        .flatMap(f => rsvRx.findFirstMatchIn(f.getFileName.toString).map(_.group(1).toInt))
       val cand = (rawDeltaSeqs(name) ++ reserved)
         .foldLeft(deltaFloorOf(name))(_ max _) + 1
       try {
-        Files.createDirectory(deltasDir(name).resolve(s".rsv_$cand"))
+        storage.claimMarker(deltasDir(name).resolve(s".rsv_$cand"))
         return cand
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException => attempts += 1
+        case _: GraftStorage.MarkerExistsException => attempts += 1
       }
     }
     throw new CatalogException(
@@ -279,9 +260,9 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     tableDir(name).resolve(dataDirNameOf(name)).toString
 
   private def dataDirNameOf(name: String): String =
-    if (!Files.exists(metaFile(name))) "data"
+    if (!storage.exists(metaFile(name))) "data"
     else """"dataDir":"([^"]+)"""".r
-      .findFirstMatchIn(Files.readString(metaFile(name)))
+      .findFirstMatchIn(storage.readString(metaFile(name)))
       .map(_.group(1)).getOrElse("data")
 
   /** Delta layers with sequence ≤ the floor are logically dead (folded or
@@ -289,9 +270,9 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * after a crash between the meta swap and the cleanup.
     */
   private def deltaFloorOf(name: String): Int =
-    if (!Files.exists(metaFile(name))) 0
+    if (!storage.exists(metaFile(name))) 0
     else """"deltaFloor":(\d+)""".r
-      .findFirstMatchIn(Files.readString(metaFile(name)))
+      .findFirstMatchIn(storage.readString(metaFile(name)))
       .map(_.group(1).toInt).getOrElse(0)
 
   /** Lowest changelog version still readable (layers at or below the floor
@@ -311,14 +292,12 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     */
   private def patchMeta(name: String, dataDirName: String, deltaFloor: Int,
       droppedRanges: Seq[String]): Unit = {
-    val stripped = Files.readString(metaFile(name)).replaceFirst(
+    val stripped = storage.readString(metaFile(name)).replaceFirst(
       """^\{"dataDir":"[^"]+","deltaFloor":\d+,("droppedRanges":\[[^\]]*\],)?""", "{")
     val patched = metaPrefix(dataDirName, deltaFloor, droppedRanges) + stripped.drop(1)
     val tmp = tableDir(name).resolve(".meta_tmp")
-    Files.writeString(tmp, patched)
-    Files.move(tmp, metaFile(name),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    storage.writeString(tmp, patched)
+    storage.replaceFile(tmp, metaFile(name))
   }
 
   private def metaPrefix(dataDirName: String, deltaFloor: Int,
@@ -334,7 +313,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     patchMeta(name, dataDirNameOf(name), deltaFloorOf(name), values)
   private def metaFile(name: String): Path = tableDir(name).resolve("_meta.json")
 
-  def exists(name: String): Boolean = Files.exists(metaFile(name))
+  def exists(name: String): Boolean = storage.exists(metaFile(name))
 
   /** Physical location of a table's directory (DESCRIBE FORMATTED surface). */
   def location(name: String): String = tableDir(name).toAbsolutePath.toString
@@ -383,15 +362,15 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * written by older builds.
     */
   def droppedRangesOf(name: String): Seq[String] = {
-    val meta = if (!exists(name)) "" else Files.readString(metaFile(name))
+    val meta = if (!exists(name)) "" else storage.readString(metaFile(name))
     val inMeta = """"droppedRanges":\[([^\]]*)\]""".r.findFirstMatchIn(meta)
       .map(_.group(1).split(",").iterator
         .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
     val legacy = tableDir(name).resolve("dropped_ranges")
     val fromFile =
-      if (!Files.exists(legacy)) Seq.empty
-      else Files.readString(legacy)
+      if (!storage.exists(legacy)) Seq.empty
+      else storage.readString(legacy)
         .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
     (inMeta ++ fromFile).distinct.sorted
   }
@@ -520,10 +499,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     sweepDeadLitter(name, keep = Set(oldDataName, newDataName))
     val oldBase = Paths.get(dataDir(name))
     val staged = tableDir(name).resolve(newDataName)
-    import scala.jdk.CollectionConverters._
-    scala.util.Using.resource(Files.walk(oldBase)) { stream =>
-      stream.iterator().asScala
-        .filter(Files.isRegularFile(_))
+    storage.walkFiles(oldBase).iterator
         // EXACT composite-id match (prefix = covered sub-partitions), same
         // contract as liveBaseFiles — raw substring containment would also
         // exclude values this one merely prefixes lexically
@@ -531,16 +507,15 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
           rangeIdOfPath(f.toString, nSub).exists(droppedCovers(value, _)))
         .foreach { f =>
           val dest = staged.resolve(oldBase.relativize(f))
-          Files.createDirectories(dest.getParent)
-          Files.createLink(dest, f)
+          storage.createDirectories(dest.getParent)
+          storage.linkOrCopy(dest, f)
         }
-    }
     FaultInjection.cut("addrange.staged")
     // ONE swap: base repoint + exclusion-list shrink commit together
     patchMeta(name, newDataName, deltaFloorOf(name),
       droppedRangesOf(name).filterNot(_ == value)) // COMMIT
     FaultInjection.cut("addrange.committed")
-    Files.deleteIfExists(tableDir(name).resolve("dropped_ranges")) // legacy file
+    storage.deleteIfExists(tableDir(name).resolve("dropped_ranges")) // legacy file
   }
 
   /** Writes may not target a dropped range (Kudu: the row has no owning
@@ -580,10 +555,9 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   /** All tables in this catalog root (directories carrying `_meta.json`). */
   def tableNames: Seq[String] = {
     val r = Paths.get(root)
-    if (!Files.exists(r)) Seq.empty
-    else r.toFile.listFiles()
-      .filter(f => f.isDirectory && Files.exists(f.toPath.resolve("_meta.json")))
-      .map(_.getName).sorted.toSeq
+    storage.list(r)
+      .filter(f => storage.isDirectory(f) && storage.exists(f.resolve("_meta.json")))
+      .map(_.getFileName.toString).sorted.toSeq
   }
 
   /** Names starting with the internal `__` prefix are reserved for the
@@ -623,7 +597,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     if (exists(d.name))
       throw new CatalogException(s"table ${d.name} already exists")
     try {
-      Files.createDirectories(tableDir(d.name))
+      storage.createDirectories(tableDir(d.name))
       val normalized = StructType(d.schema.fields.map(f =>
         f.copy(nullable = !d.keyCols.contains(f.name))))
       // Empty initial data so reads work immediately after create.
@@ -652,7 +626,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
         rangeFmt = if (d.rangeGranularity == "day") "yyyy-MM-dd" else "yyyy-MM",
         rangeSubCols = d.rangeSubCols, bloomCols = d.bloomCols,
         rangeBounds = d.rangeBounds)
-      Files.writeString(metaFile(d.name),
+      storage.writeString(metaFile(d.name),
         metaJson(d, normalized, d.rangeCol.map(_ => sessionZone)))
     } catch {
       case e: Throwable =>
@@ -682,9 +656,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     if (exists(newName)) throw new CatalogException(s"table $newName already exists")
     require(newName.nonEmpty && newName.matches("[\\w.]+"),
       s"invalid table name: $newName")
-    Files.createDirectories(tableDir(newName).getParent)
-    Files.move(tableDir(oldName), tableDir(newName),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    storage.createDirectories(tableDir(newName).getParent)
+    storage.moveAtomic(tableDir(oldName), tableDir(newName))
   }
 
   /** CREATE TABLE dst CLONE src — a ZERO-COPY snapshot clone (the Delta
@@ -722,7 +695,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * fails loudly) — enforced by [[requireVersionReadable]].
     */
   def cloneTable(src: String, dst: String, asOfVersion: Option[Int]): Unit = {
-    if (exists(dst) || Files.exists(tableDir(dst)))
+    if (exists(dst) || storage.exists(tableDir(dst)))
       throw new CatalogException(s"table $dst already exists")
     require(dst.nonEmpty && dst.matches("[\\w.]+"), s"invalid table name: $dst")
     val stage = Paths.get(root, s".clone_tmp_$dst")
@@ -738,12 +711,12 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       linkTree(tableDir(src), stage)
       asOfVersion.foreach { v =>
         val stagedDeltas = stage.resolve("deltas")
-        val dd = stagedDeltas.toFile.listFiles()
-        if (dd != null) dd.foreach { f =>
+        storage.list(stagedDeltas).foreach { f =>
+          val fn = f.getFileName.toString
           // same digits-only name discipline as the readers: litter that
           // is not a committed layer stays untouched
-          if (f.isDirectory && f.getName.nonEmpty && f.getName.length <= 9 &&
-            f.getName.forall(_.isDigit) && f.getName.toInt > v) {
+          if (storage.isDirectory(f) && fn.nonEmpty && fn.length <= 9 &&
+            fn.forall(_.isDigit) && fn.toInt > v) {
             // BURN the dropped sequence id in the stage (restore's .rsv
             // discipline) BEFORE deleting it: the hardlinked _stats.json is
             // stamped with MD5(manifest, currentVersion, baseEpoch) and no
@@ -753,16 +726,14 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
             // burn, reserveDeltaSeq skips every dropped id, the aliasing
             // version is unreachable, and the stats record survives exactly
             // when it is genuinely valid (analyzed at a version <= v).
-            try Files.createDirectory(
-              stagedDeltas.resolve(s".rsv_${f.getName}"))
-            catch { case _: java.nio.file.FileAlreadyExistsException => () }
-            deleteRecursively(f.toPath)
+            try storage.claimMarker(stagedDeltas.resolve(s".rsv_$fn"))
+            catch { case _: GraftStorage.MarkerExistsException => () }
+            deleteRecursively(f)
           }
         }
       }
       FaultInjection.cut("clone.staged")
-      Files.move(stage, tableDir(dst),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      storage.moveAtomic(stage, tableDir(dst))
       FaultInjection.cut("clone.committed")
     }
   }
@@ -795,8 +766,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       requireVersionReadable(name, version)
       val doomed = deltaLayers(name).filter(_._1 > version)
       doomed.foreach { case (s, _) =>
-        try Files.createDirectory(deltasDir(name).resolve(s".rsv_$s"))
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        try storage.claimMarker(deltasDir(name).resolve(s".rsv_$s"))
+        catch { case _: GraftStorage.MarkerExistsException => () }
       }
       FaultInjection.cut("restore.burned")
       doomed.sortBy(-_._1).foreach { case (_, dir) =>
@@ -811,13 +782,12 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * dot-entries skipped (transient coordination state, never table data).
     */
   private def linkTree(from: Path, to: Path): Unit = {
-    Files.createDirectories(to)
-    val entries = from.toFile.listFiles()
-    if (entries != null) entries.foreach { e =>
-      val n = e.getName
+    storage.createDirectories(to)
+    storage.list(from).foreach { e =>
+      val n = e.getFileName.toString
       if (!n.startsWith(".")) {
-        if (e.isDirectory) linkTree(e.toPath, to.resolve(n))
-        else Files.createLink(to.resolve(n), e.toPath)
+        if (storage.isDirectory(e)) linkTree(e, to.resolve(n))
+        else storage.linkOrCopy(to.resolve(n), e)
       }
     }
   }
@@ -870,7 +840,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   def versionAt(name: String, tsMillis: Long): Int = {
     val layers = deltaLayers(name)
     val at = layers.reverse.find { case (_, dir) =>
-      Files.getLastModifiedTime(Paths.get(dir)).toMillis <= tsMillis
+      storage.lastModifiedMillis(Paths.get(dir)) <= tsMillis
     }.map(_._1).getOrElse(0)
     val floor = deltaFloorOf(name)
     if (at == 0 && floor > 0)
@@ -904,7 +874,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     }.sum
     def entry(version: Int, kind: String, dir: Path, files: Seq[String]) = (
       version, kind,
-      new java.sql.Timestamp(Files.getLastModifiedTime(dir).toMillis),
+      new java.sql.Timestamp(storage.lastModifiedMillis(dir)),
       files.size, footerRows(files))
     val base = {
       val d = Paths.get(dataLocation(name))
@@ -933,7 +903,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     */
   def statsFingerprint(name: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(Files.readAllBytes(metaFile(name)))
+    md.update(storage.readAllBytes(metaFile(name)))
     md.update(s":${currentVersion(name)}:${baseEpoch(name)}".getBytes("UTF-8"))
     md.digest().map("%02x".format(_)).mkString
   }
@@ -1015,10 +985,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       }
     val stats = TableStats(fp, numRows, currentVersion(name), colsH)
     val tmp = tableDir(name).resolve(".stats_tmp")
-    Files.writeString(tmp, stats.toJson)
-    Files.move(tmp, statsFile(name),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    storage.writeString(tmp, stats.toJson)
+    storage.replaceFile(tmp, statsFile(name))
     stats
   }
 
@@ -1116,9 +1084,9 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * consume statistics from before a mutation, DDL, or maintenance op.
     */
   def statsOf(name: String): Option[TableStats] = {
-    if (!exists(name) || !Files.exists(statsFile(name))) return None
+    if (!exists(name) || !storage.exists(statsFile(name))) return None
     val parsed =
-      try TableStats.fromJson(Files.readString(statsFile(name)))
+      try TableStats.fromJson(storage.readString(statsFile(name)))
       catch { case _: Exception => return None }
     if (parsed.fingerprint == statsFingerprint(name)) Some(parsed) else None
   }
@@ -1369,8 +1337,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
         val sortDesc =
           if (sortExprs.nonEmpty) "expr"
           else (if (sortCols.nonEmpty) sortCols else keys).mkString(",")
-        Files.writeString(marker, sortDesc)
-      } else Files.deleteIfExists(marker)
+        storage.writeString(marker, sortDesc)
+      } else storage.deleteIfExists(marker)
     } catch { case _: Exception => () } // marker is an optimization, never a failure
   }
 
@@ -1512,10 +1480,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     val oldBase = Paths.get(dataDir(name))
     val staged = tableDir(name).resolve(newDataName)
     val dropped = droppedRangesOf(name)
-    import scala.jdk.CollectionConverters._
-    scala.util.Using.resource(Files.walk(oldBase)) { stream =>
-      stream.iterator().asScala
-        .filter(Files.isRegularFile(_))
+    storage.walkFiles(oldBase).iterator
         .filter { f =>
           // data files of live, untouched ranges only: touched ranges are
           // rewritten below, dropped ranges fold away, and underscore
@@ -1527,10 +1492,9 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
         }
         .foreach { f =>
           val dest = staged.resolve(oldBase.relativize(f))
-          Files.createDirectories(dest.getParent)
-          Files.createLink(dest, f)
+          storage.createDirectories(dest.getParent)
+          storage.linkOrCopy(dest, f)
         }
-    }
     if (touched.nonEmpty) {
       val rid = concat_ws("/",
         rangeIdExpr(name, rc) +:
@@ -1553,7 +1517,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     FaultInjection.cut("icompact.staged")
     patchMeta(name, newDataName, floor, Nil) // COMMIT
     FaultInjection.cut("icompact.committed")
-    Files.deleteIfExists(tableDir(name).resolve("dropped_ranges")) // legacy file
+    storage.deleteIfExists(tableDir(name).resolve("dropped_ranges")) // legacy file
   }
 
   private def compactImpl(name: String, clusterBy: Seq[String], zorder: Boolean): Unit = withTableWriteLock(name) {
@@ -1607,11 +1571,11 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     // the SAME swap that repoints the base and retires folded layers
     patchMeta(name, newDataName, floor, Nil) // COMMIT
     FaultInjection.cut("compact.committed")
-    Files.deleteIfExists(tableDir(name).resolve("dropped_ranges")) // legacy file
+    storage.deleteIfExists(tableDir(name).resolve("dropped_ranges")) // legacy file
   }
 
   def rangeColOf(name: String): Option[String] = {
-    val meta = Files.readString(metaFile(name))
+    val meta = storage.readString(metaFile(name))
     """"rangeCol":"([^"]+)"""".r.findFirstMatchIn(meta).map(_.group(1))
   }
 
@@ -1620,7 +1584,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * range tables.
     */
   def rangeSubColsOf(name: String): Seq[String] = {
-    val meta = Files.readString(metaFile(name))
+    val meta = storage.readString(metaFile(name))
     """"rangeSubCols":\[([^\]]*)\]""".r.findFirstMatchIn(meta)
       .map(_.group(1).split(",").iterator
         .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq)
@@ -1631,7 +1595,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * point-lookup pruning); empty when none were declared.
     */
   def bloomColsOf(name: String): Seq[String] = {
-    val meta = Files.readString(metaFile(name))
+    val meta = storage.readString(metaFile(name))
     """"bloomCols":\[([^\]]*)\]""".r.findFirstMatchIn(meta)
       .map(_.group(1).split(",").iterator
         .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq)
@@ -1657,7 +1621,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
 
   /** Range directory granularity: "month" (default) or "day". */
   def rangeGranularityOf(name: String): String = {
-    val meta = Files.readString(metaFile(name))
+    val meta = storage.readString(metaFile(name))
     """"rangeGranularity":"([^"]+)"""".r.findFirstMatchIn(meta)
       .map(_.group(1)).getOrElse("month")
   }
@@ -1671,7 +1635,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * flat string `"rangeBounds":"l:u,l:u"`, sorted by lower bound.
     */
   def rangeBoundsOf(name: String): Seq[(Long, Long)] = {
-    val meta = Files.readString(metaFile(name))
+    val meta = storage.readString(metaFile(name))
     """"rangeBounds":"([^"]+)"""".r.findFirstMatchIn(meta)
       .map(m => KuduLikeCatalog.decodeBounds(m.group(1))).getOrElse(Seq.empty)
   }
@@ -1681,16 +1645,14 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * table write lock.
     */
   private def writeRangeBounds(name: String, pairs: Seq[(Long, Long)]): Unit = {
-    val meta = Files.readString(metaFile(name))
+    val meta = storage.readString(metaFile(name))
     val enc = KuduLikeCatalog.encodeBounds(pairs)
     val patched = meta.replaceFirst(
       """"rangeBounds":"[^"]+"""",
       java.util.regex.Matcher.quoteReplacement(s""""rangeBounds":"$enc""""))
     val tmp = tableDir(name).resolve(".meta_tmp")
-    Files.writeString(tmp, patched)
-    Files.move(tmp, metaFile(name),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    storage.writeString(tmp, patched)
+    storage.replaceFile(tmp, metaFile(name))
   }
 
   /** The row → `__range` directory-id expression, shared by every write
@@ -1709,7 +1671,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * and tables created before zones were recorded.
     */
   def zoneOf(name: String): Option[String] = {
-    val meta = Files.readString(metaFile(name))
+    val meta = storage.readString(metaFile(name))
     """"zone":"([^"]+)"""".r.findFirstMatchIn(meta).map(_.group(1))
   }
 
@@ -1742,16 +1704,14 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * recorded yet — re-stamping would disarm [[assertZone]]).
     */
   private def stampZone(name: String, zone: String): Unit = {
-    val meta = Files.readString(metaFile(name))
+    val meta = storage.readString(metaFile(name))
     val stamped = meta.replaceFirst(
       """"rangeCol":"([^"]+)",""",
       s""""rangeCol":"$$1","zone":"$zone",""")
     if (stamped != meta) {
       val tmp = tableDir(name).resolve(".meta_tmp")
-      Files.writeString(tmp, stamped)
-      Files.move(tmp, metaFile(name),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      storage.writeString(tmp, stamped)
+      storage.replaceFile(tmp, metaFile(name))
     }
   }
 
@@ -1763,7 +1723,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   def schemaOf(name: String): StructType = readSchema(name)
 
   def keyColsOf(name: String): Seq[String] = {
-    val meta = Files.readString(metaFile(name))
+    val meta = storage.readString(metaFile(name))
     // minimal parse of the "keyCols":["a","b"] array we wrote ourselves
     val m = """"keyCols":\[([^\]]*)\]""".r.findFirstMatchIn(meta)
       .getOrElse(throw new CatalogException(s"corrupt meta for $name"))
@@ -1775,7 +1735,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     * full key when none was declared (legacy metas have no "hashCols").
     */
   def hashColsOf(name: String): Seq[String] = {
-    val meta = Files.readString(metaFile(name))
+    val meta = storage.readString(metaFile(name))
     """"hashCols":\[([^\]]*)\]""".r.findFirstMatchIn(meta) match {
       case Some(m) =>
         val cols = m.group(1).split(",")
@@ -1958,8 +1918,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     */
   def baseEpoch(name: String): Long = {
     val f = tableDir(name).resolve("base_epoch")
-    if (!Files.exists(f)) 0L
-    else try Files.readString(f).trim.toLong
+    if (!storage.exists(f)) 0L
+    else try storage.readString(f).trim.toLong
     catch {
       // an unparseable epoch means the staleness guard is disarmed — fail
       // loudly rather than return a default that lets stale reads pass
@@ -1976,10 +1936,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
   private def bumpBaseEpoch(name: String): Unit = {
     val next = (baseEpoch(name) + 1).toString
     val tmp = tableDir(name).resolve(".base_epoch_tmp")
-    Files.writeString(tmp, next)
-    Files.move(tmp, tableDir(name).resolve("base_epoch"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    storage.writeString(tmp, next)
+    storage.replaceFile(tmp, tableDir(name).resolve("base_epoch"))
   }
 
   /** ALTER TABLE ADD COLUMN (Kudu supports online schema evolution; the
@@ -2110,14 +2068,12 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       metaJson(d, d.schema, zoneOf(name)).drop(1)
     FaultInjection.cut("rename.staged")
     val tmp = tableDir(name).resolve(".meta_tmp")
-    Files.writeString(tmp, full)
-    Files.move(tmp, metaFile(name),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING) // COMMIT
+    storage.writeString(tmp, full)
+    storage.replaceFile(tmp, metaFile(name)) // COMMIT
     FaultInjection.cut("rename.committed")
     // the fold read the exclusion-filtered snapshot (same as compact); the
     // rebuilt meta prefix above omits droppedRanges, so the swap cleared it
-    Files.deleteIfExists(tableDir(name).resolve("dropped_ranges")) // legacy file
+    storage.deleteIfExists(tableDir(name).resolve("dropped_ranges")) // legacy file
   }
 
   /** Atomically swap the declared schema in the meta manifest, carrying the
@@ -2140,10 +2096,8 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       if (dd == "data" && fl == 0 && dr.isEmpty) base
       else metaPrefix(dd, fl, dr) + base.drop(1)
     val tmp = tableDir(name).resolve(".meta_tmp")
-    Files.writeString(tmp, full)
-    Files.move(tmp, metaFile(name),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    storage.writeString(tmp, full)
+    storage.replaceFile(tmp, metaFile(name))
   }
 
   /** UPSERT (Kudu's native upsert op — the reference only wires INSERT with
@@ -2234,7 +2188,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     // exclusion list
     patchMeta(name, newDataName, floor, Nil) // COMMIT
     FaultInjection.cut("overwrite.committed")
-    Files.deleteIfExists(tableDir(name).resolve("dropped_ranges")) // legacy file
+    storage.deleteIfExists(tableDir(name).resolve("dropped_ranges")) // legacy file
     n
   }
 
@@ -2266,21 +2220,21 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     // base-dir names: the initial "data" plus epoch-staged "data_<epoch>"
     // from overwrite/compact commits
     val baseDir = "data(_\\d+)?".r
-    val entries = tableDir(name).toFile.listFiles()
-    if (entries != null) entries.foreach { f =>
-      if (f.isDirectory && baseDir.matches(f.getName) &&
-          f.getName != live && !keep(f.getName))
-        deleteRecursively(f.toPath)
+    storage.list(tableDir(name)).foreach { f =>
+      val fn = f.getFileName.toString
+      if (storage.isDirectory(f) && baseDir.matches(fn) &&
+          fn != live && !keep(fn))
+        deleteRecursively(f)
     }
     val floor = deltaFloorOf(name)
-    val dd = deltasDir(name).toFile.listFiles()
-    if (dd != null) dd.foreach { f =>
+    storage.list(deltasDir(name)).foreach { f =>
+      val fn = f.getFileName.toString
       // same name discipline as rawDeltaSeqs (≤9 digits): epoch-millis
       // litter stays ignored — it must not crash the toInt and brick every
       // subsequent maintenance op on the table
-      if (f.isDirectory && f.getName.nonEmpty && f.getName.length <= 9 &&
-          f.getName.forall(_.isDigit) && f.getName.toInt <= floor)
-        deleteRecursively(f.toPath)
+      if (storage.isDirectory(f) && fn.nonEmpty && fn.length <= 9 &&
+          fn.forall(_.isDigit) && fn.toInt <= floor)
+        deleteRecursively(f)
     }
   }
 
@@ -2415,13 +2369,15 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
 
   private def rawDeltaSeqs(name: String): Seq[Int] = {
     val d = deltasDir(name)
-    if (!Files.exists(d)) Seq.empty
-    else d.toFile.listFiles()
+    storage.list(d)
       // length bound: an all-digit name past Int range (epoch-millis litter)
       // must stay invisible, not crash the toInt
-      .filter(f => f.isDirectory && f.getName.nonEmpty &&
-        f.getName.length <= 9 && f.getName.forall(_.isDigit))
-      .map(_.getName.toInt).sorted.toSeq
+      .filter { f =>
+        val fn = f.getFileName.toString
+        storage.isDirectory(f) && fn.nonEmpty &&
+          fn.length <= 9 && fn.forall(_.isDigit)
+      }
+      .map(_.getFileName.toString.toInt).sorted
   }
 
   private def readDelta(name: String, seq: Int): DataFrame = {
@@ -2469,15 +2425,14 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
       val n = observedCount(obs, "n", batch.count())
       FaultInjection.cut("delta.staged")
       if (n > 0)
-        Files.move(tmp, deltasDir(name).resolve(seq.toString),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        storage.moveAtomic(tmp, deltasDir(name).resolve(seq.toString))
       else deleteRecursively(tmp)
       FaultInjection.cut("delta.committed")
       n
     } finally
       // released only after the layer (or nothing) is in place; a process
       // crash leaves the marker — the number stays burned, never blocking
-      Files.deleteIfExists(rsv)
+      storage.deleteIfExists(rsv)
   }
 
   /** Hash-bucket assignment: murmur3 over the key columns mod N — every
@@ -2488,12 +2443,12 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     pmod(hash(keys.map(col): _*), lit(buckets))
 
   def bucketsOf(name: String): Int = {
-    val meta = Files.readString(metaFile(name))
+    val meta = storage.readString(metaFile(name))
     """"buckets":(\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toInt).getOrElse(0)
   }
 
   private def readSchema(name: String): StructType = {
-    val meta = Files.readString(metaFile(name))
+    val meta = storage.readString(metaFile(name))
     val m = """"schemaJson":(\{.*\})\}$""".r.findFirstMatchIn(meta.trim)
       .getOrElse(throw new CatalogException(s"corrupt meta for $name"))
     DataType.fromJson(m.group(1)).asInstanceOf[StructType]
@@ -2531,9 +2486,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String) {
     s"""{"name":"${d.name}","buckets":${d.buckets},$range$bloom$hash"keyCols":[$keys],"schemaJson":${normalized.json}}"""
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+  private def deleteRecursively(p: Path): Unit = storage.deleteRecursively(p)
 }
 
 /** On-disk format constants shared with the connector read seam

@@ -15,6 +15,14 @@ import java.sql.Timestamp
   * reads keep working, that a retry converges, and that litter is swept.
   */
 class CrashSpec extends SparkSpec {
+
+  /** Storage backend under test — [[HadoopCatalogSuites]] re-runs the whole
+    * suite through the Hadoop-FileSystem implementation of the seam.
+    */
+  protected def specStorage: graft.catalog.GraftStorage = graft.catalog.NioStorage
+
+  protected def mkCatalog(root: String) =
+    new KuduLikeCatalog(spark, root, specStorage)
   import scala.jdk.CollectionConverters._
 
   private val schema = StructType(Seq(
@@ -31,7 +39,7 @@ class CrashSpec extends SparkSpec {
     */
   private def freshTable(): (KuduLikeCatalog, String) = {
     val root = tmpDir("graft_crash_")
-    val cat = new KuduLikeCatalog(spark, root)
+    val cat = mkCatalog(root)
     cat.createTable(TableDef("t", schema, Seq("id"), buckets = 2, rangeCol = Some("ts")))
     val rows = (0L until 30L).map(i =>
       (i, ts(f"2024-${1 + (i % 3)}%02d-10 00:00:00"), s"base$i"))

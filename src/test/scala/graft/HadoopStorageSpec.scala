@@ -1,0 +1,119 @@
+package graft
+
+import graft.catalog.{GraftStorage, HadoopStorage, KuduLikeCatalog,
+  NioStorage, NoHardLinkStorage, TableDef}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** The storage seam's portability proof (round-13 verdict item 1):
+  *
+  *  - [[HadoopCatalogSpec]] / [[HadoopCrashSpec]] re-run the ENTIRE
+  *    CatalogSpec and CrashSpec suites with the catalog bound to
+  *    [[HadoopStorage]] — every DDL verb, commit protocol, and cut-point
+  *    kill goes through `org.apache.hadoop.fs` instead of `java.nio`, the
+  *    same API surface an HDFS deployment exercises (here over `file://`).
+  *  - [[StorageDegradationSpec]] proves the capability matrix's fallback
+  *    row: with hardlinks OFF (object-store model), clone and incremental
+  *    compact still commit atomically and correctly — the protocol never
+  *    depended on link identity, only on staged-tree-then-swap.
+  */
+class HadoopCatalogSpec extends CatalogSpec {
+  override protected def specStorage: GraftStorage = new HadoopStorage()
+}
+
+class HadoopCrashSpec extends CrashSpec {
+  override protected def specStorage: GraftStorage = new HadoopStorage()
+}
+
+class StorageDegradationSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def seeded(storage: GraftStorage): (KuduLikeCatalog, String) = {
+    val root = tmpDir("graft_degr_")
+    val cat = new KuduLikeCatalog(spark, root, storage)
+    cat.createTable(TableDef("t", schema, Seq("id"), buckets = 2))
+    val rows = (0L until 20L).map(i => (i, s"v$i"))
+    cat.insert("t", spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2)).asJava, schema))
+    (cat, root)
+  }
+
+  private def content(cat: KuduLikeCatalog, t: String): Set[(Long, String)] =
+    cat.table(t).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("clone without hardlinks: identical content, independent files, " +
+    "source untouched") {
+    val st = new NoHardLinkStorage(NioStorage)
+    assert(!st.supportsHardLink)
+    val (cat, _) = seeded(st)
+    val before = content(cat, "t")
+    cat.cloneTable("t", "t2", None)
+    assert(content(cat, "t2") === before)
+    assert(content(cat, "t") === before)
+    // the clone must be writable independently (no shared mutable state)
+    cat.upsert("t2", spark.createDataFrame(
+      Seq(Row(1L, "patched")).asJava, schema))
+    assert(content(cat, "t2") !== content(cat, "t"))
+    assert(content(cat, "t") === before, "source must not see clone mutations")
+  }
+
+  test("clone without hardlinks stays crash-atomic: a kill before the " +
+    "commit rename leaves no table, a retry converges") {
+    val st = new NoHardLinkStorage(NioStorage)
+    val (cat, _) = seeded(st)
+    val before = content(cat, "t")
+    graft.catalog.FaultInjection.arm(_ == "clone.staged")
+    try intercept[graft.catalog.FaultInjection.InjectedCrash](
+      cat.cloneTable("t", "t2", None))
+    finally graft.catalog.FaultInjection.disarm()
+    assert(!cat.exists("t2"), "staged copy must stay invisible")
+    cat.cloneTable("t", "t2", None) // retry over the crashed stage
+    assert(content(cat, "t2") === before)
+  }
+
+  test("incremental compact without hardlinks folds deltas correctly") {
+    val st = new NoHardLinkStorage(NioStorage)
+    val (cat, _) = seeded(st)
+    cat.upsert("t", spark.createDataFrame(
+      Seq(Row(3L, "up3"), Row(7L, "up7")).asJava, schema))
+    cat.delete("t", org.apache.spark.sql.functions.col("id") === 5L)
+    val expect = content(cat, "t")
+    cat.compact("t")
+    assert(content(cat, "t") === expect,
+      "copy-fallback compact must preserve the merged view")
+    assert(cat.currentVersion("t") === 0, "deltas folded into the base")
+  }
+
+  test("Hadoop marker leases: exclusive excludes shared and vice versa " +
+    "across storage instances (separate-process model)") {
+    val dir = java.nio.file.Paths.get(tmpDir("graft_lease_"))
+    val lockFile = dir.resolve(".write_lock")
+    val a = new HadoopStorage()
+    val b = new HadoopStorage()
+    // shared blocks exclusive until released
+    val sh = a.lockShared(lockFile, 2000, "t")
+    intercept[graft.catalog.CatalogException](
+      b.lockExclusive(lockFile, 300, "t"))
+    sh.close()
+    val ex = b.lockExclusive(lockFile, 2000, "t")
+    // exclusive blocks shared until released
+    intercept[graft.catalog.CatalogException](
+      a.lockShared(lockFile, 300, "t"))
+    ex.close()
+    a.lockShared(lockFile, 2000, "t").close()
+  }
+
+  test("Hadoop marker leases: a stale crashed holder's marker is broken " +
+    "by age instead of wedging the table") {
+    val dir = java.nio.file.Paths.get(tmpDir("graft_stale_"))
+    val lockFile = dir.resolve(".write_lock")
+    val crashy = new HadoopStorage(new org.apache.hadoop.conf.Configuration(), staleMs = 200)
+    crashy.lockExclusive(lockFile, 2000, "t") // never closed: crashed holder
+    Thread.sleep(400)
+    val next = new HadoopStorage(new org.apache.hadoop.conf.Configuration(), staleMs = 200)
+    next.lockExclusive(lockFile, 2000, "t").close() // broke the stale marker
+  }
+}

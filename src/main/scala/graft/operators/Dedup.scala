@@ -366,15 +366,31 @@ object Dedup {
     */
   def ngramJaccardPairsCross(
       newDf: DataFrame, refDf: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, tau: Double = 0.05, dfMax: Long = Long.MaxValue): DataFrame =
+    ngramJaccardPairsCrossFromPostings(newDf,
+      graft.Tables.parallel(refDf)
+        .select(col(idCol).as("b"),
+          explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("g")),
+      textCol, idCol, n, tau, dfMax)
+
+  /** [[ngramJaccardPairsCross]] with the REFERENCE side given as a standing
+    * postings frame `(b, g)` — one row per (ref doc, distinct shingle) —
+    * instead of being re-shingled from text. This is the probe face of the
+    * standing near-dup index ([[NearDupIndex]]): an incremental crawl
+    * re-shingles only the NEW side; the standing corpus's postings are a
+    * maintained catalog table, never recomputed. Semantics are identical
+    * by construction (the text form above routes through here).
+    */
+  def ngramJaccardPairsCrossFromPostings(
+      newDf: DataFrame, refPostings: DataFrame, textCol: String, idCol: String,
       n: Int = 3, tau: Double = 0.05, dfMax: Long = Long.MaxValue): DataFrame = {
     // staged like ngramJaccardPairs: each side feeds sizes + candidates +
     // verification, so both shingle frames stage instead of re-scanning
-    def shingles(df: DataFrame, as: String) = stage(s"jaccard-cross-$as",
-      graft.Tables.parallel(df)
-        .select(col(idCol).as(as),
+    val shA = stage("jaccard-cross-a",
+      graft.Tables.parallel(newDf)
+        .select(col(idCol).as("a"),
           explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("g")))
-    val shA = shingles(newDf, "a")
-    val shB = shingles(refDf, "b")
+    val shB = stage("jaccard-cross-b", refPostings.select(col("b"), col("g")))
     val sizesA = shA.groupBy("a").agg(count(lit(1)).as("sza"))
     val sizesB = shB.groupBy("b").agg(count(lit(1)).as("szb"))
     val discriminative = shB.groupBy("g")
@@ -720,6 +736,67 @@ object Dedup {
         s"9173 and 97 (both prime) so every window token steers the " +
         s"boundary predicate; got $divisor")
     chunkOwnershipVerdicts(cdcChunkInstances(docs, textCol, idCol, divisor), idCol)
+  }
+
+  /** [[cdcChunkDedup]] with PRODUCTION min/max chunk clamps (FastCDC's
+    * normalization, in token space): a candidate boundary (same 3-token
+    * rolling-hash predicate, same 9173/97 multipliers) is ACCEPTED only
+    * when the chunk it would close has >= `minLen` tokens, and a boundary
+    * is FORCED when a chunk reaches `maxLen` — so interior chunk lengths
+    * are provably in [minLen, maxLen] (the final remainder may run short).
+    * Clamps kill the pathological tails of pure CDC: a token sequence
+    * whose hashes never fire the predicate becomes one giant chunk
+    * (dedup granularity lost), one that fires every position becomes
+    * per-token chunks (fingerprint explosion).
+    *
+    * Scala-only face, deliberately NOT under the cross-engine oracle: the
+    * clamp makes each acceptance depend on the previously ACCEPTED
+    * boundary — a sequential per-doc fold, not the per-position predicate
+    * both engines compute identically (the declared d50 face documents
+    * this out; ScaleOpsSpec gates this variant instead). Implemented as a
+    * typed UDF doing one linear pass per doc — per-doc imperative work is
+    * exactly what stays on the executor; distribution, the fingerprint
+    * shuffle, and the ownership agg are unchanged from [[cdcChunkDedup]].
+    * With `minLen = 1, maxLen = Int.MaxValue` the clamps are vacuous and
+    * the output is IDENTICAL to [[cdcChunkDedup]] (spec-pinned — which
+    * also pins the UDF's md5/tokenization to the expression forms).
+    */
+  def cdcChunkDedupClamped(docs: DataFrame, textCol: String, idCol: String,
+      divisor: Int = 8, minLen: Int = 4, maxLen: Int = 32): DataFrame = {
+    require(divisor >= 2, s"cdc divisor must be >= 2, got $divisor")
+    require(divisor % 9173 != 0 && divisor % 97 != 0,
+      s"cdc divisor must be coprime with the rolling-hash multipliers; got $divisor")
+    require(minLen >= 1 && maxLen >= minLen,
+      s"need 1 <= minLen <= maxLen, got [$minLen, $maxLen]")
+    val fps = udf { (text: String) =>
+      if (text == null) Array.empty[String]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def md5hex(s: String): String =
+          md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        // split(text, " ") keeps trailing empties in Spark SQL — mirror it
+        val toks = text.split(" ", -1)
+        val n = toks.length
+        val th = toks.map(t => java.lang.Long.parseLong(md5hex(t).take(8), 16))
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var last = 0 // end of the previous accepted chunk (token count)
+        var i = 1
+        while (i <= n) {
+          val candidate = i >= 3 &&
+            (th(i - 3) * 9173L + th(i - 2) * 97L + th(i - 1)) % divisor == 0
+          val len = i - last
+          if (len == maxLen || (candidate && len >= minLen) || i == n) {
+            out += md5hex(toks.slice(last, i).mkString(" "))
+            last = i
+          }
+          i += 1
+        }
+        out.toArray
+      }
+    }
+    chunkOwnershipVerdicts(
+      graft.Tables.parallel(docs)
+        .select(col(idCol), explode(fps(col(textCol))).as("fp")), idCol)
   }
 
   private def semanticCore(

@@ -83,7 +83,7 @@ object ScanQueries {
   }
 
   private val benchTables = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def memoized(key: String)(build: String => Unit): String =
+  private[queries] def memoized(key: String)(build: String => Unit): String =
     benchTables.computeIfAbsent(key, { _ =>
       val tmp = java.nio.file.Files.createTempDirectory(s"graft_bench_${key.takeWhile(_ != ':')}_").toString
       build(tmp)

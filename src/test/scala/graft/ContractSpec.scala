@@ -31,7 +31,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the survey ledger claim") {
-    assert(SparkEntry.all.size === 174, s"ledger says 174, found ${SparkEntry.all.size}")
+    assert(SparkEntry.all.size === 175, s"ledger says 175, found ${SparkEntry.all.size}")
   }
 
   test("driver-side collect() stays confined to the documented bounded sites") {

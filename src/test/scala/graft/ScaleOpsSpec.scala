@@ -363,6 +363,77 @@ class ScaleOpsSpec extends SparkSpec {
     assert(fps === fps2, "chunk counts must not depend on partitioning")
   }
 
+  test("cdcChunkDedupClamped: vacuous clamps reproduce the declared face " +
+    "exactly (pins the UDF's md5/tokenization to the expression forms)") {
+    import spark.implicits._
+    val toks = (1 to 300).map(i => s"w${(i * 2654435761L) % 50}")
+    val docs = Seq(
+      (1L, toks.mkString(" ")),
+      (2L, toks.drop(7).mkString(" ")),
+      (3L, "x y"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getBoolean(4))).sortBy(_._1).toSeq
+    val clampedVacuous = rows(Dedup.cdcChunkDedupClamped(
+      docs, "text", "doc_id", divisor = 8, minLen = 1, maxLen = Int.MaxValue))
+    val declared = rows(Dedup.cdcChunkDedup(docs, "text", "doc_id", divisor = 8))
+    assert(clampedVacuous === declared)
+  }
+
+  test("cdcChunkDedupClamped: interior chunk lengths honor [minLen, maxLen] " +
+    "and pathological streams are tamed") {
+    import spark.implicits._
+    // verify the length bound directly against the fingerprint layout: re-chunk
+    // a doc and check every interior chunk via the operator's own totals —
+    // chunk lengths are recovered by chunking a tokenized probe per window.
+    // Simpler and airtight: a stream that NEVER fires the predicate (all
+    // tokens identical with a non-firing hash residue would be one giant
+    // chunk unclamped) must split at maxLen; per-token firing streams must
+    // not go below minLen.
+    val mono = (1 to 257).map(_ => "same").mkString(" ")
+    val docs = Seq((1L, mono)).toDF("doc_id", "text")
+    val unclamped = Dedup.cdcChunkDedup(docs, "text", "doc_id", divisor = 1000003)
+      .collect().head.getInt(1)
+    val clamped = Dedup.cdcChunkDedupClamped(docs, "text", "doc_id",
+      divisor = 1000003, minLen = 4, maxLen = 32)
+      .collect().head.getInt(1)
+    assert(unclamped === 1, "non-firing stream = one giant chunk unclamped")
+    assert(clamped === math.ceil(257.0 / 32).toInt,
+      s"maxLen must force 257 tokens into ceil(257/32) chunks, got $clamped")
+    // a divisor of 2 is rejected only if sharing factors with multipliers;
+    // use divisor 3 where ~1/3 of positions fire: minLen=8 forbids chunks
+    // shorter than 8 except the tail
+    val noisy = (1 to 240).map(i => s"n${(i * 48271L) % 97}").mkString(" ")
+    val nd = Seq((1L, noisy)).toDF("doc_id", "text")
+    val few = Dedup.cdcChunkDedupClamped(nd, "text", "doc_id",
+      divisor = 3, minLen = 8, maxLen = 64).collect().head.getInt(1)
+    assert(few <= 240 / 8 + 1, s"minLen=8 bounds chunk count to <= 31, got $few")
+    val many = Dedup.cdcChunkDedup(nd, "text", "doc_id", divisor = 3)
+      .collect().head.getInt(1)
+    assert(many > few, "clamps must reduce the chunk count of a fast-firing stream")
+  }
+
+  test("cdcChunkDedupClamped: shift-robustness survives the clamps") {
+    import spark.implicits._
+    val toks = (1 to 200).map(i => s"w${(i * 2654435761L) % 50}")
+    val docs = Seq(
+      (1L, toks.mkString(" ")),
+      (2L, ("INSERTED" +: toks).mkString(" "))).toDF("doc_id", "text")
+    val kept = Dedup.cdcChunkDedupClamped(docs, "text", "doc_id",
+      divisor = 8, minLen = 3, maxLen = 40)
+      .filter(col("doc_id") === 2L).collect().head.getInt(3)
+    assert(kept <= 3000,
+      s"clamped CDC must still recognize the shifted duplicate: $kept bp")
+    val parts = Dedup.cdcChunkDedupClamped(docs.repartition(5), "text", "doc_id",
+      divisor = 8, minLen = 3, maxLen = 40)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val solo = Dedup.cdcChunkDedupClamped(docs, "text", "doc_id",
+      divisor = 8, minLen = 3, maxLen = 40)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(parts === solo, "clamped chunking must not depend on partitioning")
+  }
+
   test("cdcFingerprints: chunks tile the token stream exactly; short docs " +
     "yield one whole-doc chunk") {
     import spark.implicits._

@@ -27,6 +27,7 @@ ratio column is the scale-up factor (e.g. sf1/sf0.1 ≈ 10 for perfectly
 linear operators; super-linear entries are what to chase).
 """
 import json
+import os
 import sys
 
 
@@ -46,6 +47,85 @@ def best(d, q):
 def srange(d, q):
     xs = [x for x in (d.get("queries_samples") or {}).get(q, []) if x >= 0]
     return (min(xs), max(xs)) if xs else None
+
+
+
+
+# ── automated solo retime (round-13 verdict item 8) ──────────────────────
+# Flagged rows are host-noise suspects until reproduced on ONE boot.
+# --retime=<old_rev> rebuilds the OLD bench commit in a git worktree and
+# solo-times every flagged query under both builds on the CURRENT boot
+# (graft.SoloQ: 4 hot runs, min taken), then re-verdicts: a regression is
+# REAL-SOLO only if new_solo > threshold * old_solo on identical hardware.
+# This automates the manual forensics that debunked 6 phantom regressions
+# in round 13 (BENCH_DIFF_r13.txt).
+
+ADD_OPENS = " ".join(
+    f"--add-opens java.base/{p}=ALL-UNNAMED" for p in [
+        "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+        "java.net", "java.nio", "java.util", "java.util.concurrent",
+        "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+        "sun.security.action", "sun.util.calendar"])
+
+
+def solo_times(repo_dir, queries, sf_dir):
+    """Run graft.SoloQ in repo_dir for the named queries; min hot run each."""
+    import re as _re
+    import subprocess
+    cp = f"/opt/spark/jars/*:{repo_dir}/target/scala-2.13/classes"
+    cmd = (f"java {ADD_OPENS} -Xmx48g -Dspark.ui.enabled=false "
+           f"-Dspark.sql.session.timeZone=UTC -cp '{cp}' graft.SoloQ "
+           + " ".join(queries))
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(["bash", "-c", cmd], cwd=repo_dir, env=env,
+                         capture_output=True, text=True, timeout=3600)
+    times = {}
+    for line in out.stdout.splitlines():
+        m = _re.match(r"(\S+) run\d+: ([0-9.]+) s", line)
+        if m:
+            q, t = m.group(1), float(m.group(2))
+            times[q] = min(times.get(q, t), t)
+    missing = [q for q in queries if q not in times]
+    if missing:
+        sys.stderr.write(f"[retime] no solo time for {missing} in {repo_dir}; "
+                         f"stderr tail: {out.stderr[-500:]}\n")
+    return times
+
+
+def build_worktree(rev):
+    """Materialize rev in a worktree and sbt-compile it; returns the dir."""
+    import subprocess
+    wt = f"/tmp/bench_retime_{rev[:12]}"
+    if not os.path.isdir(wt):
+        subprocess.run(["git", "worktree", "add", "--detach", wt, rev],
+                       check=True, capture_output=True)
+    subprocess.run(["sbt", "-batch", "compile"], cwd=wt, check=True,
+                   capture_output=True, timeout=1800)
+    return wt
+
+
+def retime(rows, old_rev, thr, sf_dir):
+    """Solo-retime flagged rows on this boot; returns {q: (old, new, verdict)}."""
+    flagged = [q for q, _, _, _, v in rows if v in ("REGRESSION", "noisy")]
+    if not flagged:
+        return {}
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import subprocess
+    subprocess.run(["sbt", "-batch", "compile"], cwd=here, check=True,
+                   capture_output=True, timeout=1800)
+    old_wt = build_worktree(old_rev)
+    new_solo = solo_times(here, flagged, sf_dir)
+    old_solo = solo_times(old_wt, flagged, sf_dir)
+    out = {}
+    for q in flagged:
+        o, n = old_solo.get(q), new_solo.get(q)
+        if o is None or n is None:
+            out[q] = (o, n, "solo-missing")
+        elif n > thr * o:
+            out[q] = (o, n, "REAL-SOLO")
+        else:
+            out[q] = (o, n, "host-noise")
+    return out
 
 
 def main():
@@ -95,6 +175,29 @@ def main():
     n_reg = sum(1 for r in rows if r[4] == "REGRESSION")
     print(f"# {n_reg} real regression(s) at threshold {thr} "
           f"(sample-range-disjoint); {sum(1 for r in rows if r[4] == 'noisy')} noisy")
+
+    old_rev = None
+    for a in sys.argv[1:]:
+        if a.startswith("--retime"):
+            old_rev = a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1]
+    if old_rev and not scale_cmp:
+        sf = new.get("sf")
+        sf_dir = f"/root/testdata/sf{sf}"
+        for a in sys.argv[1:]:
+            if a.startswith("--sfdir"):
+                sf_dir = a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1]
+        solo = retime(rows, old_rev, thr, sf_dir)
+        if solo:
+            print(f"\n# solo retime on THIS boot (old rev {old_rev[:12]}, sf dir {sf_dir}):")
+            print(f"{'query':34s} {'old_solo':>9s} {'new_solo':>9s} {'ratio':>7s}  solo verdict")
+            for q, (o, n, v) in sorted(solo.items()):
+                r = (n / o) if (o and n) else -1
+                print(f"{q:34s} {o if o is not None else -1:9.3f} "
+                      f"{n if n is not None else -1:9.3f} {r:7.2f}  {v}")
+            n_real = sum(1 for v in solo.values() if v[2] == "REAL-SOLO")
+            print(f"# solo verdicts: {n_real} REAL-SOLO, "
+                  f"{sum(1 for v in solo.values() if v[2] == 'host-noise')} host-noise")
+            sys.exit(1 if n_real else 0)
     sys.exit(1 if n_reg else 0)
 
 

@@ -143,25 +143,41 @@ object Dedup {
       k: Int = 3, blocks: Int = 6): DataFrame = {
     val df = graft.Tables.parallel(df0)
     val sig = df.select(col(idCol), TextFunctions.simhash64(col(textCol)).as("sh"))
-    val banded = simhash64Banded(sig, idCol, k, blocks)
+    // COLLAPSE IDENTICAL SIGNATURES before banding (round-14 sf10 gate
+    // forensics): the in-bucket pairing is quadratic in signature
+    // MULTIPLICITY, and a dup-heavy corpus — the very thing dedup runs on —
+    // makes multiplicity the dominant term (the 10×-replicated sf10
+    // fixture: groups of ≥10 identical docs → ≥45 same-sig pairs per group
+    // per table ×20 tables; d20 went 12× for 10× data, with one run
+    // spilling to 136 s). Pairing over DISTINCT signatures is invariant to
+    // the dup rate; every group member shares its group's neighborhood, so
+    // rep(d) = min(group id, neighbor group ids) — algebraically identical
+    // to the per-doc fold (gid ≤ every member id), proven by the oracle
+    // and OperatorSpec's quadratic-reference gate.
+    val groups = sig.groupBy("sh").agg(min(col(idCol)).as("gid"))
+    val banded = simhash64Banded(
+      groups.select(col("gid").as(idCol), col("sh")), idCol, k, blocks)
     val lhs = banded.select(col("key"), col(idCol).as("a"), col("sh").as("sha"))
     val rhs = banded.select(col("key"), col(idCol).as("b"), col("sh").as("shb"))
-    // verified pairs CARRYING both signatures: same-table duplicate pairs
-    // are harmless under the min() fold below, so no distinct pass (unlike
-    // simhash64Pairs' exact-pairs contract)
+    // verified group pairs: same-table duplicate pairs are harmless under
+    // the min() fold below, so no distinct pass (unlike simhash64Pairs'
+    // exact-pairs contract)
     val pairs = lhs.join(rhs, Seq("key"))
       .filter(col("a") < col("b"))
       .filter(bit_count(col("sha").bitwiseXOR(col("shb"))) <= k)
       .select(col("a"), col("b"), col("sha"), col("shb"))
-    // rep = min over {self} ∪ neighbors. The signature rides the union
-    // (positional: d, sh, nbr) so no join back onto sig — the round-1 shape
-    // re-ran the signature scan a fourth time AND re-evaluated the kernel
-    // inside the join's null filters.
-    val rep = sig.select(col(idCol).as("d"), col("sh"), col(idCol).as("nbr"))
-      .union(pairs.select(col("a"), col("sha"), col("b")))
-      .union(pairs.select(col("b"), col("shb"), col("a")))
-      .groupBy("d").agg(min("sh").as("simhash64"), min("nbr").as("rep"))
-    rep.select(col("d").as(idCol), col("simhash64"), col("rep"))
+    // group rep = min over {own gid} ∪ neighbor gids, keyed by signature;
+    // the signature rides the union (positional: sh, nbr) so no join back
+    // onto groups
+    val grep = groups.select(col("sh"), col("gid").as("nbr"))
+      .union(pairs.select(col("sha"), col("b")))
+      .union(pairs.select(col("shb"), col("a")))
+      .groupBy("sh").agg(min("nbr").as("rep"))
+    // fan the group rep back to members: one equi-join on the signature
+    // (the collapse's price — linear, and it replaces a dup-rate-quadratic
+    // pairing)
+    sig.join(grep, Seq("sh"))
+      .select(col(idCol), col("sh").as("simhash64"), col("rep"))
   }
 
   /** Banded candidate tables for a (id, "sh") signature frame: one row per

@@ -47,6 +47,11 @@ object Dsir {
   def importanceWeights(docs: DataFrame, textCol: String, idCol: String,
       isTarget: Column, buckets: Int = 64): DataFrame = {
     require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
+    // `inst` feeds BOTH the bucket-count pass and the per-doc scoring pass,
+    // so its explode+md5 lineage executes twice — DELIBERATE: at 100 TB,
+    // recomputing a narrow projection is cheaper than materializing a
+    // corpus×grams frame (cache would spill it to disk and read it back);
+    // do not "fix" this with a .cache()/.persist().
     val toks = TextFunctions.tokens(col(textCol))
     val inst = docs
       .select(col(idCol), isTarget.as("is_t"),

@@ -179,6 +179,30 @@ class OperatorSpec extends SparkSpec {
         s"missed=${(quadratic -- banded).take(5)} extra=${(banded -- quadratic).take(5)}")
   }
 
+  test("SimHash64 near-dup reps match the quadratic truth on a dup-heavy " +
+    "corpus (signature-collapse fast path is semantics-invariant)") {
+    import spark.implicits._
+    // every doc replicated 10x (the sf10 fixture shape that exposed the
+    // multiplicity-quadratic pairing) — reps must equal the per-doc
+    // quadratic definition: min id over the Hamming<=3 neighborhood
+    val base = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").filter(col("doc_id") < 60)
+    val docs = (0 until 10).map(c =>
+        base.select((col("doc_id") + c * 1000L).as("doc_id"), col("text")))
+      .reduce(_ unionAll _)
+    val got = Dedup.simhash64NearDup(docs, "text", "doc_id", k = 3, blocks = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val s = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.simhash64(col("text")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = s.map { case (id, sh) =>
+      id -> s.collect {
+        case (id2, sh2) if java.lang.Long.bitCount(sh ^ sh2) <= 3 => id2
+      }.min
+    }.toMap
+    assert(got === truth)
+  }
+
   test("ANN: lshTopK returns valid ranks and finds a reasonable share of true neighbors") {
     val e = Tables.load(spark, sf, "embeddings")
     val queries = e.filter(col("vec_id") < 20)

@@ -124,7 +124,7 @@ def retime(rows, old_rev, thr, sf_dir):
         elif n > thr * o:
             out[q] = (o, n, "REAL-SOLO")
         else:
-            out[q] = (o, n, "host-noise")
+            out[q] = (o, n, "sub-threshold")
     return out
 
 
@@ -181,8 +181,8 @@ def main():
         if a.startswith("--retime"):
             old_rev = a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1]
     if old_rev and not scale_cmp:
-        sf = new.get("sf")
-        sf_dir = f"/root/testdata/sf{sf}"
+        sf = str(new.get("sf"))
+        sf_dir = sf if sf.startswith("/") else f"/root/testdata/sf{sf}"
         for a in sys.argv[1:]:
             if a.startswith("--sfdir"):
                 sf_dir = a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1]
@@ -196,7 +196,8 @@ def main():
                       f"{n if n is not None else -1:9.3f} {r:7.2f}  {v}")
             n_real = sum(1 for v in solo.values() if v[2] == "REAL-SOLO")
             print(f"# solo verdicts: {n_real} REAL-SOLO, "
-                  f"{sum(1 for v in solo.values() if v[2] == 'host-noise')} host-noise")
+                  f"{sum(1 for v in solo.values() if v[2] == 'sub-threshold')} sub-threshold "
+                  f"(not reproducible at {thr}x on one boot)")
             sys.exit(1 if n_real else 0)
     sys.exit(1 if n_reg else 0)
 

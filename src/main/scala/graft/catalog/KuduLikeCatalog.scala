@@ -190,9 +190,34 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
       else {
         val lease = storage.lockExclusive(
           tableDir(name).resolve(".write_lock"), lockTimeoutMs, name)
-        try body finally lease.close()
+        val prev = heldLease.get()
+        heldLease.set(lease)
+        try body finally { heldLease.set(prev); lease.close() }
       }
     } finally l.unlock()
+  }
+
+  /** The lease protecting the innermost in-flight locked section on this
+    * thread — consulted by [[assertLeaseValid]] at commit points.
+    */
+  private val heldLease = new ThreadLocal[GraftStorage.Lease]
+
+  /** Commit-point fence: a MARKER lease (HDFS / object-store backends) can
+    * be lost while held — the holder stalls past the staleness TTL and a
+    * peer legally breaks the marker ([[GraftStorage.Lease.isValid]]).
+    * Checked immediately before every commit-point write, so the
+    * pathological double-claim aborts THIS writer loudly instead of
+    * letting two processes interleave one commit protocol. OS-lock leases
+    * ([[NioStorage]]) are always valid; unlocked paths (no lease on this
+    * thread) pass through.
+    */
+  private def assertLeaseValid(what: String): Unit = {
+    val l = heldLease.get()
+    if (l != null && !l.isValid) throw new CatalogException(
+      s"$what: write lease lost before the commit point — this process " +
+        "stalled past the lock-marker staleness TTL and another writer " +
+        "broke the marker; aborting instead of double-writing (raise the " +
+        "storage's staleMs beyond the worst-case process stall)")
   }
 
   /** Shared per-table lock for mutation-layer writers (upsert / delete /
@@ -218,7 +243,9 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
       else {
         val lease = storage.lockShared(
           tableDir(name).resolve(".write_lock"), lockTimeoutMs, name)
-        try body finally lease.close()
+        val prev = heldLease.get()
+        heldLease.set(lease)
+        try body finally { heldLease.set(prev); lease.close() }
       }
     } finally l.unlock()
   }
@@ -297,6 +324,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
     val patched = metaPrefix(dataDirName, deltaFloor, droppedRanges) + stripped.drop(1)
     val tmp = tableDir(name).resolve(".meta_tmp")
     storage.writeString(tmp, patched)
+    assertLeaseValid(name)
     storage.replaceFile(tmp, metaFile(name))
   }
 
@@ -652,12 +680,83 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
     * the reference delegated renames to Hive metastore identity.
     */
   def renameTable(oldName: String, newName: String): Unit = {
+    if (!storage.supportsAtomicRename && resumeRename(oldName, newName)) return
     if (!exists(oldName)) throw new CatalogException(s"table $oldName does not exist")
     if (exists(newName)) throw new CatalogException(s"table $newName already exists")
     require(newName.nonEmpty && newName.matches("[\\w.]+"),
       s"invalid table name: $newName")
     storage.createDirectories(tableDir(newName).getParent)
-    storage.moveAtomic(tableDir(oldName), tableDir(newName))
+    if (storage.supportsAtomicRename)
+      storage.moveAtomic(tableDir(oldName), tableDir(newName))
+    else renameByPublish(oldName, newName)
+  }
+
+  /** Rename-less rename: copy-and-republish under the SOURCE's exclusive
+    * lock (the multi-step walk must not interleave with layer commits or
+    * meta swaps the way the single atomic move never could). Steps, each a
+    * crash-consistent frontier (ObjectStoreCrashSpec kills every one):
+    *
+    *  1. journal `.rename_src` into the (manifest-less, hence invisible)
+    *     destination dir — names the source and fingerprints its manifest
+    *     so recovery can never confuse a RE-CREATED source with this one;
+    *  2. copy the tree with the manifest LAST ([[publishTableTree]]) —
+    *     the manifest PUT makes the destination visible;
+    *  3. drop the source manifest (source invisible from here);
+    *  4. delete the source tree, then the journal.
+    *
+    * A crash in 1-2 leaves the old table intact and dst as invisible
+    * litter (a retry clears it); a crash in 3-4 leaves the journal, and
+    * [[resumeRename]] rolls FORWARD. The only double-visible window
+    * (between 2 and 3) is journal-marked and converges on retry — the
+    * atomicity an object store's missing rename genuinely cannot give.
+    */
+  private def renameByPublish(oldName: String, newName: String): Unit =
+    withTableWriteLock(oldName) {
+      val dst = tableDir(newName)
+      if (storage.exists(dst)) deleteRecursively(dst) // crashed pre-manifest litter
+      storage.createDirectories(dst)
+      // journal fingerprint = manifest md5 + manifest mtime: bytes alone
+      // cannot distinguish a RE-CREATED same-schema table (identical
+      // manifest), but the source's manifest is untouched for the rest of
+      // this rename, so its mtime at resume time still matches — a second
+      // incarnation's cannot
+      storage.writeString(dst.resolve(KuduLikeCatalog.RenameJournal),
+        oldName + "\n" +
+          KuduLikeCatalog.md5Hex(storage.readString(metaFile(oldName))) + "\n" +
+          storage.lastModifiedMillis(metaFile(oldName)))
+      FaultInjection.cut("tblrename.marked")
+      assertLeaseValid(oldName)
+      publishTableTree(tableDir(oldName), dst)
+      FaultInjection.cut("tblrename.published")
+      storage.deleteIfExists(metaFile(oldName))
+      FaultInjection.cut("tblrename.srcdropped")
+      deleteRecursively(tableDir(oldName))
+      storage.deleteIfExists(dst.resolve(KuduLikeCatalog.RenameJournal))
+    }
+
+  /** Roll a crashed rename-less [[renameByPublish]] FORWARD: if the
+    * destination is manifest-visible and still journal-marked as renamed
+    * from `oldName`, finish dropping the source — but ONLY when the
+    * source manifest is already gone or still byte-identical to the
+    * fingerprint taken at journal time (a re-created `oldName` is a
+    * DIFFERENT table and must survive; that call then fails with the
+    * ordinary "already exists" error). Returns true when it resumed.
+    */
+  private def resumeRename(oldName: String, newName: String): Boolean = {
+    if (!exists(newName)) return false
+    val j = tableDir(newName).resolve(KuduLikeCatalog.RenameJournal)
+    if (!storage.exists(j)) return false
+    storage.readString(j).split("\n", 3) match {
+      case Array(src, fp, mtime) if src == oldName &&
+          (!exists(oldName) ||
+            (KuduLikeCatalog.md5Hex(storage.readString(metaFile(oldName))) == fp &&
+              storage.lastModifiedMillis(metaFile(oldName)).toString == mtime)) =>
+        storage.deleteIfExists(metaFile(oldName))
+        deleteRecursively(tableDir(oldName))
+        storage.deleteIfExists(j)
+        true
+      case _ => false
+    }
   }
 
   /** CREATE TABLE dst CLONE src — a ZERO-COPY snapshot clone (the Delta
@@ -695,8 +794,15 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
     * fails loudly) — enforced by [[requireVersionReadable]].
     */
   def cloneTable(src: String, dst: String, asOfVersion: Option[Int]): Unit = {
-    if (exists(dst) || storage.exists(tableDir(dst)))
-      throw new CatalogException(s"table $dst already exists")
+    if (exists(dst)) throw new CatalogException(s"table $dst already exists")
+    if (storage.exists(tableDir(dst))) {
+      if (storage.supportsAtomicRename)
+        throw new CatalogException(s"table $dst already exists")
+      // rename-less backend: a dst dir WITHOUT a manifest is a crashed
+      // publish's litter (the manifest PUT is the commit and it never
+      // landed) — clear it and let this attempt retry over it
+      deleteRecursively(tableDir(dst))
+    }
     require(dst.nonEmpty && dst.matches("[\\w.]+"), s"invalid table name: $dst")
     val stage = Paths.get(root, s".clone_tmp_$dst")
     withTableWriteLock(src) {
@@ -733,7 +839,14 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
         }
       }
       FaultInjection.cut("clone.staged")
-      storage.moveAtomic(stage, tableDir(dst))
+      assertLeaseValid(src)
+      if (storage.supportsAtomicRename) storage.moveAtomic(stage, tableDir(dst))
+      else {
+        // manifest-pointer commit: copy the staged tree to its final name
+        // (invisible — no manifest yet), then ONE manifest PUT flips it
+        publishTableTree(stage, tableDir(dst))
+        deleteRecursively(stage)
+      }
       FaultInjection.cut("clone.committed")
     }
   }
@@ -790,6 +903,54 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
         else storage.linkOrCopy(to.resolve(n), e)
       }
     }
+  }
+
+  // ── rename-less commit protocol (supportsAtomicRename = false) ──
+  // Object stores have no rename: a directory-shaped publish cannot flip
+  // visibility by moving the staged tree. Instead the tree is copied under
+  // its FINAL immutable name while still invisible — a layer dir without
+  // its commit marker, a table dir without its manifest — and ONE
+  // single-object PUT (the one atomicity every object store guarantees)
+  // makes it real. The staged copy is litter until that PUT, and a retry
+  // clears it; ObjectStoreCrashSpec kills every step and proves readers
+  // only ever see complete pre-op or complete post-op state.
+
+  /** Make a completed staged mutation layer visible. Rename backends: one
+    * atomic directory move. Rename-less: copy under the final sequence
+    * name (invisible — [[layerCommitted]] requires the marker), then
+    * commit with one marker PUT.
+    */
+  private def publishLayer(name: String, tmp: Path, dst: Path): Unit = {
+    assertLeaseValid(name)
+    if (storage.supportsAtomicRename) storage.moveAtomic(tmp, dst)
+    else {
+      deleteRecursively(dst) // crashed same-seq retry's partial copy (markerless ⇒ was never visible)
+      linkTree(tmp, dst)
+      FaultInjection.cut("delta.copied")
+      storage.writeString(dst.resolve(KuduLikeCatalog.LayerCommitMarker), "")
+      deleteRecursively(tmp)
+    }
+  }
+
+  /** Rename-less table publish: mirror `stage` to its final directory with
+    * the `_meta.json` manifest LAST — [[exists]] is defined as
+    * manifest-present, so the single PUT of the manifest IS the commit.
+    * Committed-layer markers under `deltas/` copy over like any other
+    * underscore file, so the published table's layers stay visible.
+    */
+  private def publishTableTree(stage: Path, dst: Path): Unit = {
+    storage.createDirectories(dst)
+    storage.list(stage).foreach { e =>
+      val n = e.getFileName.toString
+      if (!n.startsWith(".") && n != "_meta.json") {
+        if (storage.isDirectory(e)) linkTree(e, dst.resolve(n))
+        else storage.linkOrCopy(dst.resolve(n), e)
+      }
+    }
+    FaultInjection.cut("publish.copied")
+    val meta = stage.resolve("_meta.json")
+    if (storage.exists(meta))
+      storage.writeString(dst.resolve("_meta.json"), storage.readString(meta))
   }
 
   /** Current table contents. Fast path with no pending mutations reads the
@@ -986,6 +1147,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
     val stats = TableStats(fp, numRows, currentVersion(name), colsH)
     val tmp = tableDir(name).resolve(".stats_tmp")
     storage.writeString(tmp, stats.toJson)
+    assertLeaseValid(name)
     storage.replaceFile(tmp, statsFile(name))
     stats
   }
@@ -1652,6 +1814,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
       java.util.regex.Matcher.quoteReplacement(s""""rangeBounds":"$enc""""))
     val tmp = tableDir(name).resolve(".meta_tmp")
     storage.writeString(tmp, patched)
+    assertLeaseValid(name)
     storage.replaceFile(tmp, metaFile(name))
   }
 
@@ -1711,6 +1874,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
     if (stamped != meta) {
       val tmp = tableDir(name).resolve(".meta_tmp")
       storage.writeString(tmp, stamped)
+      assertLeaseValid(name)
       storage.replaceFile(tmp, metaFile(name))
     }
   }
@@ -1937,6 +2101,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
     val next = (baseEpoch(name) + 1).toString
     val tmp = tableDir(name).resolve(".base_epoch_tmp")
     storage.writeString(tmp, next)
+    assertLeaseValid(name)
     storage.replaceFile(tmp, tableDir(name).resolve("base_epoch"))
   }
 
@@ -2069,6 +2234,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
     FaultInjection.cut("rename.staged")
     val tmp = tableDir(name).resolve(".meta_tmp")
     storage.writeString(tmp, full)
+    assertLeaseValid(name)
     storage.replaceFile(tmp, metaFile(name)) // COMMIT
     FaultInjection.cut("rename.committed")
     // the fold read the exclusion-filtered snapshot (same as compact); the
@@ -2097,6 +2263,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
       else metaPrefix(dd, fl, dr) + base.drop(1)
     val tmp = tableDir(name).resolve(".meta_tmp")
     storage.writeString(tmp, full)
+    assertLeaseValid(name)
     storage.replaceFile(tmp, metaFile(name))
   }
 
@@ -2375,10 +2542,24 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
       .filter { f =>
         val fn = f.getFileName.toString
         storage.isDirectory(f) && fn.nonEmpty &&
-          fn.length <= 9 && fn.forall(_.isDigit)
+          fn.length <= 9 && fn.forall(_.isDigit) && layerCommitted(f)
       }
       .map(_.getFileName.toString.toInt).sorted
   }
+
+  /** Is a sequence-named layer directory COMMITTED? On rename backends
+    * the atomic move that put it there is the commit, so presence =
+    * committed. On rename-less backends ([[GraftStorage.supportsAtomicRename]]
+    * false) files were copied in one by one, and only the final PUT of
+    * the [[KuduLikeCatalog.LayerCommitMarker]] object makes the layer
+    * real — a markerless digits dir is a crashed publish's litter and
+    * must stay invisible (and its sequence reusable: [[reserveDeltaSeq]]
+    * sees neither the dir nor a live reservation, and the retry's
+    * [[publishLayer]] clears the partial copy first).
+    */
+  private def layerCommitted(dir: Path): Boolean =
+    storage.supportsAtomicRename ||
+      storage.exists(dir.resolve(KuduLikeCatalog.LayerCommitMarker))
 
   private def readDelta(name: String, seq: Int): DataFrame = {
     var schema = readSchema(name).add(StructField(OpCol, StringType))
@@ -2424,8 +2605,7 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
         rangeBounds = rangeBoundsOf(name))
       val n = observedCount(obs, "n", batch.count())
       FaultInjection.cut("delta.staged")
-      if (n > 0)
-        storage.moveAtomic(tmp, deltasDir(name).resolve(seq.toString))
+      if (n > 0) publishLayer(name, tmp, deltasDir(name).resolve(seq.toString))
       else deleteRecursively(tmp)
       FaultInjection.cut("delta.committed")
       n
@@ -2582,6 +2762,26 @@ object KuduLikeCatalog {
   private[graft] val OpCol = "__op"
   private[graft] val SeqCol = "__seq"
   private[graft] val PrioCol = "__prio"
+
+  /** Rename-less layer-commit marker: on a backend without atomic rename
+    * (object stores) a mutation layer's files are copied under their final
+    * sequence name — invisible to readers until this one marker object is
+    * PUT. Underscore-prefixed so Spark's parquet reader ignores it.
+    */
+  private[graft] val LayerCommitMarker = "_graft_committed"
+
+  /** Rename-less table-rename journal (lives inside the DESTINATION dir):
+    * `srcName \n md5(src manifest) \n mtime(src manifest)` — lets a crashed
+    * rename roll forward exactly once without ever mistaking a RE-CREATED
+    * source table for the one mid-rename (same-schema manifests are
+    * byte-identical; the mtime tells the incarnations apart).
+    */
+  private[graft] val RenameJournal = ".rename_src"
+
+  private[catalog] def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
 
   /** Task-side core of [[KuduLikeCatalog.alignedNewRows]] — static so the
     * closure ships file paths and a schema, never catalog/session state.

@@ -110,8 +110,12 @@ class StorageDegradationSpec extends SparkSpec {
     "by age instead of wedging the table") {
     val dir = java.nio.file.Paths.get(tmpDir("graft_stale_"))
     val lockFile = dir.resolve(".write_lock")
-    val crashy = new HadoopStorage(new org.apache.hadoop.conf.Configuration(), staleMs = 200)
-    crashy.lockExclusive(lockFile, 2000, "t") // never closed: crashed holder
+    // a CRASHED holder leaves a marker nobody heartbeats: plant one
+    // directly (an in-process leaked lease would keep beating and —
+    // correctly — never go stale; see MarkerLeaseSpec for that side)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(
+      lockFile.resolveSibling(".write_lock.x"), "dead-holder-token|t")
     Thread.sleep(400)
     val next = new HadoopStorage(new org.apache.hadoop.conf.Configuration(), staleMs = 200)
     next.lockExclusive(lockFile, 2000, "t").close() // broke the stale marker

@@ -17,7 +17,8 @@ object SparkEntry {
   def all: Seq[QDef] =
     ScanQueries.defs ++ FilterQueries.defs ++ JoinQueries.defs ++
       AggQueries.defs ++ WindowQueries.defs ++ SetQueries.defs ++
-      FuncQueries.defs ++ PipelineQueries.defs ++ TpchQueries.defs
+      FuncQueries.defs ++ PipelineQueries.defs ++ TpchQueries.defs ++
+      TpcdsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own demo group-by (reference: README.md:41).

@@ -603,14 +603,27 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
           "partition/overlay columns (__range, __bucket, __op, __seq, __prio)")
   }
 
-  /** Validate a TableDef against the reference's rules. */
+  /** Validate a TableDef against the reference's rules, plus this
+    * engine's ONE documented extension beyond Kudu's lattice: a NON-KEY
+    * column may be an array of a primitive type (the vector-column shape
+    * embedding pipelines need — PQ codes, centroids, embeddings; see
+    * operators/EmbeddingIndex). Keys stay Kudu-strict: every routing,
+    * dup-check, and merge-on-read comparison normalizes KEY values only,
+    * so the payload lattice can widen without touching them.
+    */
   def validate(d: TableDef): Unit = {
     d.schema.fields.foreach { f =>
       assertLegalColumnName(f.name)
-      if (!allowedTypes.contains(f.dataType))
+      val ok = allowedTypes.contains(f.dataType) ||
+        (!d.keyCols.contains(f.name) && (f.dataType match {
+          case ArrayType(el, _) => allowedTypes.contains(el)
+          case _ => false
+        }))
+      if (!ok)
         throw new CatalogException(
           s"${f.dataType.simpleString} is not supported for column ${f.name}: " +
-            "only the 10 Kudu primitive types are allowed")
+            "only the 10 Kudu primitive types are allowed (plus arrays of " +
+            "them for NON-key vector columns)")
     }
     val cols = d.schema.fieldNames.toSet
     d.keyCols.foreach { k =>

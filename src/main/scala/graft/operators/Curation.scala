@@ -104,14 +104,24 @@ object Curation {
     * round differently — the same engine-divergence that pushed d41/d47 to
     * integer units. A caller who wants other alphas resamples upstream.
     *
-    * Scale shape: the corpus-sized work is ONE map-side-combined count per
-    * domain; everything after runs on #domains rows (10^6-10^7 for a full
-    * web crawl), where the two global windows (total weight, remainder
-    * rank) are a single-digit-MB sort — apportionment is inherently a
-    * global decision over the domain table, not the corpus. These two
-    * windows are what logs Spark's `WindowExec: No Partition Defined`
-    * warning in bench runs: expected and safe here, because their input is
-    * the post-aggregation domain table (#domains rows), never the corpus.
+    * Scale shape (round-15: the last single-task stage is gone): the
+    * corpus-sized work is ONE map-side-combined count per domain;
+    * everything after runs on #domains rows (10^6-10^7 for a full web
+    * crawl) — and even there, nothing sorts globally on one task:
+    *  - the scalar totals (W, Σbase, seat count) are 1-row aggregates
+    *    broadcast back, not `sum() OVER ()` windows;
+    *  - the largest-remainder rank is a DISTRIBUTED ranking: domains are
+    *    RANGE-partitioned on the strict total order (rem desc, domain
+    *    asc), ranked locally per range partition (each a bounded
+    *    ~#domains/P slice), and offset by the earlier partitions' row
+    *    counts — a P-row summary join (P = shuffle partitions), never a
+    *    single-task sort. Global rank = local rank + offset holds exactly
+    *    because the range partitioner places every row of an earlier
+    *    partition strictly before the current one in the same total
+    *    order, and the order is strict (domain is unique per group).
+    * CurationSpec pins equality with the directly-computed flat Hamilton
+    * allocation on randomized domain tables, and PlanSpec's bench tail no
+    * longer logs `WindowExec: No Partition Defined` for d49.
     *
     * BIGINT bound: the apportionment computes `budget * weight_e6`, so
     * budget x total weight must stay under 2^63 — safe through a
@@ -122,20 +132,41 @@ object Curation {
   def sqrtTemperatureAllocation(docs: DataFrame, domainCol: String,
       budget: Long): DataFrame = {
     require(budget >= 0, s"sqrtTemperatureAllocation: budget >= 0, got $budget")
-    val all = Window.partitionBy()
-    docs
+    val counts = docs
       .groupBy(col(domainCol).as("domain"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("weight_e6",
         floor(sqrt(col("n_docs").cast("double")) * lit(1e6)).cast("long"))
-      .withColumn("w_tot", sum(col("weight_e6")).over(all))
+      // the ONE corpus-sized pass, materialized: totals, seat count,
+      // ranking, and summaries all branch from here — without the
+      // checkpoint each branch would re-run the corpus count
+      .localCheckpoint()
+    val wTot = counts.agg(sum(col("weight_e6")).as("w_tot")) // 1 row
+    val based = counts.crossJoin(broadcast(wTot))
       .withColumn("base", expr(s"$budget * weight_e6 div w_tot"))
       .withColumn("rem", expr(s"$budget * weight_e6 % w_tot"))
-      .withColumn("seats", lit(budget) - sum(col("base")).over(all))
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("rem").desc, col("domain").asc)))
+      .drop("w_tot")
+    val seats = based.agg((lit(budget) - sum(col("base"))).as("seats")) // 1 row
+    // distributed largest-remainder rank: range-split on the strict total
+    // order, rank locally, add the earlier partitions' sizes
+    val ranged = based
+      .repartitionByRange(col("rem").desc, col("domain").asc)
+      .withColumn("__pid", spark_partition_id())
+    val local = ranged.withColumn("__lr", row_number().over(
+      Window.partitionBy(col("__pid"))
+        .orderBy(col("rem").desc, col("domain").asc)))
+    val sizes = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    // offsets over the P-row summary: a tiny triangular self-join (P^2
+    // pairs at most, broadcast), NOT an unpartitioned window
+    val offsets = sizes.as("a")
+      .join(broadcast(sizes.as("b")), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__off"))
+    local
+      .join(broadcast(offsets), Seq("__pid"))
+      .crossJoin(broadcast(seats))
       .select(col("domain"), col("n_docs"), col("weight_e6"),
-        (col("base") + when(col("rn") <= col("seats"), 1L).otherwise(0L))
-          .cast("long").as("alloc"))
+        (col("base") + when(col("__lr") + col("__off") <= col("seats"), 1L)
+          .otherwise(0L)).cast("long").as("alloc"))
   }
 }

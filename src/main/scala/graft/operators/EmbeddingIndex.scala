@@ -1,0 +1,302 @@
+package graft.operators
+
+import graft.catalog.{KuduLikeCatalog, TableDef}
+import graft.functions.{PqAdcExpr, PqEncodeExpr, PqLutExpr, VectorFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Standing EMBEDDING index (round-15 verdict item 3): the
+  * [[NearDupIndex]] maintenance protocol applied to the vector side — IVF
+  * cell assignments and PQ codes materialized as a keyed catalog table and
+  * folded forward from the corpus table's changelog, so an incremental
+  * crawl running SemDeDup/ANN against the standing corpus probes a
+  * standing index instead of re-fitting quantizers and re-coding every
+  * vector per batch (the [[Similarity.ivfPqTopK]] batch shape).
+  *
+  * The quantizer model (coarse IVF centroids + per-subspace PQ codebooks)
+  * is trained ONCE at [[bootstrap]] — with exactly
+  * [[Similarity.ivfPqTopK]]'s recipe (normalize, id-ordered bounded
+  * sample, deterministic driver Lloyd) — and FROZEN into catalog tables:
+  * incremental maintenance is only sound under a stable quantizer (a
+  * refit would silently re-route every existing vector, invalidating all
+  * standing cells/codes), and persisting the model means probe and
+  * refresh can never run with mismatched parameters — they READ them.
+  *
+  * Tables (all keyed, bucketed catalog tables):
+  *  - `<ix>`          — `(id, cell INT, codes ARRAY<INT>)`, PK id: one row
+  *                      per corpus vector, the standing assignments+codes;
+  *  - `<ix>__model`   — `(kind, s, code, centroid ARRAY<FLOAT>)`, PK
+  *                      (kind, s, code): kind `coarse` holds the IVF
+  *                      centroids (s = 0, code = cell id), kind `pq` the
+  *                      codebooks (s = subspace, code = codeword);
+  *  - `<ix>__meta`    — the [[IndexMeta]] parameter record (cells, m,
+  *                      ksub, dim), validated on every refresh.
+  *
+  * Refresh protocol = [[NearDupIndex.refresh]]'s, verbatim: staleness
+  * guards (changelog window + base epoch) that fail loudly with a
+  * re-bootstrap instruction; net change per key; then ONE
+  * [[KuduLikeCatalog.applyChangeset]] commit carrying both the changed
+  * ids' tombstones and the survivors' re-encoded rows — probes see the
+  * old index or the new one, never a half-applied window.
+  *
+  * Scale shape: refresh moves |changed docs| rows through one shuffle (the
+  * encode is a broadcast-centroid join + a codegen'd expression); the
+  * probe scans CODES (m ints/row) for the probed cells only and touches
+  * real embeddings just for the Q×rerank exact shortlist — the IVFADC
+  * read shape, now over a standing table.
+  */
+object EmbeddingIndex {
+
+  /** The frozen quantizer model, loaded from `<ix>__model`/`__meta`. */
+  final case class Model(cells: Int, m: Int, ksub: Int, dim: Int,
+      coarse: Array[Array[Float]], codebooks: Array[Array[Array[Float]]])
+
+  private def modelTable(ix: String) = ix + "__model"
+
+  private def normalized(df: DataFrame, emb: String): DataFrame = {
+    val nrm = sqrt(aggregate(col(emb), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    df.withColumn(emb, transform(col(emb),
+      x => (x.cast("double") / nrm).cast("float")))
+  }
+
+  /** Train the quantizers and materialize index + model + meta tables.
+    * Training mirrors [[Similarity.ivfPqTopK]] exactly (same sample bound,
+    * ordering, and Lloyd loop), so a probe of the bootstrapped index is
+    * bit-identical to the batch operator on the same corpus.
+    */
+  def bootstrap(cat: KuduLikeCatalog, indexTable: String, corpus: DataFrame,
+      idCol: String, embCol: String,
+      cells: Int = 16, m: Int = 8, ksub: Int = 16,
+      buckets: Int = 8, maxFit: Long = 10000L): Long = {
+    val spark = corpus.sparkSession
+    val c = normalized(corpus.select(col(idCol), col(embCol)), embCol)
+    val n = c.count()
+    val sampleDf =
+      if (n <= maxFit) c
+      else c.sample(withReplacement = false, maxFit.toDouble / n, seed = 42L)
+    val sample = sampleDf.orderBy(idCol).collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "EmbeddingIndex.bootstrap: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"EmbeddingIndex: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val coarse = Similarity.lloyd(sample, cells, iters = 10)
+    val codebooks: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
+      Similarity.lloyd(
+        sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)),
+        ksub, iters = 10)
+    }
+
+    // model + parameter record first (tiny), then the index rows
+    cat.createTable(TableDef(modelTable(indexTable),
+      StructType(Seq(
+        StructField("kind", StringType, nullable = false),
+        StructField("s", IntegerType, nullable = false),
+        StructField("code", IntegerType, nullable = false),
+        StructField("centroid", ArrayType(FloatType, containsNull = false),
+          nullable = false))),
+      keyCols = Seq("kind", "s", "code"), buckets = 2))
+    val modelRows =
+      coarse.zipWithIndex.map { case (cent, i) =>
+        ("coarse", 0, i, cent.toSeq) }.toIndexedSeq ++
+      codebooks.zipWithIndex.toIndexedSeq.flatMap { case (cb, s) =>
+        cb.zipWithIndex.toIndexedSeq.map { case (cent, code) =>
+          ("pq", s, code, cent.toSeq) } }
+    cat.insert(modelTable(indexTable),
+      spark.createDataFrame(modelRows).toDF("kind", "s", "code", "centroid"))
+    IndexMeta.write(cat, indexTable, Map(
+      "kind" -> "ivfpq", "cells" -> coarse.length.toString, "m" -> m.toString,
+      "ksub" -> ksub.toString, "dim" -> dim.toString))
+
+    val idType = corpus.schema(idCol).dataType
+    cat.createTable(TableDef(indexTable,
+      StructType(Seq(
+        StructField(idCol, idType, nullable = false),
+        StructField("cell", IntegerType, nullable = false),
+        StructField("codes", ArrayType(IntegerType, containsNull = false),
+          nullable = false))),
+      keyCols = Seq(idCol), buckets = buckets))
+    val model = Model(coarse.length, m, ksub, dim, coarse, codebooks)
+    cat.insert(indexTable, encode(corpus, idCol, embCol, model))
+  }
+
+  /** Load the frozen model (bounded: cells + m·ksub rows). */
+  def loadModel(cat: KuduLikeCatalog, indexTable: String): Model = {
+    val meta = IndexMeta.read(cat, indexTable)
+    require(meta.get("kind").contains("ivfpq"),
+      s"$indexTable is not an embedding index (meta kind=${meta.get("kind")})")
+    val rows = cat.table(modelTable(indexTable)).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getSeq[Float](3).toArray))
+    val coarse = rows.filter(_._1 == "coarse").sortBy(_._3).map(_._4)
+    val m = meta("m").toInt
+    val ksub = meta("ksub").toInt
+    val codebooks = Array.tabulate(m) { s =>
+      rows.filter(r => r._1 == "pq" && r._2 == s).sortBy(_._3).map(_._4)
+    }
+    require(coarse.nonEmpty && codebooks.forall(_.length == ksub),
+      s"$indexTable: model table incomplete — re-bootstrap the index")
+    Model(coarse.length, m, ksub, meta("dim").toInt, coarse, codebooks)
+  }
+
+  /** Assignments + codes of a corpus frame under a FROZEN model — the one
+    * encode used by bootstrap, refresh, and the recompute the spec
+    * compares against. Broadcast-centroid join + codegen'd encode; one
+    * narrow projection, no shuffle beyond the row_number cell pick.
+    */
+  def encode(corpus: DataFrame, idCol: String, embCol: String,
+      model: Model): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = normalized(corpus.select(col(idCol), col(embCol)), embCol)
+    val centroids = broadcast(spark.createDataFrame(
+      model.coarse.zipWithIndex.map { case (cent, i) => (i, cent.toSeq) }
+        .toIndexedSeq).toDF("cell", "centroid"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("d").desc, col("cell").asc)
+    c.join(centroids)
+      .withColumn("d", VectorFunctions.cosine(col(embCol), col("centroid")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col(idCol), col("cell"),
+        ColumnBridge.column(PqEncodeExpr(
+          ColumnBridge.expression(col(embCol)), model.codebooks)).as("codes"))
+  }
+
+  /** Fold the corpus table's changes in (fromVersion, toVersion] into the
+    * index under the frozen model — [[NearDupIndex.refresh]]'s guards and
+    * single-commit discipline. Returns the number of changed docs applied.
+    */
+  def refresh(cat: KuduLikeCatalog, indexTable: String, corpusTable: String,
+      fromVersion: Int, toVersion: Int, baseEpoch: Long,
+      idCol: String, embCol: String): Long = {
+    require(0 <= fromVersion && fromVersion <= toVersion,
+      s"bad version window ($fromVersion, $toVersion]")
+    val current = cat.currentVersion(corpusTable)
+    require(toVersion <= current,
+      s"toVersion $toVersion exceeds current changelog version $current " +
+        s"(table compacted?) — re-bootstrap the index")
+    val epochNow = cat.baseEpoch(corpusTable)
+    require(epochNow == baseEpoch,
+      s"base epoch moved ($baseEpoch -> $epochNow): rows were inserted via " +
+        "the base-append path, which the changelog does not cover — " +
+        "re-bootstrap the index")
+    val model = loadModel(cat, indexTable)
+    val changes = cat.changesBetween(corpusTable, fromVersion, toVersion)
+    val latest = changes
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("version").desc)))
+      .filter(col("__rn") === 1).drop("__rn", "version")
+      .localCheckpoint() // consumed twice (tombstones + re-encode)
+    val changedIds = latest.select(col(idCol)).distinct()
+    val op = KuduLikeCatalog.OpCol
+    val prio = KuduLikeCatalog.PrioCol
+    // ONE commit: changed ids' old rows out, survivors' new codes in —
+    // a probe between "deleted" and "re-inserted" cannot exist because
+    // there is no between (applyChangeset is one delta layer)
+    val tombstones = cat.table(indexTable)
+      .join(changedIds, Seq(idCol), "left_semi")
+      .withColumn(op, lit("delete")).withColumn(prio, lit(0))
+    val survivors = latest.filter(col("op") =!= "delete").drop("op")
+    val upserts = encode(survivors, idCol, embCol, model)
+      .withColumn(op, lit("upsert")).withColumn(prio, lit(1))
+    cat.applyChangeset(indexTable, tombstones.unionByName(upserts))
+    changedIds.count()
+  }
+
+  /** IVFADC probe against the standing index: queries are assigned to
+    * their `nprobe` nearest FROZEN cells, scored against the standing
+    * CODES of those cells only (ADC), and the Q×rerank shortlist is
+    * re-ranked exactly against `corpus` embeddings. Output
+    * (qid, rank, id, cos) — [[Similarity.ivfPqTopK]]'s shape, and
+    * bit-identical to it on the bootstrapped corpus (EmbeddingIndexSpec).
+    */
+  def probe(cat: KuduLikeCatalog, indexTable: String, queries: DataFrame,
+      corpus: DataFrame, k: Int, nprobe: Int = 4, rerank: Int = 64,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val model = loadModel(cat, indexTable)
+    val q = normalized(
+      queries.select(col(idCol).as("qid"), col(embCol).as("q_emb")), "q_emb")
+    val luts = q.select(col("qid"), col("q_emb"), ColumnBridge.column(
+      PqLutExpr(ColumnBridge.expression(col("q_emb")), model.codebooks)).as("lut"))
+    val centroids = broadcast(spark.createDataFrame(
+      model.coarse.zipWithIndex.map { case (cent, i) => (i, cent.toSeq) }
+        .toIndexedSeq).toDF("cell", "centroid"))
+    val wCell = Window.partitionBy(col("qid")).orderBy(col("d").desc, col("cell").asc)
+    val qCells = luts.join(centroids)
+      .withColumn("d", VectorFunctions.cosine(col("q_emb"), col("centroid")))
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= nprobe)
+      .select(col("qid"), col("lut"), col("cell"))
+    val idx = cat.table(indexTable)
+      .select(col(idCol).as("id"), col("cell"), col("codes"))
+    val adc = qCells.join(idx, Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), ColumnBridge.column(PqAdcExpr(
+        ColumnBridge.expression(col("lut")),
+        ColumnBridge.expression(col("codes")))).as("adc"))
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("id").asc)
+    val shortlist = adc.withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= rerank)
+      .select("qid", "id")
+    val c = normalized(
+      corpus.select(col(idCol).as("id"), col(embCol).as("c_emb")), "c_emb")
+    val exact = shortlist
+      .join(q.select("qid", "q_emb"), "qid").join(c, "id")
+      .withColumn("cos", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "id", "cos")
+  }
+}
+
+/** Tiny per-index parameter record: a `<ix>__meta` keyed table of
+  * `(k, v)` strings. Closes the silent-mismatch hazard (r14 advice): an
+  * index's extractor/quantizer parameters are persisted at bootstrap and
+  * VALIDATED (or read back outright) by refresh and probe — probing with
+  * the wrong banding or subspace count fails loudly instead of returning
+  * wrong candidates.
+  */
+private[operators] object IndexMeta {
+  private def metaTable(ix: String) = ix + "__meta"
+
+  def write(cat: KuduLikeCatalog, indexTable: String,
+      params: Map[String, String]): Unit = {
+    cat.createTable(TableDef(metaTable(indexTable),
+      StructType(Seq(
+        StructField("k", StringType, nullable = false),
+        StructField("v", StringType, nullable = false))),
+      keyCols = Seq("k"), buckets = 1))
+    val spark = cat.table(metaTable(indexTable)).sparkSession
+    cat.insert(metaTable(indexTable),
+      spark.createDataFrame(params.toSeq).toDF("k", "v"))
+  }
+
+  def read(cat: KuduLikeCatalog, indexTable: String): Map[String, String] = {
+    require(cat.exists(metaTable(indexTable)),
+      s"$indexTable has no ${metaTable(indexTable)} parameter table — " +
+        "not a bootstrapped index (or created before parameter records " +
+        "existed; re-bootstrap)")
+    cat.table(metaTable(indexTable)).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  /** Loud equality check of caller-supplied parameters vs the record. */
+  def validate(cat: KuduLikeCatalog, indexTable: String,
+      expected: Map[String, String]): Unit = {
+    val actual = read(cat, indexTable)
+    val diffs = expected.collect {
+      case (k, v) if actual.get(k) != Some(v) =>
+        s"$k: caller=$v persisted=${actual.getOrElse(k, "<absent>")}"
+    }
+    require(diffs.isEmpty,
+      s"$indexTable parameter mismatch — the index was bootstrapped with " +
+        s"different parameters (${diffs.mkString("; ")}); probing or " +
+        "refreshing with mismatched parameters would silently return " +
+        "wrong candidates")
+  }
+}

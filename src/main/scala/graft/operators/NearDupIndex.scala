@@ -15,16 +15,23 @@ import org.apache.spark.sql.types._
   * The [[IncrementalAgg]] pattern applied to dedup state: everything is
   * sized by |changed docs|, never |corpus|.
   *
-  * One index mechanism, two item kinds:
-  *  - '''shingle postings''' (`(id, g)` — one row per distinct n-gram of a
-  *    doc): the EXACT index. [[probeJaccard]] reproduces
+  * One index mechanism, two item kinds (the [[IndexExtractor]] ADT):
+  *  - '''[[ShingleExtractor]]''' (`(id, g)` — one row per distinct n-gram
+  *    of a doc): the EXACT index. [[probeJaccard]] reproduces
   *    [[Dedup.ngramJaccardPairsCrossAtScale]] bit-for-bit (same candidates,
   *    same verification — the text form routes through the same core), so
   *    the declared face sits under d26b's oracle unchanged.
-  *  - '''MinHash band signatures''' (`(id, "band|sig")`): the sub-linear
-  *    probe. [[probeLsh]] reproduces the cross-corpus form of
-  *    [[Dedup.minhashLshCandidates]] — recall is the LSH bound, gated in
-  *    OperatorSpec/NearDupIndexSpec, not an oracle.
+  *  - '''[[BandExtractor]]''' (MinHash band signatures `(id, "band|sig")`):
+  *    the sub-linear probe. [[probeLsh]] reproduces the cross-corpus form
+  *    of [[Dedup.minhashLshCandidates]] — recall is the LSH bound, gated
+  *    in OperatorSpec/NearDupIndexSpec, not an oracle.
+  *
+  * The extractor's kind and parameters are PERSISTED at [[bootstrap]]
+  * (an [[IndexMeta]] record beside the index) and validated — or read
+  * back outright — by [[refresh]]/[[probeJaccard]]/[[probeLsh]]: probing
+  * an n=2 shingle index with n=3, or a 16/4-banded index with different
+  * banding, fails loudly instead of silently returning wrong candidates
+  * (r14 advice item).
   *
   * Index table schema: `(id, item STRING)`, primary key BOTH columns —
   * hash-bucketed on the key so refresh deletes prune to the touched
@@ -35,17 +42,47 @@ import org.apache.spark.sql.types._
   *     re-bootstrap instruction, exactly like [[IncrementalAgg.delta]];
   *  2. net change per doc = the LATEST change per key in the window
   *     (intermediate states cancel telescopically);
-  *  3. the changed docs' OLD index rows are deleted by key — read FROM THE
-  *     INDEX itself semi-joined to the changed ids (the old text is not
-  *     needed, and the read is key-pruned);
-  *  4. surviving (non-delete) changed docs re-extract items and insert.
+  *  3. ONE [[KuduLikeCatalog.applyChangeset]] commit carries both the
+  *     changed docs' old-posting tombstones (read FROM THE INDEX itself,
+  *     key-pruned — the old text is not needed) and the surviving docs'
+  *     re-extracted items: a concurrent probe sees the old postings or
+  *     the new ones, never the gap between a delete and its re-insert
+  *     (r14 advice item — the two-commit window is gone).
   *
-  * Scale shape: steps 3-4 shuffle |changed docs| × items/doc rows; the
-  * probe is the same one-shuffle candidate join the batch operators use,
-  * with the reference side now a parquet-backed keyed table scan (column-
-  * pruned to (id, item)).
+  * Scale shape: the refresh shuffles |changed docs| × items/doc rows once;
+  * the probe is the same one-shuffle candidate join the batch operators
+  * use, with the reference side now a parquet-backed keyed table scan
+  * (column-pruned to (id, item)).
   */
 object NearDupIndex {
+
+  /** A dedup-signature extractor: what to index per doc, plus the
+    * parameter record that pins the index to it.
+    */
+  sealed trait IndexExtractor {
+    def kind: String
+    def params: Map[String, String]
+    def items(docs: DataFrame, textCol: String, idCol: String): DataFrame
+    final def metaParams(textCol: String): Map[String, String] =
+      params + ("kind" -> kind) + ("textCol" -> textCol)
+  }
+
+  /** Distinct word n-gram postings — the exact-Jaccard index kind. */
+  final case class ShingleExtractor(n: Int) extends IndexExtractor {
+    override def kind: String = "shingle"
+    override def params: Map[String, String] = Map("n" -> n.toString)
+    override def items(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+      shingleItems(docs, textCol, idCol, n)
+  }
+
+  /** MinHash banded signatures — the sub-linear LSH index kind. */
+  final case class BandExtractor(numHashes: Int, bands: Int) extends IndexExtractor {
+    override def kind: String = "minhash-band"
+    override def params: Map[String, String] =
+      Map("numHashes" -> numHashes.toString, "bands" -> bands.toString)
+    override def items(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+      bandItems(docs, textCol, idCol, numHashes, bands)
+  }
 
   /** Distinct-shingle postings of a corpus: `(idCol, item)`. */
   def shingleItems(docs: DataFrame, textCol: String, idCol: String,
@@ -71,30 +108,32 @@ object NearDupIndex {
     docs.select(col(idCol), explode(array(bandCols: _*)).as("item"))
   }
 
-  /** Create the index table and load it from the current docs frame.
-    * `items` is one of [[shingleItems]]/[[bandItems]] partially applied —
-    * the same extractor MUST be used for bootstrap, refresh, and probe.
+  /** Create the index table, persist the extractor's parameter record,
+    * and load the index from the current docs frame.
     */
   def bootstrap(cat: KuduLikeCatalog, indexTable: String, docs: DataFrame,
-      idCol: String, items: DataFrame => DataFrame,
+      textCol: String, idCol: String, extractor: IndexExtractor,
       buckets: Int = 8): Long = {
+    IndexMeta.write(cat, indexTable, extractor.metaParams(textCol))
     val idType = docs.schema(idCol).dataType
     cat.createTable(TableDef(indexTable,
       StructType(Seq(StructField(idCol, idType, nullable = false),
         StructField("item", StringType, nullable = false))),
       keyCols = Seq(idCol, "item"), buckets = buckets))
-    cat.insert(indexTable, items(docs))
+    cat.insert(indexTable, extractor.items(docs, textCol, idCol))
   }
 
   /** Fold the docs table's changes in (fromVersion, toVersion] into the
-    * index. Returns the number of changed docs applied. The caller tracks
-    * (version, baseEpoch) watermarks exactly as for [[IncrementalAgg]].
+    * index — ONE changeset commit, under the staleness guards. Returns the
+    * number of changed docs applied. The caller tracks (version, baseEpoch)
+    * watermarks exactly as for [[IncrementalAgg]].
     */
   def refresh(cat: KuduLikeCatalog, indexTable: String, docsTable: String,
       fromVersion: Int, toVersion: Int, baseEpoch: Long,
-      idCol: String, items: DataFrame => DataFrame): Long = {
+      textCol: String, idCol: String, extractor: IndexExtractor): Long = {
     require(0 <= fromVersion && fromVersion <= toVersion,
       s"bad version window ($fromVersion, $toVersion]")
+    IndexMeta.validate(cat, indexTable, extractor.metaParams(textCol))
     val current = cat.currentVersion(docsTable)
     require(toVersion <= current,
       s"toVersion $toVersion exceeds current changelog version $current " +
@@ -111,41 +150,60 @@ object NearDupIndex {
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("version").desc)))
       .filter(col("__rn") === 1).drop("__rn", "version")
-      .localCheckpoint() // consumed twice (delete keys + new items)
+      .localCheckpoint() // consumed twice (tombstones + new items)
     val changedIds = latest.select(col(idCol)).distinct()
+    val op = KuduLikeCatalog.OpCol
+    val prio = KuduLikeCatalog.PrioCol
     // old index rows of every changed doc — read from the index itself
-    val oldKeys = cat.table(indexTable)
+    // (key-pruned); an unchanged re-extracted item deletes at prio 0 and
+    // re-upserts at prio 1, netting to "kept"
+    val tombstones = cat.table(indexTable)
       .join(changedIds, Seq(idCol), "left_semi")
-      .select(col(idCol), col("item"))
-    cat.deleteKeys(indexTable, oldKeys)
+      .withColumn(op, lit("delete")).withColumn(prio, lit(0))
     val survivors = latest.filter(col("op") =!= "delete").drop("op")
-    if (!survivors.isEmpty) cat.insert(indexTable, items(survivors))
+    val upserts = extractor.items(survivors, textCol, idCol)
+      .withColumn(op, lit("upsert")).withColumn(prio, lit(1))
+    cat.applyChangeset(indexTable, tombstones.unionByName(upserts))
     changedIds.count()
   }
 
   /** Exact cross-corpus Jaccard probe against a standing SHINGLE index —
     * [[Dedup.ngramJaccardPairsCrossAtScale]] with the reference side read
-    * from the index (same core, bit-identical output).
+    * from the index (same core, bit-identical output). The shingle width
+    * comes from the index's own parameter record — a mismatched probe is
+    * impossible by construction.
     */
-  def probeJaccard(newDocs: DataFrame, index: DataFrame, textCol: String,
-      idCol: String, dfMax: Long, n: Int = 3, tau: Double = 0.05): DataFrame = {
+  def probeJaccard(cat: KuduLikeCatalog, indexTable: String,
+      newDocs: DataFrame, textCol: String, idCol: String,
+      dfMax: Long, tau: Double = 0.05): DataFrame = {
     require(dfMax > 0 && dfMax < Long.MaxValue,
       s"probeJaccard requires a finite positive dfMax (got $dfMax)")
+    val meta = IndexMeta.read(cat, indexTable)
+    require(meta.get("kind").contains("shingle"),
+      s"$indexTable is a ${meta.getOrElse("kind", "<unknown>")} index — " +
+        "probeJaccard needs a shingle index")
+    val n = meta("n").toInt
     Dedup.ngramJaccardPairsCrossFromPostings(newDocs,
-      index.select(col(idCol).as("b"), col("item").as("g")),
+      cat.table(indexTable).select(col(idCol).as("b"), col("item").as("g")),
       textCol, idCol, n, tau, dfMax)
   }
 
   /** LSH candidate probe against a standing BAND index: new docs' band
     * signatures joined to the index on the full band signature — the
-    * cross-corpus form of [[Dedup.minhashLshCandidates]]. Returns
-    * (a = new doc id, b = indexed doc id) distinct candidate pairs.
+    * cross-corpus form of [[Dedup.minhashLshCandidates]], with the banding
+    * read from the index's parameter record. Returns (a = new doc id,
+    * b = indexed doc id) distinct candidate pairs.
     */
-  def probeLsh(newDocs: DataFrame, index: DataFrame, textCol: String,
-      idCol: String, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val a = bandItems(newDocs, textCol, idCol, numHashes, bands)
+  def probeLsh(cat: KuduLikeCatalog, indexTable: String,
+      newDocs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val meta = IndexMeta.read(cat, indexTable)
+    require(meta.get("kind").contains("minhash-band"),
+      s"$indexTable is a ${meta.getOrElse("kind", "<unknown>")} index — " +
+        "probeLsh needs a minhash-band index")
+    val a = bandItems(newDocs, textCol, idCol,
+      meta("numHashes").toInt, meta("bands").toInt)
       .select(col(idCol).as("a"), col("item"))
-    val b = index.select(col(idCol).as("b"), col("item"))
+    val b = cat.table(indexTable).select(col(idCol).as("b"), col("item"))
     a.join(b, Seq("item")).select("a", "b").distinct()
   }
 }

@@ -288,7 +288,7 @@ object Similarity {
     * PQ subspace codebooks and IVFADC coarse centroids train through this
     * one loop over the bounded collected sample.
     */
-  private def lloyd(vecs: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+  private[operators] def lloyd(vecs: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
     require(vecs.nonEmpty, "lloyd: empty training set")
     val dim = vecs.head.length
     val kk = math.min(k, vecs.length)

@@ -1635,24 +1635,29 @@ object PipelineQueries {
     QDef("d53_standing_neardup_index",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        val ref = docs.filter(col("source") === "src1").select("doc_id", "text")
-        val root = java.nio.file.Files.createTempDirectory("graft_d53_").toString
+        // the lifecycle is deterministic per fixture dir, so the built
+        // index is memoized like the benchFn's (one root per JVM per dir,
+        // not a leaked temp dir per invocation — both row orders and
+        // repeated runs probe the same standing index)
+        val root = ScanQueries.memoized(s"d53decl:$dir") { t =>
+          val cat = new graft.catalog.KuduLikeCatalog(s, t)
+          val ref = docs.filter(col("source") === "src1").select("doc_id", "text")
+          cat.createTable(graft.catalog.TableDef("refdocs",
+            ref.schema, Seq("doc_id"), buckets = 4))
+          cat.insert("refdocs", ref.filter(col("doc_id") % 3 =!= 0))
+          val v0 = cat.currentVersion("refdocs")
+          val ep = cat.baseEpoch("refdocs")
+          val ex = graft.operators.NearDupIndex.ShingleExtractor(2)
+          graft.operators.NearDupIndex.bootstrap(
+            cat, "ndx", cat.table("refdocs"), "text", "doc_id", ex)
+          cat.upsert("refdocs", ref.filter(col("doc_id") % 3 === 0))
+          graft.operators.NearDupIndex.refresh(cat, "ndx", "refdocs",
+            v0, cat.currentVersion("refdocs"), ep, "text", "doc_id", ex)
+        }
         val cat = new graft.catalog.KuduLikeCatalog(s, root)
-        cat.createTable(graft.catalog.TableDef("refdocs",
-          ref.schema, Seq("doc_id"), buckets = 4))
-        cat.insert("refdocs", ref.filter(col("doc_id") % 3 =!= 0))
-        val v0 = cat.currentVersion("refdocs")
-        val ep = cat.baseEpoch("refdocs")
-        val items: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-          d => graft.operators.NearDupIndex.shingleItems(d, "text", "doc_id", n = 2)
-        graft.operators.NearDupIndex.bootstrap(
-          cat, "ndx", cat.table("refdocs"), "doc_id", items)
-        cat.upsert("refdocs", ref.filter(col("doc_id") % 3 === 0))
-        graft.operators.NearDupIndex.refresh(cat, "ndx", "refdocs",
-          v0, cat.currentVersion("refdocs"), ep, "doc_id", items)
         graft.operators.NearDupIndex.probeJaccard(
-          docs.filter(col("source") === "src0"), cat.table("ndx"),
-          "text", "doc_id", dfMax = 50L, n = 2, tau = 0.05)
+          cat, "ndx", docs.filter(col("source") === "src0"),
+          "text", "doc_id", dfMax = 50L, tau = 0.05)
           .select(col("a"), col("b"), col("inter"), dec4(col("jaccard")).as("jac"))
           .orderBy("a", "b")
       },
@@ -1691,15 +1696,76 @@ object PipelineQueries {
             ref.schema, Seq("doc_id"), buckets = 4))
           cat.insert("refdocs", ref)
           graft.operators.NearDupIndex.bootstrap(
-            cat, "ndx", cat.table("refdocs"), "doc_id",
-            d => graft.operators.NearDupIndex.shingleItems(d, "text", "doc_id", n = 2))
+            cat, "ndx", cat.table("refdocs"), "text", "doc_id",
+            graft.operators.NearDupIndex.ShingleExtractor(2))
         }
         val cat = new graft.catalog.KuduLikeCatalog(s, root)
         graft.operators.NearDupIndex.probeJaccard(
+          cat, "ndx",
           Tables.load(s, dir, "documents").filter(col("source") === "src0"),
-          cat.table("ndx"), "text", "doc_id", dfMax = 50L, n = 2, tau = 0.05)
+          "text", "doc_id", dfMax = 50L, tau = 0.05)
           .select(col("a"), col("b"), col("inter"), dec4(col("jaccard")).as("jac"))
           .orderBy("a", "b")
       }),
+
+    // Standing EMBEDDING index (operators/EmbeddingIndex, round-15): the
+    // d53 lifecycle on the vector side — seed the corpus table with 2/3 of
+    // the standing vectors, bootstrap the frozen IVF+PQ quantizers and the
+    // (id, cell, codes) index, land the remaining third as a changelog
+    // batch, fold it in with ONE incremental refresh commit, then answer
+    // ANN queries through the standing index: IVFADC candidates (codes
+    // scanned per probed cell), exact raw-cosine re-rank of the shortlist
+    // (the d12 expression — bit-exact vs the oracle). The oracle is the
+    // global exact top-3, so it only passes if the refreshed third is IN
+    // the index (10 of the 30 expected rows come from it) and the
+    // ADC shortlist kept every true neighbor. Probe internals are
+    // additionally spec-gated bit-identical to the batch ivfPqTopK.
+    QDef("d54_standing_embedding_index",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val root = ScanQueries.memoized(s"d54decl:$dir") { t =>
+          val cat = new graft.catalog.KuduLikeCatalog(s, t)
+          val ref = emb.filter(col("vec_id") >= 10)
+          cat.createTable(graft.catalog.TableDef("refemb",
+            ref.schema, Seq("vec_id"), buckets = 4))
+          cat.insert("refemb", ref.filter(col("vec_id") % 3 =!= 0))
+          val v0 = cat.currentVersion("refemb")
+          val ep = cat.baseEpoch("refemb")
+          graft.operators.EmbeddingIndex.bootstrap(cat, "emx",
+            cat.table("refemb"), "vec_id", "embedding",
+            cells = 4, m = 8, ksub = 16)
+          cat.upsert("refemb", ref.filter(col("vec_id") % 3 === 0))
+          graft.operators.EmbeddingIndex.refresh(cat, "emx", "refemb",
+            v0, cat.currentVersion("refemb"), ep, "vec_id", "embedding")
+        }
+        val cat = new graft.catalog.KuduLikeCatalog(s, root)
+        val queries = emb.filter(col("vec_id") < 10)
+        // exhaustive probe settings: all cells, unbounded shortlist — the
+        // candidate set is exactly the index MEMBERSHIP, so the global
+        // top-3 oracle gates the lifecycle (a doc the refresh failed to
+        // fold in cannot appear); ADC pruning quality at realistic
+        // (nprobe, rerank) is gated by EmbeddingIndexSpec, not this oracle
+        val shortlist = graft.operators.EmbeddingIndex.probe(cat, "emx",
+          queries, cat.table("refemb"),
+          k = Int.MaxValue, nprobe = 4, rerank = Int.MaxValue)
+          .select("qid", "id")
+        val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val c = emb.select(col("vec_id").as("id"), col("embedding").as("ce"))
+        val exact = shortlist.join(q, "qid").join(c, "id")
+          .withColumn("cos", VF.cosine(col("qe"), col("ce")))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id").asc)
+        exact.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("id"), dec4(col("cos")).as("cos"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""SELECT qid, rank, id, CAST(cos AS DECIMAL(38,4)) AS cos FROM (
+              |  SELECT q.vec_id AS qid, c.vec_id AS id,
+              |    ${VF.oracleCosineSql("q.embedding", "c.embedding")} AS cos,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY ${VF.oracleCosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+              |  FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
+              |  WHERE q.vec_id < 10) t
+              |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
   )
 }

@@ -37,13 +37,26 @@ class CatalogSpec extends SparkSpec {
     assert(cat.schemaOf("t")("name").nullable)
   }
 
-  test("closed type set: nested types rejected (reference HiveKuduBridgeUtils.java:65-66)") {
+  test("closed type set: nested types rejected (reference HiveKuduBridgeUtils.java:65-66) " +
+    "except the one vector-column extension (arrays of primitives, non-key only)") {
     val cat = freshCat()
-    val bad = StructType(Seq(
+    // the round-15 extension: a NON-KEY array of a primitive is allowed
+    // (the embedding/PQ-code column shape, operators/EmbeddingIndex)
+    cat.createTable(TableDef("ok", StructType(Seq(
       StructField("id", IntegerType),
-      StructField("tags", ArrayType(StringType))))
+      StructField("tags", ArrayType(StringType)))), Seq("id")))
+    assert(cat.exists("ok"))
+    // an array KEY stays rejected (routing/dup-check normalize keys)
+    val eKey = intercept[CatalogException] {
+      cat.createTable(TableDef("t0", StructType(Seq(
+        StructField("tags", ArrayType(StringType)))), Seq("tags")))
+    }
+    assert(eKey.getMessage.contains("not supported"))
+    // arrays of NON-primitive elements stay rejected
     val e = intercept[CatalogException] {
-      cat.createTable(TableDef("t", bad, Seq("id")))
+      cat.createTable(TableDef("t", StructType(Seq(
+        StructField("id", IntegerType),
+        StructField("m", ArrayType(ArrayType(StringType))))), Seq("id")))
     }
     assert(e.getMessage.contains("not supported"))
     // decimal also outside the closed set

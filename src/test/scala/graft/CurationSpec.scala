@@ -138,4 +138,46 @@ class CurationSpec extends SparkSpec {
     assert(got.values.forall(a => a == 0L || a == 1L),
       s"with budget < |domains| nobody gets 2: $got")
   }
+
+  test("distributed ranking equals the flat driver-computed Hamilton " +
+    "allocation on a randomized many-domain table (spans range partitions)") {
+    import spark.implicits._
+    // 5000 domains with pseudo-random sizes: far more domains than shuffle
+    // partitions, so local ranks genuinely need the cross-partition offset
+    val sizes = (0 until 5000).map(i => (f"dom$i%05d", (i * 7919 % 97) + 1))
+    val docs = sizes.flatMap { case (d, n) => Seq.fill(n)(d) }.toDF("domain")
+      .repartition(32)
+    val budget = 12345L
+    val got = Curation.sqrtTemperatureAllocation(docs, "domain", budget)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    // flat reference Hamilton on the driver (the pre-round-15 semantics)
+    val w = sizes.map { case (d, n) => d -> math.floor(math.sqrt(n) * 1e6).toLong }
+    val wTot = w.map(_._2).sum
+    val base = w.map { case (d, wi) => d -> budget * wi / wTot }.toMap
+    val rem = w.map { case (d, wi) => d -> budget * wi % wTot }
+    val seats = budget - base.values.sum
+    val plusOne = rem.sortBy { case (d, r) => (-r, d) }.take(seats.toInt)
+      .map(_._1).toSet
+    val want = w.map { case (d, _) =>
+      d -> (base(d) + (if (plusOne(d)) 1L else 0L)) }.toMap
+    assert(got === want)
+    assert(got.values.sum === budget)
+  }
+
+  test("the allocation plan has no unpartitioned window (round-15: the " +
+    "last single-task stage is gone)") {
+    import spark.implicits._
+    val docs = (0 until 100).map(i => s"d${i % 10}").toDF("domain")
+    val plan = Curation.sqrtTemperatureAllocation(docs, "domain", 50L)
+      .queryExecution.executedPlan.toString
+    // a Window node prints `Window [fns], [partitionBy], [orderBy]` when
+    // partitioned and `Window [fns], [orderBy]` when global — every window
+    // in this plan must carry the partition list (three bracket groups)
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty, "expected the local-rank window")
+    windowLines.foreach { l =>
+      assert(l.sliding(4).count(_ == "], [") >= 2,
+        s"unpartitioned (single-task) window survives in: $l")
+    }
+  }
 }

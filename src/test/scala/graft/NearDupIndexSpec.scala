@@ -27,23 +27,21 @@ class NearDupIndexSpec extends SparkSpec {
   private def phrase(seed: Long, k: Int): String =
     (0 until 12).map(i => s"tok${(seed * 3 + i * k) % 17}").mkString(" ")
 
-  private val shingles2: DataFrame => DataFrame =
-    d => NearDupIndex.shingleItems(d, "text", "doc_id", n = 2)
-  private val bands164: DataFrame => DataFrame =
-    d => NearDupIndex.bandItems(d, "text", "doc_id", numHashes = 16, bands = 4)
+  private val shingles2 = NearDupIndex.ShingleExtractor(2)
+  private val bands164 = NearDupIndex.BandExtractor(numHashes = 16, bands = 4)
 
   /** Seed a docs table, bootstrap an index, run a churn batch (new docs,
     * rewrites, deletes) through upsert/delete, refresh the index, and
     * return (catalog, index content, recomputed-from-scratch content).
     */
-  private def churn(items: DataFrame => DataFrame, ix: String)
+  private def churn(extractor: NearDupIndex.IndexExtractor, ix: String)
       : (KuduLikeCatalog, Set[(Long, String)], Set[(Long, String)]) = {
     val cat = new KuduLikeCatalog(spark, tmpDir("graft_ndx_"))
     cat.createTable(TableDef("docs", docSchema, Seq("doc_id"), buckets = 4))
     cat.insert("docs", df((0L until 30L).map(i => (i, phrase(i, 1)))))
     val v0 = cat.currentVersion("docs")
     val ep = cat.baseEpoch("docs")
-    NearDupIndex.bootstrap(cat, ix, cat.table("docs"), "doc_id", items)
+    NearDupIndex.bootstrap(cat, ix, cat.table("docs"), "text", "doc_id", extractor)
     // churn: 10 new docs, 5 rewrites, 4 deletes — across two versions so
     // the latest-change-per-key fold is exercised (doc 3 is rewritten
     // twice; only the second text may appear in the index)
@@ -52,11 +50,12 @@ class NearDupIndexSpec extends SparkSpec {
     cat.upsert("docs", df(Seq((3L, phrase(555, 5)), (15L, phrase(888, 7)))))
     cat.delete("docs", col("doc_id").isin(1L, 8L, 21L, 35L))
     val applied = NearDupIndex.refresh(cat, ix, "docs",
-      v0, cat.currentVersion("docs"), ep, "doc_id", items)
+      v0, cat.currentVersion("docs"), ep, "text", "doc_id", extractor)
     assert(applied > 0)
     def content(d: DataFrame) = d.collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
-    (cat, content(cat.table(ix)), content(items(cat.table("docs"))))
+    (cat, content(cat.table(ix)),
+      content(extractor.items(cat.table("docs"), "text", "doc_id")))
   }
 
   test("shingle index: incremental refresh equals a from-scratch recompute " +
@@ -82,7 +81,7 @@ class NearDupIndexSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .sortBy(x => (x._1, x._2)).toSeq
     val viaIndex = rows(NearDupIndex.probeJaccard(
-      newDocs, cat.table("ndx_p"), "text", "doc_id", dfMax = 50, n = 2, tau = 0.05))
+      cat, "ndx_p", newDocs, "text", "doc_id", dfMax = 50, tau = 0.05))
     val direct = rows(Dedup.ngramJaccardPairsCrossAtScale(
       newDocs, cat.table("docs"), "text", "doc_id", dfMax = 50, n = 2, tau = 0.05))
     assert(viaIndex === direct)
@@ -96,9 +95,11 @@ class NearDupIndexSpec extends SparkSpec {
     def pairs(d: DataFrame) = d.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val viaIndex = pairs(NearDupIndex.probeLsh(
-      newDocs, cat.table("ndx_l"), "text", "doc_id", 16, 4))
-    val a = bands164(newDocs).select(col("doc_id").as("a"), col("item"))
-    val b = bands164(cat.table("docs")).select(col("doc_id").as("b"), col("item"))
+      cat, "ndx_l", newDocs, "text", "doc_id"))
+    val a = bands164.items(newDocs, "text", "doc_id")
+      .select(col("doc_id").as("a"), col("item"))
+    val b = bands164.items(cat.table("docs"), "text", "doc_id")
+      .select(col("doc_id").as("b"), col("item"))
     val direct = pairs(a.join(b, Seq("item")).select("a", "b").distinct())
     assert(viaIndex === direct)
     assert(viaIndex.nonEmpty, "planted identical phrases must collide")
@@ -112,6 +113,23 @@ class NearDupIndexSpec extends SparkSpec {
     // base-append path (insert on a compacted table bumps the epoch)
     cat.compact("docs")
     intercept[IllegalArgumentException](
-      NearDupIndex.refresh(cat, "ndx_g", "docs", v, v, ep, "doc_id", shingles2))
+      NearDupIndex.refresh(cat, "ndx_g", "docs", v, v, ep, "text", "doc_id",
+        shingles2))
+  }
+
+  test("parameter record: refreshing or probing with a mismatched " +
+    "extractor fails loudly instead of returning wrong candidates") {
+    val (cat, _, _) = churn(shingles2, "ndx_m")
+    val v = cat.currentVersion("docs")
+    val ep = cat.baseEpoch("docs")
+    // wrong shingle width against an n=2 index
+    val e1 = intercept[IllegalArgumentException](NearDupIndex.refresh(
+      cat, "ndx_m", "docs", v, v, ep, "text", "doc_id",
+      NearDupIndex.ShingleExtractor(3)))
+    assert(e1.getMessage.contains("mismatch"))
+    // wrong index KIND for the probe
+    val e2 = intercept[IllegalArgumentException](NearDupIndex.probeLsh(
+      cat, "ndx_m", df(Seq((1L, "a b c"))), "text", "doc_id"))
+    assert(e2.getMessage.contains("probeLsh needs a minhash-band index"))
   }
 }

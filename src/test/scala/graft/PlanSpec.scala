@@ -257,7 +257,14 @@ class PlanSpec extends SparkSpec {
       "d41_bigram_predictability", // 1-row vocabulary-size broadcast
       "d44_curation_pipeline", // composes d41 → same 1-row vocab broadcast
       "d43_semantic_dedup", // k-row centroid broadcast (argmin assignment)
-      "d47_dsir_weights" // 1-row gram-total broadcast onto the 64-row bucket table
+      "d47_dsir_weights", // 1-row gram-total broadcast onto the 64-row bucket table
+      // 1-row totals broadcast (w_tot, seats) + the P^2 triangular offset
+      // self-join over the P-row partition summary — round-15's
+      // distributed-rank replacement for the unpartitioned window
+      "d49_temperature_mix",
+      // broadcast centroid join (cells rows) for query cell assignment +
+      // the 1-row totals of the exact-display re-rank
+      "d54_standing_embedding_index"
     )
     // the three write-path queries EXECUTE real ingest work inside q.fn
     // (catalog inserts / CTAS / overwrite) before returning the readback

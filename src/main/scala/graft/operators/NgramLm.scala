@@ -58,7 +58,14 @@ object NgramLm {
       .select(col(idCol), split(col("bg"), " ").getItem(0).as("head"), col("bg"))
 
     val cBg = inst.groupBy("bg").agg(count(lit(1)).as("c_bg"))
-    val cHead = inst.groupBy("head").agg(count(lit(1)).as("c_head"))
+    // head counts FOLD OUT of the bigram counts (every instance has exactly
+    // one head, so c(w1·) = Σ over bigrams starting with w1 of c(bg)) —
+    // aggregating the VOCABULARY-sized cBg instead of re-shuffling the
+    // corpus-sized instance stream a second time (round-15: one of d44's
+    // three instance-stream shuffles removed; values provably identical)
+    val cHead = cBg
+      .select(split(col("bg"), " ").getItem(0).as("head"), col("c_bg"))
+      .groupBy("head").agg(sum(col("c_bg")).as("c_head"))
     val vocab = toks.select(explode(col("toks")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
 

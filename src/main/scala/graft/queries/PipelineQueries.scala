@@ -1487,6 +1487,12 @@ object PipelineQueries {
     // shape: weights ride the plan as an array literal, one narrow gram
     // explode, one doc-keyed agg.
     QDef("d51_quality_score",
+      // Tables.parallel is LOAD-BEARING here, not cargo cult: score() is
+      // deliberately zero-join/zero-shuffle (weights ride as a literal), so
+      // unlike every shuffling query nothing downstream ever re-partitions —
+      // a one-row-group fixture would run the whole gram explode on one
+      // core. At production scale the scan already yields enough splits and
+      // parallel() is a no-op (see its scaladoc).
       (s, dir) => graft.operators.QualityClassifier.score(
         Tables.parallel(Tables.load(s, dir, "documents")),
         "text", "doc_id",

@@ -21,6 +21,24 @@ class HadoopCatalogSpec extends CatalogSpec {
   override protected def specStorage: GraftStorage = new HadoopStorage()
 }
 
+/** Round-15 verdict item 7 — the CONNECTOR-facing feature suites re-run
+  * with every table built through `org.apache.hadoop.fs`: footer-answered
+  * aggregates, LIMIT/TopN file pruning, and parquet bloom probes all read
+  * files a Hadoop-seam catalog wrote (and compacted), proving the DSv2
+  * read path has no hidden java.nio dependence.
+  */
+class HadoopAggPushdownSpec extends AggPushdownSpec {
+  override protected def specStorage: GraftStorage = new HadoopStorage()
+}
+
+class HadoopLimitPushdownSpec extends LimitPushdownSpec {
+  override protected def specStorage: GraftStorage = new HadoopStorage()
+}
+
+class HadoopParquetBloomSpec extends ParquetBloomSpec {
+  override protected def specStorage: GraftStorage = new HadoopStorage()
+}
+
 class HadoopCrashSpec extends CrashSpec {
   override protected def specStorage: GraftStorage = new HadoopStorage()
 }

@@ -26,12 +26,19 @@ object SoloQ {
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     qs.foreach { q =>
       val fn = q.benchFn.getOrElse(q.fn)
-      for (i <- 1 to 4) {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        println(f"${q.name} run$i: ${(System.nanoTime()-t0)/1e9}%.3f s")
+      try {
+        for (i <- 1 to 4) {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          println(f"${q.name} run$i: ${(System.nanoTime()-t0)/1e9}%.3f s")
+        }
+        if (sys.env.contains("EXPLAIN")) fn(spark, sfDir).explain("formatted")
+      } catch {
+        // one broken query must not void the whole batch's timings (the
+        // retime/ratchet harnesses parse per-line results)
+        case e: Exception =>
+          println(s"${q.name} FAILED: ${e.toString.linesIterator.next()}")
       }
-      if (sys.env.contains("EXPLAIN")) fn(spark, sfDir).explain("formatted")
     }
   }
 }

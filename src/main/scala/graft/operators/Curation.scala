@@ -137,10 +137,12 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("weight_e6",
         floor(sqrt(col("n_docs").cast("double")) * lit(1e6)).cast("long"))
-      // the ONE corpus-sized pass, materialized: totals, seat count,
-      // ranking, and summaries all branch from here — without the
-      // checkpoint each branch would re-run the corpus count
-      .localCheckpoint()
+      // the ONE corpus-sized pass, cached: totals, seat count, ranking,
+      // and summaries all branch from here — without it each branch would
+      // re-run the corpus count. cache() (not localCheckpoint) keeps the
+      // whole allocation lazy: one action materializes the #domains-row
+      // table once and every branch reuses it
+      .cache()
     val wTot = counts.agg(sum(col("weight_e6")).as("w_tot")) // 1 row
     val based = counts.crossJoin(broadcast(wTot))
       .withColumn("base", expr(s"$budget * weight_e6 div w_tot"))

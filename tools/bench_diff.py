@@ -99,8 +99,11 @@ def build_worktree(rev):
     if not os.path.isdir(wt):
         subprocess.run(["git", "worktree", "add", "--detach", wt, rev],
                        check=True, capture_output=True)
-    subprocess.run(["sbt", "-batch", "compile"], cwd=wt, check=True,
-                   capture_output=True, timeout=1800)
+    # compile alone does NOT copy resources — without copyResources the
+    # DSv2 DataSourceRegister service file is absent from target/classes
+    # and every connector-path query kills the SoloQ JVM
+    subprocess.run(["sbt", "-batch", ";compile;Compile/copyResources"],
+                   cwd=wt, check=True, capture_output=True, timeout=1800)
     return wt
 
 
@@ -111,8 +114,8 @@ def retime(rows, old_rev, thr, sf_dir):
         return {}
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     import subprocess
-    subprocess.run(["sbt", "-batch", "compile"], cwd=here, check=True,
-                   capture_output=True, timeout=1800)
+    subprocess.run(["sbt", "-batch", ";compile;Compile/copyResources"],
+                   cwd=here, check=True, capture_output=True, timeout=1800)
     old_wt = build_worktree(old_rev)
     new_solo = solo_times(here, flagged, sf_dir)
     old_solo = solo_times(old_wt, flagged, sf_dir)

@@ -69,10 +69,14 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_sf10_subset.json"))
     ap.add_argument("--threshold", type=float, default=1.3)
     ap.add_argument("--diff-out", default="-")
+    ap.add_argument("--add", action="append", default=[],
+                    help="admit a NEW query to the subset: timed and written "
+                         "to the refreshed artifact, no growth check (no "
+                         "baseline ratio exists yet)")
     args = ap.parse_args()
 
     base = json.load(open(args.baseline))
-    queries = sorted(base["queries"].keys())
+    queries = sorted(set(base["queries"].keys()) | set(args.add))
 
     t1 = solo_times(args.sf1, queries)
     t10 = solo_times(args.sf10, queries)
@@ -84,14 +88,19 @@ def main():
     flagged = []
     new_queries = {}
     for q in queries:
-        old_r = base["queries"][q]["ratio_10x_data"]
         new_r = round(t10[q] / t1[q], 2) if t1[q] > 0 else float("inf")
-        growth = new_r / old_r if old_r else float("inf")
-        verdict = "ok"
-        if growth > args.threshold:
-            verdict = "RATCHET-FLAG (scaling degraded)"
-            flagged.append(q)
-        lines.append(f"{q:34} {old_r:9.2f} {new_r:9.2f} {growth:6.2f}x  {verdict}")
+        if q in base["queries"]:
+            old_r = base["queries"][q]["ratio_10x_data"]
+            growth = new_r / old_r if old_r else float("inf")
+            verdict = "ok"
+            if growth > args.threshold:
+                verdict = "RATCHET-FLAG (scaling degraded)"
+                flagged.append(q)
+            lines.append(
+                f"{q:34} {old_r:9.2f} {new_r:9.2f} {growth:6.2f}x  {verdict}")
+        else:
+            lines.append(
+                f"{q:34} {'new':>9} {new_r:9.2f} {'':>7}  admitted (no baseline)")
         new_queries[q] = {
             "sf1_solo_s": round(t1[q], 3),
             "sf10_solo_s": round(t10[q], 3),

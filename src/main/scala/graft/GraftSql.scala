@@ -64,6 +64,14 @@ object GraftSql {
     else if (upper.startsWith("SHOW COLUMN STATS")) showColumnStats(spark, cat, stmt)
     else if (upper.startsWith("TRUNCATE TABLE")) truncate(spark, cat, stmt)
     else if (upper.startsWith("OPTIMIZE ")) optimize(spark, cat, stmt)
+    else if (upper == "SHOW LITTER") cat.showLitter()
+    else if (upper == "VACUUM LITTER") {
+      // operator-invoked, retention zero: the SQL form is the explicit
+      // "I know nothing is in flight" sweep (see vacuumLitter's scaladoc)
+      val paths = cat.vacuumLitter(olderThanMs = 0L)
+      import spark.implicits._
+      paths.toDF("reclaimed")
+    }
     else if (upper.startsWith("VACUUM ")) vacuum(spark, cat, stmt)
     else if (upper.startsWith("RESTORE TABLE")) restoreTable(spark, cat, stmt)
     else if (upper.startsWith("ANALYZE TABLE")) analyzeTable(spark, cat, stmt)

@@ -123,18 +123,30 @@ object GraftStorage {
     */
   trait Lease extends AutoCloseable {
     def isValid: Boolean = true
+
+    /** Authoritative validity for COMMIT POINTS: where `isValid` may be a
+      * flag cached at the last heartbeat (stale for up to a beat period
+      * after the lease is actually lost), `isValidNow` re-reads the lock
+      * state from storage. OS-lock leases are valid until closed, so the
+      * default delegates; marker leases override with a direct marker read.
+      */
+    def isValidNow: Boolean = isValid
   }
 
-  /** Shared daemon scheduler for marker-lease heartbeats: one thread
-    * serves every lease in the process (a heartbeat is one tiny control
-    * write every `staleMs/3`; contention is impossible at that rate).
+  /** Shared daemon scheduler for marker-lease heartbeats. A SMALL POOL,
+    * not one thread: each beat is blocking storage IO, and with a single
+    * thread one hung remote re-PUT would delay every other lease's beats —
+    * a delay past ~2·staleMs/3 lets a peer break a genuinely live lease by
+    * age. Four threads bound the blast radius of a stuck backend call to
+    * leases sharing its thread; at the beat rate (one tiny control write
+    * per lease per `staleMs/3`) pool contention is otherwise impossible.
     */
   private[catalog] lazy val heartbeats: java.util.concurrent.ScheduledExecutorService =
-    java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+    java.util.concurrent.Executors.newScheduledThreadPool(4, { (r: Runnable) =>
       val t = new Thread(r, "graft-lease-heartbeat")
       t.setDaemon(true)
       t
-    }
+    })
 
   /** Thrown by [[GraftStorage.claimMarker]] when the marker is taken —
     * the storage-neutral face of create-exclusive conflicts (java.nio's
@@ -260,22 +272,29 @@ object NioStorage extends GraftStorage {
   * race: either the exclusive claimer sees the marker and waits, or the
   * shared holder sees `.x` and backs off).
   *
-  * Liveness protocol (round-15, closes the r14 weak mark):
-  *  - every marker carries an OWNER TOKEN (uuid) as its content;
-  *  - a background heartbeat re-PUTs the marker every `staleMs/3` while
-  *    the lease is held, so a LIVE holder's marker never ages out no
-  *    matter how long its commit runs (hour-long compactions included);
-  *  - a marker older than `staleMs` therefore belongs to a CRASHED
-  *    holder and is broken by age — a crash DELAYS peers, never wedges
-  *    them;
-  *  - the heartbeat verifies the token before each re-PUT: if a peer
-  *    broke and re-claimed the marker (only possible after the holder
-  *    stalled longer than the TTL), the lease flips to `isValid = false`
-  *    and NEVER touches the peer's marker again — including in
-  *    `close()`, which deletes the marker only while the token is still
-  *    ours. Callers gate their commit point on `isValid`, converting the
-  *    pathological double-claim into a loud abort instead of a silent
-  *    double-writer.
+  * Liveness protocol (round-16; supersedes r15's check-then-write beats):
+  *  - every marker carries `ownerToken|generation` as its content, the
+  *    generation incrementing on each heartbeat;
+  *  - a background heartbeat refreshes the marker every `staleMs/3` with a
+  *    conditional PUT ([[casMarker]], If-Match on the previous generation),
+  *    so a LIVE holder's marker never ages out no matter how long its
+  *    commit runs — and a beat can never overwrite a peer that legally
+  *    broke and re-claimed the marker (the CAS expects a generation that
+  *    no longer exists; r15's blind re-PUT could re-steal the lock here);
+  *  - a marker older than `staleMs` belongs to a CRASHED holder and is
+  *    broken by age — with a conditional DELETE ([[deleteMarkerIf]]) keyed
+  *    on the exact generation judged stale, so a refresh racing the break
+  *    makes the delete a no-op and the live holder survives. Staleness
+  *    itself compares the marker's mtime against the STORE's clock
+  *    ([[storeClockOffset]] via a probe-object PUT), never the client's:
+  *    client↔server skew approaching `staleMs` can no longer break a live
+  *    holder (the r15 hazard);
+  *  - a CAS failure whose content is foreign flips the lease to
+  *    `isValid = false` permanently — including in `close()`, which
+  *    deletes only its own generation. Callers gate every commit-point
+  *    write on [[GraftStorage.Lease.isValidNow]] (a DIRECT marker read,
+  *    not the flag cached at the last beat), converting the pathological
+  *    double-claim into a loud abort instead of a silent double-writer.
   */
 trait MarkerLeases { self: GraftStorage =>
 
@@ -293,47 +312,158 @@ trait MarkerLeases { self: GraftStorage =>
     */
   protected def claimMarkerContent(p: Path, content: String): Unit
 
-  private def tokenOf(p: Path): Option[String] =
+  /** Heartbeat interval; overridable ONLY so tests can model a holder
+    * whose beats stall (the forked-process commit-gate probe). Two beats
+    * must fit inside [[staleMs]] so one transient write failure never
+    * costs the lease.
+    */
+  protected def heartbeatPeriodMs: Long = math.max(staleMs / 3, 1L)
+
+  /** Conditional PUT (If-Match CAS): replace `p`'s content with `next` iff
+    * the current content equals `expect`; returns whether the write
+    * happened. Real stores provide this atomically (S3 `If-Match` on ETag,
+    * GCS `ifGenerationMatch`, Azure blob `If-Match`); [[ObjectStoreStorage]]
+    * overrides with an atomic emulation. This DEFAULT is the documented
+    * fallback for backends without conditional writes (HDFS): the
+    * read-check-write window cannot be closed, but the verify re-read
+    * always DETECTS a lost race, so heartbeats still converge to exactly
+    * one valid holder — the race window shrinks from a full beat period
+    * (the round-15 check-then-write) to microseconds.
+    */
+  protected def casMarker(p: Path, expect: String, next: String): Boolean = {
+    if (!contentOf(p).contains(expect)) return false
+    try self.writeString(p, next) catch { case _: Exception => return false }
+    contentOf(p).contains(next)
+  }
+
+  /** Conditional DELETE (If-Match): remove `p` iff its content is still
+    * `expect` — the stale-break and lease-release primitive. Keying the
+    * break on the GENERATION the breaker judged stale (every heartbeat
+    * changes it) is what makes breaking airtight: a marker refreshed
+    * between the staleness read and the delete carries a new generation,
+    * the condition fails, and the live holder survives. Same default-vs-
+    * override contract as [[casMarker]].
+    */
+  protected def deleteMarkerIf(p: Path, expect: String): Boolean = {
+    if (!contentOf(p).contains(expect)) return false
+    try { self.deleteIfExists(p); true } catch { case _: Exception => false }
+  }
+
+  private def contentOf(p: Path): Option[String] =
     try { if (self.exists(p)) Some(self.readString(p)) else None }
     catch { case _: Exception => None } // vanished or torn mid-read
 
+  /** Marker content is `token|seq` — the owner token plus a per-heartbeat
+    * generation counter, so conditional ops can distinguish "the exact
+    * write I judged" from "same owner, refreshed since". Legacy/foreign
+    * content without a numeric tail is its own owner string.
+    */
+  private def ownerOf(content: String): String = {
+    val i = content.lastIndexOf('|')
+    if (i > 0 && i < content.length - 1 && content.drop(i + 1).forall(_.isDigit))
+      content.take(i)
+    else content
+  }
+
+  /** Client clock — overridable so specs can inject client↔server skew. */
+  protected def localNowMillis: Long = System.currentTimeMillis()
+
+  /** (storeClock − localClock, measured-at-local). Staleness must compare a
+    * marker's mtime — stamped by the STORE's clock — against the store's
+    * own "now", never the client's: with a skewed client clock a live
+    * holder's freshly heartbeated marker can look `staleMs` old and get
+    * broken (the r15 hazard at the old line 301). The offset is measured
+    * by PUTting a tiny probe object and reading its mtime back, then
+    * cached; staleness tolerances are ≥ staleMs/3, so probe latency noise
+    * (milliseconds) is immaterial.
+    */
+  @volatile private var clockCal: (Long, Long) = _
+
+  private def storeClockOffset(near: Path): Long = {
+    val cal = clockCal
+    val localNow = localNowMillis
+    if (cal != null && localNow - cal._2 < math.max(staleMs / 3, 50L)) cal._1
+    else {
+      val parent = Option(near.toAbsolutePath.getParent).getOrElse(near)
+      val probe = parent.resolve(
+        ".graft_clock_probe_" + java.util.UUID.randomUUID())
+      val off =
+        try {
+          self.createDirectories(parent)
+          self.writeString(probe, "")
+          val o = self.lastModifiedMillis(probe) - localNowMillis
+          self.deleteIfExists(probe)
+          o
+        } catch {
+          // probe failed (read-only dir, transient IO): keep the last
+          // calibration, or 0 (= the r15 local-clock behavior) if none yet
+          case _: Exception => if (cal != null) cal._1 else 0L
+        }
+      clockCal = (off, localNow)
+      off
+    }
+  }
+
   private def freshEnough(p: Path): Boolean =
-    try System.currentTimeMillis() - self.lastModifiedMillis(p) < staleMs
+    try (localNowMillis + storeClockOffset(p)) - self.lastModifiedMillis(p) < staleMs
     catch { case _: Exception => false } // vanished while checking
 
+  /** Break a crashed holder's marker — CONDITIONALLY: the delete is keyed
+    * on the exact content observed stale, so a heartbeat landing after the
+    * staleness read makes the condition fail and the live holder survive.
+    * (Content is read BEFORE mtime: a refresh between the two reads makes
+    * the marker look fresh and we don't attempt the break at all.)
+    */
   private def breakIfStale(p: Path): Unit =
-    if (self.exists(p) && !freshEnough(p)) self.deleteIfExists(p)
+    contentOf(p).foreach { c => if (!freshEnough(p)) deleteMarkerIf(p, c) }
 
-  private final class MarkerLease(marker: Path, token: String)
+  private final class MarkerLease(marker: Path, token: String, gen0: String)
       extends GraftStorage.Lease {
     @volatile private var valid = true
-    private val period = math.max(staleMs / 3, 1L)
+    @volatile private var gen = gen0
+    @volatile private var seq = 0L
     private val beat: java.util.concurrent.ScheduledFuture[_] =
       GraftStorage.heartbeats.scheduleWithFixedDelay(
-        () => refresh(), period, period,
+        () => refresh(), heartbeatPeriodMs, heartbeatPeriodMs,
         java.util.concurrent.TimeUnit.MILLISECONDS)
 
-    private def refresh(): Unit = tokenOf(marker) match {
-      case Some(t) if t == token =>
-        // re-PUT the same content: refreshes the marker's mtime so age
-        // never breaks a live holder. A transient write failure is fine —
-        // the next beat retries, and two beats fit inside the TTL.
-        try self.writeString(marker, token) catch { case _: Exception => () }
-      case _ =>
-        // marker gone or re-claimed by a peer: we stalled past the TTL
-        // and legally lost the lease. Stop beating; never overwrite.
-        valid = false
-        beat.cancel(false)
+    private def refresh(): Unit = {
+      // CAS re-PUT under a NEW generation: refreshes the marker's mtime so
+      // age never breaks a live holder, and can never overwrite a peer —
+      // if a peer broke the marker after we stalled past the TTL, the
+      // expected generation is gone and the CAS refuses (the r15
+      // check-then-write could re-steal the peer's claim here).
+      val next = token + "|" + (seq + 1)
+      if (casMarker(marker, gen, next)) { seq += 1; gen = next }
+      else contentOf(marker) match {
+        case Some(c) if c == gen => () // transient CAS failure: next beat retries
+        case _ =>
+          // marker gone or re-claimed: we legally lost the lease. Stop
+          // beating; never touch the peer's marker again.
+          valid = false
+          beat.cancel(false)
+      }
     }
 
     override def isValid: Boolean = valid
 
+    /** Commit-point read: consult the MARKER, not the flag the last
+      * heartbeat cached — the flag can trail a lost lease by up to a beat
+      * period, exactly the window where a commit-point write would race
+      * the peer's first write.
+      */
+    override def isValidNow: Boolean =
+      valid && (contentOf(marker) match {
+        case Some(c) if ownerOf(c) == token => true
+        case _ => valid = false; beat.cancel(false); false
+      })
+
     override def close(): Unit = {
       beat.cancel(false)
-      // delete ONLY our own marker: after a stall a peer may have broken
-      // ours and claimed its own under the same name — unconditional
-      // delete here would admit a third writer under the peer.
-      if (tokenOf(marker).contains(token)) self.deleteIfExists(marker)
+      // conditional delete of OUR generation only: after a stall a peer
+      // may have broken ours and claimed its own under the same name —
+      // an unconditional delete here would admit a third writer.
+      deleteMarkerIf(marker, gen)
     }
   }
 
@@ -346,7 +476,7 @@ trait MarkerLeases { self: GraftStorage =>
     var claimed = false
     while (!claimed) {
       breakIfStale(x)
-      try { claimMarkerContent(x, token); claimed = true }
+      try { claimMarkerContent(x, token + "|0"); claimed = true }
       catch {
         case _: GraftStorage.MarkerExistsException =>
           if (System.nanoTime > deadline) throw new CatalogException(
@@ -360,10 +490,14 @@ trait MarkerLeases { self: GraftStorage =>
     }
     // heartbeat starts NOW, before the shared-holder drain: the drain
     // itself can outlast the TTL on a busy table.
-    val lease = new MarkerLease(x, token)
+    val lease = new MarkerLease(x, token, token + "|0")
+    // shared markers are bare uuids; dot-prefixed entries are coordination
+    // litter (conditional-op sidecars, clock probes), never holders
+    def liveSharedHolders() = self.list(sharedDir)
+      .exists(f => !f.getFileName.toString.startsWith(".") && freshEnough(f))
     try {
       // drain live shared holders; stale ones break by age
-      while (self.list(sharedDir).exists(freshEnough)) {
+      while (liveSharedHolders()) {
         if (System.nanoTime > deadline) throw new CatalogException(
           s"$owner: timed out after ${timeoutMs}ms waiting for shared " +
             "mutation writers to drain. Tune graft.write.lock.timeout.ms " +
@@ -386,7 +520,7 @@ trait MarkerLeases { self: GraftStorage =>
       breakIfStale(x)
       if (!self.exists(x)) {
         self.createDirectories(sharedDir)
-        try claimMarkerContent(marker, token) catch {
+        try claimMarkerContent(marker, token + "|0") catch {
           case _: GraftStorage.MarkerExistsException => () // ours alone; unreachable
         }
         if (self.exists(x) && freshEnough(x)) self.deleteIfExists(marker) // lost the race
@@ -400,7 +534,7 @@ trait MarkerLeases { self: GraftStorage =>
         Thread.sleep(50)
       }
     }
-    new MarkerLease(marker, token)
+    new MarkerLease(marker, token, token + "|0")
   }
 }
 
@@ -612,7 +746,7 @@ object HadoopStorage {
   * HiveKuduTableInputFormat.java:148-223); this is our catalog's
   * equivalent remote-store binding, minus the wire.
   */
-final class ObjectStoreStorage(
+class ObjectStoreStorage(
     override protected val staleMs: Long = 30L * 60 * 1000)
     extends GraftStorage with MarkerLeases {
   import java.nio.file.StandardCopyOption.{ATOMIC_MOVE, REPLACE_EXISTING}
@@ -723,6 +857,59 @@ final class ObjectStoreStorage(
   }
 
   // lockExclusive / lockShared: heartbeated marker leases from [[MarkerLeases]]
+
+  /** Serialize the emulated service's handling of one object: a real store
+    * linearizes conditional ops per key server-side; the emulation's
+    * equivalent is a cross-process OS lock on a dot-prefixed sidecar (the
+    * same modeling device [[putAtomic]]'s tmp+move is for PUT atomicity).
+    * The sidecar is emulation litter, invisible to the catalog (dot name).
+    */
+  private def withObjectLock[T](p: Path)(body: => T): T = {
+    val side = p.toAbsolutePath.getParent
+      .resolve("." + p.getFileName.toString + ".svc")
+    // same-JVM callers serialize on a monitor first: java.nio file locks
+    // are per-PROCESS and a second in-process lock() attempt throws
+    // OverlappingFileLockException instead of waiting
+    ObjectStoreStorage.svcMutexes
+      .computeIfAbsent(side.toString, _ => new Object).synchronized {
+        Files.createDirectories(side.getParent)
+        val ch = java.nio.channels.FileChannel.open(side,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val fl = ch.lock()
+          try body finally fl.release()
+        } finally ch.close()
+      }
+  }
+
+  /** TRUE conditional PUT — the If-Match/ifGenerationMatch every S3-class
+    * store provides; atomic across processes (see [[withObjectLock]]),
+    * unlike the trait's detect-only fallback.
+    */
+  override protected def casMarker(p: Path, expect: String,
+      next: String): Boolean = withObjectLock(p) {
+    val cur = try { if (Files.exists(p)) Some(Files.readString(p)) else None }
+      catch { case _: Exception => None }
+    cur.contains(expect) && {
+      putAtomic(p, next.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      true
+    }
+  }
+
+  /** TRUE conditional DELETE (If-Match), atomic across processes. */
+  override protected def deleteMarkerIf(p: Path,
+      expect: String): Boolean = withObjectLock(p) {
+    val cur = try { if (Files.exists(p)) Some(Files.readString(p)) else None }
+      catch { case _: Exception => None }
+    cur.contains(expect) && { Files.deleteIfExists(p); true }
+  }
+}
+
+object ObjectStoreStorage {
+  /** Per-sidecar monitors: see [[ObjectStoreStorage.withObjectLock]]. */
+  private val svcMutexes =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
 }
 
 /** Capability-degradation wrapper for tests and object-store modeling:

@@ -213,7 +213,12 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
     */
   private def assertLeaseValid(what: String): Unit = {
     val l = heldLease.get()
-    if (l != null && !l.isValid) throw new CatalogException(
+    // isValidNow, not isValid: the cached flag only updates at heartbeat
+    // boundaries, so it can report "held" for up to a beat period after
+    // the marker is actually lost — exactly the window where the next
+    // write would race the peer. The direct marker read costs one storage
+    // GET per commit point, negligible against the commit itself.
+    if (l != null && !l.isValidNow) throw new CatalogException(
       s"$what: write lease lost before the commit point — this process " +
         "stalled past the lock-marker staleness TTL and another writer " +
         "broke the marker; aborting instead of double-writing (raise the " +
@@ -249,6 +254,52 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
       }
     } finally l.unlock()
   }
+
+  /** Exclusive claim on a PUBLISH DESTINATION that may not yet exist as a
+    * table (rename-less backends): fences concurrent rename / clone /
+    * create publishing the same name, so one writer's litter-clear can
+    * never delete another's in-flight staged tree or just-committed
+    * manifest (previously the dst `exists` check and the unconditional
+    * litter sweep ran unsynchronized with respect to the destination).
+    * The dst directory is created first so the lock marker has a home;
+    * [[clearPublishLitter]] excludes lock-coordination files. Lock order
+    * is always src-then-dst, and the in-JVM lock uses a timed tryLock, so
+    * two opposing renames (a→b racing b→a) degrade to a loud timeout,
+    * never a silent deadlock — cross-process the lease timeout does the
+    * same.
+    */
+  private def withPublishDst[T](name: String)(body: => T): T = {
+    val l = jvmLock(name).writeLock()
+    if (!l.tryLock(lockTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+      throw new CatalogException(
+        s"$name: timed out after ${lockTimeoutMs}ms waiting for the publish-" +
+          "destination lock (another writer is publishing the same name)")
+    try {
+      storage.createDirectories(tableDir(name))
+      val lease = storage.lockExclusive(
+        tableDir(name).resolve(".write_lock"), lockTimeoutMs, name)
+      try body finally lease.close()
+    } finally l.unlock()
+  }
+
+  /** Remove a crashed publish's manifest-less litter from `name`'s table
+    * dir — everything EXCEPT lock-coordination entries (the `.write_lock*`
+    * family, its emulation sidecars, clock probes), which belong to the
+    * CURRENT holder, not the crashed one. Callers hold the dst publish
+    * lock and have re-verified the dir is manifest-less.
+    */
+  /** Lock-coordination / emulation-service entries: the CURRENT holders'
+    * state, never a crashed writer's payload — excluded from every litter
+    * sweep and from litter ACCOUNTING ([[showLitter]]): a directory
+    * containing only these is already clean.
+    */
+  private def isCoordinationEntry(n: String): Boolean =
+    n.contains(".write_lock") || n.startsWith(".graft_clock_probe")
+
+  private def clearPublishLitter(name: String): Unit =
+    storage.list(tableDir(name)).foreach { e =>
+      if (!isCoordinationEntry(e.getFileName.toString)) deleteRecursively(e)
+    }
 
   /** Reserve the next mutation-layer sequence by ATOMIC directory creation:
     * the candidate is one past every committed layer, every live
@@ -637,6 +688,25 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
     validate(d)
     if (exists(d.name))
       throw new CatalogException(s"table ${d.name} already exists")
+    if (storage.supportsAtomicRename) createTableBody(d)
+    else withPublishDst(d.name) {
+      // rename-less backend: a table dir WITHOUT a manifest is a crashed
+      // publish's litter (cloneTable's rule). Clearing it here matters for
+      // correctness, not just hygiene: a rename crashed at the srcdropped
+      // cut leaves committed delta layers (markers intact) under this
+      // name — a fresh manifest written over them would make them visible
+      // as the NEW table's data, with whatever schema they carry.
+      // ObjectStoreCrashSpec pins this create-over-litter path. Under the
+      // dst publish lock so a concurrent publisher of the same name is
+      // fenced, not swept.
+      if (exists(d.name))
+        throw new CatalogException(s"table ${d.name} already exists")
+      clearPublishLitter(d.name)
+      createTableBody(d)
+    }
+  }
+
+  private def createTableBody(d: TableDef): Unit = {
     try {
       storage.createDirectories(tableDir(d.name))
       val normalized = StructType(d.schema.fields.map(f =>
@@ -725,26 +795,33 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
     */
   private def renameByPublish(oldName: String, newName: String): Unit =
     withTableWriteLock(oldName) {
-      val dst = tableDir(newName)
-      if (storage.exists(dst)) deleteRecursively(dst) // crashed pre-manifest litter
-      storage.createDirectories(dst)
-      // journal fingerprint = manifest md5 + manifest mtime: bytes alone
-      // cannot distinguish a RE-CREATED same-schema table (identical
-      // manifest), but the source's manifest is untouched for the rest of
-      // this rename, so its mtime at resume time still matches — a second
-      // incarnation's cannot
-      storage.writeString(dst.resolve(KuduLikeCatalog.RenameJournal),
-        oldName + "\n" +
-          KuduLikeCatalog.md5Hex(storage.readString(metaFile(oldName))) + "\n" +
-          storage.lastModifiedMillis(metaFile(oldName)))
-      FaultInjection.cut("tblrename.marked")
-      assertLeaseValid(oldName)
-      publishTableTree(tableDir(oldName), dst)
-      FaultInjection.cut("tblrename.published")
-      storage.deleteIfExists(metaFile(oldName))
-      FaultInjection.cut("tblrename.srcdropped")
-      deleteRecursively(tableDir(oldName))
-      storage.deleteIfExists(dst.resolve(KuduLikeCatalog.RenameJournal))
+      withPublishDst(newName) {
+        val dst = tableDir(newName)
+        // re-verify UNDER the dst lock: a concurrent rename/clone may have
+        // committed this name between renameTable's unsynchronized check
+        // and our acquisition — its table must survive, not be swept as
+        // "litter"
+        if (exists(newName))
+          throw new CatalogException(s"table $newName already exists")
+        clearPublishLitter(newName) // crashed pre-manifest litter
+        // journal fingerprint = manifest md5 + manifest mtime: bytes alone
+        // cannot distinguish a RE-CREATED same-schema table (identical
+        // manifest), but the source's manifest is untouched for the rest of
+        // this rename, so its mtime at resume time still matches — a second
+        // incarnation's cannot
+        storage.writeString(dst.resolve(KuduLikeCatalog.RenameJournal),
+          oldName + "\n" +
+            KuduLikeCatalog.md5Hex(storage.readString(metaFile(oldName))) + "\n" +
+            storage.lastModifiedMillis(metaFile(oldName)))
+        FaultInjection.cut("tblrename.marked")
+        assertLeaseValid(oldName)
+        publishTableTree(tableDir(oldName), dst)
+        FaultInjection.cut("tblrename.published")
+        storage.deleteIfExists(metaFile(oldName))
+        FaultInjection.cut("tblrename.srcdropped")
+        deleteRecursively(tableDir(oldName))
+        storage.deleteIfExists(dst.resolve(KuduLikeCatalog.RenameJournal))
+      }
     }
 
   /** Roll a crashed rename-less [[renameByPublish]] FORWARD: if the
@@ -808,14 +885,12 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
     */
   def cloneTable(src: String, dst: String, asOfVersion: Option[Int]): Unit = {
     if (exists(dst)) throw new CatalogException(s"table $dst already exists")
-    if (storage.exists(tableDir(dst))) {
-      if (storage.supportsAtomicRename)
-        throw new CatalogException(s"table $dst already exists")
-      // rename-less backend: a dst dir WITHOUT a manifest is a crashed
-      // publish's litter (the manifest PUT is the commit and it never
-      // landed) — clear it and let this attempt retry over it
-      deleteRecursively(tableDir(dst))
-    }
+    if (storage.exists(tableDir(dst)) && storage.supportsAtomicRename)
+      throw new CatalogException(s"table $dst already exists")
+    // rename-less backend: a dst dir WITHOUT a manifest is a crashed
+    // publish's litter (the manifest PUT is the commit and it never
+    // landed) — cleared below, under the dst publish lock, so a CONCURRENT
+    // publisher of the same name is fenced rather than swept
     require(dst.nonEmpty && dst.matches("[\\w.]+"), s"invalid table name: $dst")
     val stage = Paths.get(root, s".clone_tmp_$dst")
     withTableWriteLock(src) {
@@ -854,9 +929,12 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
       FaultInjection.cut("clone.staged")
       assertLeaseValid(src)
       if (storage.supportsAtomicRename) storage.moveAtomic(stage, tableDir(dst))
-      else {
+      else withPublishDst(dst) {
+        // re-verify under the dst lock (see renameByPublish), then
         // manifest-pointer commit: copy the staged tree to its final name
         // (invisible — no manifest yet), then ONE manifest PUT flips it
+        if (exists(dst)) throw new CatalogException(s"table $dst already exists")
+        clearPublishLitter(dst)
         publishTableTree(stage, tableDir(dst))
         deleteRecursively(stage)
       }
@@ -2393,6 +2471,136 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
   def vacuum(name: String): Unit = {
     if (!exists(name)) throw new CatalogException(s"table $name does not exist")
     sweepDeadLitter(name, keep = Set.empty)
+  }
+
+  /** SHOW LITTER (round-16 verdict item 6) — enumerate every piece of
+    * physically-present but manifest-invisible residue under the catalog
+    * root, classified by the crash state that produced it. The rename-less
+    * commit protocol PROMISES "dot-litter, never a half-table"; this verb
+    * is the accounting side of that promise, so an operator can see what
+    * each kill point left and what reclaims it, instead of greping the
+    * bucket. Read-only, control-plane only (one LIST per table dir + one
+    * per deltas dir — never a data-file walk), driver-materialized: the
+    * row count is bounded by table count, not data.
+    *
+    * Kinds: `staged_clone` (root-level crashed clone stage),
+    * `orphan_publish` (table dir with payload but no manifest — a
+    * create/clone/rename destination that never committed),
+    * `orphan_rename_journal` (rename committed at the destination, crash
+    * before the source drop — roll-FORWARD state), `dead_base` (displaced
+    * base generation), `floored_delta` (layer at or below the delta
+    * floor), `uncommitted_layer` (markerless copied layer on a rename-less
+    * backend; reported but left alone — an in-flight writer's copy is
+    * indistinguishable from a crashed one, and the next same-sequence
+    * publish reclaims it under the lock), `meta_tmp` (torn manifest
+    * staging). Lock-coordination entries are not litter and never listed.
+    */
+  def showLitter(): DataFrame = {
+    val rows = Seq.newBuilder[(String, String, String, String)]
+    storage.list(Paths.get(root)).foreach { e =>
+      val n = e.getFileName.toString
+      if (n.startsWith(".clone_tmp_"))
+        rows += (("", "staged_clone", e.toString,
+          "crashed clone stage; vacuumLitter reclaims"))
+      else if (storage.isDirectory(e) && !isCoordinationEntry(n)) {
+        val name = n
+        if (!storage.exists(metaFile(name))) {
+          val payload = storage.list(e)
+            .filterNot(c => isCoordinationEntry(c.getFileName.toString))
+          if (payload.nonEmpty) {
+            val journaled = storage.exists(e.resolve(KuduLikeCatalog.RenameJournal))
+            rows += ((name, "orphan_publish", e.toString,
+              if (journaled)
+                "rename/publish crashed before the dst manifest (journaled); vacuumLitter clears"
+              else "publish crashed before the manifest PUT; vacuumLitter clears"))
+          }
+        } else {
+          if (storage.exists(tableDir(name).resolve(KuduLikeCatalog.RenameJournal)))
+            rows += ((name, "orphan_rename_journal",
+              tableDir(name).resolve(KuduLikeCatalog.RenameJournal).toString,
+              "rename committed at dst, crash before the source drop; vacuumLitter rolls forward"))
+          if (storage.exists(tableDir(name).resolve(".meta_tmp")))
+            rows += ((name, "meta_tmp",
+              tableDir(name).resolve(".meta_tmp").toString,
+              "torn manifest staging; vacuumLitter clears"))
+          val live = dataDirNameOf(name)
+          val baseDir = "data(_\\d+)?".r
+          storage.list(tableDir(name)).foreach { c =>
+            val cn = c.getFileName.toString
+            if (storage.isDirectory(c) && baseDir.matches(cn) && cn != live)
+              rows += ((name, "dead_base", c.toString,
+                "displaced base generation; VACUUM reclaims"))
+          }
+          val floor = deltaFloorOf(name)
+          storage.list(deltasDir(name)).foreach { c =>
+            val cn = c.getFileName.toString
+            if (storage.isDirectory(c) && cn.nonEmpty && cn.length <= 9 &&
+                cn.forall(_.isDigit)) {
+              if (cn.toInt <= floor)
+                rows += ((name, "floored_delta", c.toString,
+                  "at or below the delta floor; VACUUM reclaims"))
+              else if (!layerCommitted(c))
+                rows += ((name, "uncommitted_layer", c.toString,
+                  "markerless copy (crashed or in-flight); the next same-seq publish reclaims — left alone"))
+            }
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rows.result())
+      .toDF("table", "kind", "path", "action")
+      .orderBy("table", "kind", "path")
+  }
+
+  /** Reclaim what [[showLitter]] enumerates as reclaimable:
+    *
+    *  - `orphan_rename_journal` → ROLL FORWARD: finish the journaled
+    *    rename (drop the fingerprint-matched source) — committed state,
+    *    completed, never discarded;
+    *  - `orphan_publish` → clear the manifest-less payload under the
+    *    publish-destination lock (the same fenced path create/clone/rename
+    *    retries use, so a concurrent publisher is waited on, not swept);
+    *  - `staged_clone` → delete the stage, IF older than `olderThanMs`
+    *    (measured on the stage dir's mtime): a live cloner stages under
+    *    its source's lock, which this sweep does not know — the retention
+    *    window is the same live-vs-dead tradeoff Delta documents for
+    *    VACUUM. Pass 0 only when no DDL is in flight;
+    *  - `dead_base` / `floored_delta` → per-table [[vacuum]];
+    *  - `uncommitted_layer` → left alone (see [[showLitter]]).
+    *
+    * Returns the reclaimed paths. ObjectStoreCrashSpec drives every
+    * rename/clone/publish kill point through enumerate→reclaim→re-verify.
+    */
+  def vacuumLitter(olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val reclaimed = Seq.newBuilder[String]
+    showLitter().collect().foreach { r =>
+      val (name, kind, path) = (r.getString(0), r.getString(1), r.getString(2))
+      kind match {
+        case "staged_clone" =>
+          val p = Paths.get(path)
+          val ageOk =
+            try System.currentTimeMillis() - storage.lastModifiedMillis(p) >= olderThanMs
+            catch { case _: Exception => false }
+          if (ageOk) { deleteRecursively(p); reclaimed += path }
+        case "orphan_publish" =>
+          withPublishDst(name) {
+            // re-verify under the lock: a concurrent publisher may have
+            // committed this name since the enumeration
+            if (!exists(name)) { clearPublishLitter(name); reclaimed += path }
+          }
+        case "orphan_rename_journal" =>
+          val src = storage.readString(Paths.get(path)).split("\n", 3)(0)
+          if (resumeRename(src, name)) reclaimed += path
+        case "dead_base" | "floored_delta" | "meta_tmp" =>
+          if (exists(name)) {
+            sweepDeadLitter(name, keep = Set.empty)
+            storage.deleteIfExists(tableDir(name).resolve(".meta_tmp"))
+            reclaimed += path
+          }
+        case _ => () // uncommitted_layer and anything future: reported only
+      }
+    }
+    reclaimed.result()
   }
 
   private def sweepDeadLitter(name: String, keep: Set[String]): Unit = {

@@ -149,26 +149,16 @@ object Curation {
       .withColumn("rem", expr(s"$budget * weight_e6 % w_tot"))
       .drop("w_tot")
     val seats = based.agg((lit(budget) - sum(col("base"))).as("seats")) // 1 row
-    // distributed largest-remainder rank: range-split on the strict total
-    // order, rank locally, add the earlier partitions' sizes
-    val ranged = based
-      .repartitionByRange(col("rem").desc, col("domain").asc)
-      .withColumn("__pid", spark_partition_id())
-    val local = ranged.withColumn("__lr", row_number().over(
-      Window.partitionBy(col("__pid"))
-        .orderBy(col("rem").desc, col("domain").asc)))
-    val sizes = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
-    // offsets over the P-row summary: a tiny triangular self-join (P^2
-    // pairs at most, broadcast), NOT an unpartitioned window
-    val offsets = sizes.as("a")
-      .join(broadcast(sizes.as("b")), col("b.__pid") < col("a.__pid"), "left")
-      .groupBy(col("a.__pid").as("__pid"))
-      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__off"))
-    local
-      .join(broadcast(offsets), Seq("__pid"))
+    // distributed largest-remainder rank — the shared [[DistributedRank]]
+    // recipe (range-split on the strict total order, rank locally, add the
+    // earlier partitions' sizes; the ranged frame is localCheckpointed so
+    // every branch reads ONE materialized partitioning rather than relying
+    // on exchange reuse)
+    DistributedRank.withRank(based,
+        Seq(col("rem").desc, col("domain").asc), "__hr")
       .crossJoin(broadcast(seats))
       .select(col("domain"), col("n_docs"), col("weight_e6"),
-        (col("base") + when(col("__lr") + col("__off") <= col("seats"), 1L)
+        (col("base") + when(col("__hr") <= col("seats"), 1L)
           .otherwise(0L)).cast("long").as("alloc"))
   }
 }

@@ -609,6 +609,62 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Exact-substring duplicate spans — the suffix-array dedup family's
+    * verdict (Lee et al. 2021 "Deduplicating Training Data Makes Language
+    * Models Better", ExactSubstr: remove every substring of >= 50 tokens
+    * that recurs verbatim), computed distributively via the
+    * fingerprint-adjacency trick instead of a monolithic suffix array:
+    *
+    *  - fingerprint every OVERLAPPING `minLen`-token window with its
+    *    position — a window is "covered" iff its fingerprint occurs in at
+    *    least one OTHER document (cross-document, this suite's dedup
+    *    scope; min(doc) != max(doc) decides it in the same aggregate);
+    *  - a maximal duplicated substring of M >= minLen tokens is exactly a
+    *    maximal run of M - minLen + 1 consecutive covered positions, so
+    *    gaps-and-islands over positions (pos - row_number per doc)
+    *    reconstructs the MAXIMAL spans — [[dupSpans]]'s fixed-width
+    *    mining generalized to arbitrary-length runs, and overlapping
+    *    duplicates merge into one span (the union ExactSubstr removes).
+    *
+    * Returns one row per maximal span: (idCol, span_start, span_tokens),
+    * span_start the 0-based token index. Docs shorter than `minLen`
+    * tokens have no windows and are absent, like every chunk verb here.
+    *
+    * Scale shape (no suffix array, no quadratic term): the window table is
+    * ~corpus-token-sized and shuffles TWICE — once keyed by fingerprint
+    * (a map-side-combined groupBy reduces each fingerprint to one
+    * (min,max) row, then a semi-join marks covered windows; a boilerplate
+    * fingerprint duplicated across 10^6 docs is ONE reduced row, never a
+    * buffered window partition), once keyed by doc id for the islands
+    * row_number, whose partitions are bounded by single-doc length.
+    */
+  def exactSubstrSpans(docs: DataFrame, textCol: String, idCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2 tokens, got $minLen")
+    val toks = TextFunctions.tokens(col(textCol))
+    val nwin = (size(toks) - minLen + 1).cast("int")
+    val fps = when(nwin >= 1,
+      transform(sequence(lit(0), nwin - 1),
+        i => md5(concat_ws(" ", slice(toks, i + 1, lit(minLen))))))
+      .otherwise(array().cast("array<string>"))
+    val windows = docs
+      .select(col(idCol), posexplode(fps).as(Seq("pos", "fp")))
+    val dupFps = windows.groupBy("fp")
+      .agg(min(col(idCol)).as("__d_min"), max(col(idCol)).as("__d_max"))
+      .filter(col("__d_min") =!= col("__d_max"))
+      .select("fp")
+    val covered = windows.join(dupFps, Seq("fp"), "left_semi")
+    covered
+      .withColumn("__grp", col("pos") - row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + minLen).cast("long")
+          .as("span_tokens"))
+      .drop("__grp")
+  }
+
   /** C4/RefinedWeb-style duplicated-chunk survivorship (Lee et al. 2021
     * "Deduplicating Training Data Makes Language Models Better"; Raffel et
     * al. 2020 §2.2 dedupe exact three-sentence spans; Penedo et al. 2023

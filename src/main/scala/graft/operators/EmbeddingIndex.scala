@@ -55,6 +55,26 @@ object EmbeddingIndex {
       coarse: Array[Array[Float]], codebooks: Array[Array[Array[Float]]])
 
   private def modelTable(ix: String) = ix + "__model"
+  private def statsTable(ix: String) = ix + "__stats"
+  private def ptrTable(ix: String) = ix + "__ptr"
+
+  /** Resolve the LIVE physical generation of a standing index (round-16
+    * verdict item 2). A freshly bootstrapped index IS its own generation
+    * (no pointer — the d53/d54 layout, unchanged); [[rebootstrap]]
+    * publishes each refit as a NEW immutable generation `<ix>__g<n>` and
+    * flips ONE pointer row in `<ix>__ptr` — a single keyed-table commit,
+    * so a concurrent probe resolves entirely-old or entirely-new state,
+    * never a mixed model/codes pair. Old generations stay readable (an
+    * in-flight probe that already resolved keeps working) until
+    * [[vacuumOldGenerations]] reclaims them.
+    */
+  def resolve(cat: KuduLikeCatalog, indexTable: String): String =
+    if (!cat.exists(ptrTable(indexTable))) indexTable
+    else {
+      val rows = cat.table(ptrTable(indexTable))
+        .filter(col("k") === "live").collect() // 1 row
+      if (rows.isEmpty) indexTable else rows.head.getString(1)
+    }
 
   private def normalized(df: DataFrame, emb: String): DataFrame = {
     val nrm = sqrt(aggregate(col(emb), lit(0.0d),
@@ -121,11 +141,24 @@ object EmbeddingIndex {
           nullable = false))),
       keyCols = Seq(idCol), buckets = buckets))
     val model = Model(coarse.length, m, ksub, dim, coarse, codebooks)
-    cat.insert(indexTable, encode(corpus, idCol, embCol, model))
+    val n2 = cat.insert(indexTable, encode(corpus, idCol, embCol, model))
+
+    // bootstrap occupancy stats — the drift probe's reference point: one
+    // cells-row table of per-cell assignment counts at fit time
+    cat.createTable(TableDef(statsTable(indexTable),
+      StructType(Seq(
+        StructField("cell", IntegerType, nullable = false),
+        StructField("n", LongType, nullable = false))),
+      keyCols = Seq("cell"), buckets = 1))
+    cat.insert(statsTable(indexTable),
+      cat.table(indexTable).groupBy(col("cell"))
+        .agg(count(lit(1)).as("n")).select(col("cell"), col("n")))
+    n2
   }
 
   /** Load the frozen model (bounded: cells + m·ksub rows). */
-  def loadModel(cat: KuduLikeCatalog, indexTable: String): Model = {
+  def loadModel(cat: KuduLikeCatalog, indexTable0: String): Model = {
+    val indexTable = resolve(cat, indexTable0)
     val meta = IndexMeta.read(cat, indexTable)
     require(meta.get("kind").contains("ivfpq"),
       s"$indexTable is not an embedding index (meta kind=${meta.get("kind")})")
@@ -169,9 +202,10 @@ object EmbeddingIndex {
     * index under the frozen model — [[NearDupIndex.refresh]]'s guards and
     * single-commit discipline. Returns the number of changed docs applied.
     */
-  def refresh(cat: KuduLikeCatalog, indexTable: String, corpusTable: String,
+  def refresh(cat: KuduLikeCatalog, indexTable0: String, corpusTable: String,
       fromVersion: Int, toVersion: Int, baseEpoch: Long,
       idCol: String, embCol: String): Long = {
+    val indexTable = resolve(cat, indexTable0)
     require(0 <= fromVersion && fromVersion <= toVersion,
       s"bad version window ($fromVersion, $toVersion]")
     val current = cat.currentVersion(corpusTable)
@@ -213,10 +247,14 @@ object EmbeddingIndex {
     * (qid, rank, id, cos) — [[Similarity.ivfPqTopK]]'s shape, and
     * bit-identical to it on the bootstrapped corpus (EmbeddingIndexSpec).
     */
-  def probe(cat: KuduLikeCatalog, indexTable: String, queries: DataFrame,
+  def probe(cat: KuduLikeCatalog, indexTable0: String, queries: DataFrame,
       corpus: DataFrame, k: Int, nprobe: Int = 4, rerank: Int = 64,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
+    // ONE resolution serves both the model load and the codes scan below,
+    // so a rebootstrap flipping the pointer mid-probe cannot pair a new
+    // model with old codes
+    val indexTable = resolve(cat, indexTable0)
     val model = loadModel(cat, indexTable)
     val q = normalized(
       queries.select(col(idCol).as("qid"), col(embCol).as("q_emb")), "q_emb")
@@ -252,6 +290,108 @@ object EmbeddingIndex {
       .filter(col("rank") <= k)
       .select("qid", "rank", "id", "cos")
   }
+
+  /** Metadata-cheap drift probe (round-16 verdict item 2): per-cell
+    * occupancy NOW vs at bootstrap. The quantizer is frozen by design
+    * (refitting would re-route every standing cell), so a corpus whose
+    * embedding distribution drifts degrades ANN recall SILENTLY — but the
+    * same drift shows up as cell-occupancy shift, measurable from the
+    * index and stats tables alone: one cells-row aggregate over the codes
+    * table, no vectors touched, no model math. Shares are exact integer
+    * e6 units (BIGINT floor division), so the report is cross-run
+    * deterministic. Output: (cell, boot_n, cur_n, boot_share_e6,
+    * cur_share_e6), one row per cell that is non-empty on either side.
+    */
+  def driftReport(cat: KuduLikeCatalog, indexTable0: String): DataFrame = {
+    val indexTable = resolve(cat, indexTable0)
+    require(cat.exists(statsTable(indexTable)),
+      s"$indexTable has no ${statsTable(indexTable)} occupancy record — " +
+        "bootstrapped before drift stats existed; re-bootstrap the index")
+    val boot = cat.table(statsTable(indexTable))
+      .select(col("cell"), col("n").as("boot_n"))
+    val cur = cat.table(indexTable).groupBy(col("cell"))
+      .agg(count(lit(1)).as("cur_n"))
+    val joined = boot.join(cur, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("boot_n"), lit(0L)).as("boot_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val tot = joined.agg(
+      sum(col("boot_n")).as("boot_tot"), sum(col("cur_n")).as("cur_tot"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("cell"), col("boot_n"), col("cur_n"),
+        expr("boot_n * 1000000 div greatest(boot_tot, 1)").as("boot_share_e6"),
+        expr("cur_n * 1000000 div greatest(cur_tot, 1)").as("cur_share_e6"))
+  }
+
+  /** Scalar drift metric: L1 distance between the bootstrap and current
+    * cell-occupancy distributions, in e6 units (0 = identical, up to
+    * ~2e6 = disjoint). Fleet rule of thumb: re-bootstrap past ~2e5 (10%
+    * of mass re-routed) — EmbeddingIndexSpec plants a distribution shift
+    * and pins that the metric separates shifted from unshifted refreshes.
+    * Driver-side Long (the frame is cells rows).
+    */
+  def driftL1e6(cat: KuduLikeCatalog, indexTable: String): Long =
+    driftReport(cat, indexTable)
+      .agg(sum(abs(col("cur_share_e6") - col("boot_share_e6"))))
+      .head().getLong(0)
+
+  private def genNumber(physical: String): Int = {
+    val m = "__g(\\d+)$".r.findFirstMatchIn(physical)
+    m.map(_.group(1).toInt).getOrElse(0)
+  }
+
+  /** Refit the quantizers on the CURRENT corpus and swap probes over
+    * atomically — the answer to a fired drift probe. The refit bootstraps
+    * a NEW immutable generation `<ix>__g<n>` (its own index/model/meta/
+    * stats tables, via [[bootstrap]] verbatim), then flips the `live` row
+    * of `<ix>__ptr` in ONE keyed-table commit: a probe resolves the old
+    * generation or the new one, never a mixed pair ([[resolve]] is read
+    * once per probe). Old generations remain readable for in-flight
+    * probes until [[vacuumOldGenerations]]. A refresh racing a
+    * rebootstrap lands in the superseded generation and is swallowed by
+    * the swap — by design: the refit re-encodes the whole current corpus.
+    * Returns the new physical generation name.
+    */
+  def rebootstrap(cat: KuduLikeCatalog, indexTable: String, corpus: DataFrame,
+      idCol: String, embCol: String,
+      cells: Int = 16, m: Int = 8, ksub: Int = 16,
+      buckets: Int = 8, maxFit: Long = 10000L): String = {
+    require(!indexTable.matches(".*__g\\d+$"),
+      s"rebootstrap takes the LOGICAL index name, not a generation: $indexTable")
+    val live = resolve(cat, indexTable)
+    val next = s"${indexTable}__g${genNumber(live) + 1}"
+    bootstrap(cat, next, corpus, idCol, embCol, cells, m, ksub, buckets, maxFit)
+    val spark = corpus.sparkSession
+    val ptrRow = spark.createDataFrame(Seq(("live", next))).toDF("k", "v")
+    if (!cat.exists(ptrTable(indexTable))) {
+      cat.createTable(TableDef(ptrTable(indexTable),
+        StructType(Seq(
+          StructField("k", StringType, nullable = false),
+          StructField("v", StringType, nullable = false))),
+        keyCols = Seq("k"), buckets = 1))
+      cat.insert(ptrTable(indexTable), ptrRow)
+    } else cat.upsert(ptrTable(indexTable), ptrRow)
+    next
+  }
+
+  /** Drop every generation of `indexTable` except the live one (and the
+    * pointer). Run once in-flight probes of the superseded generation
+    * have drained — the deferred-reclaim discipline every swap in this
+    * catalog follows. Returns the dropped generation names.
+    */
+  def vacuumOldGenerations(cat: KuduLikeCatalog,
+      indexTable: String): Seq[String] = {
+    val live = resolve(cat, indexTable)
+    val liveN = genNumber(live)
+    val candidates = (indexTable +: (1 until liveN)
+      .map(i => s"${indexTable}__g$i")).filterNot(_ == live)
+    candidates.filter { g =>
+      val any = cat.exists(g)
+      Seq(g, modelTable(g), IndexMeta.metaTable(g), statsTable(g))
+        .foreach(t => if (cat.exists(t)) cat.dropTable(t))
+      any
+    }
+  }
 }
 
 /** Tiny per-index parameter record: a `<ix>__meta` keyed table of
@@ -262,7 +402,7 @@ object EmbeddingIndex {
   * wrong candidates.
   */
 private[operators] object IndexMeta {
-  private def metaTable(ix: String) = ix + "__meta"
+  def metaTable(ix: String) = ix + "__meta"
 
   def write(cat: KuduLikeCatalog, indexTable: String,
       params: Map[String, String]): Unit = {

@@ -1772,6 +1772,63 @@ object PipelineQueries {
               |      ORDER BY ${VF.oracleCosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
               |  FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
               |  WHERE q.vec_id < 10) t
-              |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
+              |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+      benchFn = Some { (s, dir) =>
+        // the PRODUCTION read shape (round-16 item 8): bounded (nprobe,
+        // rerank) so the ratchet times the IVFADC pruning a deployment
+        // actually runs — the declared face's exhaustive settings exist
+        // only to make the DuckDB oracle a global exact top-k. Same
+        // memoized index as the declared face (probe-only timing).
+        val emb = Tables.load(s, dir, "embeddings")
+        val root = ScanQueries.memoized(s"d54decl:$dir") { t =>
+          val cat = new graft.catalog.KuduLikeCatalog(s, t)
+          val ref = emb.filter(col("vec_id") >= 10)
+          cat.createTable(graft.catalog.TableDef("refemb",
+            ref.schema, Seq("vec_id"), buckets = 4))
+          cat.insert("refemb", ref.filter(col("vec_id") % 3 =!= 0))
+          val v0 = cat.currentVersion("refemb")
+          val ep = cat.baseEpoch("refemb")
+          graft.operators.EmbeddingIndex.bootstrap(cat, "emx",
+            cat.table("refemb"), "vec_id", "embedding",
+            cells = 4, m = 8, ksub = 16)
+          cat.upsert("refemb", ref.filter(col("vec_id") % 3 === 0))
+          graft.operators.EmbeddingIndex.refresh(cat, "emx", "refemb",
+            v0, cat.currentVersion("refemb"), ep, "vec_id", "embedding")
+        }
+        val cat = new graft.catalog.KuduLikeCatalog(s, root)
+        graft.operators.EmbeddingIndex.probe(cat, "emx",
+          emb.filter(col("vec_id") < 10), cat.table("refemb"),
+          k = 3, nprobe = 2, rerank = 32)
+          .select(col("qid"), col("rank"), col("id"), dec4(col("cos")).as("cos"))
+          .orderBy("qid", "rank")
+      }),
+
+    // Exact-substring duplicate spans (Dedup.exactSubstrSpans — Lee et al.
+    // 2021's ExactSubstr verdict, the suffix-array dedup family): the
+    // MAXIMAL token runs of each doc covered by >= 6-token substrings that
+    // recur verbatim in another doc — d45's fixed-width mining generalized
+    // to maximal runs via fingerprint adjacency (gaps-and-islands on
+    // window positions). Two corpus-token-sized shuffles (fingerprint
+    // groupBy+semi-join, then per-doc islands); a boilerplate fingerprint
+    // duplicated across millions of docs reduces map-side to one row —
+    // never a buffered window partition, never a suffix array.
+    QDef("d55_exact_substr_spans",
+      (s, dir) => {
+        Dedup.exactSubstrSpans(
+          Tables.parallel(Tables.load(s, dir, "documents")),
+          "text", "doc_id", minLen = 6)
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+             |w AS (SELECT doc_id, i, md5(array_to_string(s[i : i+5], ' ')) AS fp
+             |      FROM (SELECT doc_id, s, unnest(range(1, len(s) - 4)) AS i FROM tk) t),
+             |dup AS (SELECT fp FROM w GROUP BY fp HAVING min(doc_id) <> max(doc_id)),
+             |cov AS (SELECT doc_id, i,
+             |          i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+             |        FROM w WHERE fp IN (SELECT fp FROM dup))
+             |SELECT doc_id, CAST(min(i) - 1 AS BIGINT) AS span_start,
+             |  CAST(max(i) - min(i) + 6 AS BIGINT) AS span_tokens
+             |FROM cov GROUP BY doc_id, grp
+             |ORDER BY doc_id, span_start""".stripMargin)),
   )
 }

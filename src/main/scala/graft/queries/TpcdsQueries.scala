@@ -205,10 +205,17 @@ object TpcdsQueries {
             col("ret_qty").cast("double") / col("qty").cast("double"))
           .withColumn("amt_ratio",
             col("ret_amt").cast("double") / col("amt").cast("double"))
-        val byQty = Window.orderBy(col("qty_ratio").desc, col("p_brand").asc)
-        val byAmt = Window.orderBy(col("amt_ratio").desc, col("p_brand").asc)
-        g.withColumn("rnk_qty", rank().over(byQty))
-          .withColumn("rnk_amt", rank().over(byAmt))
+        // both rankings are global but the order is STRICT (p_brand is
+        // unique after the groupBy), so rank() == row_number() and the
+        // shared DistributedRank recipe applies — no unpartitioned
+        // WindowExec; the frame is #brands rows, but the shape must not
+        // teach the next author the single-task form
+        val r1 = graft.operators.DistributedRank.withRank(g,
+          Seq(col("qty_ratio").desc, col("p_brand").asc), "rnk_qty")
+        graft.operators.DistributedRank.withRank(r1,
+            Seq(col("amt_ratio").desc, col("p_brand").asc), "rnk_amt")
+          .withColumn("rnk_qty", col("rnk_qty").cast("int"))
+          .withColumn("rnk_amt", col("rnk_amt").cast("int"))
           .filter(col("rnk_qty") <= 10 || col("rnk_amt") <= 10)
           .select(col("p_brand"), dec4(col("qty_ratio")).as("qty_ratio"),
             dec4(col("amt_ratio")).as("amt_ratio"),

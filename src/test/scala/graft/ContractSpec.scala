@@ -31,7 +31,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the survey ledger claim") {
-    assert(SparkEntry.all.size === 185, s"ledger says 185, found ${SparkEntry.all.size}")
+    assert(SparkEntry.all.size === 186, s"ledger says 186, found ${SparkEntry.all.size}")
   }
 
   test("driver-side collect() stays confined to the documented bounded sites") {

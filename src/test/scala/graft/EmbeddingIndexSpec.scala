@@ -138,4 +138,86 @@ class EmbeddingIndexSpec extends SparkSpec {
       EmbeddingIndex.loadModel(docsCat, "ndx"))
     assert(e2.getMessage.contains("not an embedding index"))
   }
+
+  test("drift probe: occupancy L1 separates a planted distribution shift " +
+    "from same-distribution churn (round-16 item 2)") {
+    val cat = seeded()
+    EmbeddingIndex.bootstrap(cat, "emx", cat.table("emb"),
+      "vec_id", "embedding", cells = 4, m = 4, ksub = 8)
+    assert(EmbeddingIndex.driftL1e6(cat, "emx") === 0L,
+      "freshly bootstrapped: current occupancy IS the bootstrap occupancy")
+    // same-distribution churn: replace a third of the corpus with vectors
+    // drawn from the SAME generator — occupancy barely moves
+    val v0 = cat.currentVersion("emb")
+    val ep = cat.baseEpoch("emb")
+    cat.upsert("emb", df((0L until 60L).filter(_ % 3 == 0)))
+    EmbeddingIndex.refresh(cat, "emx", "emb", v0,
+      cat.currentVersion("emb"), ep, "vec_id", "embedding")
+    val calm = EmbeddingIndex.driftL1e6(cat, "emx")
+    // planted SHIFT: rewrite the whole corpus as one tight off-manifold
+    // cluster — the frozen cells now see most of the mass in one region
+    val shifted = spark.createDataFrame(
+      (0L until 60L).map(i => Row(i,
+        (0 until dim).map(j => 0.9f + ((i + j) % 7) / 100.0f))).asJava,
+      embSchema)
+    val v1 = cat.currentVersion("emb")
+    cat.upsert("emb", shifted)
+    EmbeddingIndex.refresh(cat, "emx", "emb", v1,
+      cat.currentVersion("emb"), ep, "vec_id", "embedding")
+    val drifted = EmbeddingIndex.driftL1e6(cat, "emx")
+    assert(drifted > calm,
+      s"planted shift must raise the drift metric (calm=$calm drifted=$drifted)")
+    assert(drifted >= 200000L,
+      s"a full-corpus regeneration re-routes >= 10% of mass, got $drifted")
+  }
+
+  test("rebootstrap: atomic generation swap — probes see old or new, " +
+    "never a mix; the new index equals a fresh bootstrap bit-for-bit") {
+    val cat = seeded()
+    val corpus = cat.table("emb")
+    EmbeddingIndex.bootstrap(cat, "emx", corpus, "vec_id", "embedding",
+      cells = 4, m = 4, ksub = 8)
+    val queries = df(1000L until 1006L)
+    val before = rowsOf(EmbeddingIndex.probe(cat, "emx", queries, corpus,
+      k = 3, nprobe = 2, rerank = 16))
+    // drift the corpus, then answer the fired probe with a refit
+    val v0 = cat.currentVersion("emb")
+    val ep = cat.baseEpoch("emb")
+    cat.upsert("emb", df(0L until 60L, salt = 23))
+    EmbeddingIndex.refresh(cat, "emx", "emb", v0,
+      cat.currentVersion("emb"), ep, "vec_id", "embedding")
+    val gen = EmbeddingIndex.rebootstrap(cat, "emx", cat.table("emb"),
+      "vec_id", "embedding", cells = 4, m = 4, ksub = 8)
+    assert(gen === "emx__g1")
+    assert(EmbeddingIndex.resolve(cat, "emx") === "emx__g1")
+    // the swapped-in index answers exactly like an index bootstrapped
+    // fresh on the current corpus (same deterministic training recipe)
+    val freshCat = new KuduLikeCatalog(spark, tmpDir("graft_emx4_"))
+    freshCat.createTable(TableDef("emb", embSchema, Seq("vec_id"), buckets = 4))
+    freshCat.insert("emb", df(0L until 60L, salt = 23))
+    EmbeddingIndex.bootstrap(freshCat, "fmx", freshCat.table("emb"),
+      "vec_id", "embedding", cells = 4, m = 4, ksub = 8)
+    val viaSwap = rowsOf(EmbeddingIndex.probe(cat, "emx", queries,
+      cat.table("emb"), k = 3, nprobe = 2, rerank = 16))
+    val viaFresh = rowsOf(EmbeddingIndex.probe(freshCat, "fmx", queries,
+      freshCat.table("emb"), k = 3, nprobe = 2, rerank = 16))
+    assert(viaSwap === viaFresh)
+    assert(viaSwap !== before, "the refit re-routed a drifted corpus")
+    // and the refit resets the drift reference: new generation, zero drift
+    assert(EmbeddingIndex.driftL1e6(cat, "emx") === 0L)
+    // NO MIX: the superseded generation's tables all survive the flip (an
+    // in-flight probe that resolved pre-flip reads a complete old index —
+    // probe resolves ONCE and builds every frame against physical names),
+    // until vacuum reclaims exactly that generation
+    assert(cat.exists("emx") && cat.exists("emx__model") &&
+      cat.exists("emx__meta") && cat.exists("emx__stats"))
+    val dropped = EmbeddingIndex.vacuumOldGenerations(cat, "emx")
+    assert(dropped === Seq("emx"))
+    assert(!cat.exists("emx") && !cat.exists("emx__model") &&
+      !cat.exists("emx__meta") && !cat.exists("emx__stats"))
+    assert(cat.exists("emx__g1") && cat.exists("emx__ptr"))
+    // probes through the logical name keep answering after the vacuum
+    assert(rowsOf(EmbeddingIndex.probe(cat, "emx", queries,
+      cat.table("emb"), k = 3, nprobe = 2, rerank = 16)) === viaSwap)
+  }
 }

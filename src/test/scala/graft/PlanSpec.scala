@@ -262,6 +262,10 @@ class PlanSpec extends SparkSpec {
       // self-join over the P-row partition summary — round-15's
       // distributed-rank replacement for the unpartitioned window
       "d49_temperature_mix",
+      // the same P^2 triangular offset self-join, twice (the shared
+      // operators/DistributedRank replaced q49s's two unpartitioned
+      // rank() windows in round 16)
+      "tpcds_q49s_return_ratio_ranks",
       // broadcast centroid join (cells rows) for query cell assignment +
       // the 1-row totals of the exact-display re-rank
       "d54_standing_embedding_index"

@@ -50,25 +50,45 @@ object PageRank {
       iterations: Int = 3, scale: Long = 1000000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 30,
       s"iterations must be in [1, 30] (got $iterations)")
-    val e = edges
+    val e0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
       .localCheckpoint() // reused every iteration: one materialization, O(1) plan
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
-    val base = scale * 15L / 100L // (1 - d) mass, d = 0.85, truncating like both engines
-    var rank = deg.select(col("src").as("id"), lit(scale).as("pr"))
-    for (_ <- 1 to iterations) {
-      val contrib = e
-        .join(rank.select(col("id").as("src"), col("pr")), Seq("src"))
-        .join(deg, Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum(expr("pr div deg")).as("c")) // integer per-edge share, order-free sum
-      rank = deg.select(col("src").as("id"))
-        .join(contrib, Seq("id"), "left") // sources with no in-edges keep base mass
-        .select(col("id"),
-          expr(s"$base + (85 * coalesce(c, 0L)) div 100").as("pr"))
+    // Iteration partitioning from the measured edge count; AQE off for the
+    // loop's plans (IterativeScope scaladoc — per-Exchange AQE jobs are
+    // pure driver overhead on an unrolled loop of known, static sizes).
+    val n = IterativeScope.partitionsFor(e0.sparkSession, e0.count())
+    IterativeScope.withLoopConfs(e0.sparkSession, n) {
+      // The degree is STATIC across iterations — attach it to the edge
+      // frame once at materialization, so each iteration joins the edge
+      // table exactly once (the old plan re-joined edges⋈deg every
+      // iteration: an extra edge-sized join per round). Co-partitioned by
+      // construction: deg aggregates the src-partitioned edge frame, so
+      // neither the agg nor the join below exchanges anything.
+      val eBySrc = e0.repartition(n, col("src"))
+        .sortWithinPartitions("src").localCheckpoint()
+      val deg = eBySrc.groupBy("src").agg(count(lit(1)).as("deg"))
+      val eDeg = eBySrc.join(deg, Seq("src"))
+        .select(col("src"), col("dst"), col("deg"))
+        .sortWithinPartitions("src")
+        .localCheckpoint() // static (src, dst, deg), hash(src, n), sorted
+      val base = scale * 15L / 100L // (1 - d) mass, d = 0.85, truncating like both engines
+      val nodes = deg.select(col("src").as("id")).localCheckpoint() // hash(src→id, n)
+      var rank = nodes.select(col("id"), lit(scale).as("pr"))
+      for (_ <- 1 to iterations) {
+        val contrib = eDeg
+          .join(rank.select(col("id").as("src"), col("pr")), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum(expr("pr div deg")).as("c")) // integer per-edge share, order-free sum
+        rank = nodes
+          .join(contrib, Seq("id"), "left") // sources with no in-edges keep base mass
+          .select(col("id"),
+            expr(s"$base + (85 * coalesce(c, 0L)) div 100").as("pr"))
+      }
+      // materialize inside the scope: the caller's top-k/sort then plans
+      // under its own session settings over the finished rank table
+      rank.localCheckpoint()
     }
-    rank
   }
 
   /** The unrolled-CTE DuckDB oracle for [[pageRankInt]] over a symmetrized

@@ -1568,7 +1568,17 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
       // With the dirs as a sort prefix the writer's requirement is already
       // satisfied, no extra sort runs, and the per-file clustering
       // (cluster columns, then keys) reaches the parquet row groups.
-      val clustered = out.repartition(parts.toSeq.map(col): _*)
+      // The partition count is EXPLICIT (round-16): without it, AQE
+      // coalesces this exchange to its shuffle-read advisory size and
+      // collapses the write stage to 1-2 tasks for small batches — but a
+      // write task's cost is parquet-encode CPU (~3-4x the shuffle-read
+      // bytes), so shuffle-byte coalescing is the wrong sizing rule for a
+      // write stage. An explicit count pins write parallelism to the
+      // session's shuffle setting; at scale partitions exceed the advisory
+      // size and the two forms plan identically.
+      val clustered = out
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          parts.toSeq.map(col): _*)
         .sortWithinPartitions(parts.toSeq.map(col) ++ sort: _*)
       withOpts(clustered.write.partitionBy(parts.toSeq: _*).mode(mode)).parquet(dir)
     } else

@@ -81,13 +81,19 @@ object AggQueries {
     // ROLLUP with grouping() flags; grouping-null keys are coalesced to a
     // sentinel so null-ordering dialect differences cannot bite.
     QDef("a7_rollup",
+      // pre-aggregated per (rf, ls) before the rollup's 3x Expand; decimal
+      // sum-of-sums and count-as-sum are exact (round-16 optimization —
+      // the Expand now multiplies 6 rows, not the fact table)
       (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("__n"),
+          sum(d182(col("l_quantity"))).as("__q"))
         .rollup("l_returnflag", "l_linestatus")
         .agg(
           grouping(col("l_returnflag")).cast("int").as("g_rf"),
           grouping(col("l_linestatus")).cast("int").as("g_ls"),
-          count(lit(1)).as("n"),
-          sum(d182(col("l_quantity"))).cast("decimal(38,4)").as("sum_qty"))
+          sum(col("__n")).as("n"),
+          sum(col("__q")).cast("decimal(38,4)").as("sum_qty"))
         .select(
           coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
           coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
@@ -102,12 +108,16 @@ object AggQueries {
              |ORDER BY g_rf, g_ls, rf, ls""".stripMargin)),
 
     QDef("a7_cube",
+      // pre-aggregated per (status, priority) before the cube's 4x Expand
+      // (same exactness argument as a7_rollup)
       (s, dir) => Tables.load(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("__n"))
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
           grouping(col("o_orderstatus")).cast("int").as("g_st"),
           grouping(col("o_orderpriority")).cast("int").as("g_pr"),
-          count(lit(1)).as("n"))
+          sum(col("__n")).as("n"))
         .select(
           coalesce(col("o_orderstatus"), lit("(all)")).as("st"),
           coalesce(col("o_orderpriority"), lit("(all)")).as("pr"),
@@ -203,7 +213,12 @@ object AggQueries {
     // shorthand for) — one pass, one shuffle: Catalyst expands the sets
     // into a single Expand + partial/final aggregate, not one job per set.
     QDef("a12_grouping_sets",
+      // pre-aggregated per (rf, ls) before the grouping-sets Expand (same
+      // exactness argument as a7_rollup)
       (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("__n"),
+          sum(d182(col("l_quantity"))).as("__q"))
         .groupingSets(
           Seq(Seq(col("l_returnflag"), col("l_linestatus")),
             Seq(col("l_returnflag")), Seq.empty),
@@ -211,8 +226,8 @@ object AggQueries {
         .agg(
           grouping(col("l_returnflag")).cast("int").as("g_rf"),
           grouping(col("l_linestatus")).cast("int").as("g_ls"),
-          count(lit(1)).as("n"),
-          sum(d182(col("l_quantity"))).cast("decimal(38,4)").as("sum_qty"))
+          sum(col("__n")).as("n"),
+          sum(col("__q")).cast("decimal(38,4)").as("sum_qty"))
         .select(
           coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
           coalesce(col("l_linestatus"), lit("(all)")).as("ls"),

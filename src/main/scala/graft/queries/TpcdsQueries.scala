@@ -27,11 +27,20 @@ object TpcdsQueries {
     * parent — TPC-DS's `rank() over (partition by lochierarchy, CASE WHEN
     * grouping(county)=1 THEN state END ...)`.
     */
-  private def hierarchyRank(joined: DataFrame, measure: org.apache.spark.sql.Column,
+  private def hierarchyRank(joined: DataFrame, valueCol: org.apache.spark.sql.Column,
       measureName: String): DataFrame = {
-    val g = joined.rollup(col("r_name"), col("n_name"))
+    // Pre-aggregate per (r_name, n_name) BEFORE the rollup (optimization
+    // guide §2.3 "aggregate before you shuffle"): Expand multiplies its
+    // input 3x, so rolling up the raw fact rows pushed 3x the fact table
+    // through the decimal hash aggregate. DECIMAL sums are exact and
+    // associative — sum-of-group-sums is bit-identical to the direct
+    // rollup — so Expand now runs over |regions x nations| pre-aggregated
+    // rows instead of the fact table.
+    val base = joined.groupBy(col("r_name"), col("n_name"))
+      .agg(sum(graft.QDef.d182(valueCol)).as("__m"))
+    val g = base.rollup(col("r_name"), col("n_name"))
       .agg(
-        measure.as(measureName),
+        sum(col("__m")).cast("decimal(38,2)").as(measureName),
         grouping(col("r_name")).cast("int").as("g_r"),
         grouping(col("n_name")).cast("int").as("g_n"))
       .withColumn("lochierarchy", col("g_r") + col("g_n"))
@@ -82,10 +91,15 @@ object TpcdsQueries {
         val n = Tables.load(s, dir, "nation")
         val j = o.join(c, col("o_custkey") === col("c_custkey"))
           .join(n, col("c_nationkey") === col("n_nationkey"))
-        j.rollup(col("channel"), col("n_name"))
+        // pre-aggregate per (channel, nation) before the rollup's Expand —
+        // sum-of-sums / sum-of-counts are exact (hierarchyRank scaladoc)
+        j.groupBy(col("channel"), col("n_name"))
+          .agg(sum(d182(col("o_totalprice"))).as("__s"),
+            count(lit(1)).as("__n"))
+          .rollup(col("channel"), col("n_name"))
           .agg(
-            sum(d182(col("o_totalprice"))).cast("decimal(38,2)").as("sales"),
-            count(lit(1)).as("n_orders"),
+            sum(col("__s")).cast("decimal(38,2)").as("sales"),
+            sum(col("__n")).as("n_orders"),
             grouping(col("channel")).cast("int").as("g_c"),
             grouping(col("n_name")).cast("int").as("g_n"))
           .select(
@@ -145,10 +159,18 @@ object TpcdsQueries {
       (s, dir) => {
         val p = Tables.load(s, dir, "part")
         val j = li(s, dir).join(p, col("l_partkey") === col("p_partkey"))
-        val g = j.rollup(col("p_type"), col("p_brand"))
+        // pre-aggregate per (p_type, p_brand) before the rollup's Expand:
+        // the decimal revenue product and both sums run once per fact row
+        // instead of once per expanded copy, and Expand multiplies a
+        // |types x brands| frame, not the fact table (exact: decimal
+        // sum-of-sums — hierarchyRank scaladoc)
+        val g = j.groupBy(col("p_type"), col("p_brand"))
+          .agg(sum(expr(revenueExpr)).as("__r"),
+            sum(d182(col("l_quantity"))).as("__q"))
+          .rollup(col("p_type"), col("p_brand"))
           .agg(
-            sum(expr(revenueExpr)).cast("decimal(38,4)").as("disc_price"),
-            sum(d182(col("l_quantity"))).cast("decimal(38,2)").as("qty"),
+            sum(col("__r")).cast("decimal(38,4)").as("disc_price"),
+            sum(col("__q")).cast("decimal(38,2)").as("qty"),
             grouping(col("p_type")).cast("int").as("g_t"),
             grouping(col("p_brand")).cast("int").as("g_b"))
           .withColumn("lochierarchy", col("g_t") + col("g_b"))
@@ -324,8 +346,7 @@ object TpcdsQueries {
         val r = Tables.load(s, dir, "region")
         val j = sup.join(n, col("s_nationkey") === col("n_nationkey"))
           .join(r, col("n_regionkey") === col("r_regionkey"))
-        hierarchyRank(j,
-          sum(d182(col("s_acctbal"))).cast("decimal(38,2)"), "total_bal")
+        hierarchyRank(j, col("s_acctbal"), "total_bal")
       },
       Some(hierarchyRankSql(
         """supplier JOIN nation ON s_nationkey = n_nationkey
@@ -343,8 +364,7 @@ object TpcdsQueries {
         val j = ord(s, dir).join(c, col("o_custkey") === col("c_custkey"))
           .join(n, col("c_nationkey") === col("n_nationkey"))
           .join(r, col("n_regionkey") === col("r_regionkey"))
-        hierarchyRank(j,
-          sum(d182(col("o_totalprice"))).cast("decimal(38,2)"), "revenue")
+        hierarchyRank(j, col("o_totalprice"), "revenue")
       },
       Some(hierarchyRankSql(
         """orders JOIN customer ON o_custkey = c_custkey

@@ -246,9 +246,14 @@ object Dedup {
     // joins stage-materialize the shingle table in practice; stage() is
     // that staging (MEMORY_AND_DISK — spills, never recomputes — and the
     // previous call's frame is released).
+    // per-doc distinct shingles via array_distinct BEFORE the explode: each
+    // input row is one document (idCol is the unique document id), so the
+    // per-row form is exactly the old corpus-wide `.distinct()` — minus its
+    // full (doc, shingle) exchange; the staged frame is now produced by a
+    // completely narrow scan (round-16, guide §2.4 "remove shuffles outright")
     val shingles = stage("jaccard", graft.Tables.parallel(df)
-      .select(col(idCol).as("doc"), explode(TextFunctions.wordShingles(col(textCol), n)).as("g"))
-      .distinct())
+      .select(col(idCol).as("doc"),
+        explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("g")))
     val sizes = shingles.groupBy("doc").agg(count(lit(1)).as("sz"))
     val discriminative = shingles.groupBy("g")
       .agg(count(lit(1)).as("df")).filter(col("df") <= dfMax).select("g")

@@ -66,7 +66,19 @@ object NgramLm {
     val cHead = cBg
       .select(split(col("bg"), " ").getItem(0).as("head"), col("c_bg"))
       .groupBy("head").agg(sum(col("c_bg")).as("c_head"))
-    val vocab = toks.select(explode(col("toks")).as("w"))
+    // The vocabulary FOLDS OUT of the bigram-counts table, like cHead: in a
+    // >=2-token document every token is adjacent to another, so it appears
+    // as some bigram's head or tail — distinct(heads ∪ tails of cBg) covers
+    // all of them with a VOCABULARY²-bounded input instead of exploding and
+    // distinct-shuffling every corpus token occurrence. Only 1-token
+    // documents contribute a word no bigram carries; a narrow filtered scan
+    // adds exactly those (round-16; values provably identical).
+    val vocab = cBg
+      .select(explode(array(
+        split(col("bg"), " ").getItem(0),
+        split(col("bg"), " ").getItem(1))).as("w"))
+      .union(toks.filter(size(col("toks")) === 1)
+        .select(explode(col("toks")).as("w")))
       .agg(countDistinct(col("w")).as("v"))
 
     inst

@@ -679,8 +679,12 @@ object Dedup {
       transform(sequence(lit(0), nwin - 1),
         i => md5(concat_ws(" ", slice(toks, i + 1, lit(minLen))))))
       .otherwise(array().cast("array<string>"))
-    val windows = docs
-      .select(col(idCol), posexplode(fps).as(Seq("pos", "fp")))
+    // staged like the jaccard shingle frame: the window fingerprints feed
+    // BOTH the duplicate-fp aggregate and the semi-join probe — without
+    // staging, the md5 window explode (the expensive per-row work) runs
+    // twice, once per consumer (round-16; plan showed two Generate nodes)
+    val windows = stage("exactsubstr", docs
+      .select(col(idCol), posexplode(fps).as(Seq("pos", "fp"))))
     val dupFps = windows.groupBy("fp")
       .agg(min(col(idCol)).as("__d_min"), max(col(idCol)).as("__d_max"))
       .filter(col("__d_min") =!= col("__d_max"))

@@ -131,8 +131,17 @@ object TpcdsQueries {
     QDef("tpcds_q14s_cross_channel_intersect",
       (s, dir) => {
         val l = li(s, dir)
-        val both = l.filter(col("l_discount") > 0.06).select(col("l_partkey"))
-          .intersect(l.filter(col("l_tax") > 0.05).select(col("l_partkey")))
+        // INTERSECT of two filtered projections of the SAME fact table =
+        // one flag aggregation over one scan: a part is in both channels
+        // iff some row clears each filter. Replaces two filtered scans +
+        // two distinct exchanges + a join with one scan + one partial-
+        // aggregated exchange (round-16, guide §2.3/§2.4) — identical set.
+        val both = l
+          .groupBy(col("l_partkey"))
+          .agg(max(when(col("l_discount") > 0.06, 1).otherwise(0)).as("__d"),
+            max(when(col("l_tax") > 0.05, 1).otherwise(0)).as("__t"))
+          .filter(col("__d") === 1 && col("__t") === 1)
+          .select(col("l_partkey"))
         val p = Tables.load(s, dir, "part")
         l.join(both, Seq("l_partkey"), "left_semi")
           .join(p, col("l_partkey") === col("p_partkey"))
@@ -313,10 +322,14 @@ object TpcdsQueries {
         val p = Tables.load(s, dir, "part")
         val j = li(s, dir).join(p, col("l_partkey") === col("p_partkey"))
           .withColumn("m", month(col("l_shipdate")))
+        // pre-aggregate per (p_type, m) before the grouping-sets Expand —
+        // decimal sum-of-sums is exact (hierarchyRank scaladoc)
         val g = j
+          .groupBy(col("p_type"), col("m"))
+          .agg(sum(d182(col("l_quantity"))).as("__q"))
           .groupingSets(Seq(Seq(col("p_type"), col("m")), Seq(col("p_type"))),
             col("p_type"), col("m"))
-          .agg(sum(d182(col("l_quantity"))).cast("decimal(38,2)").as("qty"),
+          .agg(sum(col("__q")).cast("decimal(38,2)").as("qty"),
             grouping(col("m")).cast("int").as("g_m"))
         val w = Window.partitionBy(col("p_type"))
           .orderBy(col("qty").desc, col("g_m").asc, col("m").asc_nulls_first)

@@ -255,17 +255,34 @@ object Dedup {
       .select(col(idCol).as("doc"),
         explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("g")))
     val sizes = shingles.groupBy("doc").agg(count(lit(1)).as("sz"))
-    val discriminative = shingles.groupBy("g")
-      .agg(count(lit(1)).as("df")).filter(col("df") <= dfMax).select("g")
-    val capped = shingles.join(discriminative, Seq("g"))
-    val cand = capped.select(col("g"), col("doc").as("a"))
-      .join(capped.select(col("g"), col("doc").as("b")), Seq("g"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    val inter = cand
-      .join(shingles.select(col("doc").as("a"), col("g")), Seq("a"))
-      .join(shingles.select(col("doc").as("b"), col("g")), Seq("b", "g"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    // UNCAPPED fast path (round-16): with dfMax = ∞ every shingle is
+    // discriminative, so "pairs sharing ≥1 discriminative shingle, then
+    // count shared shingles over ALL shingles" degenerates to counting the
+    // shingle self-join directly — one join + one partial-aggregated
+    // exchange instead of candidate join + distinct + two verification
+    // joins. Identical output by construction (a pair appears iff it
+    // shares ≥1 shingle; the count is over all shared shingles either
+    // way). The capped path keeps the split: candidates must share a
+    // discriminative shingle but the jaccard is verified over ALL.
+    val inter =
+      if (dfMax == Long.MaxValue)
+        shingles.select(col("g"), col("doc").as("a"))
+          .join(shingles.select(col("g"), col("doc").as("b")), Seq("g"))
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      else {
+        val discriminative = shingles.groupBy("g")
+          .agg(count(lit(1)).as("df")).filter(col("df") <= dfMax).select("g")
+        val capped = shingles.join(discriminative, Seq("g"))
+        val cand = capped.select(col("g"), col("doc").as("a"))
+          .join(capped.select(col("g"), col("doc").as("b")), Seq("g"))
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        cand
+          .join(shingles.select(col("doc").as("a"), col("g")), Seq("a"))
+          .join(shingles.select(col("doc").as("b"), col("g")), Seq("b", "g"))
+          .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      }
     inter
       .join(sizes.select(col("doc").as("a"), col("sz").as("sza")), Seq("a"))
       .join(sizes.select(col("doc").as("b"), col("sz").as("szb")), Seq("b"))
@@ -414,15 +431,24 @@ object Dedup {
     val shB = stage("jaccard-cross-b", refPostings.select(col("b"), col("g")))
     val sizesA = shA.groupBy("a").agg(count(lit(1)).as("sza"))
     val sizesB = shB.groupBy("b").agg(count(lit(1)).as("szb"))
-    val discriminative = shB.groupBy("g")
-      .agg(count(lit(1)).as("df")).filter(col("df") <= dfMax).select("g")
-    val cand = shA.join(discriminative, Seq("g"))
-      .join(shB, Seq("g"))
-      .select("a", "b").distinct()
-    val inter = cand
-      .join(shA, Seq("a"))
-      .join(shB, Seq("b", "g"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    // uncapped fast path: same degeneration as [[ngramJaccardPairs]] —
+    // with every shingle discriminative, the candidate step is redundant
+    // and the intersection counts straight off the one cross join
+    val inter =
+      if (dfMax == Long.MaxValue)
+        shA.join(shB, Seq("g"))
+          .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      else {
+        val discriminative = shB.groupBy("g")
+          .agg(count(lit(1)).as("df")).filter(col("df") <= dfMax).select("g")
+        val cand = shA.join(discriminative, Seq("g"))
+          .join(shB, Seq("g"))
+          .select("a", "b").distinct()
+        cand
+          .join(shA, Seq("a"))
+          .join(shB, Seq("b", "g"))
+          .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      }
     inter
       .join(sizesA, Seq("a")).join(sizesB, Seq("b"))
       .withColumn("jaccard",

@@ -71,10 +71,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val failed = scala.collection.mutable.Set[String]()
+    // full stack, not getMessage (round-16: an in-bench analysis
+    // INTERNAL_ERROR's cause was swallowed, leaving the failure undiagnosable)
+    def logFailure(name: String, e: Throwable): Unit = {
+      System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      e.printStackTrace(System.err)
+    }
     queries.foreach { q =>
       try run(q) catch {
         case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          logFailure(q.name, e)
           failed += q.name
       }
     }
@@ -90,7 +96,7 @@ object Bench {
       try samples(q.name) = samples(q.name) :+ timed(q)
       catch {
         case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          logFailure(q.name, e)
           failed += q.name
       }
     }

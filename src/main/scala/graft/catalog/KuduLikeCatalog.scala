@@ -613,7 +613,11 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
     else {
       val rc = rangeColOf(name).get
       val subs = rangeSubColsOf(name)
-      val pinned = df.localCheckpoint(true)
+      // handoff: the pin is consumed by this write (serialized per table by
+      // withTableWriteLock), so the previous write's pin is dead by the
+      // time the slot turns over (graft.operators.Staged scaladoc)
+      val pinned = graft.operators.Staged.handoff(
+        s"dropped-range-pin-$name", df.localCheckpoint(true))
       // per dropped entry: match each '/'-separated part against its range
       // level (a 1-part entry on a composite table covers every sub-value)
       val cond = dropped.map { entry =>

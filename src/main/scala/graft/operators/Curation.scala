@@ -132,17 +132,19 @@ object Curation {
   def sqrtTemperatureAllocation(docs: DataFrame, domainCol: String,
       budget: Long): DataFrame = {
     require(budget >= 0, s"sqrtTemperatureAllocation: budget >= 0, got $budget")
-    val counts = docs
+    val counts0 = docs
       .groupBy(col(domainCol).as("domain"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("weight_e6",
         floor(sqrt(col("n_docs").cast("double")) * lit(1e6)).cast("long"))
-      // the ONE corpus-sized pass, cached: totals, seat count, ranking,
-      // and summaries all branch from here — without it each branch would
-      // re-run the corpus count. cache() (not localCheckpoint) keeps the
-      // whole allocation lazy: one action materializes the #domains-row
-      // table once and every branch reuses it
-      .cache()
+    // the ONE corpus-sized pass, staged: totals, seat count, ranking, and
+    // summaries all branch from here — without it each branch would re-run
+    // the corpus count. Staged (not a bare .cache(), round-17): a cache
+    // with no unpersist leaked one CacheManager entry per call, and every
+    // LATER query's analysis walks all cached plans — a bench sweep
+    // accumulated hundreds (Staged scaladoc). The slot keeps the whole
+    // allocation lazy and releases the previous call's frame.
+    val counts = Staged.stage("curation-counts", counts0)
     val wTot = counts.agg(sum(col("weight_e6")).as("w_tot")) // 1 row
     val based = counts.crossJoin(broadcast(wTot))
       .withColumn("base", expr(s"$budget * weight_e6 div w_tot"))

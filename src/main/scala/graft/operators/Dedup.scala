@@ -16,35 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Staged shingle frames, one slot per operator+side: persisting without
-    * ever unpersisting would leak a cached copy per CALL (bench loops alone
-    * run these operators every round). Each new call releases the previous
-    * frame for its slot — at most one cached copy per slot per session.
-    * `unpersist(blocking = false)` is safe against a concurrent reader of
-    * the old frame: missing blocks are recomputed, never wrong.
-    *
-    * Release order matters (round-6 fix): the previous slot is unpersisted
-    * BEFORE the new frame is persisted. Spark's CacheManager keys cache
-    * entries by plan, so the reverse order (persist-then-unpersist) dropped
-    * the very entry the new persist had just re-registered whenever the two
-    * calls carried the same plan — the staged frame was never actually
-    * cached on repeat runs (the "Asked to cache already cached data"
-    * warning was this bug talking) and every consumer re-computed the
-    * shingle explode. Unpersist-first keeps each call FRESH — an internal
-    * cache must never serve a previous corpus snapshot after the input
-    * files were rewritten — while the call's own consumers (sizes, df cap,
-    * candidates, verification) share one materialization.
+  /** Staged shingle frames — the slot discipline now lives in [[Staged]]
+    * (round-17: Curation and the loop operators need the same lifecycle);
+    * kept as a local alias because every staged frame here cites it.
     */
-  private val staged =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def stage(slot: String, df: DataFrame): DataFrame =
-    // atomic per slot: a remove→persist→put sequence under two concurrent
-    // callers could interleave and leak a persisted frame nobody tracks;
-    // compute() serializes the swap on the slot's bin
-    staged.compute(slot, (_, old) => {
-      if (old != null) old.unpersist(false)
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    Staged.stage(slot, df)
 
   /** D1 — exact dedup by content hash: deterministic survivor = lowest id
     * per sha2-256 of the content. One shuffle on the hash.
@@ -531,6 +508,7 @@ object Dedup {
         .distinct()
         .repartition(n, col("src"))
         .sortWithinPartitions("src").localCheckpoint()
+      Staged.free(p0) // dead: edges materialized, nothing else reads the pair list
       // round 0: least of self and min neighbor (symmetric edges ⇒ every
       // paired node appears as src). Co-partitioned with edges — the agg
       // needs no exchange, and the checkpoint keeps labels hash(id, n).
@@ -568,13 +546,22 @@ object Dedup {
         // edge-sized joins per round were the dominant per-round cost at
         // scale, where edges outnumber nodes by the average degree.
         done = next.filter(col("comp") =!= col("__prev")).limit(1).count() == 0L
-        labels = next // superseded rounds' blocks are GC'd by the ContextCleaner
+        // the superseded round is structurally dead (next is materialized
+        // and the probe read next, not labels) — release its blocks NOW;
+        // waiting for GC+ContextCleaner leaked one node-sized block set per
+        // round per call and filled the block store over a bench sweep
+        // (round-16 rc=124; Staged scaladoc)
+        Staged.free(labels)
+        labels = next
         round += 1
       }
       require(done,
         s"connectedComponents did not converge in $maxRounds rounds — " +
           "raise maxRounds (component diameter exceeds 2^rounds)")
-      labels.select("id", "comp")
+      Staged.free(edges) // loop exited: the static edge table is dead
+      // the final label frame is the caller's result — released at the
+      // NEXT connectedComponents call (Staged.handoff scaladoc)
+      Staged.handoff("cc-labels", labels).select("id", "comp")
     }
   }
 

@@ -41,10 +41,14 @@ object DistributedRank {
     */
   def withRank(df: DataFrame, order: Seq[Column], as: String): DataFrame = {
     require(order.nonEmpty, "DistributedRank: order must not be empty")
-    val ranged = df
+    // handoff AFTER the checkpoint materializes: a chained call (rank a
+    // ranked frame again, as q49s does) consumes the previous call's
+    // blocks during THIS materialization, so the previous frame is only
+    // released once it is structurally dead (Staged scaladoc)
+    val ranged = Staged.handoff("distributed-rank", df
       .repartitionByRange(order: _*)
       .withColumn("__dr_pid", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint())
     val local = ranged.withColumn("__dr_lr", row_number().over(
       Window.partitionBy(col("__dr_pid")).orderBy(order: _*)))
     val sizes = ranged.groupBy(col("__dr_pid")).agg(count(lit(1)).as("__dr_cnt"))

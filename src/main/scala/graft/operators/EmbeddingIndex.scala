@@ -237,7 +237,9 @@ object EmbeddingIndex {
     val upserts = encode(survivors, idCol, embCol, model)
       .withColumn(op, lit("upsert")).withColumn(prio, lit(1))
     cat.applyChangeset(indexTable, tombstones.unionByName(upserts))
-    changedIds.count()
+    val n = changedIds.count()
+    Staged.free(latest) // changeset committed and counted: the pin is dead
+    n
   }
 
   /** IVFADC probe against the standing index: queries are assigned to

@@ -164,7 +164,9 @@ object NearDupIndex {
     val upserts = extractor.items(survivors, textCol, idCol)
       .withColumn(op, lit("upsert")).withColumn(prio, lit(1))
     cat.applyChangeset(indexTable, tombstones.unionByName(upserts))
-    changedIds.count()
+    val n = changedIds.count()
+    Staged.free(latest) // changeset committed and counted: the pin is dead
+    n
   }
 
   /** Exact cross-corpus Jaccard probe against a standing SHINGLE index —

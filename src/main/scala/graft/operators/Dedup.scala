@@ -212,6 +212,14 @@ object Dedup {
     * the round-1 contract, and a silent default cap would change external
     * callers' results. 100-TB callers should use [[ngramJaccardPairsAtScale]],
     * which REQUIRES a finite cap and cannot silently run uncapped.
+    *
+    * PRECONDITION: `idCol` is unique — each input row is ONE document. The
+    * per-row `array_distinct` shingling is equivalent to a corpus-wide
+    * (doc, shingle) distinct only under that contract; duplicate ids (which
+    * the pre-round-16 corpus-wide `.distinct()` silently collapsed) now
+    * inflate per-doc set sizes and intersection counts, i.e. produce wrong
+    * jaccard values. Run [[exactIds]]/[[exactDedup]] first if the input may
+    * carry duplicate rows.
     */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
@@ -503,10 +511,15 @@ object Dedup {
       // then exchanged and sorted ONCE: every round's edges⋈labels
       // sort-merge join reuses this layout for the edge side (per-round
       // join cost is node-sized, not edge-sized)
+      // dedup INSIDE the src-shuffle (round-17, same fusion as PageRank):
+      // hash(src) clusters every duplicate (src, dst) row into one
+      // partition, so the distinct above the explicit repartition plans as
+      // a partition-local aggregate — one pair-sized exchange total, where
+      // distinct-then-repartition paid two.
       val edges = p0
         .union(p0.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
         .repartition(n, col("src"))
+        .distinct()
         .sortWithinPartitions("src").localCheckpoint()
       Staged.free(p0) // dead: edges materialized, nothing else reads the pair list
       // round 0: least of self and min neighbor (symmetric edges ⇒ every

@@ -41,6 +41,11 @@ object IterativeScope {
     *    is row-bound, so a single giant partition serializes the round).
     */
   def partitionsFor(spark: SparkSession, rows: Long): Int = {
+    // defaultParallelism caveat: under dynamic allocation with no executors
+    // registered yet this can read ~2 and derate the core-fill bound for
+    // the whole loop invocation; on such clusters pass an explicit floor
+    // via spark.default.parallelism (local mode always reports the master's
+    // core count, so the bench/driver path is unaffected).
     val bigData = (rows + (2L << 20) - 1) / (2L << 20) // ≥1 per 2M rows
     val coreFill = math.min(
       (rows + 65535) / 65536, // ≤1 per 64k rows
@@ -48,21 +53,46 @@ object IterativeScope {
     math.max(1L, math.max(bigData, coreFill)).min(Int.MaxValue).toInt
   }
 
+  /** One lock per SparkSession (sessions are few and long-lived — the map
+    * never grows past the session count): overlapping scopes on the SAME
+    * session from two threads could interleave set/restore and leave the
+    * session misconfigured after both exit (round-16 advice). Scopes on
+    * DIFFERENT sessions stay independent.
+    */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      java.util.concurrent.locks.ReentrantLock]()
+
   /** Run `body` with AQE off and `spark.sql.shuffle.partitions` = n,
-    * restoring both on exit (exception-safe). Re-entrant: nested scopes
-    * restore whatever the outer scope had set.
+    * restoring both on exit (exception-safe). Re-entrant within a thread
+    * (ReentrantLock): nested scopes restore whatever the outer scope had
+    * set. Concurrent scopes on one session SERIALIZE — two overlapping
+    * loops can no longer restore each other's values out of order.
+    *
+    * Residual caveat (documented, not solved): the flips are session-global
+    * while held, so an UNRELATED query planned on the same session from
+    * another thread mid-loop plans with AQE off and the loop's partition
+    * count — correct, just differently partitioned. Callers that interleave
+    * ad-hoc planning with these loops should run the loops on their own
+    * session (`spark.newSession()` shares the block store the checkpointed
+    * frames live in, so the frames themselves stay valid).
     */
   def withLoopConfs[A](spark: SparkSession, n: Int)(body: => A): A = {
-    val conf = spark.conf
-    val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
-    val spWas = conf.get("spark.sql.shuffle.partitions", "200")
+    val lock = locks.computeIfAbsent(spark,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    lock.lock()
     try {
-      conf.set("spark.sql.adaptive.enabled", "false")
-      conf.set("spark.sql.shuffle.partitions", n.toString)
-      body
-    } finally {
-      conf.set("spark.sql.adaptive.enabled", aqeWas)
-      conf.set("spark.sql.shuffle.partitions", spWas)
-    }
+      val conf = spark.conf
+      val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
+      val spWas = conf.get("spark.sql.shuffle.partitions", "200")
+      try {
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", n.toString)
+        body
+      } finally {
+        conf.set("spark.sql.adaptive.enabled", aqeWas)
+        conf.set("spark.sql.shuffle.partitions", spWas)
+      }
+    } finally lock.unlock()
   }
 }

@@ -57,6 +57,13 @@ object NgramLm {
       .select(col(idCol), explode(TF.wordShinglesOf(col("toks"), 2)).as("bg"))
       .select(col(idCol), split(col("bg"), " ").getItem(0).as("head"), col("bg"))
 
+    // NOT staged (round-17, measured): cBg has three consumers (cHead, the
+    // vocabulary fold, the scoring join), but AQE's runtime exchange reuse
+    // already deduplicates the identical corpus-sized explode+shuffle
+    // across them — persisting the frame instead DOUBLED d41/d29/d44 solo
+    // times (cache materialization + columnar round-trip + the cached
+    // plan's fixed partitioning beat nothing; the recompute it "saved"
+    // never ran). Leave the sharing to stage-level reuse.
     val cBg = inst.groupBy("bg").agg(count(lit(1)).as("c_bg"))
     // head counts FOLD OUT of the bigram counts (every instance has exactly
     // one head, so c(w1·) = Σ over bigrams starting with w1 of c(bg)) —

@@ -50,34 +50,40 @@ object PageRank {
       iterations: Int = 3, scale: Long = 1000000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 30,
       s"iterations must be in [1, 30] (got $iterations)")
+    // Materialize the caller's edge list ONCE, raw — NO distinct here
+    // (round-17): the dedup used to run as its own corpus-sized exchange
+    // before the src-repartition re-shuffled the same bytes again; it now
+    // rides the src-shuffle below as a partition-local aggregate
+    // (hash(src) clusters every duplicate (src, dst) row into one
+    // partition, so an Aggregate keyed (src, dst) needs no exchange of its
+    // own). One edge-sized exchange total, was two.
     val e0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct()
-      .localCheckpoint() // reused every iteration: one materialization, O(1) plan
-    // Iteration partitioning from the measured edge count; AQE off for the
-    // loop's plans (IterativeScope scaladoc — per-Exchange AQE jobs are
-    // pure driver overhead on an unrolled loop of known, static sizes).
+      .localCheckpoint() // reused below: one upstream execution, O(1) plan
+    // Iteration partitioning from the measured edge count (pre-dedup — an
+    // upper bound on the distinct count, which only errs toward smaller
+    // partitions); AQE off for the loop's plans (IterativeScope scaladoc —
+    // per-Exchange AQE jobs are pure driver overhead on an unrolled loop
+    // of known, static sizes).
     val n = IterativeScope.partitionsFor(e0.sparkSession, e0.count())
     IterativeScope.withLoopConfs(e0.sparkSession, n) {
       // The degree is STATIC across iterations — attach it to the edge
-      // frame once at materialization, so each iteration joins the edge
-      // table exactly once (the old plan re-joined edges⋈deg every
-      // iteration: an extra edge-sized join per round). Co-partitioned by
-      // construction: deg aggregates the src-partitioned edge frame, so
-      // neither the agg nor the join below exchanges anything.
-      val eBySrc = e0.repartition(n, col("src"))
-        .sortWithinPartitions("src").localCheckpoint()
-      val deg = eBySrc.groupBy("src").agg(count(lit(1)).as("deg"))
-      val eDeg = eBySrc.join(deg, Seq("src"))
-        .select(col("src"), col("dst"), col("deg"))
-        .sortWithinPartitions("src")
-        .localCheckpoint() // static (src, dst, deg), hash(src, n), sorted
+      // frame at the SAME materialization (round-17: it used to be a
+      // groupBy + join + re-sort + second checkpoint; a count window over
+      // the src-sorted partitions is one pass, no join, no extra
+      // exchange), so each iteration joins the edge table exactly once.
+      val eDeg = e0.repartition(n, col("src"))
+        .distinct() // partition-local dedup: no exchange, the frame is (src, dst)
+        .withColumn("deg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src")))
+        .localCheckpoint() // static (src, dst, deg), hash(src, n), sorted by src (the window's sort)
       val base = scale * 15L / 100L // (1 - d) mass, d = 0.85, truncating like both engines
-      val nodes = deg.select(col("src").as("id")).localCheckpoint() // hash(src→id, n)
-      // eDeg and nodes are materialized — their inputs are dead; release
+      // distinct sources: partition-local again (hash(src, n) satisfies)
+      val nodes = eDeg.select(col("src").as("id")).distinct()
+        .localCheckpoint() // hash(src→id, n)
+      // eDeg and nodes are materialized — their input is dead; release
       // deterministically (Staged scaladoc: GC'd checkpoints leaked one
       // edge-sized block set per call across bench sweeps)
-      Staged.free(eBySrc)
       Staged.free(e0)
       var rank = nodes.select(col("id"), lit(scale).as("pr"))
       for (_ <- 1 to iterations) {

@@ -49,6 +49,37 @@ class IterativeScopeSpec extends SparkSpec {
     }
   }
 
+  test("withLoopConfs: concurrent scopes on one session serialize and restore exactly") {
+    // round-17 (advice): two overlapping scopes used to interleave
+    // set/restore and could leave the session misconfigured after both
+    // exit. Scopes now hold a per-session lock: every scope must observe
+    // ITS OWN n for its whole body, and the original confs survive any
+    // interleaving of many concurrent scopes.
+    val conf = spark.conf
+    val aqe0 = conf.get("spark.sql.adaptive.enabled", "true")
+    val sp0 = conf.get("spark.sql.shuffle.partitions")
+    val bad = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val tasks = (1 to 40).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = IterativeScope.withLoopConfs(spark, i) {
+            // the scope's settings must be stable across its body even
+            // while 3 other threads open/close their own scopes
+            if (conf.get("spark.sql.shuffle.partitions") != i.toString) bad.incrementAndGet()
+            if (conf.get("spark.sql.adaptive.enabled") != "false") bad.incrementAndGet()
+            Thread.sleep(1)
+            if (conf.get("spark.sql.shuffle.partitions") != i.toString) bad.incrementAndGet()
+          }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    assert(bad.get() === 0)
+    assert(conf.get("spark.sql.adaptive.enabled", "true") === aqe0)
+    assert(conf.get("spark.sql.shuffle.partitions") === sp0)
+  }
+
   test("connectedComponents under the scope: correct on a chain+star mix, confs restored") {
     import spark.implicits._
     val sp0 = spark.conf.get("spark.sql.shuffle.partitions")
